@@ -1,0 +1,613 @@
+"""The SML → Spark ``Column`` compiler.
+
+Replaces the reference pipeline
+``validate_sources → compile_execution_graph → per-action execute``
+(ref: engine/ast_validator/, engine/executor/execution_graph.py:111-149,
+engine/executor/executor.py:308-417) with a single compile pass that
+emits one Spark Column per feature. The compiled ruleset is a plain
+DataFrame transformation — Catalyst handles subexpression reuse,
+constant folding, and codegen, so there is no runtime interpreter.
+
+Statement-level UDFs handled here rather than in the registry:
+
+- ``Import(rules=[...])`` — inline file merge, dedup + cycle check
+  (ref: stdlib/udfs/import_.py:17-82, ast_validator/validators/
+  imports_must_not_have_cycles.py).
+- ``Require(rule=…, require_if=…)`` — conditional file inclusion;
+  compiles the target file with every feature/effect masked by the
+  guard predicate (ref: stdlib/udfs/require.py:14-57). An f-string
+  rule path (dynamic dispatch by a feature such as ActionName) is
+  expanded at compile time over all matching source files, each
+  guarded by equality on the interpolated feature.
+- ``WhenRules(rules_any=[...], then=[...])`` — effect trigger
+  (ref: stdlib/udfs/rules.py:120-166).
+"""
+
+from __future__ import annotations
+
+import posixpath
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sml.errors import SmlValidationError
+from ..sml.nodes import (
+    Annotation,
+    Assign,
+    Attribute,
+    BinaryComparison,
+    BinaryOperation,
+    BooleanOperation,
+    Call,
+    Expr,
+    ExprStatement,
+    FormatString,
+    ListLiteral,
+    Literal,
+    Name,
+    Program,
+    Span,
+    UnaryOperation,
+)
+from ..sml.parser import parse_program
+from . import nullsafe
+from .values import Effect, Value, const_value
+
+# Reserved output feature names
+# (ref: engine/executor/custom_extracted_features.py:54-91,
+#  engine/shared_constants.py:7-8).
+ACTION_ID = "__action_id"
+TIMESTAMP = "__timestamp"
+ERROR_COUNT = "__error_count"
+VERDICTS = "__verdicts"
+LABEL_MUTATIONS = "__entity_label_mutations"
+# engine extension: typed label-effect rows for the stateful layer
+LABEL_EFFECTS = "__label_effects"
+
+LABEL_EFFECT_SCHEMA = (
+    "array<struct<entity_type:string,entity_id:string,label:string,"
+    "status:string,expires_after:double>>"
+)
+
+
+@dataclass
+class InputBindings:
+    """How SML's implicit inputs map onto input DataFrame columns.
+
+    The reference's ``Action`` fields
+    (ref: engine/executor/execution_context.py:296-332) map to:
+    ``data`` → a JSON string column (JsonData paths resolve into it),
+    ``action_name`` → string column, ``timestamp`` → event-time
+    column, ``action_id`` → int64 column (or None → derived).
+    """
+
+    data: str = "data"
+    action_name: str = "action_name"
+    timestamp: str = "ts"
+    action_id: Optional[str] = "action_id"
+
+
+_SPARK_TYPE = {"str": "string", "int": "long", "float": "double", "bool": "boolean"}
+
+
+def annotation_dtype(ann: Optional[Annotation]) -> str:
+    if ann is None:
+        return "any"
+    base = ann.base
+    if base in ("Optional", "ExtractLiteral", "Secret", "ExtractSecret"):
+        return annotation_dtype(ann.arg)
+    if base == "List":
+        return f"list:{annotation_dtype(ann.arg)}"
+    if base == "Entity":
+        return "entity"
+    if base in ("str", "int", "float", "bool"):
+        return base
+    return "any"
+
+
+@dataclass
+class _FileScope:
+    path: str
+    locals: dict[str, Value] = field(default_factory=dict)
+
+
+class CompilerContext:
+    def __init__(
+        self,
+        sources: dict[str, str],
+        bindings: InputBindings,
+        registry: dict[str, Callable],
+    ):
+        self.sources = sources
+        self.bindings = bindings
+        self.registry = registry
+        self.features: dict[str, Value] = {}
+        self.extracted: list[str] = []  # extraction order
+        self.verdict_conditions: list[tuple[Column, str]] = []
+        self.label_effects: list[dict] = []
+        self.rule_descriptions: dict[str, Column] = {}
+        self._compiled_paths: set[str] = set()
+        self._compiling_stack: list[str] = []
+        self._guard: Optional[Value] = None
+        self._scopes: list[_FileScope] = []
+        self.current_annotation: Optional[Annotation] = None
+
+    # -- errors --------------------------------------------------------
+    def error(self, msg: str, span: Span) -> SmlValidationError:
+        return SmlValidationError(msg, span.source, span.line, span.col)
+
+    # -- name scoping ----------------------------------------------------
+    def lookup(self, node: Name) -> Value:
+        if node.is_local:
+            for scope in reversed(self._scopes):
+                if node.identifier in scope.locals:
+                    return scope.locals[node.identifier]
+            raise self.error(f"undefined local {node.identifier}", node.span)
+        if node.identifier in self.features:
+            return self.features[node.identifier]
+        raise self.error(f"undefined name {node.identifier}", node.span)
+
+    def assign(self, stmt: Assign, value: Value) -> None:
+        if stmt.name.startswith("_"):
+            self._scopes[-1].locals[stmt.name] = value
+            return
+        if stmt.name in self.features:
+            # UniqueStoredNames validator parity
+            raise self.error(f"duplicate feature name {stmt.name}", stmt.span)
+        self.features[stmt.name] = value
+        if stmt.should_extract:
+            self.extracted.append(stmt.name)
+
+    # -- guards ----------------------------------------------------------
+    def guarded(self, col: Column) -> Column:
+        if self._guard is None:
+            return col
+        return F.when(self._guard.col, col)
+
+    def effect_condition(self, cond: Column) -> Column:
+        if self._guard is None:
+            return cond
+        return nullsafe.truthy(self._guard) & cond
+
+    # -- file compilation --------------------------------------------------
+    def compile_path(self, path: str, span: Span, guard: Optional[Value] = None) -> None:
+        path = posixpath.normpath(path)
+        if path in self._compiling_stack:
+            cycle = " -> ".join(self._compiling_stack + [path])
+            raise self.error(f"import cycle: {cycle}", span)
+        if path in self._compiled_paths:
+            return
+        text = self.sources.get(path)
+        if text is None:
+            raise self.error(f"no such rule source: {path}", span)
+        program = parse_program(text, path)
+        self._compiling_stack.append(path)
+        prev_guard = self._guard
+        if guard is not None:
+            if prev_guard is not None:
+                combined = nullsafe.truthy(prev_guard) & nullsafe.truthy(guard)
+                self._guard = Value(col=combined, dtype="bool")
+            else:
+                self._guard = guard
+        self._scopes.append(_FileScope(path=path))
+        try:
+            for stmt in program.statements:
+                self._compile_statement(stmt)
+            self._compiled_paths.add(path)
+        finally:
+            self._scopes.pop()
+            self._guard = prev_guard
+            self._compiling_stack.pop()
+
+    # -- statements --------------------------------------------------------
+    def _compile_statement(self, stmt) -> None:
+        if isinstance(stmt, Assign):
+            self.current_annotation = stmt.annotation
+            try:
+                value = self.compile_expr(stmt.value)
+            finally:
+                self.current_annotation = None
+            if self._guard is not None and not isinstance(stmt.value, Literal):
+                value = Value(
+                    col=self.guarded(value.col),
+                    dtype=value.dtype,
+                    entity_type=value.entity_type,
+                    rule_name=value.rule_name,
+                )
+            if value.dtype == "rule":
+                value.rule_name = stmt.name
+                if id(value) in self.rule_descriptions:
+                    self.rule_descriptions[stmt.name] = self.rule_descriptions.pop(id(value))
+            self.assign(stmt, value)
+            return
+        if isinstance(stmt, ExprStatement):
+            call = stmt.call
+            if call.func == "__doc__":
+                return
+            if call.func == "Import":
+                self._stmt_import(call)
+                return
+            if call.func == "Require":
+                self._stmt_require(call)
+                return
+            if call.func == "WhenRules":
+                self._stmt_when_rules(call)
+                return
+            # other bare effect calls are not meaningful outside WhenRules
+            raise self.error(f"{call.func} cannot appear as a bare statement", call.span)
+        raise self.error(f"unsupported statement {type(stmt).__name__}", stmt.span)
+
+    def _stmt_import(self, call: Call) -> None:
+        rules = call.kwargs.get("rules")
+        if not isinstance(rules, ListLiteral):
+            raise self.error("Import(rules=[...]) requires a literal list", call.span)
+        paths = []
+        for item in rules.items:
+            if not isinstance(item, Literal) or not isinstance(item.value, str):
+                raise self.error("Import paths must be string literals", call.span)
+            paths.append(item.value)
+        # the reference sorts import lists for determinism
+        # (ref: stdlib/udfs/import_.py:17-82)
+        for p in sorted(paths):
+            self.compile_path(p, call.span)
+
+    def _stmt_require(self, call: Call) -> None:
+        rule = call.kwargs.get("rule")
+        require_if = call.kwargs.get("require_if")
+        guard: Optional[Value] = None
+        if require_if is not None:
+            guard = self.compile_expr(require_if)
+        if isinstance(rule, Literal) and isinstance(rule.value, str):
+            self.compile_path(rule.value, call.span, guard)
+            return
+        if isinstance(rule, FormatString):
+            # dynamic dispatch: expand over all matching files, each
+            # guarded by equality on the interpolated feature
+            # (ref: stdlib/udfs/require.py:36-57).
+            name_parts = [p for p in rule.parts if isinstance(p, Name)]
+            if len(name_parts) != 1:
+                raise self.error("Require f-string must interpolate exactly one name", call.span)
+            dispatch = self.lookup(name_parts[0])
+            prefix = ""
+            suffix = ""
+            seen_name = False
+            for p in rule.parts:
+                if isinstance(p, Name):
+                    seen_name = True
+                elif not seen_name:
+                    prefix += p
+                else:
+                    suffix += p
+            for path in sorted(self.sources):
+                if path.startswith(prefix) and path.endswith(suffix) and len(path) > len(prefix) + len(suffix):
+                    segment = path[len(prefix) : len(path) - len(suffix)]
+                    if "/" in segment:
+                        continue
+                    eq = dispatch.col.eqNullSafe(F.lit(segment))
+                    g = Value(col=eq, dtype="bool")
+                    if guard is not None:
+                        g = Value(col=nullsafe.truthy(guard) & eq, dtype="bool")
+                    self.compile_path(path, call.span, g)
+            return
+        raise self.error("Require(rule=...) must be a string literal or f-string", call.span)
+
+    def _stmt_when_rules(self, call: Call) -> None:
+        rules_any = call.kwargs.get("rules_any")
+        then = call.kwargs.get("then")
+        if not isinstance(rules_any, ListLiteral) or not isinstance(then, ListLiteral):
+            raise self.error("WhenRules requires rules_any=[...] and then=[...]", call.span)
+        rule_vals = [self.compile_expr(e) for e in rules_any.items]
+        cond = self.effect_condition(nullsafe.lenient_any(rule_vals))
+        for e in then.items:
+            ev = self.compile_expr(e)
+            if ev.dtype != "effect" or ev.effect is None:
+                raise self.error("then=[...] items must be effects", call.span)
+            self.add_effect(cond, ev.effect, call.span)
+
+    def add_effect(self, cond: Column, eff: Effect, span: Span) -> None:
+        if eff.kind == "verdict":
+            self.verdict_conditions.append((cond, eff.verdict or ""))
+            return
+        if eff.kind == "label":
+            c = cond
+            if eff.apply_if is not None:
+                # apply_if failure ⇒ suppressed, fail-closed
+                # (ref: stdlib/udfs/labels.py:61-67)
+                c = c & nullsafe.truthy(eff.apply_if)
+            assert eff.entity is not None
+            c = c & eff.entity.col.isNotNull()
+            self.label_effects.append(
+                {
+                    "cond": c,
+                    "entity_type": eff.entity.entity_type or "Unknown",
+                    "entity_id": eff.entity.col.cast("string"),
+                    "label": eff.label or "",
+                    "status": eff.status or "added",
+                    "expires_after": eff.expires_after_seconds,
+                }
+            )
+            return
+        raise self.error(f"unknown effect kind {eff.kind}", span)
+
+    # -- expressions ---------------------------------------------------------
+    def compile_expr(self, node: Expr) -> Value:
+        if isinstance(node, Literal):
+            return const_value(node.value)
+
+        if isinstance(node, ListLiteral):
+            items = [self.compile_expr(e) for e in node.items]
+            elem = "any"
+            for it in items:
+                if it.dtype not in ("any", "null"):
+                    elem = it.dtype
+                    break
+            if not items:
+                return Value(col=F.array().cast("array<string>"), dtype="list:str")
+            return Value(col=F.array(*[it.col for it in items]), dtype=f"list:{elem}")
+
+        if isinstance(node, Name):
+            return self.lookup(node)
+
+        if isinstance(node, Attribute):
+            raise self.error(
+                f"unknown attribute constant {node.base}.{node.attr}", node.span
+            )
+
+        if isinstance(node, FormatString):
+            cols: list[Column] = []
+            for p in node.parts:
+                if isinstance(p, str):
+                    cols.append(F.lit(p))
+                else:
+                    cols.append(self.lookup(p).col.cast("string"))
+            return Value(col=F.concat(*cols) if cols else F.lit(""), dtype="str")
+
+        if isinstance(node, BinaryOperation):
+            return self._compile_binop(node)
+
+        if isinstance(node, BinaryComparison):
+            return self._compile_comparison(node)
+
+        if isinstance(node, BooleanOperation):
+            values = [self.compile_expr(v) for v in node.values]
+            col = nullsafe.sml_and(values) if node.op == "and" else nullsafe.sml_or(values)
+            return Value(col=col, dtype="bool")
+
+        if isinstance(node, UnaryOperation):
+            v = self.compile_expr(node.operand)
+            if node.op == "not":
+                return Value(col=~v.col.cast("boolean"), dtype="bool")
+            if node.op == "-":
+                return Value(col=-v.col, dtype=v.dtype)
+            return v
+
+        if isinstance(node, Call):
+            return self._compile_call(node)
+
+        raise self.error(f"unsupported expression {type(node).__name__}", node.span)
+
+    def _compile_call(self, node: Call) -> Value:
+        fn = self.registry.get(node.func)
+        if fn is None:
+            raise self.error(f"unknown UDF {node.func}", node.span)
+        args = {k: self.compile_expr(v) for k, v in node.kwargs.items()}
+        return fn(self, node, args)
+
+    def _compile_binop(self, node: BinaryOperation) -> Value:
+        left = self.compile_expr(node.left)
+        right = self.compile_expr(node.right)
+        op = node.op
+        l, r = left.col, right.col
+        lt, rt = left.dtype, right.dtype
+        if op == "+":
+            if lt == "str" or rt == "str":
+                return Value(col=F.concat(l, r), dtype="str")
+            if lt.startswith("list") or rt.startswith("list"):
+                return Value(col=F.concat(l, r), dtype=lt if lt.startswith("list") else rt)
+            return Value(col=l + r, dtype=_num(lt, rt))
+        if op == "-":
+            return Value(col=l - r, dtype=_num(lt, rt))
+        if op == "*":
+            return Value(col=l * r, dtype=_num(lt, rt))
+        if op == "/":
+            return Value(col=l / r, dtype="float")
+        if op == "//":
+            if lt == "int" and rt == "int":
+                return Value(col=F.floor(l.cast("double") / r).cast("long"), dtype="int")
+            return Value(col=F.floor(l / r).cast("double"), dtype="float")
+        if op == "%":
+            # Python modulo takes the sign of the divisor; SQL pmod covers
+            # the common non-negative-divisor case.
+            return Value(col=F.pmod(l, r), dtype=_num(lt, rt))
+        if op == "**":
+            return Value(col=F.pow(l, r), dtype="float")
+        if op == "<<":
+            return Value(col=F.shiftleft(l, _const_int(self, right, node.span)), dtype="int")
+        if op == ">>":
+            return Value(col=F.shiftright(l, _const_int(self, right, node.span)), dtype="int")
+        if op == "|":
+            return Value(col=l.bitwiseOR(r), dtype="int")
+        if op == "^":
+            return Value(col=l.bitwiseXOR(r), dtype="int")
+        if op == "&":
+            return Value(col=l.bitwiseAND(r), dtype="int")
+        raise self.error(f"unsupported binary operator {op}", node.span)
+
+    def _compile_comparison(self, node: BinaryComparison) -> Value:
+        left = self.compile_expr(node.left)
+        right = self.compile_expr(node.right)
+        op = node.op
+        if op == "==":
+            return Value(col=nullsafe.sml_eq(left, right), dtype="bool")
+        if op == "!=":
+            return Value(col=nullsafe.sml_ne(left, right), dtype="bool")
+        if op == "in":
+            return Value(col=nullsafe.sml_in(left, right), dtype="bool")
+        if op == "not in":
+            return Value(col=~nullsafe.sml_in(left, right), dtype="bool")
+        cmap = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
+        col = getattr(left.col, cmap[op])(right.col)
+        return Value(col=col, dtype="bool")
+
+
+def _num(lt: str, rt: str) -> str:
+    if lt == "float" or rt == "float":
+        return "float"
+    return "int"
+
+
+def _const_int(ctx: CompilerContext, v: Value, span: Span) -> int:
+    if v.is_const and isinstance(v.const, int):
+        return v.const
+    raise ctx.error("shift amount must be an integer literal", span)
+
+
+# --- public API --------------------------------------------------------------
+
+
+@dataclass
+class CompiledRuleset:
+    """A compiled SML program: a pure DataFrame transformation.
+
+    ``apply(df)`` projects the input to
+    ``passthrough + extracted features + reserved columns``
+    (__action_id, __timestamp, __verdicts, __entity_label_mutations,
+    __label_effects, __error_count).
+    """
+
+    ctx: CompilerContext
+    bindings: InputBindings
+
+    @property
+    def feature_names(self) -> list[str]:
+        return list(self.ctx.extracted)
+
+    @property
+    def feature_types(self) -> dict[str, str]:
+        return {n: self.ctx.features[n].dtype for n in self.ctx.extracted}
+
+    def verdicts_column(self) -> Column:
+        """Declaration-ordered array of declared verdict strings
+        (ref: engine/language_types/verdicts.py:28-40)."""
+        if not self.ctx.verdict_conditions:
+            return F.array().cast("array<string>")
+        parts = [F.when(cond, F.lit(v)) for cond, v in self.ctx.verdict_conditions]
+        return F.filter(F.array(*parts), lambda x: x.isNotNull())
+
+    def label_mutations_column(self) -> Column:
+        """``"{EntityType}/{label}/{status}"`` strings
+        (ref: engine/language_types/labels.py:44-66,
+        engine/shared_constants.py:11-12)."""
+        if not self.ctx.label_effects:
+            return F.array().cast("array<string>")
+        parts = [
+            F.when(e["cond"], F.lit(f"{e['entity_type']}/{e['label']}/{e['status']}"))
+            for e in self.ctx.label_effects
+        ]
+        return F.filter(F.array(*parts), lambda x: x.isNotNull())
+
+    def label_effects_column(self) -> Column:
+        """Typed label-effect rows for the stateful layer (engine
+        extension; the reference ships these to LabelOutputSink,
+        ref: worker/sinks/sink/output_sink.py:156-173)."""
+        if not self.ctx.label_effects:
+            return F.array().cast(LABEL_EFFECT_SCHEMA)
+        parts = [
+            F.when(
+                e["cond"],
+                F.struct(
+                    F.lit(e["entity_type"]).alias("entity_type"),
+                    e["entity_id"].alias("entity_id"),
+                    F.lit(e["label"]).alias("label"),
+                    F.lit(e["status"]).alias("status"),
+                    F.lit(e["expires_after"]).cast("double").alias("expires_after"),
+                ),
+            )
+            for e in self.ctx.label_effects
+        ]
+        return F.filter(F.array(*parts), lambda x: x.isNotNull())
+
+    def apply(self, df: DataFrame, passthrough: Optional[list[str]] = None) -> DataFrame:
+        b = self.bindings
+        cols: list[Column] = []
+        for name in passthrough or []:
+            cols.append(F.col(name))
+        if b.action_id and b.action_id in df.columns:
+            cols.append(F.col(b.action_id).cast("long").alias(ACTION_ID))
+        else:
+            # deterministic id when the input has none
+            # (ref: worker/sinks/sink/rules_sink.py:152-153 generates one)
+            cols.append(F.xxhash64(F.col(b.data)).alias(ACTION_ID))
+        cols.append(F.col(b.timestamp).alias(TIMESTAMP))
+        for name in self.ctx.extracted:
+            v = self.ctx.features[name]
+            cols.append(v.col.alias(name))
+        cols.append(self.verdicts_column().alias(VERDICTS))
+        cols.append(self.label_mutations_column().alias(LABEL_MUTATIONS))
+        cols.append(self.label_effects_column().alias(LABEL_EFFECTS))
+        cols.append(F.lit(None).cast("int").alias(ERROR_COUNT))
+        return df.select(*cols)
+
+
+def _default_registry() -> dict[str, Callable]:
+    from ..functions.registry import REGISTRY
+
+    return REGISTRY
+
+
+def compile_ruleset(
+    sources: dict[str, str],
+    entry: str = "main.sml",
+    bindings: Optional[InputBindings] = None,
+    registry: Optional[dict[str, Callable]] = None,
+) -> CompiledRuleset:
+    """Compile a rule-source tree (path → SML text) to a ruleset.
+
+    ``entry`` mirrors the reference convention that execution starts
+    from ``main.sml`` (ref: engine/ast/sources.py:14-25).
+    """
+    bindings = bindings or InputBindings()
+    ctx = CompilerContext(sources, bindings, registry or _default_registry())
+    ctx.compile_path(entry, Span(entry, 0, 0))
+    return CompiledRuleset(ctx=ctx, bindings=bindings)
+
+
+def compile_sml(
+    text: str,
+    bindings: Optional[InputBindings] = None,
+    registry: Optional[dict[str, Callable]] = None,
+) -> CompiledRuleset:
+    """Compile a single inline SML program (the reference's test style,
+    ref: engine/conftest.py:283-376)."""
+    return compile_ruleset({"main.sml": text}, "main.sml", bindings, registry)
+
+
+def compile_query_filter(
+    text: str,
+    feature_types: dict[str, str],
+    registry: Optional[dict[str, Callable]] = None,
+) -> Column:
+    """Compile a UI-style SML filter expression to a Spark predicate.
+
+    Mirrors ``parse_query_to_validated_ast('Query = ' + filter)``
+    (ref: engine/query_language/__init__.py:12-36) + the ClickHouse
+    translator (ref: engine/query_language/ast_clickhouse_translator.py
+    :50-223), except we emit a Spark ``Column`` directly — the sink
+    table's columns are the feature namespace.
+    """
+    from ..functions.registry import QUERY_REGISTRY
+
+    prog = parse_program("Query = (" + text + ")", "<query>")
+    reg = dict(QUERY_REGISTRY)
+    reg.update(registry or {})
+    ctx = CompilerContext({}, InputBindings(), reg)
+    scope = _FileScope(path="<query>")
+    ctx._scopes.append(scope)
+    for fname, ftype in feature_types.items():
+        ctx.features[fname] = Value(col=F.col(fname), dtype=ftype)
+    stmt = prog.statements[0]
+    assert isinstance(stmt, Assign)
+    value = ctx.compile_expr(stmt.value)
+    return nullsafe.truthy(value)

@@ -1,0 +1,288 @@
+"""Engine-core UDFs: data access, entities, rules, effects, time.
+
+SURVEY.md §2.2 table. Each docstring cites the reference UDF it
+reimplements (paths relative to /root/reference/osprey_worker/src/
+osprey/engine/ unless noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..compiler.values import Effect, Value
+from ..compiler import nullsafe
+from ..compiler.compile import annotation_dtype
+from .registry import arg, const_arg, register
+
+_JSON_CAST = {"str": "string", "int": "long", "float": "double", "bool": "boolean"}
+
+
+@register("JsonData")
+def json_data(ctx, call, args):
+    """JSONPath extraction from the action's data envelope.
+
+    ref: stdlib/udfs/json_data.py:10-58 (+ json_utils.py). The return
+    type is dynamic from the assignment annotation; with our collapse
+    of Err→NULL, ``required=`` has no runtime effect (a missing
+    required path fails the node → NULL feature → dependents poisoned,
+    which SQL NULL propagation reproduces).
+    """
+    path = const_arg(ctx, call, args, "path")
+    const_arg(ctx, call, args, "required", required=False, default=True)
+    const_arg(ctx, call, args, "coerce_type", required=False, default=False)
+    dtype = annotation_dtype(ctx.current_annotation)
+    raw = F.get_json_object(F.col(ctx.bindings.data), path)
+    if dtype.startswith("list:"):
+        elem = _JSON_CAST.get(dtype.split(":")[1], "string")
+        return Value(col=F.from_json(raw, f"array<{elem}>"), dtype=dtype)
+    if dtype in _JSON_CAST:
+        return Value(col=raw.cast(_JSON_CAST[dtype]), dtype=dtype)
+    return Value(col=raw, dtype="str")
+
+
+@register("GetActionName", query=True)
+def get_action_name(ctx, call, args):
+    """ref: stdlib/udfs/get_action_name.py:9-14."""
+    return Value(col=F.col(ctx.bindings.action_name), dtype="str")
+
+
+@register("Entity")
+def entity(ctx, call, args):
+    """Wrap an id into EntityT (ref: stdlib/udfs/entity.py:25-47).
+
+    Post-execution value is the bare id (ref: language_types/
+    entities.py:37), so we carry the id column + the type tag.
+    """
+    etype = const_arg(ctx, call, args, "type")
+    id_v = arg(ctx, call, args, "id")
+    return Value(col=id_v.col.cast("string"), dtype="entity", entity_type=etype)
+
+
+@register("EntityJson")
+def entity_json(ctx, call, args):
+    """Entity with the id pulled from the JSON envelope
+    (ref: stdlib/udfs/entity.py:49-64)."""
+    etype = const_arg(ctx, call, args, "type")
+    path = const_arg(ctx, call, args, "path")
+    const_arg(ctx, call, args, "required", required=False, default=True)
+    col = F.get_json_object(F.col(ctx.bindings.data), path)
+    return Value(col=col, dtype="entity", entity_type=etype)
+
+
+@register("Rule")
+def rule(ctx, call, args):
+    """``Rule(when_all=[...], description=...) → RuleT``; value =
+    strict all() (ref: stdlib/udfs/rules.py:24-110, eval at :97; list
+    strictness per node_executor/literals/list_executor.py:17-18)."""
+    from ..sml.nodes import ListLiteral
+
+    when_all_node = call.kwargs.get("when_all")
+    if not isinstance(when_all_node, ListLiteral) or not when_all_node.items:
+        raise ctx.error("Rule requires when_all=[...conditions...]", call.span)
+    conds = [ctx.compile_expr(e) for e in when_all_node.items]
+    col = nullsafe.strict_all(conds)
+    desc = args.get("description")
+    v = Value(col=col, dtype="rule")
+    if desc is not None:
+        ctx.rule_descriptions[id(v)] = desc.col
+    return v
+
+
+@register("WhenRules")
+def when_rules_expr(ctx, call, args):
+    raise ctx.error("WhenRules is a statement, not an expression", call.span)
+
+
+@register("DeclareVerdict")
+def declare_verdict(ctx, call, args):
+    """ref: stdlib/udfs/verdicts.py:13-20."""
+    verdict = const_arg(ctx, call, args, "verdict")
+    return Value(col=F.lit(None), dtype="effect", effect=Effect(kind="verdict", verdict=verdict))
+
+
+def _label_effect(ctx, call, args, status: str) -> Value:
+    entity_v = arg(ctx, call, args, "entity")
+    if entity_v.dtype != "entity":
+        raise ctx.error(f"{call.func} entity= must be an Entity", call.span)
+    label = const_arg(ctx, call, args, "label")
+    apply_if = args.get("apply_if")
+    expires = args.get("expires_after")
+    expires_s = None
+    if expires is not None:
+        if expires.dtype != "timedelta" or not expires.is_const:
+            raise ctx.error("expires_after= must be a TimeDelta literal", call.span)
+        expires_s = float(expires.const)
+    return Value(
+        col=F.lit(None),
+        dtype="effect",
+        effect=Effect(
+            kind="label",
+            entity=entity_v,
+            label=label,
+            status=status,
+            apply_if=apply_if,
+            expires_after_seconds=expires_s,
+        ),
+    )
+
+
+@register("LabelAdd")
+def label_add(ctx, call, args):
+    """ref: stdlib/udfs/labels.py:32-75 (fail-closed apply_if at 61-67)."""
+    return _label_effect(ctx, call, args, "added")
+
+
+@register("LabelRemove")
+def label_remove(ctx, call, args):
+    """ref: stdlib/udfs/labels.py:78-85."""
+    return _label_effect(ctx, call, args, "removed")
+
+
+@register("AtprotoLabel")
+def atproto_label(ctx, call, args):
+    """Plugin effect (ref: example_plugins/src/udfs/atproto/label.py:74)
+    — modeled as a LabelAdd with expiration_in_hours."""
+    entity_v = arg(ctx, call, args, "entity")
+    label = const_arg(ctx, call, args, "label")
+    hours = const_arg(ctx, call, args, "expiration_in_hours", required=False)
+    const_arg(ctx, call, args, "comment", required=False)
+    return Value(
+        col=F.lit(None),
+        dtype="effect",
+        effect=Effect(
+            kind="label",
+            entity=entity_v,
+            label=label,
+            status="added",
+            expires_after_seconds=float(hours) * 3600.0 if hours is not None else None,
+        ),
+    )
+
+
+@register("TimeDelta")
+def time_delta(ctx, call, args):
+    """ref: stdlib/udfs/time_delta.py:17; post-exec value = seconds
+    (ref: language_types/time_delta.py:10-24)."""
+    seconds = 0.0
+    for unit, mult in (
+        ("weeks", 604800.0),
+        ("days", 86400.0),
+        ("hours", 3600.0),
+        ("minutes", 60.0),
+        ("seconds", 1.0),
+        ("milliseconds", 0.001),
+    ):
+        v = const_arg(ctx, call, args, unit, required=False, default=0)
+        seconds += float(v) * mult
+    return Value(col=F.lit(seconds), dtype="timedelta", const=seconds)
+
+
+@register("TimeSince")
+def time_since(ctx, call, args):
+    """Seconds between a timestamp feature and the action time,
+    clamped ≥ 0 (ref: stdlib/udfs/time_since.py:22-32)."""
+    ts = arg(ctx, call, args, "timestamp")
+    action_ts = F.col(ctx.bindings.timestamp)
+    parsed = ts.col if ts.dtype == "timestamp" else F.to_timestamp(ts.col)
+    delta = action_ts.cast("double") - parsed.cast("double")
+    return Value(col=F.greatest(delta, F.lit(0.0)), dtype="timedelta")
+
+
+@register("GetTimedeltaBucket")
+def get_timedelta_bucket(ctx, call, args):
+    """Floor a timedelta to a granularity, min 3600s
+    (ref: stdlib/udfs/time_bucket.py:13-36)."""
+    td = arg(ctx, call, args, "timedelta")
+    gran = args.get("granularity")
+    g = float(gran.const) if gran is not None and gran.is_const else 3600.0
+    g = max(g, 3600.0)
+    return Value(col=(F.floor(td.col / F.lit(g)) * F.lit(g)).cast("double"), dtype="timedelta")
+
+
+@register("GetTimestampBucket")
+def get_timestamp_bucket(ctx, call, args):
+    """ref: stdlib/udfs/time_bucket.py:38-59."""
+    ts = arg(ctx, call, args, "timestamp")
+    gran = args.get("granularity")
+    g = float(gran.const) if gran is not None and gran.is_const else 3600.0
+    g = max(g, 3600.0)
+    sec = F.to_timestamp(ts.col).cast("double") if ts.dtype == "str" else ts.col.cast("double")
+    return Value(
+        col=(F.floor(sec / F.lit(g)) * F.lit(g)).cast("timestamp"), dtype="timestamp"
+    )
+
+
+@register("ResolveOptional")
+def resolve_optional(ctx, call, args):
+    """ref: stdlib/udfs/resolve_optional.py:30 → coalesce."""
+    v = args.get("optional_value") or args.get("value")
+    if v is None:
+        raise ctx.error("ResolveOptional requires optional_value=", call.span)
+    fallback = args.get("fallback")
+    if fallback is None:
+        fallback = Value(col=F.lit(""), dtype=v.dtype if v.dtype != "null" else "str")
+    return Value(col=F.coalesce(v.col, fallback.col), dtype=v.dtype if v.dtype != "null" else fallback.dtype)
+
+
+@register("RandomBool")
+def random_bool(ctx, call, args):
+    """ref: stdlib/udfs/random_bool.py:11 — nondeterministic; seeded
+    via SEED= for reproducible tests (our extension)."""
+    seed = const_arg(ctx, call, args, "seed", required=False)
+    r = F.rand(seed) if seed is not None else F.rand()
+    return Value(col=r < F.lit(0.5), dtype="bool")
+
+
+@register("RandomInt")
+def random_int(ctx, call, args):
+    """ref: stdlib/udfs/random_int.py:12."""
+    lo = const_arg(ctx, call, args, "start", required=False, default=0)
+    hi = const_arg(ctx, call, args, "stop", required=False, default=2**31)
+    seed = const_arg(ctx, call, args, "seed", required=False)
+    r = F.rand(seed) if seed is not None else F.rand()
+    return Value(col=(F.lit(lo) + (r * F.lit(hi - lo)).cast("long")), dtype="int")
+
+
+@register("Experiment")
+def experiment(ctx, call, args):
+    """Deterministic entity bucketing (ref: stdlib/udfs/experiments.py
+    :50-213; hash at 156-158 is ``mmh3.hash(f'{name}/{id}') % 10000``).
+
+    We use xxhash64 (JVM-side) instead of mmh3 — same determinism and
+    uniformity guarantees, different concrete assignment; documented
+    divergence (SURVEY.md §2.2).
+    """
+    entity_v = arg(ctx, call, args, "entity")
+    buckets = const_arg(ctx, call, args, "buckets")
+    sizes = const_arg(ctx, call, args, "bucket_sizes", required=False)
+    name = const_arg(ctx, call, args, "name", required=False, default="experiment")
+    version = const_arg(ctx, call, args, "version", required=False, default=1)
+    if sizes is None:
+        sizes = [10000 // len(buckets)] * len(buckets)
+    point = F.pmod(F.xxhash64(F.concat(F.lit(f"{name}/v{version}/"), entity_v.col)), F.lit(10000))
+    expr = F.lit(None).cast("string")
+    cum = 0
+    branches = []
+    for b, s in zip(buckets, sizes):
+        branches.append((cum, cum + s, b))
+        cum += s
+    col = None
+    for lo, hi, b in branches:
+        cond = (point >= F.lit(lo)) & (point < F.lit(hi))
+        col = F.when(cond, F.lit(b)) if col is None else col.when(cond, F.lit(b))
+    col = col.otherwise(expr) if col is not None else expr
+    return Value(col=col, dtype="str")
+
+
+@register("ExperimentWhen")
+def experiment_when(ctx, call, args):
+    """Gate a value on an experiment bucket
+    (ref: stdlib/udfs/experiments.py:220-302)."""
+    exp = arg(ctx, call, args, "experiment")
+    bucket = const_arg(ctx, call, args, "bucket")
+    then_v = arg(ctx, call, args, "then")
+    default = args.get("default")
+    col = F.when(exp.col.eqNullSafe(F.lit(bucket)), then_v.col)
+    if default is not None:
+        col = col.otherwise(default.col)
+    return Value(col=col, dtype=then_v.dtype)

@@ -1,0 +1,433 @@
+"""String / hash / domain / email UDFs (SURVEY.md §2.3).
+
+Everything here compiles to built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) except the unicode-table normalizers, which are
+Arrow-vectorized pandas UDFs — the vectorized replacement for the
+reference's row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compiler.values import Value
+from .registry import arg, const_arg, register
+
+
+@register("StringLength")
+def string_length(ctx, call, args):
+    """ref: stdlib/udfs/string.py:25."""
+    return Value(col=F.length(arg(ctx, call, args, "s").col), dtype="int")
+
+
+@register("StringToLower")
+def string_to_lower(ctx, call, args):
+    """ref: stdlib/udfs/string.py:32."""
+    return Value(col=F.lower(arg(ctx, call, args, "s").col), dtype="str")
+
+
+@register("StringToUpper")
+def string_to_upper(ctx, call, args):
+    """ref: stdlib/udfs/string.py:39."""
+    return Value(col=F.upper(arg(ctx, call, args, "s").col), dtype="str")
+
+
+@register("StringStartsWith")
+def string_starts_with(ctx, call, args):
+    """ref: stdlib/udfs/string.py:51."""
+    s = arg(ctx, call, args, "s")
+    sub = args.get("substring") or args.get("sub") or args.get("prefix")
+    if sub is None:
+        raise ctx.error("StringStartsWith requires substring=", call.span)
+    return Value(col=s.col.startswith(sub.col), dtype="bool")
+
+
+@register("StringEndsWith")
+def string_ends_with(ctx, call, args):
+    """ref: stdlib/udfs/string.py:62."""
+    s = arg(ctx, call, args, "s")
+    sub = args.get("substring") or args.get("sub") or args.get("suffix")
+    if sub is None:
+        raise ctx.error("StringEndsWith requires substring=", call.span)
+    return Value(col=s.col.endswith(sub.col), dtype="bool")
+
+
+def _strip(ctx, call, args, side: str) -> Value:
+    s = arg(ctx, call, args, "s")
+    chars = const_arg(ctx, call, args, "chars", required=False)
+    if chars is None:
+        fn = {"both": F.trim, "left": F.ltrim, "right": F.rtrim}[side]
+        return Value(col=fn(s.col), dtype="str")
+    cls = "[" + re.escape(chars).replace("\\", "\\\\") + "]+"
+    col = s.col
+    if side in ("both", "left"):
+        col = F.regexp_replace(col, "^" + cls, "")
+    if side in ("both", "right"):
+        col = F.regexp_replace(col, cls + "$", "")
+    return Value(col=col, dtype="str")
+
+
+@register("StringStrip")
+def string_strip(ctx, call, args):
+    """ref: stdlib/udfs/string.py:73."""
+    return _strip(ctx, call, args, "both")
+
+
+@register("StringLStrip")
+def string_lstrip(ctx, call, args):
+    """ref: stdlib/udfs/string.py:87."""
+    return _strip(ctx, call, args, "left")
+
+
+@register("StringRStrip")
+def string_rstrip(ctx, call, args):
+    """ref: stdlib/udfs/string.py:80."""
+    return _strip(ctx, call, args, "right")
+
+
+@register("StringReplace")
+def string_replace(ctx, call, args):
+    """ref: stdlib/udfs/string.py:99 — literal replace."""
+    s = arg(ctx, call, args, "s")
+    old = arg(ctx, call, args, "old")
+    new = arg(ctx, call, args, "new")
+    return Value(col=F.replace(s.col, old.col, new.col), dtype="str")
+
+
+@register("StringJoin")
+def string_join(ctx, call, args):
+    """ref: stdlib/udfs/string.py:110."""
+    strings = arg(ctx, call, args, "strings")
+    sep = args.get("sep") or args.get("separator")
+    sep_c = sep.col if sep is not None else F.lit("")
+    if sep is not None and not sep.is_const:
+        raise ctx.error("StringJoin sep= must be a constant", call.span)
+    return Value(col=F.array_join(strings.col, sep.const if sep is not None else ""), dtype="str")
+
+
+@register("StringSplit")
+def string_split(ctx, call, args):
+    """ref: stdlib/udfs/string.py:122 — literal separator split."""
+    s = arg(ctx, call, args, "s")
+    sep = const_arg(ctx, call, args, "sep", required=False)
+    if sep is None:
+        sep = const_arg(ctx, call, args, "separator", required=False, default=" ")
+    return Value(col=F.split(s.col, re.escape(sep)), dtype="list:str")
+
+
+@register("StringContains", query=True)
+def string_contains(ctx, call, args):
+    """Plugin UDF (ref: example_plugins/src/udfs/string.py:52)."""
+    s = arg(ctx, call, args, "s")
+    phrase = arg(ctx, call, args, "phrase")
+    case_sensitive = const_arg(ctx, call, args, "case_sensitive", required=False, default=False)
+    if case_sensitive:
+        return Value(col=s.col.contains(phrase.col), dtype="bool")
+    return Value(col=F.lower(s.col).contains(F.lower(phrase.col)), dtype="bool")
+
+
+@register("ForceString")
+def force_string(ctx, call, args):
+    """Plugin UDF (ref: example_plugins/src/udfs/string.py:73)."""
+    return Value(col=arg(ctx, call, args, "s").col.cast("string"), dtype="str")
+
+
+# --- hashes / base64 (ref: stdlib/udfs/string_hashes.py, string_base64.py) --
+
+
+@register("HashMd5")
+def hash_md5(ctx, call, args):
+    """ref: stdlib/udfs/string_hashes.py:12."""
+    return Value(col=F.md5(arg(ctx, call, args, "s").col.cast("binary")), dtype="str")
+
+
+@register("HashSha1")
+def hash_sha1(ctx, call, args):
+    """ref: stdlib/udfs/string_hashes.py:21."""
+    return Value(col=F.sha1(arg(ctx, call, args, "s").col.cast("binary")), dtype="str")
+
+
+@register("HashSha256")
+def hash_sha256(ctx, call, args):
+    """ref: stdlib/udfs/string_hashes.py:30."""
+    return Value(col=F.sha2(arg(ctx, call, args, "s").col.cast("binary"), 256), dtype="str")
+
+
+@register("HashSha512")
+def hash_sha512(ctx, call, args):
+    """ref: stdlib/udfs/string_hashes.py:39."""
+    return Value(col=F.sha2(arg(ctx, call, args, "s").col.cast("binary"), 512), dtype="str")
+
+
+@register("Base64Encode")
+def base64_encode(ctx, call, args):
+    """ref: stdlib/udfs/string_base64.py:11."""
+    return Value(col=F.base64(arg(ctx, call, args, "s").col.cast("binary")), dtype="str")
+
+
+@register("Base64Decode")
+def base64_decode(ctx, call, args):
+    """ref: stdlib/udfs/string_base64.py:20."""
+    return Value(col=F.unbase64(arg(ctx, call, args, "s").col).cast("string"), dtype="str")
+
+
+# --- regex (ref: stdlib/udfs/regex_match.py) -------------------------------
+
+
+@register("RegexMatch", query=True)
+def regex_match(ctx, call, args):
+    """Search semantics, pattern pre-validated at compile time
+    (ref: stdlib/udfs/regex_match.py:34-41; query variant
+    engine/query_language/udfs/regex_match.py:17)."""
+    target = arg(ctx, call, args, "target")
+    pattern = const_arg(ctx, call, args, "pattern")
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ctx.error(f"invalid regex {pattern!r}: {e}", call.span)
+    return Value(col=target.col.rlike(pattern), dtype="bool")
+
+
+@register("Regex", query=True)
+def regex_plugin(ctx, call, args):
+    """Plugin query UDF (ref: example_plugins/src/udfs/query_udfs/
+    regex.py:20-54)."""
+    target = args.get("target") or args.get("feature")
+    if target is None:
+        raise ctx.error("Regex requires target=", call.span)
+    pattern = const_arg(ctx, call, args, "pattern", required=False) or const_arg(
+        ctx, call, args, "regex", required=False
+    )
+    if pattern is None:
+        raise ctx.error("Regex requires pattern=", call.span)
+    return Value(col=target.col.rlike(pattern), dtype="bool")
+
+
+@register("RegexMatchMap")
+def regex_match_map(ctx, call, args):
+    """OR over patterns (ref: stdlib/udfs/regex_match.py:51-68)."""
+    target = arg(ctx, call, args, "target")
+    patterns = const_str_list_helper(ctx, call, "patterns")
+    col = F.lit(False)
+    for p in patterns:
+        re.compile(p)
+        col = col | target.col.rlike(p)
+    return Value(col=col, dtype="bool")
+
+
+def const_str_list_helper(ctx, call, name):
+    from .registry import const_str_list
+
+    return const_str_list(ctx, call, name)
+
+
+# --- domains / emails / urls ------------------------------------------------
+
+_URL_RE = r"https?://[\w\-\.]+(?::\d+)?(?:/[^\s\"'<>]*)?"
+_DOMAIN_FROM_URL_RE = r"https?://([\w\-\.]+)"
+
+
+@register("StringExtractURLs")
+def string_extract_urls(ctx, call, args):
+    """ref: stdlib/udfs/string.py:380."""
+    s = arg(ctx, call, args, "s")
+    return Value(col=F.regexp_extract_all(s.col, F.lit(f"({_URL_RE})"), 1), dtype="list:str")
+
+
+@register("StringExtractDomains")
+def string_extract_domains(ctx, call, args):
+    """ref: stdlib/udfs/string.py:357 — registrable domains of URLs in
+    free text (lowercased, deduped, order-preserving)."""
+    s = arg(ctx, call, args, "s")
+    doms = F.regexp_extract_all(F.lower(s.col), F.lit(_DOMAIN_FROM_URL_RE), 1)
+    return Value(col=F.array_distinct(doms), dtype="list:str")
+
+
+@register("ExtractDomains", query=True)
+def extract_domains(ctx, call, args):
+    """Plugin alias (ref: example_plugins/src/udfs/string.py:106)."""
+    return string_extract_domains(ctx, call, args)
+
+
+@register("ExtractListDomains")
+def extract_list_domains(ctx, call, args):
+    """Domains of each URL in a list
+    (ref: example_plugins/src/udfs/string.py:111)."""
+    lst = arg(ctx, call, args, "list")
+    col = F.array_distinct(
+        F.filter(
+            F.transform(lst.col, lambda u: F.regexp_extract(F.lower(u), _DOMAIN_FROM_URL_RE, 1)),
+            lambda d: d != "",
+        )
+    )
+    return Value(col=col, dtype="list:str")
+
+
+@register("EmailDomain")
+def email_domain(ctx, call, args):
+    """ref: stdlib/udfs/email_domain.py:14."""
+    email = arg(ctx, call, args, "email")
+    return Value(col=F.lower(F.substring_index(email.col, "@", -1)), dtype="str")
+
+
+@register("EmailLocalPart")
+def email_local_part(ctx, call, args):
+    """ref: stdlib/udfs/email_local_part.py:11."""
+    email = arg(ctx, call, args, "email")
+    return Value(col=F.substring_index(email.col, "@", 1), dtype="str")
+
+
+@register("EmailSubdomain")
+def email_subdomain(ctx, call, args):
+    """Subdomain part of the email's domain
+    (ref: stdlib/udfs/email_domain.py:38)."""
+    email = arg(ctx, call, args, "email")
+    dom = F.lower(F.substring_index(email.col, "@", -1))
+    parts = F.split(dom, r"\.")
+    sub = F.when(
+        F.size(parts) > 2, F.array_join(F.slice(parts, 1, F.size(parts) - 2), ".")
+    ).otherwise(F.lit(""))
+    return Value(col=sub, dtype="str")
+
+
+@register("RootDomain")
+def root_domain(ctx, call, args):
+    """Last two labels (ref: example_plugins/src/udfs/domain.py:10)."""
+    domain = arg(ctx, call, args, "domain")
+    return Value(col=F.substring_index(F.lower(domain.col), ".", -2), dtype="str")
+
+
+@register("DomainTld")
+def domain_tld(ctx, call, args):
+    """Public-suffix TLD — simplified to the last label
+    (ref: stdlib/udfs/domain_tld.py:14 uses the publicsuffix list; the
+    lib is unavailable here, divergence documented)."""
+    domain = arg(ctx, call, args, "domain")
+    return Value(col=F.substring_index(F.lower(domain.col), ".", -1), dtype="str")
+
+
+@register("DomainChopper")
+def domain_chopper(ctx, call, args):
+    """Suffix chain of a domain: a.b.c → [a.b.c, b.c, c]
+    (ref: stdlib/udfs/domain_chopper.py:15). Pure array expression —
+    no Python in the hot path."""
+    domain = arg(ctx, call, args, "domain")
+    parts = F.split(F.lower(domain.col), r"\.")
+    n = F.size(parts)
+    col = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+    return Value(col=col, dtype="list:str")
+
+
+@register("IpNetwork")
+def ip_network(ctx, call, args):
+    """CIDR network of an IPv4 address (ref: stdlib/udfs/ip_network.py:13).
+
+    Bit arithmetic on the dotted quad — built-in expressions only.
+    """
+    ip = arg(ctx, call, args, "ip")
+    prefix = const_arg(ctx, call, args, "prefix", required=False, default=24)
+    parts = F.split(ip.col, r"\.")
+    as_int = (
+        parts[0].cast("long") * F.lit(16777216)
+        + parts[1].cast("long") * F.lit(65536)
+        + parts[2].cast("long") * F.lit(256)
+        + parts[3].cast("long")
+    )
+    mask = (0xFFFFFFFF << (32 - int(prefix))) & 0xFFFFFFFF
+    net = as_int.bitwiseAND(F.lit(mask))
+    dotted = F.concat_ws(
+        ".",
+        (net / F.lit(16777216)).cast("long").cast("string"),
+        F.pmod((net / F.lit(65536)).cast("long"), F.lit(256)).cast("string"),
+        F.pmod((net / F.lit(256)).cast("long"), F.lit(256)).cast("string"),
+        F.pmod(net, F.lit(256)).cast("string"),
+    )
+    return Value(col=F.concat(dotted, F.lit(f"/{prefix}")), dtype="str")
+
+
+@register("ExtractCookie")
+def extract_cookie(ctx, call, args):
+    """ref: stdlib/udfs/extract_cookie.py:16."""
+    cookies = args.get("cookies") or args.get("cookie_str") or args.get("s")
+    if cookies is None:
+        raise ctx.error("ExtractCookie requires cookies=", call.span)
+    name = const_arg(ctx, call, args, "name")
+    pat = rf"(?:^|;\s*){re.escape(name)}=([^;]*)"
+    return Value(col=F.regexp_extract(cookies.col, pat, 1), dtype="str")
+
+
+@register("PhoneCountry")
+def phone_country(ctx, call, args):
+    """ref: stdlib/udfs/phone_country.py:13 (phonenumbers lib
+    unavailable → country calling-code prefix table, major codes)."""
+    phone = arg(ctx, call, args, "phone")
+    return Value(col=_phone_cc_udf(phone.col), dtype="str")
+
+
+@register("PhonePrefix")
+def phone_prefix(ctx, call, args):
+    """ref: stdlib/udfs/phone_prefix.py:11."""
+    phone = arg(ctx, call, args, "phone")
+    digits = F.regexp_replace(phone.col, r"[^0-9]", "")
+    return Value(col=F.substring(digits, 1, 3), dtype="str")
+
+
+_CC = {
+    "1": "US",
+    "7": "RU",
+    "20": "EG",
+    "27": "ZA",
+    "30": "GR",
+    "31": "NL",
+    "32": "BE",
+    "33": "FR",
+    "34": "ES",
+    "39": "IT",
+    "40": "RO",
+    "41": "CH",
+    "43": "AT",
+    "44": "GB",
+    "45": "DK",
+    "46": "SE",
+    "47": "NO",
+    "48": "PL",
+    "49": "DE",
+    "52": "MX",
+    "55": "BR",
+    "61": "AU",
+    "62": "ID",
+    "63": "PH",
+    "64": "NZ",
+    "65": "SG",
+    "66": "TH",
+    "81": "JP",
+    "82": "KR",
+    "84": "VN",
+    "86": "CN",
+    "90": "TR",
+    "91": "IN",
+}
+
+
+@F.pandas_udf(T.StringType())
+def _phone_cc_udf(phone: pd.Series) -> pd.Series:
+    def cc(p):
+        if p is None:
+            return None
+        digits = re.sub(r"[^0-9+]", "", str(p))
+        if not digits.startswith("+"):
+            return None
+        digits = digits[1:]
+        for ln in (3, 2, 1):
+            if digits[:ln] in _CC:
+                return _CC[digits[:ln]]
+        return None
+
+    return phone.map(cc)
