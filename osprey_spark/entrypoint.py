@@ -1,0 +1,779 @@
+"""Driver-contract queries + DuckDB oracles.
+
+Each entry pairs a Spark query (SURVEY.md §2 operator) with ANSI-SQL
+DuckDB can run on the same parquet tables. Column names and types are
+aligned on both sides (BIGINT/DOUBLE for computed numerics) because
+the driver hash-compares values after sorting columns by name.
+
+Dialect notes (validated):
+- both engines: md5, round (half away from zero), regexp_extract_all,
+  concat with ints, epoch-aligned window starts;
+- Spark timestamp_ntz needs ``cast('timestamp')`` before numeric
+  casts (UTC session = wall-clock identity);
+- DuckDB float math: oracles compute cosine/means in DOUBLE with the
+  same left-to-right fold order as the Spark expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compiler import compile_ruleset, compile_query_filter
+from .operators import dedup, similarity, windows
+from .operators.timeutil import epoch_seconds
+from .plans import analytics
+from .turns import TURNS_FROM_EVENTS_SQL, turns_from_events, with_envelope
+
+# --------------------------------------------------------------------------
+# shared SML ruleset for the flagship rule-evaluation query
+# --------------------------------------------------------------------------
+
+FLAGSHIP_SML = """
+ConvId: Entity[str] = EntityJson(type='ConvId', path='$.conv_id')
+Role: str = JsonData(path='$.role')
+TurnText: str = JsonData(path='$.text')
+TextLower = StringToLower(s=TurnText)
+TextLen = StringLength(s=TurnText)
+NumTokens = ListLength(list=StringSplit(s=TurnText, sep=' '))
+HasHello = 'hello' in TextLower
+HasUrl = RegexMatch(target=TurnText, pattern='https?://')
+Domains = StringExtractDomains(s=TurnText)
+HasSpamDomain = 'spam.example.com' in Domains
+IsToolTurn = Role == 'tool'
+HelloRule = Rule(when_all=[HasHello], description='says hello')
+SpamRule = Rule(when_all=[HasUrl, HasSpamDomain], description='spam link')
+LongToolRule = Rule(when_all=[IsToolTurn, NumTokens >= 4], description='wordy tool turn')
+WhenRules(rules_any=[HelloRule], then=[DeclareVerdict(verdict='hello')])
+WhenRules(
+    rules_any=[SpamRule, LongToolRule],
+    then=[DeclareVerdict(verdict='review'), LabelAdd(entity=ConvId, label='flagged')],
+)
+"""
+
+TURNS_CTE = "WITH turns AS (" + TURNS_FROM_EVENTS_SQL.format(events="events") + ")"
+
+_FLAGSHIP_ORACLE_FEAT = r"""
+feat AS (
+  SELECT conv_id, turn_idx,
+    CAST(length(text) AS BIGINT) AS text_len,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS num_tokens,
+    contains(lower(text), 'hello') AS has_hello,
+    list_contains(regexp_extract_all(lower(text), 'https?://([\w\-\.]+)', 1),
+                  'spam.example.com') AS has_spam_domain,
+    regexp_matches(text, 'https?://') AS has_url,
+    (role = 'tool') AS is_tool
+  FROM turns
+)
+"""
+
+
+def rules_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled flagship ruleset applied to the turns stream —
+    the execution-results table every analytics query runs over."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = compile_ruleset({"main.sml": FLAGSHIP_SML})
+    return rs.apply(env, passthrough=["conv_id", "turn_idx", "role", "ts"])
+
+
+def q_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rules_output(spark, sf_dir)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("TextLen").cast("long").alias("text_len"),
+        F.col("NumTokens").cast("long").alias("num_tokens"),
+        F.col("HasHello").alias("has_hello"),
+        F.col("HasSpamDomain").alias("has_spam_domain"),
+        F.col("HelloRule").alias("hello_rule"),
+        F.col("SpamRule").alias("spam_rule"),
+        F.col("LongToolRule").alias("long_tool_rule"),
+        F.size("__verdicts").cast("long").alias("n_verdicts"),
+        F.size("__entity_label_mutations").cast("long").alias("n_mutations"),
+    )
+
+
+O_RULE_EVAL = (
+    TURNS_CTE
+    + ","
+    + _FLAGSHIP_ORACLE_FEAT
+    + """
+SELECT conv_id, turn_idx, text_len, num_tokens, has_hello, has_spam_domain,
+  has_hello AS hello_rule,
+  (has_url AND has_spam_domain) AS spam_rule,
+  (is_tool AND num_tokens >= 4) AS long_tool_rule,
+  CAST((CASE WHEN has_hello THEN 1 ELSE 0 END)
+     + (CASE WHEN (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_verdicts,
+  CAST(CASE WHEN (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+       THEN 1 ELSE 0 END AS BIGINT) AS n_mutations
+FROM feat
+"""
+)
+
+
+def q_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rules_output(spark, sf_dir)
+    return (
+        out.select(F.explode("__verdicts").alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("verdict")
+    )
+
+
+O_VERDICT_COUNTS = (
+    TURNS_CTE
+    + ","
+    + _FLAGSHIP_ORACLE_FEAT
+    + """
+, v AS (
+  SELECT 'hello' AS verdict, count(*) AS n FROM feat WHERE has_hello
+  UNION ALL
+  SELECT 'review', count(*) FROM feat
+  WHERE (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+)
+SELECT verdict, n FROM v WHERE n > 0 ORDER BY verdict
+"""
+)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonData parity: JSONPath into the raw props JSON
+    (ref: stdlib/udfs/json_data.py:10-58)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+O_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_sml_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UI SML-filter → Spark predicate (ref: engine/query_language/
+    ast_clickhouse_translator.py:50-223)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("event_type").alias("EventType"),
+        F.col("value").alias("Value"),
+        F.col("user_id").alias("UserId"),
+    )
+    pred = compile_query_filter(
+        "Value > 100.0 and EventType == 'click' or UserId == 7",
+        {"EventType": "str", "Value": "float", "UserId": "int"},
+    )
+    return ev.filter(pred).select("event_id")
+
+
+O_SML_FILTER = """
+SELECT event_id FROM events
+WHERE (value > 100.0 AND event_type = 'click') OR user_id = 7
+"""
+
+
+# --------------------------------------------------------------------------
+# analytics (§2.5)
+# --------------------------------------------------------------------------
+
+
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.topn(ev, "event_type", limit=10)
+
+
+O_TOPN = """
+SELECT event_type AS dim, count(*) AS n FROM events
+GROUP BY 1 ORDER BY n DESC, dim LIMIT 10
+"""
+
+
+def q_topn_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.topn_pop(
+        ev, "event_type", "ts", "2024-01-15 00:00:00", "2024-01-22 00:00:00", limit=10
+    )
+
+
+O_TOPN_POP = """
+SELECT event_type AS dim,
+  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS n_previous,
+  n_current - n_previous AS delta,
+  CASE WHEN n_previous > 0 THEN round((n_current - n_previous) * 100.0 / n_previous, 4) END AS pct_change
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+GROUP BY 1 HAVING n_current > 0
+ORDER BY n_current DESC, dim LIMIT 10
+"""
+
+
+def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = analytics.timeseries(ev, "ts", "hour", agg_dim="event_type")
+    return out.select(
+        F.col("bucket").cast("timestamp").cast("long").alias("bucket"),
+        "dim",
+        "n",
+    )
+
+
+O_TIMESERIES = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket,
+       event_type AS dim, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.paginated_scan(
+        ev, "ts", cursor="2024-01-20 00:00:00", limit=100, columns=["event_id", "ts", "event_type"]
+    )
+
+
+O_SCAN = """
+SELECT event_id, ts, event_type FROM events
+WHERE ts < TIMESTAMP '2024-01-20' ORDER BY ts DESC LIMIT 100
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.count_distinct(ev, "user_id", group_by="event_type")
+
+
+O_COUNT_DISTINCT = """
+SELECT event_type AS grp, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — algorithm-specific, so rows-only check (the
+    exact variant above is the oracle-checked one)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.approx_distinct(ev, "user_id", group_by="event_type")
+
+
+def q_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cond = analytics.entity_filter(ev, ["user_id"], 42)
+    return ev.filter(cond).select("event_id").orderBy("event_id")
+
+
+O_ENTITY_FILTER = """
+SELECT event_id FROM events WHERE CAST(user_id AS VARCHAR) = '42' ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# windows (§2.3 IncrementWindow/GetWindowCount parity + sessions)
+# --------------------------------------------------------------------------
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.tumbling_counts(ev, "ts", ["event_type"], 3600)
+
+
+O_TUMBLING = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.sliding_counts(ev, "ts", ["event_type"], 3600, 900)
+
+
+O_SLIDING = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900 - i.i) * 900 AS window_start,
+       event_type, count(*) AS n
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) i
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.sessionize(ev, "ts", "user_id", 1800)
+
+
+O_SESSIONS = """
+WITH e AS (SELECT user_id, epoch(ts) AS sec FROM events),
+m AS (
+  SELECT user_id, sec,
+    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+s AS (
+  SELECT user_id, sec,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY sec) AS sess
+  FROM m
+)
+SELECT user_id, CAST(floor(min(sec)) AS BIGINT) AS session_start,
+       CAST(floor(max(sec)) AS BIGINT) AS session_end,
+       count(*) AS n_turns
+FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+"""
+
+
+def q_rate_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turns-per-conv-per-minute rate rule (north_star) on the turns
+    view, 10-minute tumbling windows, threshold 3."""
+    t = turns_from_events(spark, sf_dir)
+    return windows.rate_rule_counts(t, "ts", "conv_id", 600, 3)
+
+
+O_RATE_RULE = (
+    TURNS_CTE
+    + """
+SELECT * FROM (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
+         conv_id, count(*) AS n
+  FROM turns GROUP BY 1, 2
+) WHERE n >= 3 ORDER BY window_start, conv_id
+"""
+)
+
+
+def q_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation escalation state, batch form: running count of
+    hello-turns; escalate at >= 3 (stateful-rule parity; the streaming
+    form keeps this in the state store)."""
+    t = turns_from_events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(W.unboundedPreceding, 0)
+    hello = F.when(F.lower(F.col("text")).contains("hello"), 1).otherwise(0)
+    return (
+        t.withColumn("hellos_so_far", F.sum(hello).over(w).cast("long"))
+        .withColumn("escalated", F.col("hellos_so_far") >= 3)
+        .select("conv_id", "turn_idx", "hellos_so_far", "escalated")
+    )
+
+
+O_ESCALATION = (
+    TURNS_CTE
+    + """
+SELECT conv_id, turn_idx,
+  CAST(sum(CASE WHEN contains(lower(text), 'hello') THEN 1 ELSE 0 END)
+       OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS hellos_so_far,
+  (sum(CASE WHEN contains(lower(text), 'hello') THEN 1 ELSE 0 END)
+       OVER (PARTITION BY conv_id ORDER BY turn_idx)) >= 3 AS escalated
+FROM turns
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# relational core (scan/agg/join path)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join path: customer ⋈ orders ⋈ lineitem. customer is the small
+    side → broadcast; lineitem⋈orders shuffles on the order key."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+O_TPCH_Q3 = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup / text / similarity (training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.col("text").cast("binary")).alias("content_hash")
+    return (
+        docs.select(h, "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("content_hash")
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+_SPARK_TOKENS = dedup.tokens
+_DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_SPARK_TOKENS(F.col("text")))), " ").cast("binary")
+    )
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("fingerprint")
+    )
+
+
+O_DEDUP_FINGERPRINT = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_DUCK_TOKENS})), ' ')) AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, jaccard_threshold=0.5, k=3)
+
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),"
+    " i -> array_to_string(list_slice(w, i, i + 2), ' ')))"
+)
+_DUCK_SIG = "[" + ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}|' || s)))" for j in range(8)
+) + "]"
+
+O_MINHASH_PAIRS = f"""
+WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
+sig AS (SELECT doc_id, sh, {_DUCK_SIG} AS sig FROM d),
+bands AS (
+  SELECT doc_id, sh,
+         concat_ws('_', CAST(b AS VARCHAR), sig[2 * b + 1], sig[2 * b + 2]) AS band
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5, k=3)
+
+
+O_NGRAM_JACCARD = f"""
+WITH w AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS w FROM documents),
+d AS (SELECT doc_id, lang, {_DUCK_SHINGLES} AS sh FROM w),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup — xxhash64-based, not reproducible in DuckDB →
+    rows-only check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_dedup(docs, max_hamming=8)
+
+
+# --- text analysis ---------------------------------------------------------
+
+_EN_SW = "the of and to in a is that it for on with as are was at be this by from or an".split()
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + quality score + fingerprint per document."""
+    from .functions.text import quality_score_col, tokenize_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_col(F.col("text"))).cast("long").alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_DUCK_RTOKENS = r"list_filter(regexp_split_to_array(lower(text), '[\W_]+'), t -> t <> '')"
+_DUCK_EN_SW = "[" + ", ".join(f"'{w}'" for w in _EN_SW) + "]"
+
+O_DOC_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_RTOKENS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+    CAST(len(list_filter(toks, t -> list_contains({_DUCK_EN_SW}, t))) AS DOUBLE) AS sw_hits,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  round((least(n_chars / 500.0, 1.0)
+       + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
+       + least(CASE WHEN n_tokens > 0 THEN sw_hits * 10.0 / n_tokens ELSE 0.0 END, 1.0)
+       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import language_id_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_id_col(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def _duck_sw(lang: str) -> str:
+    from .functions.text import _STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in _STOPWORDS[lang]) + "]"
+
+
+O_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_DUCK_RTOKENS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS ntok,
+    len(list_filter(toks, x -> list_contains({{de}}, x))) AS s_de,
+    len(list_filter(toks, x -> list_contains({{en}}, x))) AS s_en,
+    len(list_filter(toks, x -> list_contains({{es}}, x))) AS s_es,
+    len(list_filter(toks, x -> list_contains({{fr}}, x))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN ntok = 0 OR greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+def _fill_lang_lists(sql: str) -> str:
+    return sql.format(de=_duck_sw("de"), en=_duck_sw("en"), es=_duck_sw("es"), fr=_duck_sw("fr"))
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def _as_double(c):
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", F.col("vec_id"), "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST(list_extract({a}, i) AS DOUBLE) * CAST(list_extract({b}, i) AS DOUBLE)))"
+)
+
+O_EMBEDDING_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round({_DUCK_DOT.format(a='q.qe', b='v.embedding')}
+      / (sqrt({_DUCK_DOT.format(a='q.qe', b='q.qe')})
+         * sqrt({_DUCK_DOT.format(a='v.embedding', b='v.embedding')})), 6) AS cosine
+  FROM q, v
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs (oracle-checked exact
+    baseline; the LSH-bucketed scale variant is q_embedding_near_dup_lsh)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_vec")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(similarity.cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+O_EMBEDDING_NEAR_DUP = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+    / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
+FROM v a, v b WHERE a.vec_id < b.vec_id
+  AND {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+    / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — approximate, rows-only check."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rule_eval": q_rule_eval,
+    "verdict_counts": q_verdict_counts,
+    "json_extract": q_json_extract,
+    "sml_filter": q_sml_filter,
+    "topn": q_topn,
+    "topn_pop": q_topn_pop,
+    "timeseries": q_timeseries,
+    "paginated_scan": q_scan,
+    "count_distinct": q_count_distinct,
+    "approx_distinct": q_approx_distinct,
+    "entity_filter": q_entity_filter,
+    "tumbling_window": q_tumbling,
+    "sliding_window": q_sliding,
+    "session_window": q_sessions,
+    "rate_rule": q_rate_rule,
+    "escalation_state": q_escalation,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "rule_eval": O_RULE_EVAL,
+    "verdict_counts": O_VERDICT_COUNTS,
+    "json_extract": O_JSON_EXTRACT,
+    "sml_filter": O_SML_FILTER,
+    "topn": O_TOPN,
+    "topn_pop": O_TOPN_POP,
+    "timeseries": O_TIMESERIES,
+    "paginated_scan": O_SCAN,
+    "count_distinct": O_COUNT_DISTINCT,
+    "entity_filter": O_ENTITY_FILTER,
+    "tumbling_window": O_TUMBLING,
+    "sliding_window": O_SLIDING,
+    "session_window": O_SESSIONS,
+    "rate_rule": O_RATE_RULE,
+    "escalation_state": O_ESCALATION,
+    "tpch_q1": O_TPCH_Q1,
+    "tpch_q3": O_TPCH_Q3,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_fingerprint": O_DEDUP_FINGERPRINT,
+    "minhash_lsh_pairs": O_MINHASH_PAIRS,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "doc_stats": O_DOC_STATS,
+    "lang_id": _fill_lang_lists(O_LANG_ID),
+    "embedding_topk": O_EMBEDDING_TOPK,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: compiled rule evaluation over the sf0.001 turns."""
+    return q_rule_eval(spark, "/root/testdata/sf0.001")

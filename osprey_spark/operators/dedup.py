@@ -1,0 +1,238 @@
+"""Deduplication operators over a documents table.
+
+Training-data-pipeline additions (not in the reference engine, which
+has no corpus ops): exact, fingerprint, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup. All are built from DataFrame ops:
+the LSH family turns O(n²) similarity into equi-joins on band/bucket
+keys — the only strategy that survives 100 TB (the candidate join
+shuffles on band key; exact verification runs only on candidates).
+
+Determinism: every hash is md5/xxhash64 of explicit strings — no RNG,
+so results are oracle-checkable and stable across runs/engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens of the lowercased text (shared with the
+    DuckDB oracles: string_split(lower(text), ' '))."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """Word k-shingles; a doc shorter than k words yields its full
+    token join (one shingle)."""
+    w = tokens(text_col)
+    n = F.size(w)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one hash-aggregate, keeper =
+    min(id). Output: one row per duplicate *group* (n_dups ≥ 2)."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+        .orderBy("content_hash")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Key-collision dedup on the sorted-unique-token fingerprint —
+    catches word-order shuffles exact dedup misses."""
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ").cast("binary"))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") >= 2)
+        .orderBy("fingerprint")
+    )
+
+
+def minhash_signature(text_col: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash signature: per hash seed j, min over shingles of
+    md5(j || '|' || shingle). String-min on hex md5 — identical
+    semantics in any engine with md5()."""
+    sh = shingles(text_col, k)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s).cast("binary"))))
+        for j in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig_col: Column, n_bands: int = 4, rows_per_band: int = 2) -> list[Column]:
+    """Band keys: concat of the band's signature rows."""
+    bands = []
+    for b in range(n_bands):
+        parts = [F.element_at(sig_col, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    return bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    Plan shape (the 100 TB-safe one):
+      1. one projection computes signature + shingle set per doc;
+      2. explode band keys → shuffle on band key (equi-join, no
+         cross product);
+      3. candidate pairs (id_a < id_b), distinct;
+      4. exact Jaccard on the candidates only → filter ≥ threshold.
+    Hot bands (boilerplate docs) are the skew risk — AQE skew-join
+    handles moderate skew; pathological bands should be frequency-
+    capped upstream.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_sh"),
+        minhash_signature(F.col(text_col), n_hashes, k).alias("_sig"),
+    )
+    bands = base.select(
+        "_id", "_sh", F.explode(F.array(*minhash_bands(F.col("_sig"), n_bands, rows_per_band))).alias("_band")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.4,
+    k: int = 2,
+) -> DataFrame:
+    """Blocked n-gram Jaccard: candidate pairs restricted to the same
+    block (e.g. lang) — the blocking keeps the join an equi-join.
+    With block_col=None this is a full O(n²) within-partition compare:
+    correctness-scale only."""
+    sh = shingles(F.col(text_col), k).alias("_sh")
+    cols = [F.col(id_col).alias("_id"), sh]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = (F.col("a._blk") == F.col("b._blk")) & cond
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash64(text_col: Column, k: int = 2) -> Column:
+    """64-bit SimHash from xxhash64 of word k-shingles: per bit,
+    sign of sum over shingles of ±1. Pure array expressions."""
+    sh = shingles(text_col, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    def _merge_for(bit: int):
+        def merge(acc, h):
+            return acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return merge
+
+    bit_cols = []
+    for bit in range(64):
+        contrib = F.aggregate(hashes, F.lit(0), _merge_for(bit))
+        # shiftleft handles bit 63 (sign bit) — a 1<<63 literal overflows
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: 16-bit band tables (4×16 of the 64-bit hash)
+    as LSH buckets, Hamming-verify candidates via bit_count(xor)."""
+    base = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    bands = base.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(t)),
+                        F.shiftright(F.col("_sim"), t * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sim").alias("sim_a"),
+            F.col("b._sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed
+(random-hyperplane signs with deterministic hyperplanes) as the scale
+path. The dot products run as built-in higher-order functions
+(zip_with + aggregate) — JVM-side, no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    vector table — one scan of the vectors, no shuffle of the big
+    side; ranking via window over query_id.
+
+    Scale shape: Q queries × N vectors with Q broadcastable; for
+    Q ~ N use `lsh_topk`.
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")))
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_vvec"))
+    scored = q.crossJoin(v).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("_qvec"), F.col("_vvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (hash-based, no
+    RNG state): component c = sin(1e4 * (plane_idx * dim + c + 1))."""
+    raw = [math.sin(1e4 * (plane_idx * dim + c + 1)) for c in range(dim)]
+    n = math.sqrt(sum(x * x for x in raw)) or 1.0
+    return [x / n for x in raw]
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot products with
+    n_planes fixed hyperplanes → int bucket. Cosine-similar vectors
+    collide with high probability."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, then exact cosine +
+    ranking within candidates. The cross product becomes a shuffle on
+    the bucket key — the ANN scale path (IVF-style: bucket = cell)."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_vvec"), lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bkt")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bkt"),
+    )
+    scored = q.join(v, "_bkt").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("_qvec"), F.col("_vvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join
+    + exact-cosine verification (the embedding leg of the dedup
+    suite)."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bkt"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")))
+    return (
+        cand.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

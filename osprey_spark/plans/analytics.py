@@ -1,0 +1,162 @@
+"""UI analytics operators over the execution-results table.
+
+Reimplements the reference's ClickHouse query builders
+(ref: osprey_worker/src/osprey/worker/ui_api/osprey/lib/clickhouse.py)
+as Spark DataFrame plans. All are single-pass aggregations with
+map-side partial aggregation; TopN+PoP is two filtered aggregations
+over one scan joined on the (small) dimension domain — the join is
+broadcast by AQE since TopN output is ≤ limit rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRANULARITY_TRUNC = {
+    # ref: clickhouse.py:158-167 granularity map
+    "minute": "minute",
+    "hour": "hour",
+    "day": "day",
+    "week": "week",
+    "month": "month",
+}
+
+
+def topn(
+    df: DataFrame,
+    dim: str,
+    limit: int = 10,
+    where: Optional[Column] = None,
+) -> DataFrame:
+    """TopN for one period (ref: clickhouse.py:346-371).
+
+    Deterministic tie-break by dimension value (the reference's
+    ClickHouse ORDER BY count DESC leaves ties unspecified; we pin
+    them for oracle comparison).
+    """
+    if where is not None:
+        df = df.filter(where)
+    return (
+        df.groupBy(F.col(dim).alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("dim"))
+        .limit(limit)
+    )
+
+
+def topn_pop(
+    df: DataFrame,
+    dim: str,
+    ts_col: str,
+    period_start,
+    period_end,
+    limit: int = 10,
+    where: Optional[Column] = None,
+) -> DataFrame:
+    """TopN with period-over-period comparison
+    (ref: clickhouse.py:398-440): current period TopN, full-outer
+    joined with the previous equal-length period's counts, diff +
+    pct-change.
+
+    One scan: both periods aggregated with conditional counts, so no
+    second pass over the fact table; at 100 TB this is a single
+    shuffle on `dim` instead of two scans + a join.
+    """
+    if where is not None:
+        df = df.filter(where)
+    ts = F.col(ts_col).cast("timestamp")
+    cur = (ts >= F.lit(period_start)) & (ts < F.lit(period_end))
+    span = F.lit(period_end).cast("timestamp").cast("double") - F.lit(period_start).cast(
+        "timestamp"
+    ).cast("double")
+    prev_start = F.lit(period_start).cast("timestamp").cast("double") - span
+    prev = (ts.cast("double") >= prev_start) & (ts < F.lit(period_start))
+    agg = (
+        df.filter(cur | prev)
+        .groupBy(F.col(dim).alias("dim"))
+        .agg(
+            F.sum(F.when(cur, 1).otherwise(0)).alias("n_current"),
+            F.sum(F.when(prev, 1).otherwise(0)).alias("n_previous"),
+        )
+        .filter(F.col("n_current") > 0)
+        .withColumn("delta", F.col("n_current") - F.col("n_previous"))
+        .withColumn(
+            "pct_change",
+            F.when(
+                F.col("n_previous") > 0,
+                F.round((F.col("n_current") - F.col("n_previous")) * 100.0 / F.col("n_previous"), 4),
+            ),
+        )
+        .orderBy(F.desc("n_current"), F.asc("dim"))
+        .limit(limit)
+    )
+    return agg
+
+
+def timeseries(
+    df: DataFrame,
+    ts_col: str,
+    granularity: str = "hour",
+    agg_dim: Optional[str] = None,
+    where: Optional[Column] = None,
+) -> DataFrame:
+    """Event counts per time bucket (ref: clickhouse.py:154-205),
+    optionally per agg-dimension value (the `countIf` variant)."""
+    if where is not None:
+        df = df.filter(where)
+    trunc = _GRANULARITY_TRUNC[granularity]
+    bucket = F.date_trunc(trunc, F.col(ts_col).cast("timestamp")).alias("bucket")
+    keys = [bucket] + ([F.col(agg_dim).alias("dim")] if agg_dim else [])
+    out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return out.orderBy(*[c for c in ("bucket", "dim") if c in out.columns])
+
+
+def paginated_scan(
+    df: DataFrame,
+    ts_col: str,
+    cursor=None,
+    limit: int = 100,
+    columns: Optional[Sequence[str]] = None,
+    where: Optional[Column] = None,
+) -> DataFrame:
+    """Time-ordered scan with cursor pagination
+    (ref: clickhouse.py:208-255): newest-first, ``ts < cursor``
+    predicate, LIMIT n. The predicate reaches the parquet/Iceberg
+    scan as a pushed filter → partition pruning on ts-partitioned
+    sinks."""
+    if where is not None:
+        df = df.filter(where)
+    if cursor is not None:
+        df = df.filter(F.col(ts_col) < F.lit(cursor))
+    if columns:
+        df = df.select(*columns)
+    return df.orderBy(F.desc(ts_col)).limit(limit)
+
+
+def count_distinct(df: DataFrame, dim: str, group_by: Optional[str] = None) -> DataFrame:
+    """Exact distinct (oracle-comparable variant of clickhouse.py
+    :258-274)."""
+    keys = [F.col(group_by).alias("grp")] if group_by else []
+    out = df.groupBy(*keys).agg(F.countDistinct(dim).alias("n_distinct"))
+    return out.orderBy("grp") if group_by else out
+
+
+def approx_distinct(df: DataFrame, dim: str, rsd: float = 0.05, group_by: Optional[str] = None) -> DataFrame:
+    """``uniq(dim)`` (ref: clickhouse.py:258-274) →
+    approx_count_distinct (HyperLogLog++). The scale path: one pass,
+    no distinct shuffle."""
+    keys = [F.col(group_by).alias("grp")] if group_by else []
+    out = df.groupBy(*keys).agg(F.approx_count_distinct(dim, rsd).alias("n_approx"))
+    return out.orderBy("grp") if group_by else out
+
+
+def entity_filter(df: DataFrame, entity_columns: Sequence[str], entity_id) -> Column:
+    """OR-fold equality over all feature columns of the entity's type
+    (ref: clickhouse.py:25-44 + feature_name_to_entity_type_mapping)."""
+    cond = F.lit(False)
+    for c in entity_columns:
+        cond = cond | F.col(c).cast("string").eqNullSafe(F.lit(str(entity_id)))
+    return cond
