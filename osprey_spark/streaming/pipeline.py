@@ -1,0 +1,91 @@
+"""The streaming rule-evaluation pipeline.
+
+readStream (parquet dir of turns; swap for Iceberg/Kafka source when
+jars exist — same plan) → envelope → compiled ruleset projection →
+exactly-once sink. This is the Spark replacement for the reference's
+coordinator→worker→rules-sink loop (ref: worker/sinks/sink/
+rules_sink.py:137-174, SURVEY.md §3.1).
+
+Admission control: ``maxFilesPerTrigger`` plays the coordinator
+priority queue's backpressure role (ref: osprey_coordinator/src/
+priority_queue.rs) — bounded micro-batches instead of ack/nack.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compiler.compile import CompiledRuleset
+from ..turns import with_envelope
+from .sink import ExactlyOnceParquetSink
+
+TURNS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+class StreamingRuleEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        ruleset: CompiledRuleset,
+        input_dir: str,
+        output_dir: str,
+        checkpoint_dir: Optional[str] = None,
+        schema: T.StructType = TURNS_SCHEMA,
+        passthrough: tuple[str, ...] = ("conv_id", "turn_idx", "role", "ts"),
+        max_files_per_trigger: Optional[int] = None,
+        envelope_fn: Callable[[DataFrame], DataFrame] = with_envelope,
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.ruleset = ruleset
+        self.input_dir = input_dir
+        self.schema = schema
+        self.passthrough = list(passthrough)
+        self.max_files_per_trigger = max_files_per_trigger
+        self.envelope_fn = envelope_fn
+        self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+        self.sink = ExactlyOnceParquetSink(output_dir, n_buckets=n_buckets, bucket_col="conv_id")
+
+    def source(self) -> DataFrame:
+        reader = self.spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.input_dir)
+
+    def transform(self, stream: DataFrame) -> DataFrame:
+        env = self.envelope_fn(stream)
+        return self.ruleset.apply(env, passthrough=self.passthrough)
+
+    def start(self, available_now: bool = True, processing_time: Optional[str] = None):
+        out = self.transform(self.source())
+        writer = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(self.sink.write_batch)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_to_completion(self) -> None:
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    def results(self) -> DataFrame:
+        return self.sink.read_committed(self.spark)

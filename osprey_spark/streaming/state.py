@@ -1,0 +1,215 @@
+"""Stateful operators: per-conversation escalation + per-entity labels.
+
+The reference's stateful mechanisms are (a) the entity label store
+read back by ``HasLabel`` across events (ref: stdlib/udfs/labels.py
+:133-293, docs/rules.md:188-227 "Labels ... enable stateful rules")
+and (b) Redis sliding-window counters (ref: example_plugins/src/udfs/
+cache.py:161-227). Both become Spark state-store operators keyed by
+entity / conv_id. State visibility follows micro-batch semantics:
+within a batch rows apply in (turn_idx) order; across batches state
+is read-your-writes (matching osprey's cross-event visibility).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_flagged", LongType()),
+        StructField("tool_seq", StringType()),  # comma-joined last K tools
+    ]
+)
+
+CONV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("turns_so_far", LongType()),
+        StructField("flagged_so_far", LongType()),
+        StructField("tool_seq", StringType()),
+        StructField("escalated", BooleanType()),
+    ]
+)
+
+TOOL_SEQ_K = 8
+
+
+def _conv_state_fn(escalate_after: int):
+    def fn(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            n_turns, n_flagged, tool_seq = state.get
+        else:
+            n_turns, n_flagged, tool_seq = 0, 0, ""
+        tools = tool_seq.split(",") if tool_seq else []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("turn_idx")
+            out_turns = []
+            out_flagged = []
+            out_seq = []
+            out_esc = []
+            for flagged, tool in zip(pdf["flagged"].values, pdf["tool"].values):
+                n_turns += 1
+                if flagged:
+                    n_flagged += 1
+                if isinstance(tool, str) and tool:
+                    tools.append(tool)
+                    tools = tools[-TOOL_SEQ_K:]
+                out_turns.append(n_turns)
+                out_flagged.append(n_flagged)
+                out_seq.append(",".join(tools))
+                out_esc.append(n_flagged >= escalate_after)
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "ts": pdf["ts"].values,
+                    "turns_so_far": out_turns,
+                    "flagged_so_far": out_flagged,
+                    "tool_seq": out_seq,
+                    "escalated": out_esc,
+                }
+            )
+        state.update((n_turns, n_flagged, ",".join(tools)))
+
+    return fn
+
+
+def conversation_state(
+    turns: DataFrame,
+    flagged_col: str,
+    escalate_after: int = 3,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-conversation escalation state (north_star: prior verdicts,
+    label counters, tool-usage sequences in the state store).
+
+    Input: a *streaming* DataFrame with (conv_id, turn_idx, ts, tool)
+    + a boolean ``flagged_col``. Output: one row per turn with running
+    counters and the escalation flag. Keyed state lives in the Spark
+    state store; the shuffle key is conv_id (hot conversations are a
+    single-key hotspot by definition — the state op itself is O(rows)
+    per key, so skew shows up as one long task; the sink bucketing
+    salts downstream, and upstream rule evaluation is stateless so AQE
+    balances it).
+    """
+    src = (
+        turns.withWatermark("ts", watermark)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.col("tool").cast("string").alias("tool"),
+            F.coalesce(F.col(flagged_col), F.lit(False)).alias("flagged"),
+        )
+        .groupBy("conv_id")
+    )
+    return src.applyInPandasWithState(
+        _conv_state_fn(escalate_after),
+        outputStructType=CONV_OUTPUT_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# --- label store -------------------------------------------------------------
+
+LABEL_STATE_SCHEMA = StructType([StructField("labels_json", StringType())])
+
+LABEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("entity_type", StringType()),
+        StructField("entity_id", StringType()),
+        StructField("label", StringType()),
+        StructField("status", StringType()),
+        StructField("expires_at_unix", LongType()),
+        StructField("mutation_ts", TimestampType()),
+    ]
+)
+
+
+def _label_state_fn(key, pdf_iter, state):
+    """Apply LabelEffect mutations to the per-entity label map
+    (semantics of worker LabelOutputSink + HasLabel expiry,
+    ref: stdlib/udfs/labels.py:168-224): ADDED wins over expired,
+    REMOVED drops, expires_at tracked per label. Emits the label's
+    current row after each mutation (a changelog stream)."""
+    entity_type, entity_id = key
+    labels = json.loads(state.get[0]) if state.exists else {}
+    rows = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for _, r in pdf.iterrows():
+            ts_unix = r["ts"].timestamp() if pd.notna(r["ts"]) else 0
+            expires = None
+            if pd.notna(r.get("expires_after")) and r.get("expires_after"):
+                expires = int(ts_unix + float(r["expires_after"]))
+            if r["status"] == "added":
+                labels[r["label"]] = {"status": "added", "expires_at": expires}
+            elif r["status"] == "removed":
+                labels[r["label"]] = {"status": "removed", "expires_at": None}
+            rows.append(
+                {
+                    "entity_type": entity_type,
+                    "entity_id": entity_id,
+                    "label": r["label"],
+                    "status": labels[r["label"]]["status"],
+                    "expires_at_unix": labels[r["label"]]["expires_at"] or 0,
+                    "mutation_ts": r["ts"],
+                }
+            )
+    state.update((json.dumps(labels),))
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def label_store(effects: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Maintain per-entity label state from the ``__label_effects``
+    stream (exploded). Input columns: entity_type, entity_id, label,
+    status, expires_after, ts. Output: label changelog rows."""
+    return (
+        effects.withWatermark("ts", watermark)
+        .groupBy("entity_type", "entity_id")
+        .applyInPandasWithState(
+            _label_state_fn,
+            outputStructType=LABEL_OUTPUT_SCHEMA,
+            stateStructType=LABEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def explode_label_effects(rules_out: DataFrame) -> DataFrame:
+    """``__label_effects`` array → one row per effect with event time."""
+    from ..compiler.compile import LABEL_EFFECTS, TIMESTAMP
+
+    return (
+        rules_out.select(TIMESTAMP, F.explode(LABEL_EFFECTS).alias("e"))
+        .select(
+            F.col("e.entity_type").alias("entity_type"),
+            F.col("e.entity_id").alias("entity_id"),
+            F.col("e.label").alias("label"),
+            F.col("e.status").alias("status"),
+            F.col("e.expires_after").alias("expires_after"),
+            F.col(TIMESTAMP).cast("timestamp").alias("ts"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Watermarked streaming window aggregations.
+
+Event-time parity for the reference's Redis window counters
+(ref: example_plugins/src/udfs/cache.py:333-347) plus the north-rule
+session windows. Late data beyond the watermark is dropped (append
+mode) — the policy the tests pin down.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    size_seconds: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{size_seconds} seconds").alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("window_start"), *keys, "n")
+    )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    size_seconds: int,
+    slide_seconds: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(
+                F.col(ts_col), f"{size_seconds} seconds", f"{slide_seconds} seconds"
+            ).alias("w"),
+            *keys,
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("window_start"), *keys, "n")
+    )
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key: str,
+    gap_seconds: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows keyed by conv_id with event-time watermark
+    (north rule)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col(key),
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
+def join_verdicts_to_turns(
+    turns: DataFrame,
+    verdicts: DataFrame,
+    watermark: str = "10 minutes",
+    join_window_seconds: int = 600,
+) -> DataFrame:
+    """Stateful stream-stream join of verdicts back to the turn stream
+    on (conv_id, turn_idx) within watermark bounds (north rule). The
+    time-range condition lets Spark evict join state; output preserves
+    the turn's text for the per-turn equality invariant."""
+    t = turns.select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("text"),
+        F.col("ts"),
+    ).withWatermark("ts", watermark)
+    v = verdicts.select(
+        F.col("conv_id").alias("v_conv_id"),
+        F.col("turn_idx").alias("v_turn_idx"),
+        F.col("verdicts"),
+        F.col("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("conv_id") == F.col("v_conv_id"))
+        & (F.col("turn_idx") == F.col("v_turn_idx"))
+        & (F.col("v_ts") >= F.col("ts"))
+        & (F.col("v_ts") <= F.col("ts") + F.expr(f"INTERVAL {join_window_seconds} SECONDS"))
+    )
+    return t.join(v, cond, "inner").select(
+        "conv_id", "turn_idx", "text", "ts", "verdicts"
+    )

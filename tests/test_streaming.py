@@ -1,0 +1,288 @@
+"""Streaming core tests: micro-batch rule eval parity with batch,
+exactly-once sink idempotency, checkpoint resume, watermark late-data
+policy, stateful conversation state, label store, stream-stream join.
+
+The reference has no event-time tests (SURVEY.md §5) — these pin down
+the north-rule semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from osprey_spark.compiler import compile_ruleset
+from osprey_spark.streaming.pipeline import StreamingRuleEngine, TURNS_SCHEMA
+from osprey_spark.streaming.sink import ExactlyOnceParquetSink
+from osprey_spark.turns import generate_turns, with_envelope
+
+SML = """
+TurnText: str = JsonData(path='$.text')
+ConvId: Entity[str] = EntityJson(type='ConvId', path='$.conv_id')
+HasHello = 'hello' in StringToLower(s=TurnText)
+HelloRule = Rule(when_all=[HasHello], description='hello')
+WhenRules(rules_any=[HelloRule], then=[
+    DeclareVerdict(verdict='hello'),
+    LabelAdd(entity=ConvId, label='greeted'),
+])
+"""
+
+
+@pytest.fixture(scope="module")
+def turns_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("turns"))
+    t = generate_turns(spark, n_convs=40, turns_per_conv=10, hot_convs=2, hot_multiplier=5)
+    t.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _ruleset():
+    return compile_ruleset({"main.sml": SML})
+
+
+def test_streaming_matches_batch(spark, turns_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    eng = StreamingRuleEngine(
+        spark,
+        _ruleset(),
+        turns_dir,
+        out_dir,
+        passthrough=("conv_id", "turn_idx", "text", "ts"),
+        max_files_per_trigger=2,  # force multiple micro-batches
+    )
+    eng.run_to_completion()
+    got = eng.results()
+
+    batch = _ruleset().apply(
+        with_envelope(spark.read.parquet(turns_dir)),
+        passthrough=["conv_id", "turn_idx", "text", "ts"],
+    )
+    cols = ["conv_id", "turn_idx", "text", "HasHello", "HelloRule"]
+    got_rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"], r["HasHello"], r["HelloRule"], tuple(r["__verdicts"]))
+        for r in got.collect()
+    )
+    batch_rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"], r["HasHello"], r["HelloRule"], tuple(r["__verdicts"]))
+        for r in batch.collect()
+    )
+    assert len(got_rows) == len(batch_rows) > 0
+    assert got_rows == batch_rows
+
+    # per-turn text equality invariant under stable (conv_id, turn_idx)
+    src = spark.read.parquet(turns_dir).select("conv_id", "turn_idx", F.col("text").alias("src_text"))
+    joined = got.join(src, ["conv_id", "turn_idx"])
+    assert joined.filter(F.col("text") != F.col("src_text")).count() == 0
+    assert joined.count() == src.count()
+
+    # multiple micro-batches actually happened
+    assert len(eng.sink.committed_batches()) >= 2
+
+
+def test_sink_replay_idempotent(spark, turns_dir, tmp_path):
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
+    df = spark.read.parquet(turns_dir).limit(50)
+    sink.write_batch(df, 7)
+    n1 = sink.read_committed(spark).count()
+    sink.write_batch(df, 7)  # replay of the same batch id
+    n2 = sink.read_committed(spark).count()
+    assert n1 == n2 == 50
+    assert sink.committed_batches() == [7]
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=20, turns_per_conv=6, hot_convs=0)
+    t.filter(F.col("conv_id") < "conv_00000010").coalesce(1).write.mode("append").parquet(in_dir)
+
+    def build():
+        return StreamingRuleEngine(
+            spark, _ruleset(), in_dir, out_dir, passthrough=("conv_id", "turn_idx", "ts")
+        )
+
+    build().run_to_completion()
+    n_first = ExactlyOnceParquetSink(out_dir).read_committed(spark).count()
+    assert n_first == 60  # 10 convs × 6 turns
+
+    # new files arrive; resume from the same checkpoint
+    t.filter(F.col("conv_id") >= "conv_00000010").coalesce(1).write.mode("append").parquet(in_dir)
+    build().run_to_completion()
+    res = ExactlyOnceParquetSink(out_dir).read_committed(spark)
+    assert res.count() == 120
+    # no duplicates across the resume boundary
+    assert res.select("conv_id", "turn_idx").distinct().count() == 120
+
+
+def test_streaming_tumbling_late_data(spark, tmp_path):
+    """Late rows beyond the watermark are dropped (append mode)."""
+    from osprey_spark.streaming.windows import streaming_tumbling_counts
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # note: the watermark used for late-record filtering is the one
+    # computed from *prior* batches, so the late row must arrive a
+    # batch after the watermark-advancing row to be dropped.
+    rows1 = [("A", "2024-01-01 10:00:10"), ("A", "2024-01-01 10:00:20"), ("A", "2024-01-01 10:30:00")]
+    rows2 = [("A", "2024-01-01 12:00:00")]  # advances watermark far past 10:xx
+    rows3 = [("A", "2024-01-01 10:00:30")]  # LATE: before watermark → dropped
+    schema = "k string, ts_str string"
+
+    def write(rows, name):
+        (
+            spark.createDataFrame(rows, schema)
+            .select("k", F.to_timestamp("ts_str").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+        time.sleep(1.1)  # distinct mod-times → file order = arrival order
+
+    write(rows1, "f1")
+    write(rows2, "f2")
+    write(rows3, "f3")
+
+    stream = spark.readStream.schema("k string, ts timestamp").option("maxFilesPerTrigger", 1).parquet(in_dir)
+    agg = streaming_tumbling_counts(stream, "ts", ["k"], 600, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["window_start"], r["k"]): r["n"] for r in spark.sql("select * from late_test").collect()}
+    # 10:00 window count stays 2 — the late 10:00:30 row was dropped
+    w1000 = 1704103200
+    assert got.get((w1000, "A")) == 2
+    # 10:30 window flushed with 1
+    assert got.get((w1000 + 1800, "A")) == 1
+
+
+def test_conversation_state(spark, tmp_path):
+    from osprey_spark.streaming.state import conversation_state
+
+    in_dir = str(tmp_path / "in")
+    rows = []
+    for conv in ("c1", "c2"):
+        for i in range(6):
+            flagged = (conv == "c1" and i % 2 == 0) or (conv == "c2" and i == 5)
+            rows.append(
+                (conv, i, "user", "hello" if flagged else "x", "search" if i % 3 == 0 else None,
+                 f"2024-01-01 10:{i:02d}:00")
+            )
+    (
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_str string"
+        )
+        .select("conv_id", "turn_idx", "role", "text", "tool", F.to_timestamp("ts_str").alias("ts"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    stream = spark.readStream.schema(TURNS_SCHEMA).parquet(in_dir)
+    flagged = stream.withColumn("flagged", F.col("text").contains("hello"))
+    out = conversation_state(flagged, "flagged", escalate_after=2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("conv_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = {
+        (r["conv_id"], r["turn_idx"]): (r["flagged_so_far"], r["escalated"], r["tool_seq"])
+        for r in spark.sql("select * from conv_state").collect()
+    }
+    assert len(res) == 12
+    # c1 flags at turns 0,2,4 → escalates from turn 2 on
+    assert res[("c1", 0)][0] == 1 and res[("c1", 0)][1] is False
+    assert res[("c1", 2)][0] == 2 and res[("c1", 2)][1] is True
+    assert res[("c1", 5)][0] == 3 and res[("c1", 5)][1] is True
+    # c2 only flags at 5 → never reaches 2
+    assert res[("c2", 5)][0] == 1 and res[("c2", 5)][1] is False
+    # tool sequence accumulates tools at turns 0 and 3
+    assert res[("c1", 5)][2] == "search,search"
+
+
+def test_label_store(spark, tmp_path):
+    from osprey_spark.streaming.state import label_store
+
+    in_dir = str(tmp_path / "in")
+    rows = [
+        ("ConvId", "c1", "flagged", "added", 3600.0, "2024-01-01 10:00:00"),
+        ("ConvId", "c1", "flagged", "removed", None, "2024-01-01 10:05:00"),
+        ("ConvId", "c2", "flagged", "added", None, "2024-01-01 10:01:00"),
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "entity_type string, entity_id string, label string, status string, expires_after double, ts_str string",
+        )
+        .select("entity_type", "entity_id", "label", "status", "expires_after", F.to_timestamp("ts_str").alias("ts"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    stream = spark.readStream.schema(
+        "entity_type string, entity_id string, label string, status string, expires_after double, ts timestamp"
+    ).parquet(in_dir)
+    q = (
+        label_store(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("labels_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from labels_out order by entity_id, mutation_ts").collect()
+    assert len(rows) == 3
+    c1 = [r for r in rows if r["entity_id"] == "c1"]
+    assert c1[0]["status"] == "added" and c1[0]["expires_at_unix"] > 0
+    assert c1[1]["status"] == "removed"
+    c2 = [r for r in rows if r["entity_id"] == "c2"]
+    assert c2[0]["status"] == "added" and c2[0]["expires_at_unix"] == 0
+
+
+def test_stream_stream_join(spark, turns_dir, tmp_path):
+    """Verdicts joined back to the turn stream on (conv_id, turn_idx)
+    within watermark bounds; per-turn text preserved (north rule)."""
+    from osprey_spark.streaming.windows import join_verdicts_to_turns
+
+    verdicts_dir = str(tmp_path / "verdicts")
+    batch = _ruleset().apply(
+        with_envelope(spark.read.parquet(turns_dir)), passthrough=["conv_id", "turn_idx", "ts"]
+    )
+    (
+        batch.filter(F.size("__verdicts") > 0)
+        .select("conv_id", "turn_idx", F.col("__verdicts").alias("verdicts"), F.col("ts").alias("v_ts"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(verdicts_dir)
+    )
+    turns_stream = spark.readStream.schema(TURNS_SCHEMA).parquet(turns_dir)
+    verdicts_stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, verdicts array<string>, v_ts timestamp"
+    ).parquet(verdicts_dir)
+    joined = join_verdicts_to_turns(turns_stream, verdicts_stream)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from join_out")
+    expected = batch.filter(F.size("__verdicts") > 0).count()
+    assert got.count() == expected > 0
+    # text equality vs source under (conv_id, turn_idx)
+    src = spark.read.parquet(turns_dir).select("conv_id", "turn_idx", F.col("text").alias("src_text"))
+    assert got.join(src, ["conv_id", "turn_idx"]).filter(F.col("text") != F.col("src_text")).count() == 0
