@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Headline benchmark for osprey_spark (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` on
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``local[$SPARK_GRAFT_CPUS]`` and measures the BASELINE.json metric —
+rule-verdict throughput (turns/sec) of the streaming pipeline over a
+deterministic skewed transcripts table — then prints ONE JSON line:
+
+    {"metric": "rule_verdict_throughput", "value": <suite sec>,
+     "unit": "sec", "queries": {...}, "sf": ..., "throughput": {...}}
+
+Per-query numbers are full plan executions (noop sink — no collect
+overhead, no result truncation). The N-vs-4N scaling-efficiency run
+lives in tools/bench_scaling.py (spark-submit subprocesses) and its
+latest results are inlined here when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that are themselves approximate or quadratic-by-design keep
+# running but are excluded from the headline value if they blow up.
+HEADLINE = [
+    "rule_eval",
+    "verdict_counts",
+    "json_extract",
+    "sml_filter",
+    "topn",
+    "topn_pop",
+    "timeseries",
+    "paginated_scan",
+    "count_distinct",
+    "approx_distinct",
+    "entity_filter",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "rate_rule",
+    "escalation_state",
+    "tpch_q1",
+    "tpch_q3",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "simhash_pairs",
+    "doc_stats",
+    "lang_id",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_lsh_topk",
+]
+
+
+def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from osprey_spark.entrypoint import QUERIES
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (I/O cache, codegen)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a broken query should not zero the bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            times[name] = -1.0
+    return times
+
+
+def _turns_input(spark, work_dir: str, n_convs: int, turns_per_conv: int, n_files: int) -> tuple[str, int]:
+    """Materialize the deterministic skewed transcripts table once
+    (cache keyed by size) so repeated bench runs read identical bytes."""
+    from osprey_spark.turns import generate_turns
+
+    path = os.path.join(work_dir, f"turns_{n_convs}x{turns_per_conv}")
+    marker = os.path.join(path, "_SUCCESS")
+    turns = generate_turns(spark, n_convs=n_convs, turns_per_conv=turns_per_conv)
+    if not os.path.exists(marker):
+        turns.repartition(n_files).write.mode("overwrite").parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    return path, n_rows
+
+
+def _bench_streaming(spark, work_dir: str) -> dict:
+    """BASELINE.json metric: rule-verdict throughput (turns/sec) +
+    micro-batch latency of the compiled flagship ruleset, streaming
+    from parquet through the exactly-once sink (availableNow)."""
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.entrypoint import FLAGSHIP_SML
+    from osprey_spark.streaming.pipeline import StreamingRuleEngine
+    from osprey_spark.turns import TURN_BINDINGS
+
+    n_convs = int(os.environ.get("BENCH_TURN_CONVS", "40000"))
+    tpc = int(os.environ.get("BENCH_TURNS_PER_CONV", "30"))
+    n_files = 16
+    input_dir, n_rows = _turns_input(spark, work_dir, n_convs, tpc, n_files)
+
+    out_dir = os.path.join(work_dir, "stream_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    engine = StreamingRuleEngine(
+        spark,
+        compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS),
+        input_dir=input_dir,
+        output_dir=out_dir,
+        max_files_per_trigger=max(n_files // 4, 1),  # ≥4 micro-batches
+    )
+    t0 = time.perf_counter()
+    engine.run_to_completion()
+    wall = time.perf_counter() - t0
+
+    commits = [
+        json.load(open(os.path.join(out_dir, "_commits", f)))
+        for f in sorted(os.listdir(os.path.join(out_dir, "_commits")))
+        if f.endswith(".json")
+    ]
+    lat = sorted(c["duration_s"] for c in commits) or [0.0]
+    return {
+        "turns": n_rows,
+        "streaming_wall_s": round(wall, 3),
+        "turns_per_sec": round(n_rows / wall, 1),
+        "n_microbatches": len(commits),
+        "batch_latency_p50_s": lat[len(lat) // 2],
+        "batch_latency_max_s": lat[-1],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    work_dir = os.environ.get("BENCH_WORK_DIR", "/tmp/osprey_bench")
+    os.makedirs(work_dir, exist_ok=True)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from osprey_spark.session import build_session
+
+    spark = build_session("osprey_spark_bench")
+    try:
+        qtimes = _bench_queries(spark, sf_dir)
+        streaming = _bench_streaming(spark, work_dir)
+    finally:
+        spark.stop()
+
+    suite = round(sum(t for t in qtimes.values() if t >= 0), 3)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": suite,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "throughput": streaming,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            result["scaling"] = json.load(f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,12 @@ class InputBindings:
     action_name: str = "action_name"
     timestamp: str = "ts"
     action_id: Optional[str] = "action_id"
+    # Struct-backed fast path: when the action payload also exists as
+    # typed top-level columns (the transcripts table), map JSON field →
+    # column name here and simple ``$.field`` JsonData paths compile to
+    # direct column references — no to_json/get_json_object roundtrip.
+    # Catalyst then prunes the JSON envelope column away entirely.
+    data_fields: Optional[dict[str, str]] = None
 
 
 _SPARK_TYPE = {"str": "string", "int": "long", "float": "double", "bool": "boolean"}
@@ -125,6 +131,13 @@ class CompilerContext:
         self.registry = registry
         self.features: dict[str, Value] = {}
         self.extracted: list[str] = []  # extraction order
+        # Ordered (column_name, defining Column) pairs. Every non-const
+        # feature is materialized as a projection column and all uses
+        # reference it by name — keeps the logical plan linear in the
+        # program size instead of exponential (the reference gets the
+        # same evaluate-once sharing from its named dataflow nodes,
+        # ref: engine/executor/execution_graph.py:90-93).
+        self.feature_exprs: list[tuple[str, Column]] = []
         self.verdict_conditions: list[tuple[Column, str]] = []
         self.label_effects: list[dict] = []
         self.rule_descriptions: dict[str, Column] = {}
@@ -156,6 +169,18 @@ class CompilerContext:
         if stmt.name in self.features:
             # UniqueStoredNames validator parity
             raise self.error(f"duplicate feature name {stmt.name}", stmt.span)
+        if not value.is_const and value.dtype != "effect":
+            # materialize + rebind to a reference (mangled to keep the
+            # feature namespace disjoint from input columns)
+            mangled = f"__f_{stmt.name}"
+            self.feature_exprs.append((mangled, value.col))
+            value = Value(
+                col=F.col(mangled),
+                dtype=value.dtype,
+                entity_type=value.entity_type,
+                rule_name=value.rule_name,
+                effect=value.effect,
+            )
         self.features[stmt.name] = value
         if stmt.should_extract:
             self.extracted.append(stmt.name)
@@ -531,6 +556,13 @@ class CompiledRuleset:
 
     def apply(self, df: DataFrame, passthrough: Optional[list[str]] = None) -> DataFrame:
         b = self.bindings
+        # Materialize features layer by layer; each definition may
+        # reference earlier features by (mangled) column name. Catalyst
+        # collapses single-use chains and keeps multi-use expressions
+        # shared (collapseProjectAlwaysInline=false), so the optimized
+        # plan stays linear in ruleset size.
+        for mangled, defn in self.ctx.feature_exprs:
+            df = df.select("*", defn.alias(mangled))
         cols: list[Column] = []
         for name in passthrough or []:
             cols.append(F.col(name))

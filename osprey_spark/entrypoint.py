@@ -25,7 +25,7 @@ from .compiler import compile_ruleset, compile_query_filter
 from .operators import dedup, similarity, windows
 from .operators.timeutil import epoch_seconds
 from .plans import analytics
-from .turns import TURNS_FROM_EVENTS_SQL, turns_from_events, with_envelope
+from .turns import TURN_BINDINGS, TURNS_FROM_EVENTS_SQL, turns_from_events, with_envelope
 
 # --------------------------------------------------------------------------
 # shared SML ruleset for the flagship rule-evaluation query
@@ -74,7 +74,7 @@ def rules_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compiled flagship ruleset applied to the turns stream —
     the execution-results table every analytics query runs over."""
     env = with_envelope(turns_from_events(spark, sf_dir))
-    rs = compile_ruleset({"main.sml": FLAGSHIP_SML})
+    rs = compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS)
     return rs.apply(env, passthrough=["conv_id", "turn_idx", "role", "ts"])
 
 

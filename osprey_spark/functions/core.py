@@ -7,6 +7,8 @@ osprey/engine/ unless noted).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ..compiler.values import Effect, Value
@@ -15,6 +17,25 @@ from ..compiler.compile import annotation_dtype
 from .registry import arg, const_arg, register
 
 _JSON_CAST = {"str": "string", "int": "long", "float": "double", "bool": "boolean"}
+
+_SIMPLE_PATH = re.compile(r"\$\.([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _payload_col(ctx, path: str):
+    """Resolve a JSONPath against the action payload.
+
+    Fast path: a simple ``$.field`` path whose field is declared in
+    ``bindings.data_fields`` binds straight to the typed input column
+    (vectorized JVM access, JSON envelope pruned away by Catalyst).
+    Anything else parses the JSON envelope with ``get_json_object``
+    (missing path → NULL, matching the reference's required-path
+    failure collapsing to a failed node, ref: stdlib/udfs/
+    json_data.py:31-58)."""
+    m = _SIMPLE_PATH.fullmatch(path)
+    fields = ctx.bindings.data_fields
+    if m and fields and m.group(1) in fields:
+        return F.col(fields[m.group(1)]), True
+    return F.get_json_object(F.col(ctx.bindings.data), path), False
 
 
 @register("JsonData")
@@ -31,13 +52,17 @@ def json_data(ctx, call, args):
     const_arg(ctx, call, args, "required", required=False, default=True)
     const_arg(ctx, call, args, "coerce_type", required=False, default=False)
     dtype = annotation_dtype(ctx.current_annotation)
-    raw = F.get_json_object(F.col(ctx.bindings.data), path)
+    raw, direct = _payload_col(ctx, path)
     if dtype.startswith("list:"):
         elem = _JSON_CAST.get(dtype.split(":")[1], "string")
+        if direct:
+            return Value(col=raw.cast(f"array<{elem}>"), dtype=dtype)
         return Value(col=F.from_json(raw, f"array<{elem}>"), dtype=dtype)
     if dtype in _JSON_CAST:
         return Value(col=raw.cast(_JSON_CAST[dtype]), dtype=dtype)
-    return Value(col=raw, dtype="str")
+    # unannotated: direct columns keep their native type (the reference
+    # returns the parsed JSON value); JSON string extraction stays str
+    return Value(col=raw, dtype="any" if direct else "str")
 
 
 @register("GetActionName", query=True)
@@ -65,8 +90,8 @@ def entity_json(ctx, call, args):
     etype = const_arg(ctx, call, args, "type")
     path = const_arg(ctx, call, args, "path")
     const_arg(ctx, call, args, "required", required=False, default=True)
-    col = F.get_json_object(F.col(ctx.bindings.data), path)
-    return Value(col=col, dtype="entity", entity_type=etype)
+    col, _ = _payload_col(ctx, path)
+    return Value(col=col.cast("string"), dtype="entity", entity_type=etype)
 
 
 @register("Rule")

@@ -169,27 +169,34 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text_col: Column, k: int = 2) -> Column:
-    """64-bit SimHash from xxhash64 of word k-shingles: per bit,
-    sign of sum over shingles of ±1. Pure array expressions."""
-    sh = shingles(text_col, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    def _merge_for(bit: int):
-        def merge(acc, h):
-            return acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """(id, _sim) with a 64-bit SimHash per document.
 
-        return merge
-
-    bit_cols = []
-    for bit in range(64):
-        contrib = F.aggregate(hashes, F.lit(0), _merge_for(bit))
-        # shiftleft handles bit 63 (sign bit) — a 1<<63 literal overflows
-        bit_cols.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-                F.lit(0).cast("long")
-            )
+    Computed as explode(shingles) → xxhash64 once per shingle →
+    hash-aggregate of 64 per-bit sign sums (map-side partial agg,
+    whole-stage codegen) → pack bits. One shuffle keyed by doc id —
+    the shape that survives 100 TB; per-row array-lambda folding over
+    64 bits does not (64 interpreted passes per document)."""
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s"))
+    h = F.xxhash64(F.col("_s"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{bit}")
+        for bit in range(64)
+    ]
+    agg = exploded.groupBy("_id").agg(*sums)
+    # shiftleft handles bit 63 (sign bit) — a 1<<63 literal overflows
+    bit_cols = [
+        F.when(F.col(f"_b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+            F.lit(0).cast("long")
         )
-    return reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+        for bit in range(64)
+    ]
+    sim = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+    return agg.select("_id", sim.alias("_sim"))
 
 
 def simhash_dedup(
@@ -201,7 +208,7 @@ def simhash_dedup(
 ) -> DataFrame:
     """SimHash near-dup: 16-bit band tables (4×16 of the 64-bit hash)
     as LSH buckets, Hamming-verify candidates via bit_count(xor)."""
-    base = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    base = simhash_table(df, id_col, text_col)
     bands = base.select(
         "_id",
         "_sim",

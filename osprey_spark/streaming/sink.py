@@ -73,27 +73,29 @@ class ExactlyOnceParquetSink:
         """foreachBatch body. Idempotent: a replayed batch id
         overwrites exactly its own `_batch_id=N` partition (no
         cross-batch clobber), then re-marks the commit."""
+        from pyspark.sql import Observation
+
         t0 = time.time()
-        df = df.persist()  # one source pass: reused by write + count
-        out = df.withColumn("_batch_id", F.lit(int(batch_id)))
-        parts = ["_batch_id"] + self.partition_by
+        obs = Observation()
+        out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        parts = list(self.partition_by)
         if self.bucket_col and self.bucket_col in df.columns:
             out = out.withColumn(
                 "_bucket", F.pmod(F.xxhash64(F.col(self.bucket_col)), F.lit(self.n_buckets))
             )
             parts.append("_bucket")
+            # co-locate each bucket in one task: B output files per
+            # batch instead of tasks × B tiny files
+            out = out.repartition(self.n_buckets, F.col("_bucket"))
         # static overwrite scoped to this batch's partition directory:
         # write to data/_batch_id=N with overwrite semantics.
         batch_dir = os.path.join(self.data_dir, f"_batch_id={int(batch_id)}")
-        (
-            out.drop("_batch_id")
-            .write.mode("overwrite")
-            .partitionBy(*[p for p in parts if p != "_batch_id"])
-            .parquet(batch_dir)
-        )
-        # per-partition lineage + row counts for the commit record
-        n_rows = df.count()
-        df.unpersist()
+        writer = out.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(batch_dir)
+        # row count observed during the single write pass
+        n_rows = obs.get["rows"]
         commit = {
             "batch_id": int(batch_id),
             "rows": n_rows,

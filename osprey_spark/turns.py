@@ -16,6 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .compiler.compile import InputBindings
+
+# Bindings for rulesets over the transcripts table: simple $.field
+# JsonData paths bind to the typed turn columns directly (the JSON
+# envelope is kept for non-simple paths but pruned when unused).
+TURN_BINDINGS = InputBindings(
+    data_fields={c: c for c in ("conv_id", "turn_idx", "role", "text", "tool")}
+)
+
 # Runs verbatim under Spark SQL *and* DuckDB (common dialect subset).
 TURNS_FROM_EVENTS_SQL = """
 SELECT
