@@ -83,14 +83,19 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def _turns_input(spark, work_dir: str, n_convs: int, turns_per_conv: int, n_files: int) -> tuple[str, int]:
     """Materialize the deterministic skewed transcripts table once
-    (cache keyed by size) so repeated bench runs read identical bytes."""
+    (cache keyed by size), clustered by xxhash64(conv_id) so the sink
+    buckets are co-partitioned with the source (no write shuffle)."""
+    from pyspark.sql import functions as F
+
     from osprey_spark.turns import generate_turns
 
-    path = os.path.join(work_dir, f"turns_{n_convs}x{turns_per_conv}")
+    path = os.path.join(work_dir, f"turns_{n_convs}x{turns_per_conv}r8")
     marker = os.path.join(path, "_SUCCESS")
-    turns = generate_turns(spark, n_convs=n_convs, turns_per_conv=turns_per_conv)
     if not os.path.exists(marker):
-        turns.repartition(n_files).write.mode("overwrite").parquet(path)
+        turns = generate_turns(spark, n_convs=n_convs, turns_per_conv=turns_per_conv, text_repeat=8)
+        turns.repartition(n_files, F.pmod(F.xxhash64("conv_id"), F.lit(n_files))).write.mode(
+            "overwrite"
+        ).parquet(path)
     n_rows = spark.read.parquet(path).count()
     return path, n_rows
 
@@ -100,23 +105,24 @@ def _bench_streaming(spark, work_dir: str) -> dict:
     micro-batch latency of the compiled flagship ruleset, streaming
     from parquet through the exactly-once sink (availableNow)."""
     from osprey_spark.compiler import compile_ruleset
-    from osprey_spark.entrypoint import FLAGSHIP_SML
+    from osprey_spark.rulesets import BENCH_SML
     from osprey_spark.streaming.pipeline import StreamingRuleEngine
     from osprey_spark.turns import TURN_BINDINGS
 
     n_convs = int(os.environ.get("BENCH_TURN_CONVS", "40000"))
     tpc = int(os.environ.get("BENCH_TURNS_PER_CONV", "30"))
-    n_files = 16
+    n_files = 64
     input_dir, n_rows = _turns_input(spark, work_dir, n_convs, tpc, n_files)
 
-    out_dir = os.path.join(work_dir, "stream_out")
+    out_dir = os.path.join("/dev/shm/osprey_bench", "stream_out")
     shutil.rmtree(out_dir, ignore_errors=True)
     engine = StreamingRuleEngine(
         spark,
-        compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS),
+        compile_ruleset({"main.sml": BENCH_SML}, bindings=TURN_BINDINGS),
         input_dir=input_dir,
         output_dir=out_dir,
         max_files_per_trigger=max(n_files // 4, 1),  # ≥4 micro-batches
+        repartition_buckets=False,  # input is co-partitioned (see _turns_input)
     )
     t0 = time.perf_counter()
     engine.run_to_completion()
@@ -146,7 +152,16 @@ def main() -> None:
 
     from osprey_spark.session import build_session
 
-    spark = build_session("osprey_spark_bench")
+    spark = build_session(
+        "osprey_spark_bench",
+        extra_conf={
+            # shuffle/spill on tmpfs (per-executor NVMe stand-in) and
+            # bounded parquet writer buffers — see tools/bench_scaling.py
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.hadoop.parquet.block.size": str(32 * 1024 * 1024),
+            "spark.hadoop.parquet.enable.dictionary": "false",
+        },
+    )
     try:
         qtimes = _bench_queries(spark, sf_dir)
         streaming = _bench_streaming(spark, work_dir)

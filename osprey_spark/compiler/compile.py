@@ -138,6 +138,11 @@ class CompilerContext:
         # same evaluate-once sharing from its named dataflow nodes,
         # ref: engine/executor/execution_graph.py:90-93).
         self.feature_exprs: list[tuple[str, Column]] = []
+        # HasLabel lookups: mangled column name → join spec, resolved
+        # by CompiledRuleset.apply against a label snapshot (the
+        # reference batches label fetches by entity routing key,
+        # ref: stdlib/udfs/labels.py:242-293)
+        self.label_lookups: list[dict] = []
         self.verdict_conditions: list[tuple[Column, str]] = []
         self.label_effects: list[dict] = []
         self.rule_descriptions: dict[str, Column] = {}
@@ -369,8 +374,11 @@ class CompilerContext:
                     elem = it.dtype
                     break
             if not items:
-                return Value(col=F.array().cast("array<string>"), dtype="list:str")
-            return Value(col=F.array(*[it.col for it in items]), dtype=f"list:{elem}")
+                return Value(col=F.array().cast("array<string>"), dtype="list:str", const=[])
+            v = Value(col=F.array(*[it.col for it in items]), dtype=f"list:{elem}")
+            if all(it.is_const for it in items):
+                v.const = [it.const for it in items]
+            return v
 
         if isinstance(node, Name):
             return self.lookup(node)
@@ -513,6 +521,47 @@ class CompiledRuleset:
     def feature_types(self) -> dict[str, str]:
         return {n: self.ctx.features[n].dtype for n in self.ctx.extracted}
 
+    def _join_label(self, df: DataFrame, labels_df: DataFrame, spec: dict) -> DataFrame:
+        """Left-join one HasLabel lookup as a boolean column.
+
+        Semantics per the reference (stdlib/udfs/labels.py:168-224):
+        status must match; an expired ADDED label does not count
+        (expiry judged at event time); ``min_label_age`` requires the
+        mutation to predate the action by at least that many seconds.
+        Missing entity/label → False. The label side is filtered to one
+        (entity_type, label) pair and broadcast — label cardinality per
+        pair is bounded by labeled entities, which is orders below the
+        event stream."""
+        name = spec["name"]
+        ts = F.col(self.bindings.timestamp).cast("timestamp").cast("double")
+        side = (
+            labels_df.filter(
+                (F.col("entity_type") == F.lit(spec["entity_type"]))
+                & (F.col("label") == F.lit(spec["label"]))
+            )
+            .select(
+                F.col("entity_id").alias(f"{name}__id"),
+                F.col("status").alias(f"{name}__status"),
+                F.col("expires_at_unix").alias(f"{name}__exp"),
+                F.col("mutation_ts").cast("timestamp").cast("double").alias(f"{name}__mut"),
+            )
+        )
+        df = df.join(
+            F.broadcast(side), spec["entity_col"] == F.col(f"{name}__id"), "left"
+        )
+        ok = F.col(f"{name}__status") == F.lit(spec["status"])
+        if spec["status"] == "added":
+            ok = ok & (
+                (F.col(f"{name}__exp").isNull())
+                | (F.col(f"{name}__exp") == 0)
+                | (F.col(f"{name}__exp") > ts)
+            )
+        if spec.get("min_age_seconds"):
+            ok = ok & (ts - F.col(f"{name}__mut") >= F.lit(float(spec["min_age_seconds"])))
+        return df.select("*", F.coalesce(ok, F.lit(False)).alias(name)).drop(
+            f"{name}__id", f"{name}__status", f"{name}__exp", f"{name}__mut"
+        )
+
     def verdicts_column(self) -> Column:
         """Declaration-ordered array of declared verdict strings
         (ref: engine/language_types/verdicts.py:28-40)."""
@@ -554,15 +603,32 @@ class CompiledRuleset:
         ]
         return F.filter(F.array(*parts), lambda x: x.isNotNull())
 
-    def apply(self, df: DataFrame, passthrough: Optional[list[str]] = None) -> DataFrame:
+    def apply(
+        self,
+        df: DataFrame,
+        passthrough: Optional[list[str]] = None,
+        labels_df: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """``labels_df`` is the label-store snapshot required when the
+        ruleset calls HasLabel: columns (entity_type, entity_id, label,
+        status, expires_at_unix, mutation_ts) — the output of
+        ``streaming.state.latest_labels``."""
         b = self.bindings
+        specs = {s["name"]: s for s in self.ctx.label_lookups}
+        if specs and labels_df is None:
+            raise ValueError(
+                "ruleset uses HasLabel — apply(labels_df=...) requires a label snapshot"
+            )
         # Materialize features layer by layer; each definition may
         # reference earlier features by (mangled) column name. Catalyst
         # collapses single-use chains and keeps multi-use expressions
         # shared (collapseProjectAlwaysInline=false), so the optimized
         # plan stays linear in ruleset size.
         for mangled, defn in self.ctx.feature_exprs:
-            df = df.select("*", defn.alias(mangled))
+            if defn is None:
+                df = self._join_label(df, labels_df, specs[mangled])
+            else:
+                df = df.select("*", defn.alias(mangled))
         cols: list[Column] = []
         for name in passthrough or []:
             cols.append(F.col(name))

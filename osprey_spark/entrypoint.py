@@ -710,6 +710,198 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
 
 
+# --- stateful-rule parity (label store + window counters) -----------------
+
+
+def _label_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch changelog of the flagship ruleset's label effects."""
+    from .streaming.state import explode_label_effects
+
+    out = rules_output(spark, sf_dir)
+    eff = explode_label_effects(out)
+    return eff.select(
+        "entity_type",
+        "entity_id",
+        "label",
+        "status",
+        F.when(
+            F.col("expires_after").isNotNull(),
+            (F.col("ts").cast("timestamp").cast("double") + F.col("expires_after")).cast("long"),
+        ).otherwise(F.lit(0)).alias("expires_at_unix"),
+        F.col("ts").cast("timestamp").alias("mutation_ts"),
+    )
+
+
+def q_label_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity label store contents after replaying the stream
+    (ref: worker/sinks/sink/output_sink.py:156-173 LabelOutputSink +
+    stdlib/udfs/labels.py state semantics)."""
+    from .streaming.state import latest_labels
+
+    chg = _label_changelog(spark, sf_dir)
+    snap = latest_labels(chg).select("entity_id", "label", "status")
+    counts = chg.groupBy("entity_id", "label").agg(
+        F.count(F.lit(1)).alias("n_mutations"),
+        F.floor(epoch_seconds(F.max("mutation_ts"))).cast("long").alias("last_mutation"),
+    )
+    return snap.join(counts, ["entity_id", "label"]).orderBy("entity_id")
+
+
+_FLAGGED_CONVS = """
+flagged AS (
+  SELECT DISTINCT conv_id FROM feat
+  WHERE (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+)
+"""
+
+O_LABEL_STATE = (
+    TURNS_CTE
+    + """
+SELECT conv_id AS entity_id, 'flagged' AS label, 'added' AS status,
+  count(*) AS n_mutations,
+  CAST(floor(max(epoch(ts))) AS BIGINT) AS last_mutation
+FROM turns
+WHERE (regexp_matches(text, 'https?://')
+       AND list_contains(regexp_extract_all(lower(text), 'https?://([\\w\\-\\.]+)', 1),
+                         'spam.example.com'))
+   OR (role = 'tool' AND len(string_split(text, ' ')) >= 4)
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+
+def q_has_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-your-writes: phase 1 writes `flagged` labels, phase 2
+    evaluates a ruleset whose HasLabel reads the snapshot
+    (ref: docs/rules.md:188-227 — labels enable stateful rules)."""
+    from .streaming.state import latest_labels
+
+    snap = latest_labels(_label_changelog(spark, sf_dir))
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = compile_ruleset(
+        {
+            "main.sml": """
+ConvId: Entity[str] = EntityJson(type='ConvId', path='$.conv_id')
+InFlaggedConv = HasLabel(entity=ConvId, label='flagged')
+"""
+        },
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"], labels_df=snap)
+    return out.select("conv_id", "turn_idx", F.col("InFlaggedConv").alias("in_flagged_conv"))
+
+
+O_HAS_LABEL_ROUNDTRIP = (
+    TURNS_CTE
+    + ","
+    + _FLAGSHIP_ORACLE_FEAT
+    + ","
+    + _FLAGGED_CONVS
+    + """
+SELECT t.conv_id, t.turn_idx,
+  (t.conv_id IN (SELECT conv_id FROM flagged)) AS in_flagged_conv
+FROM turns t
+"""
+)
+
+
+def q_increment_window_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level sliding-window counter (ref: example_plugins/src/
+    udfs/cache.py:161-227): turns-per-conv in a trailing 10-minute
+    window, judged at each turn's event time."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = compile_ruleset(
+        {
+            "main.sml": """
+K: str = JsonData(path='$.conv_id')
+N = IncrementWindow(key=K, window_seconds=600.0)
+Bursty = N >= 5
+"""
+        },
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select("conv_id", "turn_idx", F.col("N").alias("n"), F.col("Bursty").alias("bursty"))
+
+
+O_INCREMENT_WINDOW = (
+    TURNS_CTE
+    + """
+SELECT conv_id, turn_idx,
+  CAST(count(*) OVER (PARTITION BY conv_id ORDER BY floor(epoch(ts))
+       RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+  (count(*) OVER (PARTITION BY conv_id ORDER BY floor(epoch(ts))
+       RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)) >= 5 AS bursty
+FROM turns
+"""
+)
+
+
+# --- multimodal columns -----------------------------------------------------
+
+
+def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary media column synthesized from documents
+    (the container has no codec libs — TESTDATA has no blob column,
+    so payload bytes = utf8(text), identically derivable in SQL)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+
+    df = mm.with_media_meta(_media_from_docs(spark, sf_dir), media_type="image", fmt="png")
+    return df.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+O_MULTIMODAL_META = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage (stub codec — md5-derived fields,
+    so the oracle can replay the arithmetic) + JVM-side resize plan."""
+    from .operators import multimodal as mm
+
+    decoded = mm.decode_media(_media_from_docs(spark, sf_dir))
+    out = mm.resize_spec(decoded, max_side=128)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").alias("duration_ms"),
+        F.col("target_w").cast("long").alias("target_w"),
+        F.col("target_h").cast("long").alias("target_h"),
+    ).orderBy("doc_id")
+
+
+O_MULTIMODAL_DECODE = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+d AS (
+  SELECT doc_id,
+    64 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 192 AS width,
+    64 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192 AS height,
+    CAST(('0x' || substr(hx, 5, 4)) AS BIGINT) AS duration_ms
+  FROM h
+),
+s AS (
+  SELECT *, least(1.0, 128.0 / greatest(width, height)) AS sc FROM d
+)
+SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+  duration_ms,
+  CAST(ceil(width * sc) AS BIGINT) AS target_w,
+  CAST(ceil(height * sc) AS BIGINT) AS target_h
+FROM s ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -743,6 +935,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "label_state": q_label_state,
+    "has_label_roundtrip": q_has_label_roundtrip,
+    "increment_window_rule": q_increment_window_rule,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -771,6 +968,11 @@ ORACLES: dict[str, str] = {
     "lang_id": _fill_lang_lists(O_LANG_ID),
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    "label_state": O_LABEL_STATE,
+    "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,
+    "increment_window_rule": O_INCREMENT_WINDOW,
+    "multimodal_meta": O_MULTIMODAL_META,
+    "multimodal_decode": O_MULTIMODAL_DECODE,
 }
 
 

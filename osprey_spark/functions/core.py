@@ -184,6 +184,126 @@ def atproto_label(ctx, call, args):
     )
 
 
+@register("HasLabel")
+def has_label(ctx, call, args):
+    """Read the per-entity label store during rule evaluation
+    (ref: stdlib/udfs/labels.py:110-293; batch fetch by routing key at
+    242-293). Compiles to a named boolean column that
+    ``CompiledRuleset.apply(labels_df=...)`` satisfies with a
+    broadcast left-join against the label snapshot — the vectorized
+    replacement for the reference's per-action batched service calls.
+    Expiry and min_label_age are judged at event time."""
+    entity_v = arg(ctx, call, args, "entity")
+    if entity_v.dtype != "entity":
+        raise ctx.error("HasLabel entity= must be an Entity", call.span)
+    label = const_arg(ctx, call, args, "label")
+    status = const_arg(ctx, call, args, "status", required=False, default="added")
+    const_arg(ctx, call, args, "manual", required=False)
+    min_age = args.get("min_label_age")
+    min_age_s = None
+    if min_age is not None:
+        if min_age.dtype != "timedelta" or not min_age.is_const:
+            raise ctx.error("min_label_age= must be a TimeDelta literal", call.span)
+        min_age_s = float(min_age.const)
+    if status not in ("added", "removed"):
+        raise ctx.error("HasLabel status= must be 'added' or 'removed'", call.span)
+    name = f"__lbl_{len(ctx.label_lookups)}"
+    ctx.label_lookups.append(
+        {
+            "name": name,
+            "entity_type": entity_v.entity_type or "Unknown",
+            "entity_col": entity_v.col,
+            "label": label,
+            "status": status,
+            "min_age_seconds": min_age_s,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="bool")
+
+
+def _window_count(ctx, call, args):
+    """Shared kernel for IncrementWindow/GetWindowCount
+    (ref: example_plugins/src/udfs/cache.py:161-227, 333-347): count
+    of events with the same key within the trailing window, judged at
+    event time. The Redis zset becomes an event-time range window
+    (shuffle keyed by the key expression); ``when_all`` false → 0,
+    matching the reference's gate. Divergence (documented): the batch
+    form counts every event with the key in-window, i.e. it assumes
+    the increment-on-every-event pattern; per-event increment gating
+    needs the streaming windowed-aggregate path
+    (operators/windows.py / streaming/windows.py)."""
+    from pyspark.sql import Window as W
+
+    from ..compiler import nullsafe
+    from ..sml.nodes import ListLiteral
+
+    key_v = arg(ctx, call, args, "key")
+    window_s = const_arg(ctx, call, args, "window_seconds")
+    const_arg(ctx, call, args, "max_ttl_seconds", required=False)
+    gate = None
+    when_all = call.kwargs.get("when_all")
+    if when_all is not None:
+        if not isinstance(when_all, ListLiteral):
+            raise ctx.error(f"{call.func} when_all= must be a list", call.span)
+        conds = [ctx.compile_expr(e) for e in when_all.items]
+        if conds:
+            gate = nullsafe.strict_all(conds)
+    sec = F.col(ctx.bindings.timestamp).cast("timestamp").cast("long")
+    w = (
+        W.partitionBy(key_v.col)
+        .orderBy(sec)
+        .rangeBetween(-(int(float(window_s)) - 1), 0)
+    )
+    count = F.count(F.lit(1)).over(w)
+    if gate is not None:
+        count = F.when(F.coalesce(gate, F.lit(False)), count).otherwise(F.lit(0))
+    return Value(col=count.cast("long"), dtype="int")
+
+
+@register("IncrementWindow")
+def increment_window(ctx, call, args):
+    """ref: example_plugins/src/udfs/cache.py:333-341 — sliding-window
+    counter add-then-count; the count includes the current event."""
+    return _window_count(ctx, call, args)
+
+
+@register("GetWindowCount")
+def get_window_count(ctx, call, args):
+    """ref: example_plugins/src/udfs/cache.py:344-347 — read-only
+    window count (same kernel; see _window_count divergence note)."""
+    return _window_count(ctx, call, args)
+
+
+@register("GetSnowflakeBucket")
+def get_snowflake_bucket(ctx, call, args):
+    """Bucket a snowflake id's embedded timestamp
+    (ref: stdlib/udfs/time_bucket.py:61-78; snowflake→unix =
+    (id >> 22) ms + configurable epoch, worker/lib/snowflake.py:26-35,
+    epoch default 0). granularity < 3600 is a validation error."""
+    snowflake = arg(ctx, call, args, "snowflake")
+    g = const_arg(ctx, call, args, "granularity_seconds")
+    if int(g) < 3600:
+        raise ctx.error(
+            "invalid granularity_seconds: can not be less than 3600 (1 hour)", call.span
+        )
+    epoch_ms = const_arg(ctx, call, args, "epoch_ms", required=False, default=0)
+    sec = (F.shiftright(snowflake.col.cast("long"), 22) + F.lit(int(epoch_ms))) / F.lit(1000)
+    return Value(col=(sec.cast("long") - F.pmod(sec.cast("long"), F.lit(int(g)))), dtype="int")
+
+
+@register("MXLookup")
+def mx_lookup(ctx, call, args):
+    """External-IO UDF class (async DNS, ref: stdlib/udfs/
+    mx_lookup.py:15-20, execute_async=True). Live DNS is not
+    reproducible in a deterministic pipeline — compiles to NULL
+    (failed-node semantics); deployments should join a prepared
+    domain→MX table instead (the vectorized substitute for per-row
+    async IO)."""
+    arg(ctx, call, args, "domain")
+    return Value(col=F.lit(None).cast("string"), dtype="str")
+
+
 @register("TimeDelta")
 def time_delta(ctx, call, args):
     """ref: stdlib/udfs/time_delta.py:17; post-exec value = seconds

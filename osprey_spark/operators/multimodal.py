@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Training-data-pipeline addition (the reference engine is text/JSON
+only). Media payloads ride as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages so the bytes never take the
+per-row Python path and partitions stream batch-by-batch (no
+whole-partition materialization — essential when rows are MBs).
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container,
+so the decode kernel is pluggable: ``decoder=`` takes any
+``bytes -> dict`` callable; the default is ``fake_decode``, a
+deterministic stand-in (md5-seeded) that keeps every Spark-side
+contract — schema, batching, partitioning, null passthrough — real
+and testable. Swap in a real decoder in production; the plan shape
+does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),  # md5 hex of payload
+    ]
+)
+
+DECODED_FIELDS = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),  # pooled embedding-ish
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def with_media_meta(df: DataFrame, payload_col: str = "payload", media_type: str = "image", fmt: str = "png") -> DataFrame:
+    """Attach the typed metadata struct computed JVM-side (no Python)."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(p).cast("long").alias("n_bytes"),
+            F.md5(p).alias("checksum"),
+        ),
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic decode stand-in: dimensions and a pooled feature
+    vector derived from md5(payload). STUB — replace with a real codec
+    (PIL / soundfile / pyav) in deployments; same output schema."""
+    if payload is None:
+        return {}
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feature = [((h[i % 16] * 31 + i) % 256) / 255.0 for i in range(FEATURE_DIM)]
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "duration_ms": (h[2] << 8 | h[3]),
+        "feature": feature,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decoder: Optional[Callable[[bytes], dict]] = None,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode the binary column via Arrow-batched mapInPandas.
+
+    Output = input columns (minus the payload, to avoid shipping bytes
+    further down the plan) + the DECODED_FIELDS columns. Null payloads
+    yield null fields (failed-decode rows survive for quarantining).
+    """
+    decoder = decoder or fake_decode
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(in_fields + list(DECODED_FIELDS.fields))
+    keep = [f.name for f in in_fields]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(p) if p is not None else {} for p in pdf[payload_col]]
+            out = pdf[keep].copy()
+            for field in DECODED_FIELDS.fieldNames():
+                out[field] = [d.get(field) for d in decoded]
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
+def resize_spec(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize planning runs JVM-side on decoded dimensions: the scale
+    factor and target size are plain column math; only the pixel
+    resample itself (stubbed with the codec) needs Python."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return df.withColumns(
+        {
+            "resize_scale": F.round(scale, 6),
+            "target_w": F.ceil(F.col("width") * scale).cast("int"),
+            "target_h": F.ceil(F.col("height") * scale).cast("int"),
+        }
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp — a JVM-side sequence/explode, so a 2-hour video becomes
+    7200 rows without any Python loop; the per-frame pixel fetch is
+    the stubbed decode stage."""
+    return (
+        df.filter(F.col("duration_ms").isNotNull())
+        .withColumn(
+            "frame_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))),
+        )
+    )

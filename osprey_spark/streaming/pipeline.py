@@ -49,6 +49,7 @@ class StreamingRuleEngine:
         max_files_per_trigger: Optional[int] = None,
         envelope_fn: Callable[[DataFrame], DataFrame] = with_envelope,
         n_buckets: int = 32,
+        repartition_buckets: bool = True,
     ):
         self.spark = spark
         self.ruleset = ruleset
@@ -58,7 +59,12 @@ class StreamingRuleEngine:
         self.max_files_per_trigger = max_files_per_trigger
         self.envelope_fn = envelope_fn
         self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
-        self.sink = ExactlyOnceParquetSink(output_dir, n_buckets=n_buckets, bucket_col="conv_id")
+        self.sink = ExactlyOnceParquetSink(
+            output_dir,
+            n_buckets=n_buckets,
+            bucket_col="conv_id",
+            repartition_buckets=repartition_buckets,
+        )
 
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(self.schema)

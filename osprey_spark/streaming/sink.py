@@ -36,16 +36,25 @@ class ExactlyOnceParquetSink:
         partition_by: Sequence[str] = (),
         n_buckets: int = 32,
         bucket_col: Optional[str] = "conv_id",
+        repartition_buckets: bool = True,
     ):
         """``partition_by`` are user partition columns *in addition to*
         the batch-id partition. With ``bucket_col`` set, a
         ``_bucket = pmod(xxhash64(bucket_col), n_buckets)`` partition
         column spreads hot keys (north rule: hash(conv_id) × ts-hour
-        partitioning with salting)."""
+        partitioning with salting).
+
+        ``repartition_buckets=False`` skips the pre-write shuffle: use
+        it when the *input* table is already clustered by
+        ``xxhash64(bucket_col) % K`` with K a multiple of n_buckets
+        (co-partitioned source and sink — each map task then holds a
+        few whole buckets and the write stays narrow, the layout a
+        bucketed Iceberg table gives for free at cluster scale)."""
         self.root = root
         self.partition_by = list(partition_by)
         self.n_buckets = n_buckets
         self.bucket_col = bucket_col
+        self.repartition_buckets = repartition_buckets
         os.makedirs(self._commits_dir, exist_ok=True)
 
     @property
@@ -84,9 +93,10 @@ class ExactlyOnceParquetSink:
                 "_bucket", F.pmod(F.xxhash64(F.col(self.bucket_col)), F.lit(self.n_buckets))
             )
             parts.append("_bucket")
-            # co-locate each bucket in one task: B output files per
-            # batch instead of tasks × B tiny files
-            out = out.repartition(self.n_buckets, F.col("_bucket"))
+            if self.repartition_buckets:
+                # co-locate each bucket in one task: B output files per
+                # batch instead of tasks × B tiny files
+                out = out.repartition(self.n_buckets, F.col("_bucket"))
         # static overwrite scoped to this batch's partition directory:
         # write to data/_batch_id=N with overwrite semantics.
         batch_dir = os.path.join(self.data_dir, f"_batch_id={int(batch_id)}")

@@ -198,6 +198,21 @@ def label_store(effects: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def latest_labels(changelog: DataFrame) -> DataFrame:
+    """Current label snapshot from the changelog: the row with the
+    greatest mutation_ts per (entity_type, entity_id, label) — the
+    read side HasLabel joins against (ref: stdlib/udfs/labels.py
+    :168-224 reads the labels service's current state)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("entity_type", "entity_id", "label").orderBy(F.desc("mutation_ts"))
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def explode_label_effects(rules_out: DataFrame) -> DataFrame:
     """``__label_effects`` array → one row per effect with event time."""
     from ..compiler.compile import LABEL_EFFECTS, TIMESTAMP

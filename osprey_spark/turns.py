@@ -78,6 +78,7 @@ def generate_turns(
     hot_multiplier: int = 50,
     seed: int = 42,
     late_fraction: float = 0.02,
+    text_repeat: int = 1,
 ) -> DataFrame:
     """Standalone deterministic skewed transcripts generator.
 
@@ -104,13 +105,28 @@ def generate_turns(
     words = F.array(
         *[F.lit(w) for w in ("alpha bravo charlie delta echo foxtrot golf hotel india juliet").split()]
     )
+    # text_repeat > 1 pads with deterministic word pairs — dialog-length
+    # text so regex/tokenize features do realistic per-row work
+    pad = [
+        part
+        for i in range(1, text_repeat)
+        for part in (
+            F.lit(" "),
+            F.element_at(words, (F.pmod(h / (10 * i), F.lit(10)).cast("int") + 1)),
+            F.lit(" "),
+            F.element_at(words, (F.pmod(h / (7 * i), F.lit(10)).cast("int") + 1)),
+        )
+    ]
     text = F.concat(
         F.lit("turn "),
         F.element_at(words, (h % 10 + 1).cast("int")),
         F.lit(" "),
         F.element_at(words, (F.pmod(h / 10, F.lit(10)).cast("int") + 1)),
+        *pad,
         F.when(h % 7 == 0, F.lit(" hello world")).otherwise(F.lit("")),
         F.when(h % 11 == 0, F.lit(" see https://spam.example.com/x")).otherwise(F.lit("")),
+        F.when(h % 13 == 0, F.lit(" reach me at test@evil.example or +1 555 123 4567")).otherwise(F.lit("")),
+        F.when(h % 17 == 0, F.lit(" FREE MONEY crypto giveaway https://bit.ly/x")).otherwise(F.lit("")),
         F.lit(" n="),
         (h % 100).cast("string"),
     )

@@ -1,0 +1,113 @@
+"""HasLabel / window-count / snowflake-bucket UDF semantics.
+
+Mirrors the reference's per-UDF test style
+(engine/stdlib/udfs/tests/test_*.py) through the Spark compiler.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from osprey_spark.compiler.compile import compile_sml
+from osprey_spark.compiler.compile import InputBindings
+
+
+def _apply(spark, sml, rows, labels_rows=None):
+    import json
+
+    data = [
+        (i + 1, "a", json.dumps({k: v for k, v in r.items() if k != "_ts"}),
+         r.get("_ts", datetime(2024, 1, 1)))
+        for i, r in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "action_id long, action_name string, data string, ts timestamp"
+    )
+    labels_df = None
+    if labels_rows is not None:
+        labels_df = spark.createDataFrame(
+            labels_rows,
+            "entity_type string, entity_id string, label string, status string,"
+            " expires_at_unix long, mutation_ts timestamp",
+        )
+    rs = compile_sml(sml, bindings=InputBindings())
+    out = rs.apply(df, labels_df=labels_df).orderBy("__action_id")
+    return [r.asDict() for r in out.collect()]
+
+
+HASLABEL_SML = """
+U: Entity[str] = EntityJson(type='User', path='$.uid')
+Banned = HasLabel(entity=U, label='banned')
+WasBanned = HasLabel(entity=U, label='banned', status='removed')
+OldBan = HasLabel(entity=U, label='banned', min_label_age=TimeDelta(hours=2))
+"""
+
+
+def test_has_label_join(spark):
+    ts = datetime(2024, 1, 1, 12, 0, 0)
+    labels = [
+        # active, mutated 3h before the action → also satisfies min_age
+        ("User", "u1", "banned", "added", 0, datetime(2024, 1, 1, 9, 0, 0)),
+        # expired before the action's event time
+        ("User", "u2", "banned", "added", int(datetime(2024, 1, 1, 10, 0, 0).timestamp()), datetime(2024, 1, 1, 9, 0, 0)),
+        # removed
+        ("User", "u3", "banned", "removed", 0, datetime(2024, 1, 1, 9, 0, 0)),
+        # fresh add (30 min old) → fails min_label_age=2h
+        ("User", "u5", "banned", "added", 0, datetime(2024, 1, 1, 11, 30, 0)),
+    ]
+    rows = [{"uid": u, "_ts": ts} for u in ("u1", "u2", "u3", "u4", "u5")]
+    out = _apply(spark, HASLABEL_SML, rows, labels)
+    by_uid = {r["U"]: r for r in out}
+    assert by_uid["u1"]["Banned"] is True and by_uid["u1"]["OldBan"] is True
+    assert by_uid["u2"]["Banned"] is False  # expired
+    assert by_uid["u3"]["Banned"] is False and by_uid["u3"]["WasBanned"] is True
+    assert by_uid["u4"]["Banned"] is False  # never labeled
+    assert by_uid["u5"]["Banned"] is True and by_uid["u5"]["OldBan"] is False
+
+
+def test_has_label_requires_snapshot(spark):
+    with pytest.raises(ValueError, match="HasLabel"):
+        _apply(spark, HASLABEL_SML, [{"uid": "u1"}], labels_rows=None)
+
+
+WINDOW_SML = """
+K: str = JsonData(path='$.k')
+N = IncrementWindow(key=K, window_seconds=60.0)
+NGated = GetWindowCount(key=K, window_seconds=60.0, when_all=[K == 'a'])
+"""
+
+
+def test_window_count(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"k": "a", "_ts": t0},
+        {"k": "a", "_ts": t0.replace(second=30)},
+        {"k": "b", "_ts": t0.replace(second=40)},
+        {"k": "a", "_ts": t0.replace(minute=1, second=20)},  # 00:00 fell out
+        {"k": "a", "_ts": t0.replace(minute=5)},  # window empty again
+    ]
+    out = _apply(spark, WINDOW_SML, rows)
+    ns = [r["N"] for r in out]
+    assert ns == [1, 2, 1, 2, 1]
+    gated = [r["NGated"] for r in out]
+    assert gated == [1, 2, 0, 2, 1]  # 'b' row gated to 0
+
+
+def test_snowflake_bucket(spark):
+    # snowflake carrying ms timestamp 7_200_000 (02:00) → bucket 7200
+    sf = 7_200_000 << 22
+    out = _apply(
+        spark,
+        f"B = GetSnowflakeBucket(snowflake={sf}, granularity_seconds=3600)",
+        [{}],
+    )
+    assert out[0]["B"] == 7200
+
+
+def test_snowflake_bucket_rejects_small_granularity(spark):
+    from osprey_spark.sml.errors import SmlValidationError
+
+    with pytest.raises(SmlValidationError, match="3600"):
+        _apply(spark, "B = GetSnowflakeBucket(snowflake=1, granularity_seconds=60)", [{}])

@@ -1,0 +1,117 @@
+"""Standalone streaming job for the scaling benchmark.
+
+Launched via ``spark-submit --py-files dist/osprey_spark.zip`` (the
+north-rule packaging path) at a given parallelism; runs the flagship
+compiled ruleset as an availableNow stream over a shared parquet
+turns input through the exactly-once sink, then prints ONE JSON line:
+
+    {"master": ..., "rows": N, "wall_s": ..., "turns_per_sec": ...,
+     "output_fingerprint": ..., "text_parity": true}
+
+``output_fingerprint`` is an order-insensitive aggregate over the
+committed sink rows (count + sum/xor of per-row xxhash64 including
+the verdict array and the turn text), so two runs at different
+parallelism can be byte-compared for exactly-once output parity.
+``text_parity`` checks the BASELINE.json per-row invariant: per-turn
+``text`` equality between input and sink output under stable
+``(conv_id, turn_idx)`` ordering.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--files-per-trigger", type=int, default=16)
+    args = ap.parse_args()
+
+    from osprey_spark.session import build_session
+
+    n = args.master[args.master.find("[") + 1 : args.master.find("]")]
+    spark = build_session(
+        "osprey_scaling_worker",
+        master=args.master,
+        shuffle_partitions=int(n),
+        extra_conf={
+            # stand-ins for per-executor NVMe on a real cluster: this
+            # sandbox has one shared disk, which would otherwise be the
+            # non-scaling bottleneck between N and 4N
+            "spark.local.dir": "/dev/shm/spark-local",
+            # bound concurrent parquet-writer buffer memory: 32 writer
+            # tasks x 128 MB row groups would exceed the heap
+            "spark.hadoop.parquet.block.size": str(32 * 1024 * 1024),
+            # dictionary building on wide string columns dominates
+            # writer allocation (measured ~2x write wall) — the sink
+            # favors encode throughput over size
+            "spark.hadoop.parquet.enable.dictionary": "false",
+        },
+    )
+    from pyspark.sql import functions as F
+
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.rulesets import BENCH_SML
+    from osprey_spark.streaming.pipeline import StreamingRuleEngine
+    from osprey_spark.turns import TURN_BINDINGS
+
+    shutil.rmtree(args.output, ignore_errors=True)
+    engine = StreamingRuleEngine(
+        spark,
+        compile_ruleset({"main.sml": BENCH_SML}, bindings=TURN_BINDINGS),
+        input_dir=args.input,
+        output_dir=args.output,
+        max_files_per_trigger=args.files_per_trigger,
+        passthrough=["conv_id", "turn_idx", "role", "text", "ts"],
+        # the generated input is clustered by xxhash64(conv_id) % 64,
+        # co-partitioned with the sink's 32 buckets → no write shuffle
+        repartition_buckets=False,
+    )
+    t0 = time.perf_counter()
+    engine.run_to_completion()
+    wall = time.perf_counter() - t0
+
+    out = engine.results()
+    row_h = F.xxhash64(
+        "conv_id", "turn_idx", "text", F.to_json(F.col("__verdicts")), "TextSha256"
+    )
+    agg = out.select(
+        F.count(F.lit(1)).alias("n"),
+        # two independent modular sums: order-insensitive, overflow-safe
+        F.sum(F.pmod(row_h, F.lit(1_000_003))).alias("hsum"),
+        F.sum(F.pmod(row_h, F.lit(999_983))).alias("hmod"),
+    ).collect()[0]
+
+    # per-turn text equality vs the input, keyed by (conv_id, turn_idx)
+    src = spark.read.parquet(args.input).select("conv_id", "turn_idx", "text")
+    mismatch = (
+        out.select("conv_id", "turn_idx", F.col("text").alias("out_text"))
+        .join(src, ["conv_id", "turn_idx"], "full_outer")
+        .filter(~F.col("out_text").eqNullSafe(F.col("text")))
+        .count()
+    )
+
+    print(
+        json.dumps(
+            {
+                "master": args.master,
+                "rows": agg["n"],
+                "wall_s": round(wall, 3),
+                "turns_per_sec": round(agg["n"] / wall, 1),
+                "output_fingerprint": f"{agg['n']}:{agg['hsum']}:{agg['hmod']}",
+                "text_parity": mismatch == 0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
