@@ -89,7 +89,7 @@ def _turns_input(spark, work_dir: str, n_convs: int, turns_per_conv: int, n_file
 
     from osprey_spark.turns import generate_turns
 
-    path = os.path.join(work_dir, f"turns_{n_convs}x{turns_per_conv}r8")
+    path = os.path.join(work_dir, f"turns_{n_convs}x{turns_per_conv}r8f{n_files}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         turns = generate_turns(spark, n_convs=n_convs, turns_per_conv=turns_per_conv, text_repeat=8)
@@ -111,7 +111,7 @@ def _bench_streaming(spark, work_dir: str) -> dict:
 
     n_convs = int(os.environ.get("BENCH_TURN_CONVS", "40000"))
     tpc = int(os.environ.get("BENCH_TURNS_PER_CONV", "30"))
-    n_files = 64
+    n_files = 256
     input_dir, n_rows = _turns_input(spark, work_dir, n_convs, tpc, n_files)
 
     out_dir = os.path.join("/dev/shm/osprey_bench", "stream_out")

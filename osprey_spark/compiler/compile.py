@@ -265,6 +265,15 @@ class CompilerContext:
             if call.func == "WhenRules":
                 self._stmt_when_rules(call)
                 return
+            # statement-level UDFs returning None (CacheSet* family —
+            # they record state writes in the context, producing no
+            # feature; ref: example_plugins/src/udfs/cache.py:278-302)
+            fn = self.registry.get(call.func)
+            if fn is not None:
+                v = fn(self, call, {k: self.compile_expr(e) for k, e in call.kwargs.items()
+                                    if k != "when_all"})
+                if v.dtype == "none":
+                    return
             # other bare effect calls are not meaningful outside WhenRules
             raise self.error(f"{call.func} cannot appear as a bare statement", call.span)
         raise self.error(f"unsupported statement {type(stmt).__name__}", stmt.span)

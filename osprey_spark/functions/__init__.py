@@ -8,5 +8,5 @@ semantics allow (JVM-side, codegen'd); pandas UDFs only for the
 unicode-table / parsing-heavy ones.
 """
 
-from . import core, strings, lists, query, text  # noqa: F401
+from . import atproto, cache, core, strings, lists, query, text  # noqa: F401
 from .registry import REGISTRY, QUERY_REGISTRY  # noqa: F401

@@ -87,7 +87,8 @@ def extract_emoji(ctx, call, args):
     s = arg(ctx, call, args, "s")
     return Value(
         col=F.regexp_extract_all(
-            s.col, F.lit(r"([\U0001F300-\U0001FAFF☀-➿])"), 1
+            # Java regex codepoint syntax (\x{...}, not Python's \U...)
+            s.col, F.lit(r"([\x{1F300}-\x{1FAFF}☀-➿])"), 1
         ),
         dtype="list:str",
     )

@@ -111,3 +111,32 @@ def test_snowflake_bucket_rejects_small_granularity(spark):
 
     with pytest.raises(SmlValidationError, match="3600"):
         _apply(spark, "B = GetSnowflakeBucket(snowflake=1, granularity_seconds=60)", [{}])
+
+
+CACHE_SML = """
+K: str = JsonData(path='$.k')
+V: str = JsonData(path='$.v')
+IsSet = V != 'x'
+CacheSetStr(key=K, value=V, when_all=[IsSet], ttl_seconds=60.0)
+Got = CacheGetStr(key=K, default='none')
+"""
+
+
+def test_cache_set_get(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"k": "a", "v": "v1", "_ts": t0},                       # sets a=v1
+        {"k": "a", "v": "x", "_ts": t0.replace(second=30)},     # gated: no set; reads v1
+        {"k": "b", "v": "x", "_ts": t0.replace(second=40)},     # b never set -> default
+        {"k": "a", "v": "v2", "_ts": t0.replace(second=50)},    # overwrites a=v2
+        {"k": "a", "v": "x", "_ts": t0.replace(minute=5)},      # ttl expired -> default
+    ]
+    out = _apply(spark, CACHE_SML, rows)
+    assert [r["Got"] for r in out] == ["v1", "v1", "none", "v2", "none"]
+
+
+def test_cache_get_requires_matching_set(spark):
+    from osprey_spark.sml.errors import SmlValidationError
+
+    with pytest.raises(SmlValidationError, match="no preceding"):
+        _apply(spark, "K: str = JsonData(path='$.k')\nG = CacheGetInt(key=K)", [{"k": "a"}])
