@@ -57,6 +57,11 @@ HEADLINE = [
     "embedding_topk",
     "embedding_near_dup",
     "embedding_lsh_topk",
+    "label_state",
+    "has_label_roundtrip",
+    "increment_window_rule",
+    "multimodal_meta",
+    "multimodal_decode",
 ]
 
 

@@ -668,17 +668,21 @@ ORDER BY query_id, rank
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine near-dup pairs (oracle-checked exact
-    baseline; the LSH-bucketed scale variant is q_embedding_near_dup_lsh)."""
+    baseline; the LSH-bucketed scale variant is q_embedding_lsh_topk).
+    Norms are computed once per vector, not per pair — the pair loop
+    does a single dot product (3x fewer array folds)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_vec")
     )
+    emb = emb.withColumn("_n", similarity.norm(F.col("_vec")))
     a, b = emb.alias("a"), emb.alias("b")
+    cos = similarity.dot(F.col("a._vec"), F.col("b._vec")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(similarity.cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cosine"),
+            F.round(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.5)
         .orderBy("id_a", "id_b")

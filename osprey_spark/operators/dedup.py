@@ -111,21 +111,23 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"),
         minhash_signature(F.col(text_col), n_hashes, k).alias("_sig"),
-    )
+    ).persist()  # 4 self-join branches below — compute signatures once
+    # band join ships only (id, band) — the shingle sets (the wide
+    # payload) are re-joined just for the few surviving candidates
     bands = base.select(
-        "_id", "_sh", F.explode(F.array(*minhash_bands(F.col("_sig"), n_bands, rows_per_band))).alias("_band")
+        "_id", F.explode(F.array(*minhash_bands(F.col("_sig"), n_bands, rows_per_band))).alias("_band")
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a._band") == F.col("b._band")) & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = base.select("_id", "_sh")
+    cand = (
+        cand_ids.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
@@ -145,26 +147,52 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     k: int = 2,
 ) -> DataFrame:
-    """Blocked n-gram Jaccard: candidate pairs restricted to the same
-    block (e.g. lang) — the blocking keeps the join an equi-join.
-    With block_col=None this is a full O(n²) within-partition compare:
-    correctness-scale only."""
-    sh = shingles(F.col(text_col), k).alias("_sh")
-    cols = [F.col(id_col).alias("_id"), sh]
+    """n-gram Jaccard pairs as a set-similarity join.
+
+    Scale shape: explode distinct shingles → self-equi-join on
+    (shingle [, block]) → per-pair match count via hash aggregate
+    (map-side combinable) → Jaccard from precomputed set sizes. Only
+    pairs sharing ≥1 shingle are ever generated (Jaccard ≥ t > 0
+    implies a shared shingle), vs. the naive all-pairs
+    array_intersect which is O(n² · |shingles|) per block. Two
+    lossless prunes ride the join: same block, and the size bound
+    t·|A| ≤ |B| ≤ |A|/t that Jaccard ≥ t implies. Hot shingles
+    (boilerplate) are the skew risk — frequency-cap upstream for
+    adversarial corpora."""
+    sh = shingles(F.col(text_col), k)
+    cols = [F.col(id_col).alias("_id"), sh.alias("_sh")]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
-    base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
+    base = df.select(*cols).withColumn("_sz", F.size("_sh"))
+    ex_cols = ["_id", "_sz", F.explode("_sh").alias("_s")]
+    if block_col:
+        ex_cols.insert(2, F.col("_blk"))
+    ex = base.select(*ex_cols)
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (
+        (F.col("a._s") == F.col("b._s"))
+        & (F.col("a._id") < F.col("b._id"))
+        # size bound: J(A,B) >= t  =>  t <= |B|/|A| <= 1/t
+        & (F.col("b._sz") * F.lit(threshold) <= F.col("a._sz"))
+        & (F.col("a._sz") * F.lit(threshold) <= F.col("b._sz"))
+    )
     if block_col:
         cond = (F.col("a._blk") == F.col("b._blk")) & cond
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
-    return (
+    pairs = (
         a.join(b, cond)
-        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sz").alias("_sa"),
+            F.col("b._sz").alias("_sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    union = F.col("_sa") + F.col("_sb") - F.col("_inter")
+    return (
+        pairs.withColumn("jaccard", F.round(F.col("_inter").cast("double") / union, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "jaccard")
+        .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
 

