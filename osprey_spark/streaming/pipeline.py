@@ -50,6 +50,7 @@ class StreamingRuleEngine:
         envelope_fn: Callable[[DataFrame], DataFrame] = with_envelope,
         n_buckets: int = 32,
         repartition_buckets: bool = True,
+        salt_span: Optional[int] = None,
     ):
         self.spark = spark
         self.ruleset = ruleset
@@ -64,6 +65,7 @@ class StreamingRuleEngine:
             n_buckets=n_buckets,
             bucket_col="conv_id",
             repartition_buckets=repartition_buckets,
+            salt_span=salt_span,
         )
 
     def source(self) -> DataFrame:

@@ -37,6 +37,8 @@ class ExactlyOnceParquetSink:
         n_buckets: int = 32,
         bucket_col: Optional[str] = "conv_id",
         repartition_buckets: bool = True,
+        salt_span: Optional[int] = None,
+        salt_col: str = "turn_idx",
     ):
         """``partition_by`` are user partition columns *in addition to*
         the batch-id partition. With ``bucket_col`` set, a
@@ -49,12 +51,22 @@ class ExactlyOnceParquetSink:
         ``xxhash64(bucket_col) % K`` with K a multiple of n_buckets
         (co-partitioned source and sink — each map task then holds a
         few whole buckets and the write stays narrow, the layout a
-        bucketed Iceberg table gives for free at cluster scale)."""
+        bucketed Iceberg table gives for free at cluster scale).
+
+        ``salt_span`` enables explicit hot-key salting (north rule):
+        the bucket becomes ``pmod(xxhash64(bucket_col) +
+        floor(salt_col / salt_span), n_buckets)``, so a conversation
+        longer than salt_span turns spreads deterministically across
+        consecutive buckets while short conversations keep exactly one
+        bucket. Readers recover a conversation by scanning its
+        ⌈len/span⌉ buckets — bounded fan-out, no hot partition."""
         self.root = root
         self.partition_by = list(partition_by)
         self.n_buckets = n_buckets
         self.bucket_col = bucket_col
         self.repartition_buckets = repartition_buckets
+        self.salt_span = salt_span
+        self.salt_col = salt_col
         os.makedirs(self._commits_dir, exist_ok=True)
 
     @property
@@ -89,9 +101,10 @@ class ExactlyOnceParquetSink:
         out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         parts = list(self.partition_by)
         if self.bucket_col and self.bucket_col in df.columns:
-            out = out.withColumn(
-                "_bucket", F.pmod(F.xxhash64(F.col(self.bucket_col)), F.lit(self.n_buckets))
-            )
+            bucket = F.xxhash64(F.col(self.bucket_col))
+            if self.salt_span and self.salt_col in df.columns:
+                bucket = bucket + F.floor(F.col(self.salt_col) / F.lit(self.salt_span))
+            out = out.withColumn("_bucket", F.pmod(bucket, F.lit(self.n_buckets)))
             parts.append("_bucket")
             if self.repartition_buckets:
                 # co-locate each bucket in one task: B output files per

@@ -286,3 +286,40 @@ def test_stream_stream_join(spark, turns_dir, tmp_path):
     # text equality vs source under (conv_id, turn_idx)
     src = spark.read.parquet(turns_dir).select("conv_id", "turn_idx", F.col("text").alias("src_text"))
     assert got.join(src, ["conv_id", "turn_idx"]).filter(F.col("text") != F.col("src_text")).count() == 0
+
+
+def test_hot_conversation_salting(spark, tmp_path):
+    """North rule: a hot conversation spreads across multiple sink
+    buckets (salt by floor(turn_idx / salt_span)); short conversations
+    keep one bucket; the committed row-set is unchanged."""
+    from osprey_spark.streaming.pipeline import StreamingRuleEngine
+    from osprey_spark.turns import generate_turns
+
+    inp = str(tmp_path / "salt_in")
+    # 1 hot conversation (conv_00000000 gets 5x turns), 19 normal ones
+    generate_turns(spark, n_convs=20, turns_per_conv=12, hot_convs=1, hot_multiplier=5).repartition(
+        4
+    ).write.parquet(inp)
+    out = str(tmp_path / "salt_out")
+    eng = StreamingRuleEngine(
+        spark,
+        _ruleset(),
+        input_dir=inp,
+        output_dir=out,
+        passthrough=["conv_id", "turn_idx", "ts"],
+        n_buckets=8,
+        salt_span=12,
+    )
+    eng.run_to_completion()
+    res = eng.results()
+    assert res.count() == spark.read.parquet(inp).count()
+    buckets = (
+        res.groupBy("conv_id").agg(F.countDistinct("_bucket").alias("nb")).collect()
+    )
+    by_conv = {r.conv_id: r.nb for r in buckets}
+    hot = "conv_00000000"
+    # 60 turns / span 12 → 5 salt groups (mod 8 buckets → up to 5 distinct)
+    assert by_conv[hot] >= 3, by_conv[hot]
+    for conv, nb in by_conv.items():
+        if conv != hot:
+            assert nb == 1, (conv, nb)
