@@ -666,41 +666,24 @@ ORDER BY query_id, rank
 """
 
 
+_NEAR_DUP_CFG = dict(dim=64, threshold=0.4, n_bands=8, planes_per_band=8)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine near-dup pairs (oracle-checked exact
-    baseline; the LSH-bucketed scale variant is q_embedding_lsh_topk).
-    Norms are computed once per vector, not per pair — the pair loop
-    does a single dot product (3x fewer array folds)."""
+    """Multi-band LSH near-dup pairs (the scale plan: band equi-join +
+    exact-cosine verify, no cross join). The sin-based hyperplanes are
+    deterministic, so the DuckDB oracle replays the identical buckets
+    and the check stays exact — see
+    similarity.banded_near_dup_oracle_sql."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_vec")
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
-    emb = emb.withColumn("_n", similarity.norm(F.col("_vec")))
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = similarity.dot(F.col("a._vec"), F.col("b._vec")) / (F.col("a._n") * F.col("b._n"))
-    return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.5)
-        .orderBy("id_a", "id_b")
+    return similarity.banded_near_dup_pairs(emb, **_NEAR_DUP_CFG).select(
+        "id_a", "id_b", "cosine"
     )
 
 
-O_EMBEDDING_NEAR_DUP = f"""
-WITH v AS (SELECT vec_id, embedding FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
-    / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
-       * sqrt({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
-FROM v a, v b WHERE a.vec_id < b.vec_id
-  AND {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
-    / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
-       * sqrt({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.5
-ORDER BY id_a, id_b
-"""
+O_EMBEDDING_NEAR_DUP = similarity.banded_near_dup_oracle_sql(**_NEAR_DUP_CFG)
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

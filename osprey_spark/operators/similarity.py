@@ -71,13 +71,14 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [x / n for x in raw]
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot products with
     n_planes fixed hyperplanes → int bucket. Cosine-similar vectors
-    collide with high probability."""
+    collide with high probability. ``plane_offset`` selects a disjoint
+    plane family per band (multi-band amplification)."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, plane_offset + p)])
         bits.append(F.when(dot(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -117,6 +118,135 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def banded_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs via multi-band random-hyperplane LSH —
+    the 100 TB-safe plan (no cross join anywhere):
+
+    1. one projection computes ``n_bands`` bucket ids per vector;
+    2. explode to a narrow (id, band, bucket) table — only ~24 bytes
+       per (vector, band) ever shuffles;
+    3. equi-join on (band, bucket) with ``id_a < id_b`` → candidate
+       pairs, de-duplicated across bands;
+    4. survivors re-join the vector table for the exact-cosine verify.
+
+    Buckets use the deterministic sin-based hyperplanes
+    (``_hyperplane``), so an external engine (the DuckDB oracle) can
+    replay the identical candidate set — the result is exact w.r.t.
+    this plan, approximate w.r.t. all-pairs (standard LSH recall).
+    Amplification: P(candidate) = 1-(1-s^P)^B for sign-agreement
+    rate s; 4 bands x 8 planes keeps high-cosine recall while the
+    per-band 8-bit bucket bounds bucket width (skew) at scale.
+    """
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    base = base.withColumn("_n", norm(F.col("_vec")))
+    bands = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_bucket(
+                            F.col("_vec"), dim, planes_per_band, plane_offset=b * planes_per_band
+                        ).alias("bkt"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", F.col("_bb.band").alias("_band"), F.col("_bb.bkt").alias("_bkt"))
+    a, c = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), F.col("_n").alias("_na"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), F.col("_n").alias("_nb"))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def banded_near_dup_oracle_sql(
+    dim: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+) -> str:
+    """DuckDB replay of :func:`banded_near_dup_pairs`: same sin-based
+    hyperplanes inlined as literal lists, same sign-bit buckets, same
+    candidate join + exact-cosine verify. Generated, not hand-kept, so
+    plane constants can never drift from the Spark side."""
+
+    def dot_sql(col: str, plane: list[float]) -> str:
+        # unrolled constant-weight sum: one scalar term per component —
+        # avoids re-materializing a literal list per element (O(dim^2))
+        terms = " + ".join(
+            f"CAST(list_extract({col}, {i + 1}) AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
+        )
+        return "(" + terms + ")"
+
+    band_exprs = []
+    for b in range(n_bands):
+        bits = [
+            f"(CASE WHEN {dot_sql('v.' + vec_col, _hyperplane(dim, b * planes_per_band + p))} >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_band)
+        ]
+        band_exprs.append("(" + " + ".join(bits) + f") AS b{b}")
+    self_dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract({vec_col}, i) AS DOUBLE)"
+        f" * CAST(list_extract({vec_col}, i) AS DOUBLE)))"
+    )
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract(na._v, i) AS DOUBLE) * CAST(list_extract(nb._v, i) AS DOUBLE)))"
+    )
+    band_eq = " OR ".join(f"a.b{b} = c.b{b}" for b in range(n_bands))
+    return f"""
+WITH bk AS (
+  SELECT v.{id_col} AS _id, {', '.join(band_exprs)} FROM {table} v
+),
+n AS (
+  SELECT {id_col} AS _id, {vec_col} AS _v, sqrt({self_dot}) AS _n FROM {table}
+),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, c._id AS id_b
+  FROM bk a JOIN bk c ON a._id < c._id AND ({band_eq})
+)
+SELECT cand.id_a, cand.id_b,
+  round({pair_dot} / (na._n * nb._n), 6) AS cosine
+FROM cand
+JOIN n na ON na._id = cand.id_a
+JOIN n nb ON nb._id = cand.id_b
+WHERE round({pair_dot} / (na._n * nb._n), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def embedding_near_dup_pairs(
