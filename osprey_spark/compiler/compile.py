@@ -59,6 +59,7 @@ from .values import Effect, Value, const_value
 # (ref: engine/executor/custom_extracted_features.py:54-91,
 #  engine/shared_constants.py:7-8).
 ACTION_ID = "__action_id"
+SAMPLE_RATE = "__sample_rate"
 TIMESTAMP = "__timestamp"
 ERROR_COUNT = "__error_count"
 VERDICTS = "__verdicts"
@@ -612,17 +613,60 @@ class CompiledRuleset:
         ]
         return F.filter(F.array(*parts), lambda x: x.isNotNull())
 
+    def sample_filter(
+        self, df: DataFrame, sample_config: dict[str, int], sample_key: Optional[Column] = None
+    ) -> tuple[DataFrame, Column]:
+        """Per-action-name sampling (ref: worker/sinks/sink/rules_sink.py:47-70
+        ActionSampler): config maps action_name -> sample_rate in [0, 100]
+        where 100 = keep every event (disabled), 0 = drop every event, else
+        drop with probability rate/100. The reference rolls ``randint``
+        per action; this engine derives the roll deterministically from
+        ``sample_key`` (md5 bucket in [0, 100)) so runs are replayable and
+        oracle-checkable. Returns (filtered df, sample_rate column) — the
+        rate column is NULL at 100, matching the reference's serialized
+        ``sample_rate`` extra feature
+        (ref: engine/executor/custom_extracted_features.py:84-96).
+        """
+        for name, rate in sample_config.items():
+            if not (0 <= int(rate) <= 100):
+                raise ValueError(f"sample_rate for {name!r} must be in [0, 100], got {rate}")
+        b = self.bindings
+        if sample_key is None:
+            key_src = b.action_id if (b.action_id and b.action_id in df.columns) else b.data
+            sample_key = F.col(key_src).cast("string")
+        rate = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[x for name, r in sorted(sample_config.items()) for x in (F.lit(name), F.lit(int(r)))]
+                ),
+                F.col(b.action_name),
+            ),
+            F.lit(100),
+        )
+        bucket = F.conv(F.substring(F.md5(sample_key.cast("binary")), 1, 4), 16, 10).cast("int") % 100
+        keep = (rate == 100) | ((rate != 0) & (bucket >= rate))
+        out = df.withColumn("__rate", rate).filter(keep)
+        return out, F.when(F.col("__rate") < 100, F.col("__rate")).cast("int")
+
     def apply(
         self,
         df: DataFrame,
         passthrough: Optional[list[str]] = None,
         labels_df: Optional[DataFrame] = None,
+        sample_config: Optional[dict[str, int]] = None,
+        sample_key: Optional[Column] = None,
     ) -> DataFrame:
         """``labels_df`` is the label-store snapshot required when the
         ruleset calls HasLabel: columns (entity_type, entity_id, label,
         status, expires_at_unix, mutation_ts) — the output of
-        ``streaming.state.latest_labels``."""
+        ``streaming.state.latest_labels``. ``sample_config`` enables
+        per-action-name sampling *before* any feature evaluates (the
+        filter sits directly over the scan, so Catalyst pushes it into
+        the source and dropped events never cost a feature)."""
         b = self.bindings
+        sample_rate_col: Optional[Column] = None
+        if sample_config:
+            df, sample_rate_col = self.sample_filter(df, sample_config, sample_key)
         specs = {s["name"]: s for s in self.ctx.label_lookups}
         if specs and labels_df is None:
             raise ValueError(
@@ -655,6 +699,8 @@ class CompiledRuleset:
         cols.append(self.label_mutations_column().alias(LABEL_MUTATIONS))
         cols.append(self.label_effects_column().alias(LABEL_EFFECTS))
         cols.append(F.lit(None).cast("int").alias(ERROR_COUNT))
+        if sample_rate_col is not None:
+            cols.append(sample_rate_col.alias(SAMPLE_RATE))
         return df.select(*cols)
 
 

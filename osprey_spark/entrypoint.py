@@ -114,6 +114,67 @@ FROM feat
 )
 
 
+_SAMPLE_CONFIG = {"user": 50, "tool": 0, "system": 100}
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-action-name sampling ahead of rule evaluation
+    (ref: worker/sinks/sink/rules_sink.py:47-70): role 'user' drops
+    50%, 'tool' drops all, 'system'/unconfigured keep all. The roll is
+    a deterministic md5 bucket of (conv_id, turn_idx) so DuckDB
+    replays the identical kept set."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS)
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    out = rs.apply(
+        env,
+        passthrough=["conv_id", "turn_idx", "role"],
+        sample_config=_SAMPLE_CONFIG,
+        sample_key=key,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("__sample_rate").alias("sample_rate"),
+        F.size("__verdicts").cast("long").alias("n_verdicts"),
+    )
+
+
+O_SAMPLING = (
+    TURNS_CTE
+    + """,
+samp AS (
+  SELECT conv_id, turn_idx, role, text,
+    CASE role WHEN 'user' THEN 50 WHEN 'tool' THEN 0 WHEN 'system' THEN 100
+         ELSE 100 END AS rate,
+    CAST(('0x' || substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 4)) AS INT)
+      % 100 AS bucket
+  FROM turns
+),
+kept AS (
+  SELECT * FROM samp WHERE rate = 100 OR (rate <> 0 AND bucket >= rate)
+),
+feat AS (
+  SELECT conv_id, turn_idx, role, rate,
+    contains(lower(text), 'hello') AS has_hello,
+    regexp_matches(text, 'https?://') AS has_url,
+    list_contains(regexp_extract_all(lower(text), 'https?://([\\w\\-\\.]+)', 1),
+                  'spam.example.com') AS has_spam_domain,
+    (role = 'tool') AS is_tool,
+    len(string_split(text, ' ')) AS num_tokens
+  FROM kept
+)
+SELECT conv_id, turn_idx, role,
+  CAST(CASE WHEN rate < 100 THEN rate END AS INT) AS sample_rate,
+  CAST((CASE WHEN has_hello THEN 1 ELSE 0 END)
+     + (CASE WHEN (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_verdicts
+FROM feat
+"""
+)
+
+
 def q_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rules_output(spark, sf_dir)
     return (
@@ -895,6 +956,7 @@ FROM s ORDER BY doc_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
+    "sampling": q_sampling,
     "verdict_counts": q_verdict_counts,
     "json_extract": q_json_extract,
     "sml_filter": q_sml_filter,
@@ -931,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rule_eval": O_RULE_EVAL,
+    "sampling": O_SAMPLING,
     "verdict_counts": O_VERDICT_COUNTS,
     "json_extract": O_JSON_EXTRACT,
     "sml_filter": O_SML_FILTER,

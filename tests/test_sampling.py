@@ -1,0 +1,55 @@
+"""Per-action-name sampling (ref: worker/sinks/sink/rules_sink.py:47-70).
+
+Rate semantics follow the reference's ActionSampler: rate is the drop
+probability in percent, 100 = sampling disabled (keep all), 0 = drop
+all; the deterministic md5-bucket roll replaces the reference's
+``randint`` so runs replay identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osprey_spark.compiler import compile_ruleset
+
+SML = "X = JsonData(path='$.x', coerce_type='str')\n"
+
+
+def _env(spark, names):
+    rows = [(i, n, '{"x": "v"}', "2024-01-01 00:00:00") for i, n in enumerate(names)]
+    df = spark.createDataFrame(
+        rows, "action_id long, action_name string, data string, ts string"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_sampling_edges_keep_all_and_drop_all(spark):
+    rs = compile_ruleset({"main.sml": SML})
+    df = _env(spark, ["a"] * 40 + ["b"] * 40 + ["c"] * 40)
+    out = rs.apply(df, sample_config={"a": 100, "b": 0}).select("__action_id", "__sample_rate")
+    rows = out.collect()
+    ids = {r["__action_id"] for r in rows}
+    assert all(i < 40 or i >= 80 for i in ids)  # every 'b' dropped
+    assert sum(1 for i in ids if i < 40) == 40  # every 'a' kept
+    # rate 100 and unconfigured 'c' serialize NULL (ref custom_extracted_features.py:84-96)
+    assert all(r["__sample_rate"] is None for r in rows)
+
+
+def test_sampling_partial_rate_is_deterministic(spark):
+    rs = compile_ruleset({"main.sml": SML})
+    df = _env(spark, ["a"] * 200)
+    out1 = rs.apply(df, sample_config={"a": 50}).select("__action_id", "__sample_rate")
+    kept1 = sorted(r["__action_id"] for r in out1.collect())
+    kept2 = sorted(r["__action_id"] for r in rs.apply(df, sample_config={"a": 50}).collect())
+    assert kept1 == kept2  # replayable
+    assert 0 < len(kept1) < 200  # actually partial
+    assert all(r["__sample_rate"] == 50 for r in out1.collect())
+
+
+def test_sampling_rejects_bad_rate(spark):
+    import pytest
+
+    rs = compile_ruleset({"main.sml": SML})
+    df = _env(spark, ["a"])
+    with pytest.raises(ValueError):
+        rs.apply(df, sample_config={"a": 101})
