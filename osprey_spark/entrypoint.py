@@ -818,6 +818,50 @@ GROUP BY 1 ORDER BY 1
 )
 
 
+def q_bulk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk label task (ref: worker/sinks/sink/bulk_label_sink.py:29-60):
+    TopN of verdict-bearing conversations → bulk 'bulk_flagged'
+    mutations, unioned into the rule-driven label changelog; output is
+    the resulting latest-labels snapshot (read-your-writes through the
+    same path HasLabel uses)."""
+    from .plans import bulk_label
+    from .streaming.state import latest_labels
+
+    out = rules_output(spark, sf_dir)
+    bulk = bulk_label.bulk_label_mutations(
+        out,
+        dimension="conv_id",
+        entity_type="ConvId",
+        label="bulk_flagged",
+        where=F.size("__verdicts") > 0,
+        limit=50,
+    ).drop("reason")
+    chg = _label_changelog(spark, sf_dir).unionByName(bulk)
+    snap = latest_labels(chg)
+    return snap.select("entity_id", "label", "status").orderBy("entity_id", "label")
+
+
+O_BULK_LABEL = (
+    TURNS_CTE
+    + ","
+    + _FLAGSHIP_ORACLE_FEAT
+    + ","
+    + _FLAGGED_CONVS
+    + """,
+cand AS (
+  SELECT conv_id, count(*) AS n FROM feat
+  WHERE has_hello OR (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+  GROUP BY conv_id ORDER BY n DESC, conv_id LIMIT 50
+)
+SELECT entity_id, label, status FROM (
+  SELECT conv_id AS entity_id, 'flagged' AS label, 'added' AS status FROM flagged
+  UNION ALL
+  SELECT conv_id AS entity_id, 'bulk_flagged' AS label, 'added' AS status FROM cand
+) ORDER BY entity_id, label
+"""
+)
+
+
 def q_has_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-your-writes: phase 1 writes `flagged` labels, phase 2
     evaluates a ruleset whose HasLabel reads the snapshot
@@ -985,6 +1029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "label_state": q_label_state,
+    "bulk_label": q_bulk_label,
     "has_label_roundtrip": q_has_label_roundtrip,
     "increment_window_rule": q_increment_window_rule,
     "multimodal_meta": q_multimodal_meta,
@@ -1019,6 +1064,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "label_state": O_LABEL_STATE,
+    "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,
     "increment_window_rule": O_INCREMENT_WINDOW,
     "multimodal_meta": O_MULTIMODAL_META,
