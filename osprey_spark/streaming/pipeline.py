@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from ..compiler.compile import CompiledRuleset
 from ..turns import with_envelope
-from .sink import ExactlyOnceParquetSink
+from .sink import ExactlyOnceParquetSink, MultiSink
 
 TURNS_SCHEMA = T.StructType(
     [
@@ -51,7 +51,13 @@ class StreamingRuleEngine:
         n_buckets: int = 32,
         repartition_buckets: bool = True,
         salt_span: Optional[int] = None,
+        tee: Optional[dict] = None,
+        tee_console: bool = False,
     ):
+        """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
+        a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
+        every micro-batch then lands in N tables under one shared
+        commit log. When None, the single exactly-once results sink."""
         self.spark = spark
         self.ruleset = ruleset
         self.input_dir = input_dir
@@ -60,13 +66,16 @@ class StreamingRuleEngine:
         self.max_files_per_trigger = max_files_per_trigger
         self.envelope_fn = envelope_fn
         self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
-        self.sink = ExactlyOnceParquetSink(
-            output_dir,
-            n_buckets=n_buckets,
-            bucket_col="conv_id",
-            repartition_buckets=repartition_buckets,
-            salt_span=salt_span,
-        )
+        if tee is not None:
+            self.sink = MultiSink(output_dir, tee, console=tee_console)
+        else:
+            self.sink = ExactlyOnceParquetSink(
+                output_dir,
+                n_buckets=n_buckets,
+                bucket_col="conv_id",
+                repartition_buckets=repartition_buckets,
+                salt_span=salt_span,
+            )
 
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(self.schema)
@@ -95,5 +104,23 @@ class StreamingRuleEngine:
         q = self.start(available_now=True)
         q.awaitTermination()
 
-    def results(self) -> DataFrame:
+    def results(self, table: Optional[str] = None) -> DataFrame:
+        if isinstance(self.sink, MultiSink):
+            return self.sink.read_committed(self.spark, table or "results")
         return self.sink.read_committed(self.spark)
+
+
+def verdict_label_tee(n_buckets: int = 32) -> dict:
+    """The standard production fan-out (ref: worker/main.py wires
+    StoredExecutionResult + Label + Kafka sinks behind one
+    MultiOutputSink): full results table bucketed by conv_id +
+    label-effect changelog bucketed by entity_id."""
+    from .state import explode_label_effects
+
+    return {
+        "results": (None, {"n_buckets": n_buckets, "bucket_col": "conv_id"}),
+        "labels": (
+            explode_label_effects,
+            {"n_buckets": n_buckets, "bucket_col": "entity_id"},
+        ),
+    }

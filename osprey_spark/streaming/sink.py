@@ -90,10 +90,11 @@ class ExactlyOnceParquetSink:
                 out.append(int(f[:-5]))
         return sorted(out)
 
-    def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body. Idempotent: a replayed batch id
-        overwrites exactly its own `_batch_id=N` partition (no
-        cross-batch clobber), then re-marks the commit."""
+    def write_data(self, df: DataFrame, batch_id: int) -> dict:
+        """Write one batch's data files (no commit marker). Idempotent:
+        a replayed batch id overwrites exactly its own `_batch_id=N`
+        partition (no cross-batch clobber). Returns write stats for the
+        commit marker."""
         from pyspark.sql import Observation
 
         t0 = time.time()
@@ -118,19 +119,27 @@ class ExactlyOnceParquetSink:
             writer = writer.partitionBy(*parts)
         writer.parquet(batch_dir)
         # row count observed during the single write pass
-        n_rows = obs.get["rows"]
+        return {
+            "rows": obs.get["rows"],
+            "duration_s": round(time.time() - t0, 3),
+            "partition_columns": parts,
+        }
+
+    def mark_commit(self, batch_id: int, stats: dict) -> None:
         commit = {
             "batch_id": int(batch_id),
-            "rows": n_rows,
             "committed_at_unix": time.time(),
-            "duration_s": round(time.time() - t0, 3),
             "writer": str(uuid.uuid4()),
-            "partition_columns": parts,
+            **stats,
         }
         tmp = self._commit_path(batch_id) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(commit, f)
         os.replace(tmp, self._commit_path(batch_id))
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: write data files, then mark the commit."""
+        self.mark_commit(batch_id, self.write_data(df, batch_id))
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Union of committed batch partitions only (uncommitted data
@@ -140,3 +149,107 @@ class ExactlyOnceParquetSink:
             raise FileNotFoundError(f"no committed batches under {self.root}")
         paths = [os.path.join(self.data_dir, f"_batch_id={b}") for b in batches]
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+
+class PartialSinkFailure(Exception):
+    """One or more tee targets failed for a batch; carries the
+    per-target error map (ref: output_sink.py:56-80 collects the same
+    map — its TODO raise is implemented here because exactly-once
+    depends on the batch retrying)."""
+
+    def __init__(self, errors: dict[str, Exception]):
+        self.errors = errors
+        super().__init__(
+            "; ".join(f"{name}: {type(e).__name__}: {e}" for name, e in errors.items())
+        )
+
+
+class MultiSink:
+    """Multi-tee output sink (ref: worker/sinks/sink/output_sink.py:46-89
+    MultiOutputSink): one ``foreachBatch`` fans each micro-batch out to
+    N named tables, each with its own transform and partitioning, under
+    ONE shared batch-id commit log — a batch is committed only when
+    every target wrote, so exactly-once holds across the tee.
+
+    Error isolation matches the reference's push loop: every target is
+    attempted even after one fails (a broken analytics sink never
+    blocks the verdict table's write), then the batch fails as a whole
+    (PartialSinkFailure) so Structured Streaming retries it; replayed
+    targets overwrite their own `_batch_id=N` dirs, so the surviving
+    writes are idempotent.
+
+    ``tables`` maps name -> (transform_fn, sink_kwargs); each target
+    becomes an ExactlyOnceParquetSink at <root>/tables/<name>. The
+    input batch is persisted once so N tees cost one upstream
+    evaluation, not N.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        tables: dict,
+        console: bool = False,
+    ):
+        self.root = root
+        self.console = console
+        self.tables: dict[str, tuple] = {}
+        for name, spec in tables.items():
+            transform, kwargs = spec if isinstance(spec, tuple) else (spec, {})
+            sink = ExactlyOnceParquetSink(os.path.join(root, "tables", name), **kwargs)
+            self.tables[name] = (transform, sink)
+        os.makedirs(self._commits_dir, exist_ok=True)
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def _commit_path(self, batch_id: int) -> str:
+        return os.path.join(self._commits_dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_path(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self._commits_dir) if f.endswith(".json")
+        )
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            stats: dict[str, dict] = {}
+            errors: dict[str, Exception] = {}
+            for name, (transform, sink) in self.tables.items():
+                try:
+                    out = transform(df) if transform is not None else df
+                    stats[name] = sink.write_data(out, batch_id)
+                except Exception as e:  # noqa: BLE001 — per-sink isolation
+                    errors[name] = e
+            if self.console:
+                summary = {n: s.get("rows") for n, s in stats.items()}
+                print(f"[multi-sink] batch={batch_id} rows={summary} errors={list(errors)}")
+            if errors:
+                raise PartialSinkFailure(errors)
+            commit = {
+                "batch_id": int(batch_id),
+                "committed_at_unix": time.time(),
+                "writer": str(uuid.uuid4()),
+                "tables": stats,
+            }
+            tmp = self._commit_path(batch_id) + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(commit, f)
+            os.replace(tmp, self._commit_path(batch_id))
+        finally:
+            df.unpersist()
+
+    def read_committed(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read one tee target, taking only batches present in the
+        SHARED commit log (a batch where another target failed is
+        invisible everywhere — cross-table consistency)."""
+        _, sink = self.tables[table]
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        paths = [os.path.join(sink.data_dir, f"_batch_id={b}") for b in batches]
+        return spark.read.option("basePath", sink.data_dir).parquet(*paths)

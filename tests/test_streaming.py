@@ -323,3 +323,68 @@ def test_hot_conversation_salting(spark, tmp_path):
     for conv, nb in by_conv.items():
         if conv != hot:
             assert nb == 1, (conv, nb)
+
+
+def test_multi_tee_resume_consistent(spark, tmp_path):
+    """Kill/resume across the tee: both tables stay row-identical to a
+    single continuous run, under ONE shared commit log."""
+    from osprey_spark.streaming.pipeline import verdict_label_tee
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=20, turns_per_conv=6, hot_convs=0)
+    t.filter(F.col("conv_id") < "conv_00000010").coalesce(1).write.mode("append").parquet(in_dir)
+
+    def build():
+        return StreamingRuleEngine(
+            spark, _ruleset(), in_dir, out_dir,
+            passthrough=("conv_id", "turn_idx", "ts"), tee=verdict_label_tee(n_buckets=4),
+        )
+
+    build().run_to_completion()
+    eng = build()
+    n_res1 = eng.results("results").count()
+    n_lab1 = eng.results("labels").count()
+    assert n_res1 == 60
+    assert n_lab1 == eng.results("results").filter(F.size("__label_effects") > 0).count() > 0
+
+    # new files arrive; resume from the same checkpoint
+    t.filter(F.col("conv_id") >= "conv_00000010").coalesce(1).write.mode("append").parquet(in_dir)
+    build().run_to_completion()
+    eng = build()
+    res, lab = eng.results("results"), eng.results("labels")
+    assert res.count() == 120
+    assert res.select("conv_id", "turn_idx").distinct().count() == 120  # no dups
+    # labels table == exploded effects of results table, exactly once
+    want = res.filter(F.size("__label_effects") > 0).count()
+    assert lab.count() == want
+    assert lab.select("entity_id", "ts").distinct().count() == want
+
+
+def test_multi_tee_partial_failure_commits_nothing(spark, tmp_path):
+    """A failing tee target fails the whole batch: no shared commit, so
+    even the successfully-written sibling's data stays invisible; the
+    retry (same batch id) overwrites idempotently and commits both."""
+    from osprey_spark.streaming.sink import MultiSink, PartialSinkFailure
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("conv_id"))
+    boom = {"calls": 0}
+
+    def flaky(d):
+        boom["calls"] += 1
+        if boom["calls"] == 1:
+            raise RuntimeError("analytics backend down")
+        return d
+
+    sink = MultiSink(str(tmp_path / "tee"), {"good": None, "flaky": flaky})
+    with pytest.raises(PartialSinkFailure) as ei:
+        sink.write_batch(df, 0)
+    assert "flaky" in ei.value.errors and sink.committed_batches() == []
+    with pytest.raises(FileNotFoundError):
+        sink.read_committed(spark, "good")
+
+    sink.write_batch(df, 0)  # streaming retry of the same batch id
+    assert sink.committed_batches() == [0]
+    assert sink.read_committed(spark, "good").count() == 10
+    assert sink.read_committed(spark, "flaky").count() == 10
