@@ -151,34 +151,52 @@ def _label_state_fn(key, pdf_iter, state):
     (semantics of worker LabelOutputSink + HasLabel expiry,
     ref: stdlib/udfs/labels.py:168-224): ADDED wins over expired,
     REMOVED drops, expires_at tracked per label. Emits the label's
-    current row after each mutation (a changelog stream)."""
+    current row after each mutation (a changelog stream).
+
+    Columnar: each emitted row depends only on its own mutation (an
+    'added' sets {added, ts+expires_after}, a 'removed' sets
+    {removed, None} regardless of prior state), so the changelog is an
+    elementwise transform; only the carried state needs a
+    groupby-last. No per-row Python in the batch path."""
+    import numpy as np
+
     entity_type, entity_id = key
     labels = json.loads(state.get[0]) if state.exists else {}
-    rows = []
+    frames = []
     for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
-        for _, r in pdf.iterrows():
-            ts_unix = r["ts"].timestamp() if pd.notna(r["ts"]) else 0
-            expires = None
-            if pd.notna(r.get("expires_after")) and r.get("expires_after"):
-                expires = int(ts_unix + float(r["expires_after"]))
-            if r["status"] == "added":
-                labels[r["label"]] = {"status": "added", "expires_at": expires}
-            elif r["status"] == "removed":
-                labels[r["label"]] = {"status": "removed", "expires_at": None}
-            rows.append(
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("ts", kind="stable")
+        ts = pd.to_datetime(pdf["ts"])
+        ts_unix = np.where(ts.isna(), 0.0, ts.astype("int64") / 1e9)
+        ea = pd.to_numeric(pdf["expires_after"], errors="coerce").to_numpy(dtype="float64", na_value=0.0)
+        added = pdf["status"].eq("added").to_numpy()
+        expires = np.where(added & (ea != 0.0), (ts_unix + ea).astype("int64"), 0)
+        frames.append(
+            pd.DataFrame(
                 {
                     "entity_type": entity_type,
                     "entity_id": entity_id,
-                    "label": r["label"],
-                    "status": labels[r["label"]]["status"],
-                    "expires_at_unix": labels[r["label"]]["expires_at"] or 0,
-                    "mutation_ts": r["ts"],
+                    "label": pdf["label"].to_numpy(),
+                    "status": pdf["status"].to_numpy(),
+                    "expires_at_unix": expires,
+                    "mutation_ts": pdf["ts"].to_numpy(),
                 }
             )
+        )
+    if frames:
+        out = pd.concat(frames, ignore_index=True)
+        last = out.groupby("label", sort=False).tail(1)
+        for label, status, exp in zip(
+            last["label"].to_numpy(), last["status"].to_numpy(), last["expires_at_unix"].to_numpy()
+        ):
+            labels[label] = {
+                "status": status,
+                "expires_at": int(exp) if (status == "added" and exp) else None,
+            }
     state.update((json.dumps(labels),))
-    if rows:
-        yield pd.DataFrame(rows)
+    if frames:
+        yield out
 
 
 def label_store(effects: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -205,7 +223,13 @@ def latest_labels(changelog: DataFrame) -> DataFrame:
     :168-224 reads the labels service's current state)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("entity_type", "entity_id", "label").orderBy(F.desc("mutation_ts"))
+    # deterministic tiebreak for same-timestamp mutations: 'removed'
+    # outranks 'added' (conservative — a tied add/remove resolves to
+    # not-labeled), then expires_at desc pins byte-identical snapshots
+    # across runs/partitionings
+    w = W.partitionBy("entity_type", "entity_id", "label").orderBy(
+        F.desc("mutation_ts"), F.desc("status"), F.desc("expires_at_unix")
+    )
     return (
         changelog.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
