@@ -393,18 +393,36 @@ def experiment(ctx, call, args):
     """Deterministic entity bucketing (ref: stdlib/udfs/experiments.py
     :50-213; hash at 156-158 is ``mmh3.hash(f'{name}/{id}') % 10000``).
 
-    We use xxhash64 (JVM-side) instead of mmh3 — same determinism and
-    uniformity guarantees, different concrete assignment; documented
-    divergence (SURVEY.md §2.2).
+    Default path uses xxhash64 (JVM-side) — same determinism and
+    uniformity, different concrete assignment. ``parity=True``
+    switches to a vectorized murmur3-x86-32 pandas UDF that matches
+    the reference's buckets bit-for-bit (functions/mmh3.py).
     """
     entity_v = arg(ctx, call, args, "entity")
     buckets = const_arg(ctx, call, args, "buckets")
     sizes = const_arg(ctx, call, args, "bucket_sizes", required=False)
     name = const_arg(ctx, call, args, "name", required=False, default="experiment")
     version = const_arg(ctx, call, args, "version", required=False, default=1)
+    parity = const_arg(ctx, call, args, "parity", required=False, default=False)
     if sizes is None:
         sizes = [10000 // len(buckets)] * len(buckets)
-    point = F.pmod(F.xxhash64(F.concat(F.lit(f"{name}/v{version}/"), entity_v.col)), F.lit(10000))
+    if parity:
+        # exact mmh3 bucket parity with the reference (key has no
+        # version component there) — vectorized murmur3 pandas UDF
+        import pandas as pd
+
+        from .mmh3 import hash_mod
+
+        def _bucket_fn(entity):
+            return pd.Series(hash_mod(name, entity.tolist()))
+
+        point = F.pandas_udf(_bucket_fn, "long")(entity_v.col.cast("string"))
+    else:
+        # JVM fast path: same determinism/uniformity, different
+        # concrete assignment (documented divergence)
+        point = F.pmod(
+            F.xxhash64(F.concat(F.lit(f"{name}/v{version}/"), entity_v.col)), F.lit(10000)
+        )
     expr = F.lit(None).cast("string")
     cum = 0
     branches = []
