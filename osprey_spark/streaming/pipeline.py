@@ -53,6 +53,8 @@ class StreamingRuleEngine:
         salt_span: Optional[int] = None,
         tee: Optional[dict] = None,
         tee_console: bool = False,
+        source_format: str = "parquet",
+        source_options: Optional[dict] = None,
     ):
         """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
         a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
@@ -66,6 +68,8 @@ class StreamingRuleEngine:
         self.max_files_per_trigger = max_files_per_trigger
         self.envelope_fn = envelope_fn
         self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+        self.source_format = source_format
+        self.source_options = dict(source_options or {})
         if tee is not None:
             self.sink = MultiSink(output_dir, tee, console=tee_console)
         else:
@@ -78,10 +82,18 @@ class StreamingRuleEngine:
             )
 
     def source(self) -> DataFrame:
+        if self.source_format == "kafka":
+            # ref: input_stream.py:413-444 KafkaInputStream. input_dir
+            # is unused; source_options carries bootstrap/subscribe
+            # (see streaming.kafka.kafka_source_options). Requires the
+            # spark-sql-kafka connector jars on the classpath.
+            from .kafka import kafka_reader
+
+            return kafka_reader(self.spark, self.schema, self.source_options)
         reader = self.spark.readStream.schema(self.schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return reader.parquet(self.input_dir)
+        return reader.options(**self.source_options).parquet(self.input_dir)
 
     def transform(self, stream: DataFrame) -> DataFrame:
         env = self.envelope_fn(stream)
