@@ -8,6 +8,8 @@ via ``operators.blocklist_join``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ..compiler.values import Value
@@ -94,6 +96,87 @@ def list_contains_count(ctx, call, args):
     values = _named_list(ctx, call, args)
     hits = F.array_intersect(lst.col, F.array(*[F.lit(v) for v in values]))
     return Value(col=F.size(hits), dtype="int")
+
+
+# Public-knowledge leetspeak confusable classes (deliberately NOT the
+# reference's 1.9k-line confusables data table, which is data we don't
+# copy — same idea, independent table).
+_LEET = {
+    "a": "a@4àáâä",
+    "b": "b8",
+    "c": "c<({[k",
+    "e": "e3èéêë",
+    "g": "g9",
+    "i": "i1!íìî",
+    "l": "l1|",
+    "o": "o0òóôö",
+    "s": "s5$z",
+    "t": "t7+",
+    "u": "uüùú",
+    "z": "z2s",
+}
+
+_CLASS_ESCAPE = {c: "\\" + c for c in "\\]^-["}
+
+
+def _censorize_regex(word: str, plurals: bool = False, word_boundaries: bool = True) -> str:
+    """Compile one blocklist word to a Java regex matching leetspeak
+    variants: each letter becomes its confusable class, with one
+    optional separator char allowed between letters ('c a t', 'c.a.t')."""
+    parts = []
+    for ch in word.lower():
+        cls = _LEET.get(ch)
+        if cls:
+            parts.append("[" + "".join(_CLASS_ESCAPE.get(c, c) for c in cls) + "]")
+        else:
+            parts.append(re.escape(ch))
+    body = r"[\W_]?".join(parts)
+    if plurals:
+        body += r"(?:e?[sz])?"
+    if word_boundaries:
+        body = r"(?<![A-Za-z0-9])" + body + r"(?![A-Za-z0-9])"
+    return "(?i)" + body
+
+
+@register("CensorizedListContains")
+def censorized_list_contains(ctx, call, args):
+    """First blocklist word whose *censorized* regex matches any
+    phrase, else NULL (ref: example_plugins/src/udfs/list.py:330-359
+    CensorizedListContains — 'cat' also matches 'c@t'/'<4t').
+
+    ``must_be_censorized=True`` returns a word only when the matched
+    text is not the plain word itself (the reference's documented
+    intent at list.py:325-328; its code compares the match against
+    the whole phrase, which misfires for multi-word phrases — we
+    compare against the word). Patterns compile once per ruleset;
+    matching is JVM rlike/regexp_extract over the phrase array —
+    no Python."""
+    import re as _re
+
+    phrases = args.get("phrases") or args.get("s")
+    if phrases is None:
+        raise ctx.error("CensorizedListContains requires phrases=", call.span)
+    plurals = const_arg(ctx, call, args, "plurals", required=False, default=False)
+    must_be = const_arg(ctx, call, args, "must_be_censorized", required=False, default=False)
+    boundaries = const_arg(ctx, call, args, "word_boundaries", required=False, default=True)
+    words = _named_list(ctx, call, args)
+    arr = phrases.col if phrases.dtype.startswith("list") else F.array(phrases.col)
+    col = F.lit(None).cast("string")
+    branches = []
+    def _hit_fn(pat: str, word: str):
+        if must_be:
+            return lambda ph: F.coalesce(ph, F.lit("")).rlike(pat) & (
+                F.lower(F.regexp_extract(ph, pat, 0)) != F.lit(word.lower())
+            )
+        return lambda ph: F.coalesce(ph, F.lit("")).rlike(pat)
+
+    for w in words:
+        pat = _censorize_regex(w, plurals=plurals, word_boundaries=boundaries)
+        _re.compile(pat)  # pattern syntax sanity at ruleset-compile time
+        branches.append((F.exists(arr, _hit_fn(pat, w)), w))
+    for hit, w in reversed(branches):
+        col = F.when(hit, F.lit(w)).otherwise(col)
+    return Value(col=col, dtype="str")
 
 
 @register("RegexListContains")

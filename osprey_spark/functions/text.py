@@ -178,10 +178,16 @@ def check_censorized(ctx, call, args):
     s = arg(ctx, call, args, "s")
     list_name = const_arg(ctx, call, args, "list_name", required=False, default="censor")
     words = NAMED_LISTS.get(list_name, [])
+    if not words:
+        return Value(col=F.lit(False), dtype="bool")
+    # single UDF invocation regardless of blocklist size: the cleaned
+    # string appears once, against ONE substring-alternation regex, so
+    # the plan has exactly one ArrowEvalPython node (an OR-fold of
+    # contains() would clone the UDF expression per word and leave
+    # dedup to the optimizer)
     cleaned = _clean_string_udf(s.col)
-    col = F.lit(False)
-    for w in words:
-        col = col | cleaned.contains(F.lit(w))
+    alternation = "|".join(re.escape(w) for w in words)
+    col = F.coalesce(cleaned.rlike(alternation), F.lit(False))
     return Value(col=col, dtype="bool")
 
 
