@@ -60,6 +60,24 @@ from .values import Effect, Value, const_value
 #  engine/shared_constants.py:7-8).
 ACTION_ID = "__action_id"
 SAMPLE_RATE = "__sample_rate"
+
+# Enum constants resolvable via attribute access (Foo.Bar). Seeded
+# with the reference's public enums (worker/lib/osprey_shared/
+# labels.py:41-55 LabelStatus, stdlib/udfs/experiments.py:34-35
+# ExperimentsVersion); host applications extend via register_enum.
+ENUM_CONSTANTS: dict[str, dict[str, object]] = {
+    "LabelStatus": {
+        "REMOVED": "removed",
+        "ADDED": "added",
+        "MANUALLY_REMOVED": "manually_removed",
+        "MANUALLY_ADDED": "manually_added",
+    },
+    "ExperimentsVersion": {"v1": "v1"},
+}
+
+
+def register_enum(name: str, members: dict[str, object]) -> None:
+    ENUM_CONSTANTS[name] = dict(members)
 TIMESTAMP = "__timestamp"
 ERROR_COUNT = "__error_count"
 VERDICTS = "__verdicts"
@@ -394,9 +412,16 @@ class CompilerContext:
             return self.lookup(node)
 
         if isinstance(node, Attribute):
-            raise self.error(
-                f"unknown attribute constant {node.base}.{node.attr}", node.span
-            )
+            # enum-constant access Foo.Bar (ref: ast/grammar.py:734-756
+            # parses it; the reference's own validator still rejects
+            # attributes — validate_static_types.py:614-616 — so this
+            # registry is a strict superset of reference behavior)
+            ns = ENUM_CONSTANTS.get(node.base)
+            if ns is None or node.attr not in ns:
+                raise self.error(
+                    f"unknown attribute constant {node.base}.{node.attr}", node.span
+                )
+            return const_value(ns[node.attr])
 
         if isinstance(node, FormatString):
             cols: list[Column] = []

@@ -153,6 +153,15 @@ def approx_distinct(df: DataFrame, dim: str, rsd: float = 0.05, group_by: Option
     return out.orderBy("grp") if group_by else out
 
 
+def fetch_event(df: DataFrame, action_id: int, id_col: str = "__action_id") -> DataFrame:
+    """Single stored execution result by action id
+    (ref: worker/ui_api/osprey/views/events.py:227-239
+    ``get_event_data``). The equality predicate pushes down to the
+    scan; on an id-sorted/bucketed results table this is a
+    partition-pruned point lookup."""
+    return df.filter(F.col(id_col) == F.lit(int(action_id)))
+
+
 def entity_filter(df: DataFrame, entity_columns: Sequence[str], entity_id) -> Column:
     """OR-fold equality over all feature columns of the entity's type
     (ref: clickhouse.py:25-44 + feature_name_to_entity_type_mapping)."""
