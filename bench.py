@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # running but are excluded from the headline value if they blow up.
 HEADLINE = [
     "rule_eval",
+    "sampling",
     "verdict_counts",
     "json_extract",
     "sml_filter",
@@ -58,6 +59,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_lsh_topk",
     "label_state",
+    "bulk_label",
     "has_label_roundtrip",
     "increment_window_rule",
     "multimodal_meta",
@@ -80,10 +82,16 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # a broken query should not zero the bench
+        except Exception as e:
+            # a broken query must HURT the headline, not silently
+            # shrink it: it contributes a penalty far above any real
+            # query time and is called out in the output
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             times[name] = -1.0
     return times
+
+
+FAILED_QUERY_PENALTY_S = 300.0
 
 
 def _turns_input(spark, work_dir: str, n_convs: int, turns_per_conv: int, n_files: int) -> tuple[str, int]:
@@ -173,12 +181,16 @@ def main() -> None:
     finally:
         spark.stop()
 
-    suite = round(sum(t for t in qtimes.values() if t >= 0), 3)
+    failed = sorted(n for n, t in qtimes.items() if t < 0)
+    suite = round(
+        sum(t for t in qtimes.values() if t >= 0) + FAILED_QUERY_PENALTY_S * len(failed), 3
+    )
     result = {
         "metric": "headline_suite_seconds",
         "value": suite,
         "unit": "sec",
         "queries": qtimes,
+        "failed_queries": failed,
         "sf": sf,
         "throughput": streaming,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),

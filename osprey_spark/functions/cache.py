@@ -47,6 +47,12 @@ def _cache_set(ctx, call, args, family: str):
     key_v = arg(ctx, call, args, "key")
     value_v = arg(ctx, call, args, "value")
     ttl = const_arg(ctx, call, args, "ttl_seconds", required=False, default=DAY)
+    if float(ttl) < 1.0:
+        raise ctx.error(
+            f"{call.func}: ttl_seconds must be >= 1 (event-time cache reads have "
+            f"whole-second resolution), got {ttl}",
+            call.span,
+        )
     gate = _gate(ctx, call)
     if not hasattr(ctx, "cache_sets"):
         ctx.cache_sets = []
@@ -89,7 +95,9 @@ def _cache_get(ctx, call, args, family: str, default, out_dtype: str, cast: str)
         w = (
             W.partitionBy(s["key_col"])
             .orderBy(sec)
-            .rangeBetween(-(int(s["ttl"]) - 1), 0)
+            # round() not int(): a fractional ttl (validated >= 1)
+            # must not truncate a whole second off the frame
+            .rangeBetween(-(round(s["ttl"]) - 1), 0)
         )
         set_row = s["gate"] if s["gate"] is not None else F.lit(True)
         set_row = F.coalesce(set_row, F.lit(False))

@@ -60,9 +60,12 @@ def json_data(ctx, call, args):
         return Value(col=F.from_json(raw, f"array<{elem}>"), dtype=dtype)
     if dtype in _JSON_CAST:
         return Value(col=raw.cast(_JSON_CAST[dtype]), dtype=dtype)
-    # unannotated: direct columns keep their native type (the reference
-    # returns the parsed JSON value); JSON string extraction stays str
-    return Value(col=raw, dtype="any" if direct else "str")
+    # unannotated: both paths return string — the envelope path
+    # (get_json_object) can only yield strings, so the data_fields
+    # fast path casts to match; otherwise the same SML program would
+    # change comparison semantics with the binding mode (e.g.
+    # TurnIdx == '5' true via JSON, false via a direct long column)
+    return Value(col=raw.cast("string") if direct else raw, dtype="str")
 
 
 @register("GetActionName", query=True)
@@ -240,6 +243,12 @@ def _window_count(ctx, call, args):
 
     key_v = arg(ctx, call, args, "key")
     window_s = const_arg(ctx, call, args, "window_seconds")
+    if float(window_s) < 1.0:
+        raise ctx.error(
+            f"{call.func}: window_seconds must be >= 1 (event-time windows have "
+            f"whole-second resolution), got {window_s}",
+            call.span,
+        )
     const_arg(ctx, call, args, "max_ttl_seconds", required=False)
     gate = None
     when_all = call.kwargs.get("when_all")
@@ -253,7 +262,7 @@ def _window_count(ctx, call, args):
     w = (
         W.partitionBy(key_v.col)
         .orderBy(sec)
-        .rangeBetween(-(int(float(window_s)) - 1), 0)
+        .rangeBetween(-(round(float(window_s)) - 1), 0)
     )
     count = F.count(F.lit(1)).over(w)
     if gate is not None:

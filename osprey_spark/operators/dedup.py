@@ -105,6 +105,13 @@ def minhash_lsh_pairs(
     Hot bands (boilerplate docs) are the skew risk — AQE skew-join
     handles moderate skew; pathological bands should be frequency-
     capped upstream.
+
+    The signature base is persisted (it feeds the band join AND the
+    candidate verify); since the return value is lazy, the cache can
+    only be dropped after the caller materializes — long-lived
+    sessions should call ``result.unpersist_base()`` (attached to the
+    returned DataFrame) once done, or the cached blocks accumulate
+    across repeated calls.
     """
     rows_per_band = n_hashes // n_bands
     base = df.select(
@@ -131,12 +138,14 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
+    out = (
         cand.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+    out.unpersist_base = lambda: base.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -153,6 +153,40 @@ def approx_distinct(df: DataFrame, dim: str, rsd: float = 0.05, group_by: Option
     return out.orderBy("grp") if group_by else out
 
 
+MAX_CSV_ROWS = 100_000
+
+
+def export_topn_csv(
+    df: DataFrame,
+    dim: str,
+    path: str,
+    limit: int = 10,
+    where: Optional[Column] = None,
+    pop_args: Optional[dict] = None,
+) -> None:
+    """CSV export of a TopN (ref: worker/ui_api/osprey/views/
+    events.py:145-224 ``topn_query_csv``): plain TopN exports
+    (dimension, current_count); with ``pop_args`` (ts_col/period_start/
+    period_end) the PoP columns (previous_count, difference,
+    percent_diff) are included, and the row cap mirrors the
+    reference's MAX_CSV_ROWS. Single file with header — an ops export,
+    not a data-lake write."""
+    limit = min(limit, MAX_CSV_ROWS)
+    if pop_args:
+        out = topn_pop(df, dim, limit=limit, where=where, **pop_args).select(
+            F.col("dim").alias(dim),
+            F.col("n_current").alias("current_count"),
+            F.col("n_previous").alias("previous_count"),
+            F.col("delta").alias("difference"),
+            F.col("pct_change").alias("percent_diff"),
+        )
+    else:
+        out = topn(df, dim, limit=limit, where=where).select(
+            F.col("dim").alias(dim), F.col("n").alias("current_count")
+        )
+    out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
 def fetch_event(df: DataFrame, action_id: int, id_col: str = "__action_id") -> DataFrame:
     """Single stored execution result by action id
     (ref: worker/ui_api/osprey/views/events.py:227-239
