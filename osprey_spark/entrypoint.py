@@ -551,14 +551,19 @@ _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),"
     " i -> array_to_string(list_slice(w, i, i + 2), ' ')))"
 )
+# j-th minhash = min of the j-th 8-hex slice of the two seeded md5
+# digests per shingle (matches dedup.shingle_digests +
+# minhash_signature_from_digests)
 _DUCK_SIG = "[" + ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{j}|' || s)))" for j in range(8)
+    f"list_min(list_transform(digs, x -> substr(x, {j * 8 + 1}, 8)))" for j in range(8)
 ) + "]"
 
 O_MINHASH_PAIRS = f"""
 WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
 d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
-sig AS (SELECT doc_id, sh, {_DUCK_SIG} AS sig FROM d),
+dg AS (SELECT doc_id, sh,
+       list_transform(sh, s -> md5('0|' || s) || md5('1|' || s)) AS digs FROM d),
+sig AS (SELECT doc_id, sh, {_DUCK_SIG} AS sig FROM dg),
 bands AS (
   SELECT doc_id, sh,
          concat_ws('_', CAST(b AS VARCHAR), sig[2 * b + 1], sig[2 * b + 2]) AS band

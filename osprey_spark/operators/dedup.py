@@ -64,16 +64,42 @@ def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def minhash_signature(text_col: Column, n_hashes: int = 8, k: int = 3) -> Column:
-    """MinHash signature: per hash seed j, min over shingles of
-    md5(j || '|' || shingle). String-min on hex md5 — identical
-    semantics in any engine with md5()."""
-    sh = shingles(text_col, k)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s).cast("binary"))))
-        for j in range(n_hashes)
-    ]
+def shingle_digests(shingle_col: Column, n_digests: int) -> Column:
+    """Per shingle: concat of ``n_digests`` seeded md5 hex digests
+    (seed prefix 'd|'). Each 32-hex digest is sliced into four 8-hex
+    (32-bit) minhash values downstream, so n_hashes hash functions
+    cost ceil(n_hashes/4) md5 calls per shingle instead of n_hashes —
+    the md5 work dominated the whole minhash pipeline."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{d}|"), s).cast("binary")) for d in range(n_digests)]
+        ),
+    )
+
+
+def minhash_signature_from_digests(digs_col: Column, n_hashes: int = 8) -> Column:
+    """MinHash signature j = min over shingles of the j-th 8-hex slice
+    of the digest concat. Fixed-length lowercase hex makes string-min
+    identical to 32-bit numeric min — same semantics in any engine
+    with md5() and substring()."""
+    # NB: a (lambda x, j=j: ...) default-arg closure here would change
+    # the lambda's arity to 2 and make Spark bind j to the ELEMENT
+    # INDEX — the factory keeps the HOF lambda unary
+    def _slice(j: int):
+        return lambda x: F.substring(x, j * 8 + 1, 8)
+
+    sigs = [F.array_min(F.transform(digs_col, _slice(j))) for j in range(n_hashes)]
     return F.array(*sigs)
+
+
+def minhash_signature(text_col: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash signature of a text column (see
+    minhash_signature_from_digests; inside minhash_lsh_pairs the
+    digest array is materialized as its own column so the md5 work is
+    shared across all slices)."""
+    digs = shingle_digests(shingles(text_col, k), (n_hashes + 3) // 4)
+    return minhash_signature_from_digests(digs, n_hashes)
 
 
 def minhash_bands(sig_col: Column, n_bands: int = 4, rows_per_band: int = 2) -> list[Column]:
@@ -114,11 +140,14 @@ def minhash_lsh_pairs(
     across repeated calls.
     """
     rows_per_band = n_hashes // n_bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"),
-        minhash_signature(F.col(text_col), n_hashes, k).alias("_sig"),
-    ).persist()  # 4 self-join branches below — compute signatures once
+    base = (
+        df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+        # digest array as its own column: the md5 work (the dominant
+        # cost) is computed once and every signature slice reads it
+        .withColumn("_digs", shingle_digests(F.col("_sh"), (n_hashes + 3) // 4))
+        .select("_id", "_sh", minhash_signature_from_digests(F.col("_digs"), n_hashes).alias("_sig"))
+        .persist()  # 4 self-join branches below — compute signatures once
+    )
     # band join ships only (id, band) — the shingle sets (the wide
     # payload) are re-joined just for the few surviving candidates
     bands = base.select(
