@@ -225,17 +225,21 @@ def has_label(ctx, call, args):
     return Value(col=F.col(name), dtype="bool")
 
 
-def _window_count(ctx, call, args):
+def _window_count(ctx, call, args, increments: bool):
     """Shared kernel for IncrementWindow/GetWindowCount
-    (ref: example_plugins/src/udfs/cache.py:161-227, 333-347): count
-    of events with the same key within the trailing window, judged at
-    event time. The Redis zset becomes an event-time range window
-    (shuffle keyed by the key expression); ``when_all`` false → 0,
-    matching the reference's gate. Divergence (documented): the batch
-    form counts every event with the key in-window, i.e. it assumes
-    the increment-on-every-event pattern; per-event increment gating
-    needs the streaming windowed-aggregate path
-    (operators/windows.py / streaming/windows.py)."""
+    (ref: example_plugins/src/udfs/cache.py:161-227, 333-347): the
+    Redis sorted-set counter becomes an event-time range window
+    (shuffle keyed by the key expression), judged at event time.
+
+    Gating follows the reference exactly: only events whose
+    IncrementWindow ``when_all`` passes are zadd-ed, so the in-window
+    count is ``sum(increment_gate)`` — NOT a count of all same-key
+    events. A gated-off event still contributes nothing and returns 0
+    (ref :336-338). GetWindowCount is read-only: it counts the
+    increments registered by IncrementWindow statements with the same
+    key expression in this program (pairing rule as for CacheSet/Get);
+    with no paired increment it falls back to counting every event
+    (the increment-on-every-event pattern), documented divergence."""
     from pyspark.sql import Window as W
 
     from ..compiler import nullsafe
@@ -258,30 +262,50 @@ def _window_count(ctx, call, args):
         conds = [ctx.compile_expr(e) for e in when_all.items]
         if conds:
             gate = nullsafe.strict_all(conds)
+
+    if not hasattr(ctx, "window_increments"):
+        ctx.window_increments = []
+    if increments:
+        ctx.window_increments.append({"key_repr": str(key_v.col), "gate": gate})
+        inc_gates = [gate]
+    else:
+        inc_gates = [
+            s["gate"]
+            for s in ctx.window_increments
+            if s["key_repr"] == str(key_v.col)
+        ] or [None]  # no paired IncrementWindow -> count all events
+
     sec = F.col(ctx.bindings.timestamp).cast("timestamp").cast("long")
     w = (
         W.partitionBy(key_v.col)
         .orderBy(sec)
         .rangeBetween(-(round(float(window_s)) - 1), 0)
     )
-    count = F.count(F.lit(1)).over(w)
+    if any(g is None for g in inc_gates):
+        incremented = F.lit(1)
+    else:
+        any_gate = inc_gates[0]
+        for g in inc_gates[1:]:
+            any_gate = any_gate | g
+        incremented = F.when(F.coalesce(any_gate, F.lit(False)), 1).otherwise(0)
+    count = F.sum(incremented).over(w)
     if gate is not None:
         count = F.when(F.coalesce(gate, F.lit(False)), count).otherwise(F.lit(0))
-    return Value(col=count.cast("long"), dtype="int")
+    return Value(col=F.coalesce(count, F.lit(0)).cast("long"), dtype="int")
 
 
 @register("IncrementWindow")
 def increment_window(ctx, call, args):
     """ref: example_plugins/src/udfs/cache.py:333-341 — sliding-window
     counter add-then-count; the count includes the current event."""
-    return _window_count(ctx, call, args)
+    return _window_count(ctx, call, args, increments=True)
 
 
 @register("GetWindowCount")
 def get_window_count(ctx, call, args):
     """ref: example_plugins/src/udfs/cache.py:344-347 — read-only
-    window count (same kernel; see _window_count divergence note)."""
-    return _window_count(ctx, call, args)
+    window count (see _window_count gating/pairing rules)."""
+    return _window_count(ctx, call, args, increments=False)
 
 
 @register("GetSnowflakeBucket")

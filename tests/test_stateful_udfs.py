@@ -140,3 +140,30 @@ def test_cache_get_requires_matching_set(spark):
 
     with pytest.raises(SmlValidationError, match="no preceding"):
         _apply(spark, "K: str = JsonData(path='$.k')\nG = CacheGetInt(key=K)", [{"k": "a"}])
+
+
+GATED_WINDOW_SML = """
+K: str = JsonData(path='$.k')
+IsErr: bool = JsonData(path='$.is_err', coerce_type='bool')
+NErr = IncrementWindow(key=K, window_seconds=60.0, when_all=[IsErr])
+ReadErr = GetWindowCount(key=K, window_seconds=60.0)
+"""
+
+
+def test_window_increment_gating(spark):
+    """Only gated events zadd (ref cache.py:336-341): the counter is
+    sum(increment_gate) in-window, not a count of all key events; a
+    paired GetWindowCount reads the same gated counter."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"k": "a", "is_err": True, "_ts": t0},
+        {"k": "a", "is_err": False, "_ts": t0.replace(second=10)},  # no zadd
+        {"k": "a", "is_err": True, "_ts": t0.replace(second=20)},
+        {"k": "a", "is_err": False, "_ts": t0.replace(second=30)},  # no zadd
+    ]
+    out = _apply(spark, GATED_WINDOW_SML, rows)
+    # gated-off events return 0 AND don't count toward later windows
+    assert [r["NErr"] for r in out] == [1, 0, 2, 0]
+    # read-only pairing: counts increments only (2 by t=30), even on
+    # events that did not themselves increment
+    assert [r["ReadErr"] for r in out] == [1, 1, 2, 2]
