@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -185,18 +185,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     k: int = 2,
 ) -> DataFrame:
-    """n-gram Jaccard pairs as a set-similarity join.
+    """n-gram Jaccard pairs as a prefix-filtered set-similarity join
+    (the PPJoin/AllPairs prefix-filtering principle).
 
-    Scale shape: explode distinct shingles → self-equi-join on
-    (shingle [, block]) → per-pair match count via hash aggregate
-    (map-side combinable) → Jaccard from precomputed set sizes. Only
-    pairs sharing ≥1 shingle are ever generated (Jaccard ≥ t > 0
-    implies a shared shingle), vs. the naive all-pairs
-    array_intersect which is O(n² · |shingles|) per block. Two
-    lossless prunes ride the join: same block, and the size bound
-    t·|A| ≤ |B| ≤ |A|/t that Jaccard ≥ t implies. Hot shingles
-    (boilerplate) are the skew risk — frequency-cap upstream for
-    adversarial corpora."""
+    Scale shape:
+      1. one aggregation computes each shingle's global document
+         frequency;
+      2. each doc keeps only its PREFIX — the |A| - ceil(t*|A|) + 1
+         rarest shingles (df asc, shingle asc as the global total
+         order). Any pair with J >= t must share a prefix shingle
+         (standard prefix-filter theorem), so this prune is lossless;
+      3. equi-join prefixes on (shingle [, block]) with the size
+         bound t*|A| <= |B| <= |A|/t -> distinct candidate id pairs;
+      4. exact Jaccard verify on candidates only (array_intersect).
+
+    vs. joining on ALL shingles: the join fan-out drops ~(1-t)x, and
+    — the skew fix — boilerplate hot shingles sort to the END of the
+    frequency order and fall out of every long doc's prefix, so they
+    no longer generate quadratic candidates."""
     sh = shingles(F.col(text_col), k)
     cols = [F.col(id_col).alias("_id"), sh.alias("_sh")]
     if block_col:
@@ -206,7 +212,19 @@ def ngram_jaccard_pairs(
     if block_col:
         ex_cols.insert(2, F.col("_blk"))
     ex = base.select(*ex_cols)
-    a, b = ex.alias("a"), ex.alias("b")
+    # global shingle document frequency (one map-side-combinable agg)
+    freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
+    # epsilon guards ceil() against binary-fraction float error
+    # (0.4*5 = 2.0000000000000004) — replicated in the DuckDB oracle
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1
+    pref = (
+        ex.join(freq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .drop("_df", "_rn")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
     cond = (
         (F.col("a._s") == F.col("b._s"))
         & (F.col("a._id") < F.col("b._id"))
@@ -216,19 +234,19 @@ def ngram_jaccard_pairs(
     )
     if block_col:
         cond = (F.col("a._blk") == F.col("b._blk")) & cond
-    pairs = (
+    cand = (
         a.join(b, cond)
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sz").alias("_sa"),
-            F.col("b._sz").alias("_sb"),
-        )
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    union = F.col("_sa") + F.col("_sb") - F.col("_inter")
+    sa = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_sz").alias("_sza"))
+    sb = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_sz").alias("_szb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.col("_sza") + F.col("_szb") - inter
     return (
-        pairs.withColumn("jaccard", F.round(F.col("_inter").cast("double") / union, 6))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

@@ -65,3 +65,43 @@ def test_oracle_sql_matches_spark_buckets(spark):
     )
     duck_pairs = set(map(tuple, con.execute(sql).fetchall()))
     assert spark_pairs == duck_pairs and len(spark_pairs) >= 1
+
+
+def test_ngram_prefix_filter_lossless(spark):
+    """Prefix filtering must lose no pair vs brute-force Jaccard —
+    including docs dominated by a boilerplate hot shingle."""
+    from osprey_spark.operators import dedup
+
+    boiler = "all rights reserved contact us "
+    docs = [
+        (1, boiler + "alpha beta gamma delta"),
+        (2, boiler + "alpha beta gamma epsilon"),   # near-dup of 1
+        (3, boiler + "zeta eta theta iota"),
+        (4, boiler + "zeta eta theta kappa"),        # near-dup of 3
+        (5, "totally different content here now"),
+        (6, "alpha beta gamma delta " + boiler),    # word-order variant of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.4, k=2).collect()
+    }
+
+    # brute force oracle
+    sh = dedup.shingles(F.col("text"), 2)
+    b = df.select(F.col("doc_id").alias("_id"), sh.alias("_sh"))
+    x, y = b.alias("x"), b.alias("y")
+    inter = F.size(F.array_intersect(F.col("x._sh"), F.col("y._sh")))
+    union = F.size(F.col("x._sh")) + F.size(F.col("y._sh")) - inter
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in x.join(y, F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .collect()
+    }
+    assert got == want and len(want) >= 2
