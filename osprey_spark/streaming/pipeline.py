@@ -55,6 +55,7 @@ class StreamingRuleEngine:
         tee_console: bool = False,
         source_format: str = "parquet",
         source_options: Optional[dict] = None,
+        sample_config: Optional[dict] = None,
     ):
         """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
         a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
@@ -70,6 +71,10 @@ class StreamingRuleEngine:
         self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
         self.source_format = source_format
         self.source_options = dict(source_options or {})
+        # per-action-name sampling ahead of rule evaluation
+        # (ref: rules_sink.py:47-70; deterministic md5 roll — a
+        # resumed/replayed micro-batch drops the same events)
+        self.sample_config = sample_config
         if tee is not None:
             self.sink = MultiSink(output_dir, tee, console=tee_console)
         else:
@@ -97,7 +102,9 @@ class StreamingRuleEngine:
 
     def transform(self, stream: DataFrame) -> DataFrame:
         env = self.envelope_fn(stream)
-        return self.ruleset.apply(env, passthrough=self.passthrough)
+        return self.ruleset.apply(
+            env, passthrough=self.passthrough, sample_config=self.sample_config
+        )
 
     def start(self, available_now: bool = True, processing_time: Optional[str] = None):
         out = self.transform(self.source())

@@ -388,3 +388,29 @@ def test_multi_tee_partial_failure_commits_nothing(spark, tmp_path):
     assert sink.committed_batches() == [0]
     assert sink.read_committed(spark, "good").count() == 10
     assert sink.read_committed(spark, "flaky").count() == 10
+
+
+def test_streaming_sampling_deterministic_across_resume(spark, tmp_path):
+    """Sampling in the streaming path drops the same events on every
+    run (md5 roll, not randint), so exactly-once survives replays."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=12, turns_per_conv=5, hot_convs=0)
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run(out):
+        eng = StreamingRuleEngine(
+            spark, _ruleset(), in_dir, str(tmp_path / out),
+            passthrough=("conv_id", "turn_idx"),
+            sample_config={"user": 50, "tool": 0},
+        )
+        eng.run_to_completion()
+        return {(r.conv_id, r.turn_idx) for r in eng.results().select("conv_id", "turn_idx").collect()}
+
+    kept1, kept2 = run("o1"), run("o2")
+    assert kept1 == kept2
+    total = t.count()
+    assert 0 < len(kept1) < total  # some sampled out, not all
+    # every surviving tool turn would contradict rate 0
+    roles = {(r.conv_id, r.turn_idx): r.role for r in t.collect()}
+    assert all(roles[k] != "tool" for k in kept1)
