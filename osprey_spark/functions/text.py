@@ -55,10 +55,108 @@ def clean_string(ctx, call, args):
     return Value(col=_clean_string_udf(s.col), dtype="str")
 
 
+# public-knowledge homoglyph foldings (stylized/confusable letters →
+# ascii); deliberately a small independent table, not the reference's
+_HOMOGLYPHS = str.maketrans(
+    {
+        "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x", "і": "i",
+        "ѕ": "s", "у": "y", "ԁ": "d", "ɡ": "g", "α": "a", "β": "b", "ε": "e",
+        "ι": "i", "κ": "k", "ο": "o", "ρ": "p", "τ": "t", "υ": "u", "ν": "v",
+        "@": "a", "$": "s", "€": "e", "£": "l",
+    }
+)
+
+_EMOJI_RE = re.compile(
+    "[\U0001f300-\U0001faff\U00002600-\U000027bf\U0001f1e6-\U0001f1ff︎️]"
+)
+_L33T_PIPE_NUM_RE = re.compile(r"\|(\d)")
+_L33T_THREES_RE = re.compile(r"([A-Za-z]?)(3+)([A-Za-z]?)")
+
+
+def _string_clean_one(
+    s,
+    form="NFKC",
+    remove_emoji=False,
+    space=True,
+    l33t=False,
+    homoglyph=True,
+    unicode_normalize=True,
+    unidecode=False,
+    upper=False,
+    lower=False,
+    remove_space=False,
+    remove_punctuation=False,
+):
+    """The reference's normalization order (stdlib/udfs/string.py
+    :306-355): emoji → space collapse → l33t → homoglyph → unicode
+    form (keep first char when combining chars expand) → transliterate
+    → case → space/punctuation removal. ``unidecode`` approximates the
+    library (absent here) with NFKD + combining-mark strip."""
+    if s is None:
+        return None
+    if remove_emoji:
+        s = _EMOJI_RE.sub(" ", s)
+    if space:
+        s = _WS_RE.sub(" ", s)
+    if l33t:
+        s = _L33T_PIPE_NUM_RE.sub(r"1\1", s)
+        s = _L33T_THREES_RE.sub(
+            lambda m: f"{m[1]}{'e' * len(m[2])}{m[3]}" if m[1] or m[3] else m[2], s
+        )
+    if homoglyph:
+        s = s.translate(_HOMOGLYPHS)
+    if unicode_normalize:
+        new_s = unicodedata.normalize(form, s)
+        if len(s) != len(new_s):
+            new_s = "".join((unicodedata.normalize(form, c) or c)[0] for c in s)
+        s = new_s
+    if unidecode:
+        s = "".join(
+            c for c in unicodedata.normalize("NFKD", s) if unicodedata.category(c) != "Mn"
+        )
+    if upper and not lower:
+        s = s.upper()
+    if lower:
+        s = s.lower()
+    if remove_space:
+        s = _WS_RE.sub("", s)
+    if remove_punctuation:
+        s = "".join(c for c in s if unicodedata.category(c)[0] not in "SP")
+    return s
+
+
 @register("StringClean")
 def string_clean(ctx, call, args):
-    """ref: stdlib/udfs/string.py:284-356."""
-    return clean_string(ctx, call, args)
+    """String-cleaning swiss army knife with the reference's full
+    option set (ref: stdlib/udfs/string.py:284-356 + argument
+    defaults :129-160). Options are compile-time constants, so each
+    distinct configuration compiles to one Arrow-vectorized UDF."""
+    s = arg(ctx, call, args, "s")
+    opts = {}
+    for name, default in (
+        ("form", "NFKC"),
+        ("remove_emoji", False),
+        ("space", True),
+        ("l33t", False),
+        ("homoglyph", True),
+        ("unicode_normalize", True),
+        ("unidecode", False),
+        ("upper", False),
+        ("lower", False),
+        ("remove_space", False),
+        ("remove_punctuation", False),
+    ):
+        opts[name] = const_arg(ctx, call, args, name, required=False, default=default)
+    if opts["form"] not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ctx.error(
+            f"invalid value for `form`: {opts['form']!r} (must be NFC/NFKC/NFD/NFKD)",
+            call.span,
+        )
+
+    def _fn(series):
+        return series.map(lambda x: _string_clean_one(x, **opts))
+
+    return Value(col=F.pandas_udf(_fn, T.StringType())(s.col), dtype="str")
 
 
 _ZW_RE = re.compile(r"[​‌‍⁠﻿]")

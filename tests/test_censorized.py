@@ -64,3 +64,21 @@ Censored = CheckCensorized(s=T, list_name='censor')
     assert plan.count("ArrowEvalPython") == 1  # one cleaned-string eval for 4 words
     got = {r["__action_id"]: r["Censored"] for r in out.collect()}
     assert got == {0: True, 1: False}  # accent-folded 'vírus' -> 'virus'
+
+
+def test_string_clean_options(spark):
+    sml = """
+T: str = JsonData(path='$.t')
+Homo = StringClean(s=T)
+Leet = StringClean(s=T, l33t=True, lower=True)
+Bare = StringClean(s=T, remove_punctuation=True, remove_space=True, lower=True)
+Upper = StringClean(s=T, upper=True)
+"""
+    texts = ["h3llo  wОrld!", "|4 C@T"]
+    out = _apply(spark, sml, texts).orderBy("__action_id").collect()
+    # homoglyph default: cyrillic О -> o (after lower? no — homoglyph
+    # maps lowercase cyrillic; NFKC keeps О) ; space collapsed
+    assert out[0]["Leet"] == "hello wоrld!"  # 3->e, lowercased
+    assert out[1]["Homo"] == "|4 CaT"        # @ -> a
+    assert out[0]["Bare"] == "h3llowоrld"
+    assert out[1]["Upper"] == "|4 CAT"
