@@ -325,16 +325,30 @@ def get_snowflake_bucket(ctx, call, args):
     return Value(col=(sec.cast("long") - F.pmod(sec.cast("long"), F.lit(int(g)))), dtype="int")
 
 
+# domain -> MX host table, loaded by the host application from a DNS
+# snapshot (the deterministic substitute for per-row async DNS)
+MX_TABLE: dict[str, str] = {}
+
+
+def register_mx_table(mapping: dict[str, str]) -> None:
+    MX_TABLE.update({k.lower(): v for k, v in mapping.items()})
+
+
 @register("MXLookup")
 def mx_lookup(ctx, call, args):
     """External-IO UDF class (async DNS, ref: stdlib/udfs/
-    mx_lookup.py:15-20, execute_async=True). Live DNS is not
-    reproducible in a deterministic pipeline — compiles to NULL
-    (failed-node semantics); deployments should join a prepared
-    domain→MX table instead (the vectorized substitute for per-row
-    async IO)."""
-    arg(ctx, call, args, "domain")
-    return Value(col=F.lit(None).cast("string"), dtype="str")
+    mx_lookup.py:15-20, execute_async=True). Live per-row DNS is not
+    reproducible in a deterministic pipeline; deployments load a DNS
+    snapshot via ``register_mx_table`` and the lookup compiles to a
+    broadcast literal map (for snapshots beyond literal-map size,
+    pre-join the snapshot table and bind the column). With no table
+    registered the node fails → NULL, the reference's failed-lookup
+    semantics."""
+    domain = arg(ctx, call, args, "domain")
+    if not MX_TABLE:
+        return Value(col=F.lit(None).cast("string"), dtype="str")
+    m = F.create_map(*[F.lit(x) for kv in sorted(MX_TABLE.items()) for x in kv])
+    return Value(col=F.element_at(m, F.lower(domain.col)), dtype="str")
 
 
 @register("TimeDelta")

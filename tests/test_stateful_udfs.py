@@ -167,3 +167,18 @@ def test_window_increment_gating(spark):
     # read-only pairing: counts increments only (2 by t=30), even on
     # events that did not themselves increment
     assert [r["ReadErr"] for r in out] == [1, 1, 2, 2]
+
+
+def test_mx_lookup_table(spark):
+    from osprey_spark.functions.core import MX_TABLE, register_mx_table
+
+    sml = "D: str = JsonData(path='$.d')\nMx = MXLookup(domain=D)\n"
+    register_mx_table({"Example.com": "mx1.example.com"})
+    try:
+        out = _apply(spark, sml, [{"d": "example.com"}, {"d": "EXAMPLE.COM"}, {"d": "nope.io"}])
+        assert [r["Mx"] for r in out] == ["mx1.example.com", "mx1.example.com", None]
+    finally:
+        MX_TABLE.clear()
+    # no snapshot registered -> failed-node NULL semantics
+    out = _apply(spark, sml, [{"d": "example.com"}])
+    assert out[0]["Mx"] is None
