@@ -301,13 +301,38 @@ def root_domain(ctx, call, args):
     return Value(col=F.substring_index(F.lower(domain.col), ".", -2), dtype="str")
 
 
+# common multi-label public suffixes (curated subset of the public
+# Mozilla PSL — full-list deployments should swap in the real file)
+_TWO_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.ar", "com.tw", "com.hk", "co.in", "net.in", "org.in",
+    "co.nz", "net.nz", "org.nz", "com.sg", "co.za", "com.tr",
+    "com.sa", "com.eg", "co.id", "com.my", "com.ph", "com.vn",
+    "co.th", "com.pk", "com.bd", "com.ng", "co.ke", "com.co",
+    "com.pe", "com.ve", "com.uy", "com.ec", "com.do", "com.gt",
+]
+
+
 @register("DomainTld")
 def domain_tld(ctx, call, args):
-    """Public-suffix TLD — simplified to the last label
-    (ref: stdlib/udfs/domain_tld.py:14 uses the publicsuffix list; the
-    lib is unavailable here, divergence documented)."""
+    """Public-suffix TLD (ref: stdlib/udfs/domain_tld.py:14 via the
+    publicsuffix list): multi-label suffixes like co.uk resolve from a
+    curated PSL subset (JVM isin — no Python), otherwise the last
+    label."""
     domain = arg(ctx, call, args, "domain")
-    return Value(col=F.substring_index(F.lower(domain.col), ".", -1), dtype="str")
+    low = F.lower(domain.col)
+    last2 = F.substring_index(low, ".", -2)
+    return Value(
+        col=F.when(last2.isin(_TWO_LEVEL_SUFFIXES), last2).otherwise(
+            F.substring_index(low, ".", -1)
+        ),
+        dtype="str",
+    )
 
 
 @register("DomainChopper")

@@ -82,3 +82,11 @@ Upper = StringClean(s=T, upper=True)
     assert out[1]["Homo"] == "|4 CaT"        # @ -> a
     assert out[0]["Bare"] == "h3llowоrld"
     assert out[1]["Upper"] == "|4 CAT"
+
+
+def test_domain_tld_multilabel(spark):
+    sml = "D: str = JsonData(path='$.t')\nTld = DomainTld(domain=D)\n"
+    got = [r["Tld"] for r in _apply(
+        spark, sml, ["shop.example.co.uk", "example.com", "foo.com.au", "bare"]
+    ).orderBy("__action_id").collect()]
+    assert got == ["co.uk", "com", "com.au", "bare"]
