@@ -350,14 +350,35 @@ def domain_chopper(ctx, call, args):
     return Value(col=col, dtype="list:str")
 
 
+def _ip6_udf(prefix6: int):
+    import ipaddress
+
+    def fn(s: pd.Series) -> pd.Series:
+        def net(x):
+            if x is None:
+                return None
+            try:
+                return str(ipaddress.ip_network(f"{x}/{prefix6}", strict=False))
+            except ValueError:
+                return None
+
+        return s.map(net)
+
+    return F.pandas_udf(fn, T.StringType())
+
+
 @register("IpNetwork")
 def ip_network(ctx, call, args):
-    """CIDR network of an IPv4 address (ref: stdlib/udfs/ip_network.py:13).
+    """CIDR network of an IP address (ref: stdlib/udfs/ip_network.py:13).
 
-    Bit arithmetic on the dotted quad — built-in expressions only.
+    IPv4 is bit arithmetic on the dotted quad — built-in expressions
+    only, the hot path. IPv6 rows (detected by ':') route to an
+    Arrow-vectorized stdlib-``ipaddress`` UDF with ``prefix6``
+    (default 64, the conventional end-site boundary).
     """
     ip = arg(ctx, call, args, "ip")
     prefix = const_arg(ctx, call, args, "prefix", required=False, default=24)
+    prefix6 = const_arg(ctx, call, args, "prefix6", required=False, default=64)
     parts = F.split(ip.col, r"\.")
     as_int = (
         parts[0].cast("long") * F.lit(16777216)
@@ -374,7 +395,11 @@ def ip_network(ctx, call, args):
         F.pmod((net / F.lit(256)).cast("long"), F.lit(256)).cast("string"),
         F.pmod(net, F.lit(256)).cast("string"),
     )
-    return Value(col=F.concat(dotted, F.lit(f"/{prefix}")), dtype="str")
+    v4 = F.concat(dotted, F.lit(f"/{prefix}"))
+    return Value(
+        col=F.when(ip.col.contains(":"), _ip6_udf(int(prefix6))(ip.col)).otherwise(v4),
+        dtype="str",
+    )
 
 
 @register("ExtractCookie")

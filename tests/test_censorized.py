@@ -90,3 +90,11 @@ def test_domain_tld_multilabel(spark):
         spark, sml, ["shop.example.co.uk", "example.com", "foo.com.au", "bare"]
     ).orderBy("__action_id").collect()]
     assert got == ["co.uk", "com", "com.au", "bare"]
+
+
+def test_ip_network_v4_and_v6(spark):
+    sml = "IP: str = JsonData(path='$.t')\nNet = IpNetwork(ip=IP)\n"
+    got = [r["Net"] for r in _apply(
+        spark, sml, ["10.1.2.3", "2001:db8:abcd:12ff:1:2:3:4", "not an ip with : colon"]
+    ).orderBy("__action_id").collect()]
+    assert got == ["10.1.2.0/24", "2001:db8:abcd:12ff::/64", None]
