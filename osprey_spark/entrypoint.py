@@ -602,10 +602,48 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup — xxhash64-based, not reproducible in DuckDB →
-    rows-only check."""
+    """SimHash near-dup. The 60-bit hash is md5-derived (15 hex), so
+    the DuckDB oracle replays the identical per-bit sign sums, bands,
+    and Hamming verify — exact check, no longer rows-only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_dedup(docs, max_hamming=8)
+    out = dedup.simhash_dedup(docs, max_hamming=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_DUCK_SHINGLES_K2 = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 1, 1) + 1),"
+    " i -> array_to_string(list_slice(w, i, i + 1), ' ')))"
+)
+
+
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    bits, bb = dedup.SIMHASH_BITS, dedup.SIMHASH_BAND_BITS
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    pack = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+d AS (SELECT doc_id, {_DUCK_SHINGLES_K2} AS sh FROM w),
+e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM e),
+bits AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM bits),
+bands AS (
+  SELECT doc_id, sim,
+    concat(CAST(t AS VARCHAR), '_', CAST((sim >> (t * {bb})) & {(1 << bb) - 1} AS VARCHAR)) AS band
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS t) tt
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming} ORDER BY id_a, id_b
+"""
+
+
+O_SIMHASH_PAIRS = _simhash_oracle_sql(max_hamming=8)
 
 
 # --- text analysis ---------------------------------------------------------
@@ -753,14 +791,20 @@ O_EMBEDDING_NEAR_DUP = similarity.banded_near_dup_oracle_sql(**_NEAR_DUP_CFG)
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — approximate, rows-only check."""
+    """LSH-bucketed ANN (scale path). Approximate w.r.t. brute force
+    but fully deterministic — the DuckDB oracle replays the identical
+    sin-based hyperplane buckets, so the check is exact."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+O_EMBEDDING_LSH_TOPK = similarity.lsh_topk_oracle_sql(dim=64, k=5, n_planes=6)
 
 
 # --- stateful-rule parity (label store + window counters) -----------------
@@ -1064,10 +1108,12 @@ ORACLES: dict[str, str] = {
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,
     "ngram_jaccard": O_NGRAM_JACCARD,
+    "simhash_pairs": O_SIMHASH_PAIRS,
     "doc_stats": O_DOC_STATS,
     "lang_id": _fill_lang_lists(O_LANG_ID),
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    "embedding_lsh_topk": O_EMBEDDING_LSH_TOPK,
     "label_state": O_LABEL_STATE,
     "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,

@@ -253,31 +253,37 @@ def ngram_jaccard_pairs(
     )
 
 
+# 60 bits: 15 hex digits of md5 fit a signed BIGINT in any engine, so
+# the hash is replayable by the DuckDB oracle (xxhash64 was not)
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+
+
 def simhash_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
 ) -> DataFrame:
-    """(id, _sim) with a 64-bit SimHash per document.
+    """(id, _sim) with a 60-bit SimHash per document.
 
-    Computed as explode(shingles) → xxhash64 once per shingle →
-    hash-aggregate of 64 per-bit sign sums (map-side partial agg,
-    whole-stage codegen) → pack bits. One shuffle keyed by doc id —
-    the shape that survives 100 TB; per-row array-lambda folding over
-    64 bits does not (64 interpreted passes per document)."""
+    Computed as explode(shingles) → one md5 per shingle (first 15 hex
+    → 60-bit int, engine-replayable) → hash-aggregate of per-bit sign
+    sums (map-side partial agg, whole-stage codegen) → pack bits. One
+    shuffle keyed by doc id — the shape that survives 100 TB; per-row
+    array-lambda folding over 60 bits does not (60 interpreted passes
+    per document)."""
     exploded = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s"))
-    h = F.xxhash64(F.col("_s"))
+    h = F.conv(F.substring(F.md5(F.col("_s").cast("binary")), 1, 15), 16, 10).cast("long")
     sums = [
         F.sum(
             F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_b{bit}")
-        for bit in range(64)
+        for bit in range(SIMHASH_BITS)
     ]
     agg = exploded.groupBy("_id").agg(*sums)
-    # shiftleft handles bit 63 (sign bit) — a 1<<63 literal overflows
     bit_cols = [
         F.when(F.col(f"_b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
             F.lit(0).cast("long")
         )
-        for bit in range(64)
+        for bit in range(SIMHASH_BITS)
     ]
     sim = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
     return agg.select("_id", sim.alias("_sim"))
@@ -290,9 +296,10 @@ def simhash_dedup(
     max_hamming: int = 3,
     n_tables: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: 16-bit band tables (4×16 of the 64-bit hash)
+    """SimHash near-dup: 15-bit band tables (4×15 of the 60-bit hash)
     as LSH buckets, Hamming-verify candidates via bit_count(xor)."""
     base = simhash_table(df, id_col, text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = base.select(
         "_id",
         "_sim",
@@ -302,7 +309,9 @@ def simhash_dedup(
                     F.concat_ws(
                         "_",
                         F.lit(str(t)),
-                        F.shiftright(F.col("_sim"), t * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                        F.shiftright(F.col("_sim"), t * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
                     )
                     for t in range(n_tables)
                 ]

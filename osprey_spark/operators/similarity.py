@@ -188,6 +188,66 @@ def banded_near_dup_pairs(
     )
 
 
+def _plane_dot_sql(col: str, plane: list[float]) -> str:
+    """DuckDB SQL for dot(col, literal plane), unrolled: one scalar
+    term per component — avoids re-materializing a literal list per
+    element (O(dim^2))."""
+    terms = " + ".join(
+        f"CAST(list_extract({col}, {i + 1}) AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
+    )
+    return "(" + terms + ")"
+
+
+def lsh_bucket_sql(col: str, dim: int, n_planes: int, plane_offset: int = 0) -> str:
+    """DuckDB replay of :func:`lsh_bucket` — same sin-based
+    hyperplanes, same sign-bit bucket id."""
+    bits = [
+        f"(CASE WHEN {_plane_dot_sql(col, _hyperplane(dim, plane_offset + p))} >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return " + ".join(bits)
+
+
+def lsh_topk_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB replay of :func:`lsh_topk`: identical buckets, exact
+    cosine + ranking within candidates — turns the 'approximate' ANN
+    path into an exactly-checkable query."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract({{a}}, i) AS DOUBLE) * CAST(list_extract({{b}}, i) AS DOUBLE)))"
+    )
+    return f"""
+WITH bk AS (
+  SELECT v.{id_col}, v.{vec_col}, {lsh_bucket_sql('v.' + vec_col, dim, n_planes)} AS _bkt
+  FROM {table} v
+),
+q AS (SELECT {id_col} AS query_id, {vec_col} AS qe, _bkt FROM bk WHERE {query_pred}),
+scored AS (
+  SELECT q.query_id, v.{id_col} AS {id_col},
+    round({dot.format(a='q.qe', b='v.' + vec_col)}
+      / (sqrt({dot.format(a='q.qe', b='q.qe')})
+         * sqrt({dot.format(a='v.' + vec_col, b='v.' + vec_col)})), 6) AS cosine
+  FROM q JOIN bk v ON q._bkt = v._bkt
+),
+ranked AS (
+  SELECT query_id, {id_col}, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, {id_col}) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, {id_col}, cosine, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def banded_near_dup_oracle_sql(
     dim: int,
     table: str = "embeddings",
@@ -202,22 +262,10 @@ def banded_near_dup_oracle_sql(
     candidate join + exact-cosine verify. Generated, not hand-kept, so
     plane constants can never drift from the Spark side."""
 
-    def dot_sql(col: str, plane: list[float]) -> str:
-        # unrolled constant-weight sum: one scalar term per component —
-        # avoids re-materializing a literal list per element (O(dim^2))
-        terms = " + ".join(
-            f"CAST(list_extract({col}, {i + 1}) AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
-        )
-        return "(" + terms + ")"
-
-    band_exprs = []
-    for b in range(n_bands):
-        bits = [
-            f"(CASE WHEN {dot_sql('v.' + vec_col, _hyperplane(dim, b * planes_per_band + p))} >= 0"
-            f" THEN {1 << p} ELSE 0 END)"
-            for p in range(planes_per_band)
-        ]
-        band_exprs.append("(" + " + ".join(bits) + f") AS b{b}")
+    band_exprs = [
+        f"({lsh_bucket_sql('v.' + vec_col, dim, planes_per_band, b * planes_per_band)}) AS b{b}"
+        for b in range(n_bands)
+    ]
     self_dot = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> CAST(list_extract({vec_col}, i) AS DOUBLE)"
