@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_fingerprint",
     "minhash_lsh_pairs",
+    "dedup_groups",
     "ngram_jaccard",
     "simhash_pairs",
     "doc_stats",

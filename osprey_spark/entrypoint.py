@@ -558,8 +558,7 @@ _DUCK_SIG = "[" + ", ".join(
     f"list_min(list_transform(digs, x -> substr(x, {j * 8 + 1}, 8)))" for j in range(8)
 ) + "]"
 
-O_MINHASH_PAIRS = f"""
-WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+_MINHASH_CTES = f"""w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
 d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
 dg AS (SELECT doc_id, sh,
        list_transform(sh, s -> md5('0|' || s) || md5('1|' || s)) AS digs FROM d),
@@ -578,9 +577,44 @@ j AS (
     round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
   FROM cand
+)"""
+
+O_MINHASH_PAIRS = (
+    "WITH "
+    + _MINHASH_CTES
+    + "\nSELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
 )
-SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical keeper per
+    group (the step that turns pairwise similarity into an actually
+    deduplicated corpus). Iterative min-label propagation in Spark;
+    the oracle replays it as a recursive CTE over the identical
+    MinHash pair set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, jaccard_threshold=0.5, k=3)
+    return dedup.dedup_groups(pairs, docs)
+
+
+O_DEDUP_GROUPS = (
+    "WITH RECURSIVE "
+    + _MINHASH_CTES
+    + """,
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+)
+SELECT id AS doc_id, min(root) AS group_id, (id = min(root)) AS is_keeper
+FROM reach GROUP BY id ORDER BY doc_id
 """
+)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "dedup_groups": q_dedup_groups,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "doc_stats": q_doc_stats,
@@ -1107,6 +1142,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,
+    "dedup_groups": O_DEDUP_GROUPS,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "simhash_pairs": O_SIMHASH_PAIRS,
     "doc_stats": O_DOC_STATS,

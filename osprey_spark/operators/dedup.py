@@ -253,6 +253,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → dedup groups with a
+    canonical keeper (min id), the step that turns pairwise
+    similarity output into an actually deduplicated corpus.
+
+    Iterative min-label propagation: every doc starts labeled with
+    itself; each round a doc takes the min label among itself and its
+    direct neighbors; stop at fixpoint. Rounds = graph diameter (no
+    star contraction — near-dup graphs are small dense clusters where
+    diameter is a handful; for adversarial long-chain graphs swap in
+    large-star/small-star). Each round is one shuffle join + one
+    map-side-combinable min aggregate; the graph never visits the
+    driver — the fixpoint test is a limit(1).count() probe.
+    Output: (doc_id, group_id, is_keeper); singleton docs form their
+    own group.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("_u"), F.col(b_col).alias("_v"))
+        .unionByName(pairs.select(F.col(b_col).alias("_u"), F.col(a_col).alias("_v")))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(F.col(id_col).alias("_u")).distinct().withColumn("_lbl", F.col("_u"))
+    persisted: list = []
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("_u", "_v"), "_v")
+            .groupBy("_u")
+            .agg(F.min("_lbl").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "_u", "left")
+            .select("_u", F.least(F.col("_lbl"), F.coalesce(F.col("_nmin"), F.col("_lbl"))).alias("_lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("_lbl", "_old"), "_u")
+            .filter(F.col("_lbl") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        persisted.append(new_labels)
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    for df_ in persisted[:-1]:
+        df_.unpersist()
+    return labels.select(
+        F.col("_u").alias(id_col),
+        F.col("_lbl").alias("group_id"),
+        (F.col("_u") == F.col("_lbl")).alias("is_keeper"),
+    ).orderBy(id_col)
+
+
 # 60 bits: 15 hex digits of md5 fit a signed BIGINT in any engine, so
 # the hash is replayable by the DuckDB oracle (xxhash64 was not)
 SIMHASH_BITS = 60

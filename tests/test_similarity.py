@@ -105,3 +105,25 @@ def test_ngram_prefix_filter_lossless(spark):
         .collect()
     }
     assert got == want and len(want) >= 2
+
+
+def test_dedup_groups_chain_components(spark):
+    """Min-label propagation must cross multi-hop chains: a-b, b-c,
+    c-d all land in group min(a) even though a,d never share a pair."""
+    from osprey_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 7), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.group_id, r.is_keeper) for r in dedup_groups(pairs, docs).collect()}
+    assert out == {
+        0: (0, True),
+        1: (1, True),   # component {1,2,3,7}: keeper = min id
+        2: (1, False),
+        3: (1, False),
+        7: (1, False),
+        4: (4, True),   # singleton
+        5: (5, True),   # component {5,6}
+        6: (5, False),
+    }
