@@ -16,6 +16,23 @@ import time
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+def _lag_ms(ev_max, watermark):
+    """Watermark lag: max observed event time minus current watermark
+    (how far behind the frontier the watermark trails), in ms."""
+    if not ev_max or not watermark:
+        return None
+    from datetime import datetime
+
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ"
+    try:
+        return int(
+            (datetime.strptime(ev_max, fmt) - datetime.strptime(watermark, fmt)).total_seconds()
+            * 1000
+        )
+    except ValueError:
+        return None
+
+
 class JsonMetricsListener(StreamingQueryListener):
     """Appends one JSON line per micro-batch progress event."""
 
@@ -34,6 +51,7 @@ class JsonMetricsListener(StreamingQueryListener):
         for so in p.stateOperators or []:
             state_rows += so.numRowsTotal or 0
             state_bytes += so.memoryUsedBytes or 0
+        et = p.eventTime or {}
         rec = {
             "event": "progress",
             "batch_id": p.batchId,
@@ -43,7 +61,9 @@ class JsonMetricsListener(StreamingQueryListener):
             "batch_duration_ms": (p.durationMs or {}).get("triggerExecution"),
             "state_rows": state_rows,
             "state_bytes": state_bytes,
-            "watermark": (p.eventTime or {}).get("watermark"),
+            "watermark": et.get("watermark"),
+            "event_time_max": et.get("max"),
+            "watermark_lag_ms": _lag_ms(et.get("max"), et.get("watermark")),
             "ts": time.time(),
         }
         self._emit(rec)

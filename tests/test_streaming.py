@@ -456,3 +456,46 @@ def test_conversation_state_tws_equivalent(spark, tmp_path):
     a = run(conversation_state, "cs_apply")
     b = run(conversation_state_tws, "cs_tws")
     assert a == b and len(a) == 15
+
+
+def test_metrics_listener_records_state_and_watermark(spark, tmp_path):
+    """North rule: metrics = rows processed, state size, watermark lag.
+    Attach the JSON listener to a watermarked stateful query and check
+    the per-batch records carry all three."""
+    from osprey_spark.streaming.metrics import JsonMetricsListener, read_metrics
+    from osprey_spark.streaming.windows import streaming_tumbling_counts
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rows = [("A", f"2024-01-01 10:{m:02d}:00") for m in range(30)]
+    (
+        spark.createDataFrame(rows, "conv_id string, ts_str string")
+        .select("conv_id", F.to_timestamp("ts_str").alias("ts"))
+        .coalesce(2).write.mode("overwrite").parquet(in_dir)
+    )
+    mpath = str(tmp_path / "metrics.jsonl")
+    listener = JsonMetricsListener(mpath)
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(in_dir)
+        out = streaming_tumbling_counts(
+            stream, "ts", ["conv_id"], size_seconds=600, watermark="5 minutes"
+        )
+        q = (out.writeStream.outputMode("append").format("memory").queryName("met_t")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # listener events are async — give the bus a moment
+        for _ in range(40):
+            if any(r.get("event") == "progress" and r.get("num_input_rows")
+                   for r in read_metrics(mpath)):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    recs = [r for r in read_metrics(mpath) if r.get("event") == "progress"]
+    assert sum(r["num_input_rows"] for r in recs) == 30
+    with_state = [r for r in recs if r.get("state_rows")]
+    assert with_state, "stateful operator rows should appear in progress"
+    with_wm = [r for r in recs if r.get("watermark") and r.get("watermark_lag_ms") is not None]
+    assert with_wm and all(r["watermark_lag_ms"] >= 0 for r in with_wm)
