@@ -254,6 +254,8 @@ def _window_count(ctx, call, args, increments: bool):
             call.span,
         )
     const_arg(ctx, call, args, "max_ttl_seconds", required=False)
+    # ref cache.py:166,198-201: counts saturate at max_events_cap
+    cap = const_arg(ctx, call, args, "max_events_cap", required=False, default=10_000)
     gate = None
     when_all = call.kwargs.get("when_all")
     if when_all is not None:
@@ -289,6 +291,8 @@ def _window_count(ctx, call, args, increments: bool):
             any_gate = any_gate | g
         incremented = F.when(F.coalesce(any_gate, F.lit(False)), 1).otherwise(0)
     count = F.sum(incremented).over(w)
+    if cap:
+        count = F.least(count, F.lit(int(cap)))
     if gate is not None:
         count = F.when(F.coalesce(gate, F.lit(False)), count).otherwise(F.lit(0))
     return Value(col=F.coalesce(count, F.lit(0)).cast("long"), dtype="int")

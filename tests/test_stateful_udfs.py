@@ -182,3 +182,11 @@ def test_mx_lookup_table(spark):
     # no snapshot registered -> failed-node NULL semantics
     out = _apply(spark, sml, [{"d": "example.com"}])
     assert out[0]["Mx"] is None
+
+
+def test_window_count_cap(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [{"k": "a", "_ts": t0.replace(second=i)} for i in range(10)]
+    sml = "K: str = JsonData(path='$.k')\nN = IncrementWindow(key=K, window_seconds=60.0, max_events_cap=4)\n"
+    out = _apply(spark, sml, rows)
+    assert [r["N"] for r in out] == [1, 2, 3, 4, 4, 4, 4, 4, 4, 4]
