@@ -673,6 +673,85 @@ class CompiledRuleset:
         out = df.withColumn("__rate", rate).filter(keep)
         return out, F.when(F.col("__rate") < 100, F.col("__rate")).cast("int")
 
+    def _join_cache(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one CacheGet as a key-VALUE lookup (Redis pairing,
+        see functions/cache.py): union every Set statement's writes
+        with the Get's probe rows into one narrow relation, shuffle
+        once on the key value, take the latest write in the max-TTL
+        event-time frame, expiry-check it against the probe's time
+        (overwrite semantics: an expired latest write hides older
+        ones), and join the values back by row id. Scale shape: one
+        shuffle on the key + one join back — hot keys are one window
+        partition, identical to any Redis-hot-key situation."""
+        from pyspark.sql import Window as W
+
+        name = spec["name"]
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        rid = "__cache_rid"
+        if rid not in df.columns:
+            df = df.withColumn(rid, F.monotonically_increasing_id())
+        cast = spec["cast"]
+        probes = df.select(
+            F.col(rid).alias("_crid"),
+            spec["key_col"].cast("string").alias("_ck"),
+            sec.alias("_cts"),
+            F.lit(None).cast("long").alias("_cidx"),
+            F.lit(None).cast("long").alias("_cexp"),
+            F.lit(None).cast(cast).alias("_cv"),
+            F.lit(0).alias("_cset"),
+        )
+        branches = [probes]
+        max_ttl = 1
+        for s in spec["sets"]:
+            ttl = round(s["ttl"])
+            max_ttl = max(max_ttl, ttl)
+            set_gate = F.coalesce(
+                s["gate"] if s["gate"] is not None else F.lit(True), F.lit(False)
+            )
+            branches.append(
+                df.filter(set_gate & s["key_col"].isNotNull())
+                .select(
+                    F.lit(None).cast("long").alias("_crid"),
+                    s["key_col"].cast("string").alias("_ck"),
+                    sec.alias("_cts"),
+                    F.lit(int(s["idx"])).cast("long").alias("_cidx"),
+                    # last event-second at which this write is readable
+                    (sec + F.lit(ttl - 1)).alias("_cexp"),
+                    s["value_col"].cast(cast).alias("_cv"),
+                    F.lit(1).alias("_cset"),
+                )
+            )
+        rel = branches[0]
+        for b_ in branches[1:]:
+            rel = rel.unionByName(b_)
+        w = W.partitionBy("_ck").orderBy("_cts").rangeBetween(-(max_ttl - 1), 0)
+        best = F.max(
+            F.when(
+                F.col("_cset") == 1,
+                F.struct(
+                    F.col("_cts").alias("ts"),
+                    F.col("_cidx").alias("i"),
+                    F.col("_cexp").alias("exp"),
+                    F.col("_cv").alias("v"),
+                ),
+            )
+        ).over(w)
+        looked_up = (
+            rel.withColumn("_cbest", best)
+            .filter(F.col("_cset") == 0)
+            .select(
+                "_crid",
+                F.when(F.col("_cbest.exp") >= F.col("_cts"), F.col("_cbest.v")).alias("_cval"),
+            )
+        )
+        df = df.join(looked_up, df[rid] == looked_up["_crid"], "left").drop("_crid")
+        result = F.coalesce(F.col("_cval"), spec["default_col"])
+        if spec["gate"] is not None:
+            result = F.when(
+                F.coalesce(spec["gate"], F.lit(False)), result
+            ).otherwise(spec["default_col"])
+        return df.select("*", result.alias(name)).drop("_cval")
+
     def apply(
         self,
         df: DataFrame,
@@ -702,9 +781,13 @@ class CompiledRuleset:
         # collapses single-use chains and keeps multi-use expressions
         # shared (collapseProjectAlwaysInline=false), so the optimized
         # plan stays linear in ruleset size.
+        cache_specs = {s["name"]: s for s in getattr(self.ctx, "cache_lookups", [])}
         for mangled, defn in self.ctx.feature_exprs:
             if defn is None:
-                df = self._join_label(df, labels_df, specs[mangled])
+                if mangled in cache_specs:
+                    df = self._join_cache(df, cache_specs[mangled])
+                else:
+                    df = self._join_label(df, labels_df, specs[mangled])
             else:
                 df = df.select("*", defn.alias(mangled))
         cols: list[Column] = []

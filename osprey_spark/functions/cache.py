@@ -8,16 +8,19 @@ row's event time — an event-time range window partitioned by the key
 expression (one shuffle per distinct key expression; Catalyst shares
 window frames between Get/Set pairs on the same key).
 
-Pairing: Set and Get are matched by their compiled key *expression*
-(same feature/column math), the way production rules share a key
-feature. A Get whose key matches no Set in the program is a
-validation error (the reference would silently read another rule
-file's writes through Redis — cross-program state needs the label
-store or the streaming state ops instead, documented divergence).
-Within one row, set-then-get visibility follows statement order only
-across rows (micro-batch semantics: a row's own set IS visible to its
-own get, matching the reference's in-action sequencing when the set
-statement precedes the get).
+Pairing: Set and Get match by runtime key VALUE (Redis semantics) —
+any Set statement of the same value family whose key evaluates to the
+Get's key feeds the lookup, including Sets written under a different
+key expression. Overwrite semantics are Redis-exact: the latest Set
+for a key wins, and if that latest Set's TTL has lapsed the key is
+gone (an older longer-TTL Set does NOT resurface). A Get in a program
+with no Set of its family is a validation error (the reference would
+silently read another rule file's writes through shared Redis —
+cross-program state needs the label store or the streaming state ops
+instead, documented divergence). A row's own set IS visible to its
+own get (same-timestamp rows share the window frame), matching the
+reference's in-action sequencing when the set statement precedes the
+get.
 """
 
 from __future__ import annotations
@@ -71,53 +74,39 @@ def _cache_set(ctx, call, args, family: str):
 
 
 def _cache_get(ctx, call, args, family: str, default, out_dtype: str, cast: str):
+    """Registers a deferred key-VALUE join resolved by
+    ``CompiledRuleset.apply`` (same mechanism as HasLabel): a Get
+    reads the latest non-expired Set *for the same runtime key value*
+    across every Set statement of the family — exactly the Redis
+    pairing, including overwrite semantics (a newer Set shadows an
+    older one even if the newer one's TTL has since lapsed)."""
     key_v = arg(ctx, call, args, "key")
     d = args.get("default")
     default_col = d.col if d is not None else F.lit(default)
     gate = _gate(ctx, call)
-    sets = [
-        s
-        for s in getattr(ctx, "cache_sets", [])
-        if s["family"] == family and s["key_repr"] == str(key_v.col)
-    ]
+    sets = [s for s in getattr(ctx, "cache_sets", []) if s["family"] == family]
     if not sets:
         raise ctx.error(
-            f"{call.func}: no preceding Cache{'Set' + family} with the same key "
-            "expression in this program (cross-program cache state is not "
-            "supported — use labels or streaming state)",
+            f"{call.func}: no preceding CacheSet{family} in this program "
+            "(cross-program cache state is not supported — use labels or "
+            "streaming state)",
             call.span,
         )
-    from pyspark.sql import Window as W
-
-    sec = F.col(ctx.bindings.timestamp).cast("timestamp").cast("long")
-    candidates = []
-    for s in sets:
-        w = (
-            W.partitionBy(s["key_col"])
-            .orderBy(sec)
-            # round() not int(): a fractional ttl (validated >= 1)
-            # must not truncate a whole second off the frame
-            .rangeBetween(-(round(s["ttl"]) - 1), 0)
-        )
-        set_row = s["gate"] if s["gate"] is not None else F.lit(True)
-        set_row = F.coalesce(set_row, F.lit(False))
-        # latest (ts, stmt_idx, value) among this statement's sets in-window
-        cand = F.max(
-            F.when(
-                set_row,
-                F.struct(
-                    sec.alias("ts"),
-                    F.lit(s["idx"]).alias("i"),
-                    s["value_col"].cast(cast).alias("v"),
-                ),
-            )
-        ).over(w)
-        candidates.append(cand)
-    latest = F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
-    result = F.coalesce(latest["v"], default_col)
-    if gate is not None:
-        result = F.when(F.coalesce(gate, F.lit(False)), result).otherwise(default_col)
-    return Value(col=result, dtype=out_dtype)
+    if not hasattr(ctx, "cache_lookups"):
+        ctx.cache_lookups = []
+    name = f"__cache_{len(ctx.cache_lookups)}"
+    ctx.cache_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "default_col": default_col,
+            "gate": gate,
+            "cast": cast,
+            "sets": list(sets),
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype=out_dtype)
 
 
 @register("CacheSetStr")

@@ -190,3 +190,50 @@ def test_window_count_cap(spark):
     sml = "K: str = JsonData(path='$.k')\nN = IncrementWindow(key=K, window_seconds=60.0, max_events_cap=4)\n"
     out = _apply(spark, sml, rows)
     assert [r["N"] for r in out] == [1, 2, 3, 4, 4, 4, 4, 4, 4, 4]
+
+
+def test_cache_pairs_by_key_value_not_expression(spark):
+    """Redis pairing: a Get under a DIFFERENT key expression reads a
+    Set whose key evaluates to the same value."""
+    sml = """
+A: str = JsonData(path='$.a')
+B: str = JsonData(path='$.b')
+V: str = JsonData(path='$.v')
+IsSet = V != ''
+CacheSetStr(key=StringToLower(s=A), value=V, when_all=[IsSet], ttl_seconds=60.0)
+Got = CacheGetStr(key=B, default='none')
+"""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"a": "K1", "b": "zzz", "v": "hello", "_ts": t0},            # writes key 'k1'
+        {"a": "xx", "b": "k1", "v": "", "_ts": t0.replace(second=30)},  # reads 'k1' via B
+        {"a": "xx", "b": "k2", "v": "", "_ts": t0.replace(second=31)},  # miss
+    ]
+    out = _apply(spark, sml, rows)
+    got = {r["B"]: r["Got"] for r in out}
+    assert got["k1"] == "hello" and got["k2"] == "none"
+
+
+def test_cache_overwrite_expiry_is_redis_exact(spark):
+    """A newer Set overwrites; if the newest write's TTL lapsed the
+    key is GONE even though an older longer-TTL write would still be
+    in range (Redis overwrite semantics)."""
+    sml = """
+K: str = JsonData(path='$.k')
+V: str = JsonData(path='$.v')
+T: float = JsonData(path='$.ttl', coerce_type='float')
+IsSet = V != ''
+CacheSetStr(key=K, value=V, when_all=[IsSet, T >= 50.0], ttl_seconds=100.0)
+CacheSetStr(key=K, value=V, when_all=[IsSet, T < 50.0], ttl_seconds=5.0)
+Got = CacheGetStr(key=K, default='gone')
+"""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        {"k": "x", "v": "long", "ttl": 100.0, "_ts": t0},
+        {"k": "x", "v": "short", "ttl": 5.0, "_ts": t0.replace(second=10)},
+        {"k": "x", "v": "", "ttl": 0.0, "_ts": t0.replace(second=12)},  # short still live
+        {"k": "x", "v": "", "ttl": 0.0, "_ts": t0.replace(second=40)},  # short expired -> gone
+    ]
+    out = sorted(_apply(spark, sml, rows), key=lambda r: r["__timestamp"])
+    assert out[2]["Got"] == "short"
+    assert out[3]["Got"] == "gone"  # NOT 'long': overwritten then expired
