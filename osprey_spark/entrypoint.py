@@ -501,8 +501,30 @@ GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 20
 # --------------------------------------------------------------------------
 
 
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small-SF test inputs arrive as ONE tiny parquet file = one scan
+    partition, so CPU-heavy per-row expressions (shingling, 64-dim
+    plane dots, per-bit sums) would run single-core. Spread to the
+    session's parallelism — this models the layout a production table
+    already has (thousands of partitions), where the repartition
+    would be skipped (partitions >= cores)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     h = F.md5(F.col("text").cast("binary")).alias("content_hash")
     return (
         docs.select(h, "doc_id")
@@ -523,7 +545,7 @@ _DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     fp = F.md5(
         F.array_join(F.array_sort(F.array_distinct(_SPARK_TOKENS(F.col("text")))), " ").cast("binary")
     )
@@ -543,7 +565,7 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, jaccard_threshold=0.5, k=3)
 
 
@@ -592,7 +614,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated corpus). Iterative min-label propagation in Spark;
     the oracle replays it as a recursive CTE over the identical
     MinHash pair set."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, jaccard_threshold=0.5, k=3)
     return dedup.dedup_groups(pairs, docs)
 
@@ -618,7 +640,7 @@ FROM reach GROUP BY id ORDER BY doc_id
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5, k=3)
 
 
@@ -639,7 +661,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup. The 60-bit hash is md5-derived (15 hex), so
     the DuckDB oracle replays the identical per-bit sign sums, bands,
     and Hamming verify — exact check, no longer rows-only."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = dedup.simhash_dedup(docs, max_hamming=8)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -689,7 +711,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + quality score + fingerprint per document."""
     from .functions.text import quality_score_col, tokenize_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(tokenize_col(F.col("text"))).cast("long").alias("n_tokens"),
@@ -727,7 +749,7 @@ FROM m ORDER BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import language_id_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", language_id_col(F.col("text")).alias("lang_pred")).orderBy("doc_id")
 
 
@@ -769,7 +791,7 @@ def _as_double(c):
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _embs(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -813,7 +835,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the DuckDB oracle replays the identical buckets
     and the check stays exact — see
     similarity.banded_near_dup_oracle_sql."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _embs(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     return similarity.banded_near_dup_pairs(emb, **_NEAR_DUP_CFG).select(
@@ -828,7 +850,7 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path). Approximate w.r.t. brute force
     but fully deterministic — the DuckDB oracle replays the identical
     sin-based hyperplane buckets, so the check is exact."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _embs(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -1019,7 +1041,7 @@ def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic binary media column synthesized from documents
     (the container has no codec libs — TESTDATA has no blob column,
     so payload bytes = utf8(text), identically derivable in SQL)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
 
