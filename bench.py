@@ -80,9 +80,12 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm (I/O cache, codegen)
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            df2 = fn(spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
+            for d in (df, df2):  # release operator-persisted bases
+                if hasattr(d, "unpersist_base"):
+                    d.unpersist_base()
         except Exception as e:
             # a broken query must HURT the headline, not silently
             # shrink it: it contributes a penalty far above any real

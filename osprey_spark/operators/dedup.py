@@ -282,7 +282,11 @@ def dedup_groups(
         .distinct()
         .persist()
     )
-    labels = docs.select(F.col(id_col).alias("_u")).distinct().withColumn("_lbl", F.col("_u"))
+    # iterate only over docs that actually touch an edge — in a real
+    # corpus the near-dup graph covers a tiny fraction of docs, so the
+    # propagation joins run on the pair set, not the corpus; singleton
+    # docs rejoin as their own group at the end
+    labels = edges.select("_u").distinct().withColumn("_lbl", F.col("_u"))
     persisted: list = []
     for _ in range(max_iterations):
         neighbor_min = (
@@ -308,11 +312,13 @@ def dedup_groups(
     edges.unpersist()
     for df_ in persisted[:-1]:
         df_.unpersist()
-    return labels.select(
+    all_docs = docs.select(F.col(id_col).alias("_u")).distinct()
+    out = all_docs.join(labels, "_u", "left").select(
         F.col("_u").alias(id_col),
-        F.col("_lbl").alias("group_id"),
-        (F.col("_u") == F.col("_lbl")).alias("is_keeper"),
-    ).orderBy(id_col)
+        F.coalesce(F.col("_lbl"), F.col("_u")).alias("group_id"),
+        (F.col("_u") == F.coalesce(F.col("_lbl"), F.col("_u"))).alias("is_keeper"),
+    )
+    return out.orderBy(id_col)
 
 
 # 60 bits: 15 hex digits of md5 fit a signed BIGINT in any engine, so

@@ -148,7 +148,11 @@ def banded_near_dup_pairs(
     per-band 8-bit bucket bounds bucket width (skew) at scale.
     """
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-    base = base.withColumn("_n", norm(F.col("_vec")))
+    # norm + per-band buckets are consumed by FOUR branches (two join
+    # sides each for candidates and verify) — persist so the 64 plane
+    # dots per vector run once; caller may release via the
+    # unpersist_base() handle on the result
+    base = base.withColumn("_n", norm(F.col("_vec"))).persist()
     bands = base.select(
         "_id",
         F.explode(
@@ -164,7 +168,7 @@ def banded_near_dup_pairs(
                 ]
             )
         ).alias("_bb"),
-    ).select("_id", F.col("_bb.band").alias("_band"), F.col("_bb.bkt").alias("_bkt"))
+    ).select("_id", F.col("_bb.band").alias("_band"), F.col("_bb.bkt").alias("_bkt")).persist()
     a, c = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -179,13 +183,15 @@ def banded_near_dup_pairs(
     va = base.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), F.col("_n").alias("_na"))
     vb = base.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), F.col("_n").alias("_nb"))
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    out.unpersist_base = lambda: (base.unpersist(), bands.unpersist())
+    return out
 
 
 def _plane_dot_sql(col: str, plane: list[float]) -> str:
