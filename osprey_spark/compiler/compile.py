@@ -689,7 +689,16 @@ class CompiledRuleset:
         sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
         rid = "__cache_rid"
         if rid not in df.columns:
-            df = df.withColumn(rid, F.monotonically_increasing_id())
+            # the rid must be IDENTICAL in every branch that re-reads
+            # df (probes, per-Set writes, final join-back), but
+            # monotonically_increasing_id depends on partition-local
+            # row order, which upstream exchanges don't guarantee
+            # across re-executions — persist pins one materialization
+            # (released via CompiledRuleset.release_cache_state())
+            df = df.withColumn(rid, F.monotonically_increasing_id()).persist()
+            if not hasattr(self, "_cache_persists"):
+                self._cache_persists = []
+            self._cache_persists.append(df)
         cast = spec["cast"]
         probes = df.select(
             F.col(rid).alias("_crid"),
@@ -751,6 +760,13 @@ class CompiledRuleset:
                 F.coalesce(spec["gate"], F.lit(False)), result
             ).otherwise(spec["default_col"])
         return df.select("*", result.alias(name)).drop("_cval")
+
+    def release_cache_state(self) -> None:
+        """Unpersist the pinned row-id frames cache lookups created —
+        call after materializing apply()'s result in long sessions."""
+        for d in getattr(self, "_cache_persists", []):
+            d.unpersist()
+        self._cache_persists = []
 
     def apply(
         self,
