@@ -822,7 +822,18 @@ class CompiledRuleset:
         cols.append(self.verdicts_column().alias(VERDICTS))
         cols.append(self.label_mutations_column().alias(LABEL_MUTATIONS))
         cols.append(self.label_effects_column().alias(LABEL_EFFECTS))
-        cols.append(F.lit(None).cast("int").alias(ERROR_COUNT))
+        # failed-node counter: the JVM-computable subset is required
+        # extraction misses (ref counts every raised UDF; our Err→NULL
+        # collapse keeps values identical and this keeps the count)
+        indicators = getattr(self.ctx, "error_indicators", [])
+        if indicators:
+            err = sum(
+                (ind.cast("int") for ind in indicators[1:]),
+                indicators[0].cast("int"),
+            )
+            cols.append(F.coalesce(err, F.lit(0)).alias(ERROR_COUNT))
+        else:
+            cols.append(F.lit(0).alias(ERROR_COUNT))
         if sample_rate_col is not None:
             cols.append(sample_rate_col.alias(SAMPLE_RATE))
         return df.select(*cols)

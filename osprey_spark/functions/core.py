@@ -44,15 +44,22 @@ def json_data(ctx, call, args):
 
     ref: stdlib/udfs/json_data.py:10-58 (+ json_utils.py). The return
     type is dynamic from the assignment annotation; with our collapse
-    of Err→NULL, ``required=`` has no runtime effect (a missing
+    of Err→NULL, ``required=`` has no effect on the VALUE (a missing
     required path fails the node → NULL feature → dependents poisoned,
-    which SQL NULL propagation reproduces).
+    which SQL NULL propagation reproduces) — but a required-path miss
+    IS counted in the ``__error_count`` reserved column, mirroring the
+    reference's failed-node counter
+    (ref: engine/executor/custom_extracted_features.py:72-81).
     """
     path = const_arg(ctx, call, args, "path")
-    const_arg(ctx, call, args, "required", required=False, default=True)
+    required = const_arg(ctx, call, args, "required", required=False, default=True)
     const_arg(ctx, call, args, "coerce_type", required=False, default=False)
     dtype = annotation_dtype(ctx.current_annotation)
     raw, direct = _payload_col(ctx, path)
+    if required:
+        if not hasattr(ctx, "error_indicators"):
+            ctx.error_indicators = []
+        ctx.error_indicators.append(raw.isNull())
     if dtype.startswith("list:"):
         elem = _JSON_CAST.get(dtype.split(":")[1], "string")
         if direct:

@@ -53,3 +53,28 @@ def test_sampling_rejects_bad_rate(spark):
     df = _env(spark, ["a"])
     with pytest.raises(ValueError):
         rs.apply(df, sample_config={"a": 101})
+
+
+def test_error_count_counts_required_misses(spark):
+    """__error_count mirrors the reference's failed-node counter for
+    the JVM-computable class: required JsonData paths that are absent
+    (ref: custom_extracted_features.py:72-81)."""
+    sml = """
+A: str = JsonData(path='$.a')
+B: str = JsonData(path='$.b', required=False)
+C: str = JsonData(path='$.c')
+"""
+    rs = compile_ruleset({"main.sml": sml})
+    df = _env_rows(spark, ['{"a": "x", "c": "y"}', '{"a": "x"}', "{}"])
+    out = sorted(
+        (r["__action_id"], r["__error_count"]) for r in rs.apply(df).collect()
+    )
+    # row0: all required present; row1: c missing; row2: a and c missing
+    assert out == [(0, 0), (1, 1), (2, 2)]
+
+
+def _env_rows(spark, datas):
+    rows = [(i, "act", d, "2024-01-01 00:00:00") for i, d in enumerate(datas)]
+    return spark.createDataFrame(
+        rows, "action_id long, action_name string, data string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
