@@ -1,0 +1,66 @@
+"""Validator-error corpus (mirrors the reference's golden-output
+style, engine/conftest.py:73-151 check_output — here as a
+parametrized table of program → required error fragment, which keeps
+the corpus in one place without snapshot files)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osprey_spark.compiler import compile_ruleset
+from osprey_spark.sml.errors import SmlError
+
+CASES = [
+    ("duplicate feature", "X = 1\nX = 2\n", "duplicate feature"),
+    ("undefined name", "Y = NotDefined\n", "undefined name"),
+    ("unknown udf", "Y = NoSuchUdf(x=1)\n", "NoSuchUdf"),
+    ("unknown enum attribute", "Y = LabelStatus.NOPE\n", "unknown attribute"),
+    ("unknown enum base", "Y = Nope.NOPE\n", "unknown attribute"),
+    (
+        "cache ttl below one",
+        "K: str = JsonData(path='$.k')\nCacheSetStr(key=K, value=K, ttl_seconds=0.5)\n",
+        "ttl_seconds",
+    ),
+    (
+        "window below one second",
+        "K: str = JsonData(path='$.k')\nN = IncrementWindow(key=K, window_seconds=0.2)\n",
+        "window_seconds",
+    ),
+    (
+        "cache get without set",
+        "K: str = JsonData(path='$.k')\nG = CacheGetStr(key=K)\n",
+        "no preceding CacheSet",
+    ),
+    (
+        "bad haslabel status",
+        "U: Entity[str] = EntityJson(type='U', path='$.u')\nB = HasLabel(entity=U, label='x', status='maybe')\n",
+        "status",
+    ),
+    (
+        "snowflake granularity too small",
+        "B = GetSnowflakeBucket(snowflake=1, granularity_seconds=60)\n",
+        "3600",
+    ),
+    (
+        "unknown named list",
+        "T: str = JsonData(path='$.t')\nHit = CensorizedListContains(phrases=[T], list_name='nope_list')\n",
+        "unknown named list",
+    ),
+    (
+        "bad stringclean form",
+        "T: str = JsonData(path='$.t')\nC = StringClean(s=T, form='NFX')\n",
+        "form",
+    ),
+    (
+        "bad regex at compile time",
+        "T: str = JsonData(path='$.t')\nM = RegexMatch(target=T, pattern='[unclosed')\n",
+        "invalid regex",
+    ),
+]
+
+
+@pytest.mark.parametrize("label,sml,fragment", CASES, ids=[c[0] for c in CASES])
+def test_validation_error(spark, label, sml, fragment):
+    with pytest.raises(SmlError) as ei:
+        compile_ruleset({"main.sml": sml})
+    assert fragment.lower() in str(ei.value).lower()
