@@ -141,14 +141,20 @@ class ExactlyOnceParquetSink:
         """foreachBatch body: write data files, then mark the commit."""
         self.mark_commit(batch_id, self.write_data(df, batch_id))
 
-    def read_committed(self, spark: SparkSession) -> DataFrame:
+    def read_committed(self, spark: SparkSession, merge_schema: bool = False) -> DataFrame:
         """Union of committed batch partitions only (uncommitted data
-        files from a crashed writer are invisible)."""
+        files from a crashed writer are invisible). ``merge_schema``
+        reconciles batches written by different ruleset versions
+        (rules hot-swap restarts — new feature columns read as NULL
+        for old batches)."""
         batches = self.committed_batches()
         if not batches:
             raise FileNotFoundError(f"no committed batches under {self.root}")
         paths = [os.path.join(self.data_dir, f"_batch_id={b}") for b in batches]
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        reader = spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*paths)
 
 
 class PartialSinkFailure(Exception):

@@ -499,3 +499,39 @@ def test_metrics_listener_records_state_and_watermark(spark, tmp_path):
     assert with_state, "stateful operator rows should appear in progress"
     with_wm = [r for r in recs if r.get("watermark") and r.get("watermark_lag_ms") is not None]
     assert with_wm and all(r["watermark_lag_ms"] >= 0 for r in with_wm)
+
+
+def test_rules_hot_swap_across_restart(spark, tmp_path):
+    """The documented hot-reload procedure (SURVEY §4: the reference
+    watches etcd and recompiles live; here the query restarts from the
+    same checkpoint with the new compiled plan): batches before the
+    swap keep the old schema, the stream resumes exactly-once, and
+    read_committed(merge_schema=True) reconciles both eras."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=10, turns_per_conv=4, hot_convs=0)
+    t.filter(F.col("conv_id") < "conv_00000005").coalesce(1).write.mode("append").parquet(in_dir)
+
+    sml_v2 = SML + "TextLen = StringLength(s=TurnText)\n"
+
+    def build(sml):
+        return StreamingRuleEngine(
+            spark, compile_ruleset({"main.sml": sml}), in_dir, out_dir,
+            passthrough=("conv_id", "turn_idx"),
+        )
+
+    build(SML).run_to_completion()
+    # rules change lands; restart from the SAME checkpoint with v2
+    t.filter(F.col("conv_id") >= "conv_00000005").coalesce(1).write.mode("append").parquet(in_dir)
+    build(sml_v2).run_to_completion()
+
+    res = ExactlyOnceParquetSink(out_dir).read_committed(spark, merge_schema=True)
+    assert res.count() == 40  # exactly-once across the swap
+    assert res.select("conv_id", "turn_idx").distinct().count() == 40
+    # old-era rows surface the new feature as NULL; new-era rows have it
+    assert "TextLen" in res.columns
+    old_rows = res.filter(F.col("conv_id") < "conv_00000005")
+    new_rows = res.filter(F.col("conv_id") >= "conv_00000005")
+    assert old_rows.filter(F.col("TextLen").isNotNull()).count() == 0
+    assert new_rows.filter(F.col("TextLen").isNull()).count() == 0
