@@ -761,6 +761,89 @@ class CompiledRuleset:
             ).otherwise(spec["default_col"])
         return df.select("*", result.alias(name)).drop("_cval")
 
+    def _join_window_count(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one IncrementWindow/GetWindowCount. Batch frames:
+        event-time range window (one shuffle on the key, whole-stage
+        codegen). Streaming frames: applyInPandasWithState keyed by
+        the key value — the state is the deque of in-window increment
+        timestamps (the Redis zset, ref example_plugins/src/udfs/
+        cache.py:161-227), carried across micro-batches; every input
+        column passes through, so no stream-stream join-back is
+        needed. Late rows within a batch are handled by sorting on
+        event time; cross-batch late data follows watermark limits
+        (counts are judged against the retained deque)."""
+        name = spec["name"]
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        win = int(spec["window_seconds"])
+        cap = int(spec["cap"])
+        gate = spec["gate"]
+        if not df.isStreaming:
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(spec["key_col"]).orderBy(sec).rangeBetween(-(win - 1), 0)
+            count = F.sum(F.when(spec["incremented"], 1).otherwise(0)).over(w)
+            if cap:
+                count = F.least(count, F.lit(cap))
+            if gate is not None:
+                count = F.when(F.coalesce(gate, F.lit(False)), count).otherwise(F.lit(0))
+            return df.select("*", F.coalesce(count, F.lit(0)).cast("long").alias(name))
+
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        aug = df.select(
+            "*",
+            spec["key_col"].cast("string").alias("__wc_key"),
+            sec.alias("__wc_sec"),
+            F.coalesce(spec["incremented"], F.lit(False)).alias("__wc_inc"),
+            (
+                F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
+            ).alias("__wc_gate"),
+        )
+        out_schema = T.StructType(
+            [f for f in aug.schema.fields if not f.name.startswith("__wc_")]
+            + [T.StructField(name, T.LongType())]
+        )
+        passthrough_cols = [f.name for f in aug.schema.fields if not f.name.startswith("__wc_")]
+
+        def fn(key, pdf_iter, state):
+            entries = _json.loads(state.get[0]) if state.exists else []
+            frames = []
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values("__wc_sec", kind="stable")
+                counts = []
+                for s_, inc, g_ in zip(
+                    pdf["__wc_sec"].values, pdf["__wc_inc"].values, pdf["__wc_gate"].values
+                ):
+                    s_ = int(s_)
+                    if inc:
+                        entries.append(s_)
+                    # retain only what any future row inside the
+                    # watermark could still read
+                    lo = s_ - win + 1
+                    entries = [e for e in entries if e >= lo]
+                    if not g_:
+                        counts.append(0)
+                    else:
+                        n = sum(1 for e in entries if lo <= e <= s_)
+                        counts.append(min(n, cap) if cap else n)
+                out = pdf[passthrough_cols].copy()
+                out[name] = counts
+                frames.append(out)
+            state.update((_json.dumps(entries),))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        return aug.groupBy("__wc_key").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType([T.StructField("entries_json", T.StringType())]),
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+
     def release_cache_state(self) -> None:
         """Unpersist the pinned row-id frames cache lookups created —
         call after materializing apply()'s result in long sessions."""
@@ -798,10 +881,13 @@ class CompiledRuleset:
         # shared (collapseProjectAlwaysInline=false), so the optimized
         # plan stays linear in ruleset size.
         cache_specs = {s["name"]: s for s in getattr(self.ctx, "cache_lookups", [])}
+        window_specs = {s["name"]: s for s in getattr(self.ctx, "window_lookups", [])}
         for mangled, defn in self.ctx.feature_exprs:
             if defn is None:
                 if mangled in cache_specs:
                     df = self._join_cache(df, cache_specs[mangled])
+                elif mangled in window_specs:
+                    df = self._join_window_count(df, window_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -247,8 +247,6 @@ def _window_count(ctx, call, args, increments: bool):
     key expression in this program (pairing rule as for CacheSet/Get);
     with no paired increment it falls back to counting every event
     (the increment-on-every-event pattern), documented divergence."""
-    from pyspark.sql import Window as W
-
     from ..compiler import nullsafe
     from ..sml.nodes import ListLiteral
 
@@ -284,25 +282,33 @@ def _window_count(ctx, call, args, increments: bool):
             if s["key_repr"] == str(key_v.col)
         ] or [None]  # no paired IncrementWindow -> count all events
 
-    sec = F.col(ctx.bindings.timestamp).cast("timestamp").cast("long")
-    w = (
-        W.partitionBy(key_v.col)
-        .orderBy(sec)
-        .rangeBetween(-(round(float(window_s)) - 1), 0)
-    )
     if any(g is None for g in inc_gates):
-        incremented = F.lit(1)
+        incremented = F.lit(True)
     else:
         any_gate = inc_gates[0]
         for g in inc_gates[1:]:
             any_gate = any_gate | g
-        incremented = F.when(F.coalesce(any_gate, F.lit(False)), 1).otherwise(0)
-    count = F.sum(incremented).over(w)
-    if cap:
-        count = F.least(count, F.lit(int(cap)))
-    if gate is not None:
-        count = F.when(F.coalesce(gate, F.lit(False)), count).otherwise(F.lit(0))
-    return Value(col=F.coalesce(count, F.lit(0)).cast("long"), dtype="int")
+        incremented = F.coalesce(any_gate, F.lit(False))
+
+    # deferred: CompiledRuleset.apply picks the physical strategy at
+    # plan time — batch frames get an event-time range window; a
+    # STREAMING frame gets applyInPandasWithState (non-time window
+    # functions are illegal on streams), same semantics either way
+    if not hasattr(ctx, "window_lookups"):
+        ctx.window_lookups = []
+    name = f"__wc_{len(ctx.window_lookups)}"
+    ctx.window_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "window_seconds": round(float(window_s)),
+            "cap": int(cap) if cap else 0,
+            "gate": gate,
+            "incremented": incremented,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
 
 
 @register("IncrementWindow")

@@ -535,3 +535,46 @@ def test_rules_hot_swap_across_restart(spark, tmp_path):
     new_rows = res.filter(F.col("conv_id") >= "conv_00000005")
     assert old_rows.filter(F.col("TextLen").isNotNull()).count() == 0
     assert new_rows.filter(F.col("TextLen").isNull()).count() == 0
+
+
+def test_increment_window_rule_streams(spark, tmp_path):
+    """An SML ruleset with IncrementWindow now RUNS in the streaming
+    engine (applyInPandasWithState replaces the illegal non-time
+    window function) and matches the batch evaluation exactly, with
+    counter state carrying across micro-batches."""
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    sml = """
+K: str = JsonData(path='$.conv_id')
+IsUser = JsonData(path='$.role') == 'user'
+N = IncrementWindow(key=K, window_seconds=600.0, when_all=[IsUser])
+Bursty = N >= 3
+"""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=8, turns_per_conv=10, hot_convs=0)
+    # two files -> maxFilesPerTrigger=1 forces 2 micro-batches, so the
+    # trailing counter must survive the batch boundary
+    t.filter(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(in_dir)
+    t.filter(F.col("turn_idx") >= 5).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"), max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    assert len(eng.sink.committed_batches()) >= 2
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["N"], r["Bursty"])
+        for r in eng.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)), passthrough=["conv_id", "turn_idx"]
+    )
+    want = {(r["conv_id"], r["turn_idx"]): (r["N"], r["Bursty"]) for r in batch.collect()}
+    assert got == want and len(want) == 80
+    assert any(v[0] >= 3 for v in want.values())  # counter actually accumulates
