@@ -687,6 +687,8 @@ class CompiledRuleset:
 
         name = spec["name"]
         sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        if df.isStreaming:
+            return self._join_cache_streaming(df, spec, sec)
         rid = "__cache_rid"
         if rid not in df.columns:
             # the rid must be IDENTICAL in every branch that re-reads
@@ -843,6 +845,106 @@ class CompiledRuleset:
             outputMode="append",
             timeoutConf="NoTimeout",
         )
+
+    def _join_cache_streaming(self, df: DataFrame, spec: dict, sec: Column) -> DataFrame:
+        """Streaming strategy for a CacheGet: each event row explodes
+        into its Set-write pieces (narrow: key, ts, stmt idx, value,
+        expiry) and one probe piece carrying every input column; the
+        union groups by key value into applyInPandasWithState, whose
+        state is just the LATEST write (Redis overwrite semantics
+        makes the state O(1) per key). Probes re-emerge with the
+        looked-up value — no stream-stream join-back. Within a key,
+        pieces process in (ts, writes-before-reads) order; cross-batch
+        late writes follow watermark limits."""
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        cast = spec["cast"]
+        probe = df.select(
+            "*",
+            spec["key_col"].cast("string").alias("__ck"),
+            sec.alias("__cts"),
+            F.lit(None).cast("long").alias("__cidx"),
+            F.lit(None).cast("long").alias("__cexp"),
+            F.lit(None).cast(cast).alias("__cv"),
+            F.lit(0).alias("__cset"),
+        )
+        rel = probe
+        for s in spec["sets"]:
+            ttl = round(s["ttl"])
+            set_gate = F.coalesce(
+                s["gate"] if s["gate"] is not None else F.lit(True), F.lit(False)
+            )
+            piece = (
+                df.filter(set_gate & s["key_col"].isNotNull())
+                .select(
+                    s["key_col"].cast("string").alias("__ck"),
+                    sec.alias("__cts"),
+                    F.lit(int(s["idx"])).cast("long").alias("__cidx"),
+                    (sec + F.lit(ttl - 1)).alias("__cexp"),
+                    s["value_col"].cast(cast).alias("__cv"),
+                    F.lit(1).alias("__cset"),
+                )
+            )
+            rel = rel.unionByName(piece, allowMissingColumns=True)
+        passthrough_cols = [c for c in df.columns]
+        out_schema = T.StructType(
+            [f for f in df.schema.fields]
+            + [T.StructField("__cval", probe.schema["__cv"].dataType)]
+        )
+
+        def fn(key, pdf_iter, state):
+            latest = _json.loads(state.get[0]) if state.exists else None
+            frames = []
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(
+                    ["__cts", "__cset"], ascending=[True, False], kind="stable"
+                )
+                is_set = pdf["__cset"].values
+                vals = []
+                for i in range(len(pdf)):
+                    if is_set[i] == 1:
+                        cand = [
+                            int(pdf["__cts"].values[i]),
+                            int(pdf["__cidx"].values[i]),
+                            int(pdf["__cexp"].values[i]),
+                            None
+                            if pd.isna(pdf["__cv"].values[i])
+                            else pdf["__cv"].values[i].item()
+                            if hasattr(pdf["__cv"].values[i], "item")
+                            else pdf["__cv"].values[i],
+                        ]
+                        if latest is None or cand[:2] >= latest[:2]:
+                            latest = cand
+                    else:
+                        ts_ = int(pdf["__cts"].values[i])
+                        if latest is not None and latest[2] >= ts_:
+                            vals.append(latest[3])
+                        else:
+                            vals.append(None)
+                probes = pdf[is_set == 0]
+                out = probes[passthrough_cols].copy()
+                out["__cval"] = vals
+                frames.append(out)
+            state.update((_json.dumps(latest),))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        looked = rel.groupBy("__ck").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType([T.StructField("latest_json", T.StringType())]),
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        result = F.coalesce(F.col("__cval"), spec["default_col"])
+        if spec["gate"] is not None:
+            result = F.when(
+                F.coalesce(spec["gate"], F.lit(False)), result
+            ).otherwise(spec["default_col"])
+        return looked.select("*", result.alias(spec["name"])).drop("__cval")
 
     def release_cache_state(self) -> None:
         """Unpersist the pinned row-id frames cache lookups created —

@@ -578,3 +578,44 @@ Bursty = N >= 3
     want = {(r["conv_id"], r["turn_idx"]): (r["N"], r["Bursty"]) for r in batch.collect()}
     assert got == want and len(want) == 80
     assert any(v[0] >= 3 for v in want.values())  # counter actually accumulates
+
+
+def test_cache_rules_stream(spark, tmp_path):
+    """Cache Set/Get rules run in the streaming engine: the KV state
+    (latest write per key) carries across micro-batches and matches
+    the batch evaluation row-for-row."""
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    sml = """
+K: str = JsonData(path='$.conv_id')
+Text: str = JsonData(path='$.text')
+IsUser = JsonData(path='$.role') == 'user'
+CacheSetStr(key=K, value=Text, when_all=[IsUser], ttl_seconds=3600.0)
+LastUserText = CacheGetStr(key=K, default='none')
+"""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=6, turns_per_conv=8, hot_convs=0)
+    t.filter(F.col("turn_idx") < 4).coalesce(1).write.mode("append").parquet(in_dir)
+    t.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"), max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    assert len(eng.sink.committed_batches()) >= 2
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["LastUserText"]
+        for r in eng.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)), passthrough=["conv_id", "turn_idx"]
+    )
+    want = {(r["conv_id"], r["turn_idx"]): r["LastUserText"] for r in batch.collect()}
+    assert got == want and len(want) == 48
+    assert any(v != "none" for v in want.values())
