@@ -56,6 +56,7 @@ class StreamingRuleEngine:
         source_format: str = "parquet",
         source_options: Optional[dict] = None,
         sample_config: Optional[dict] = None,
+        labels_df: Optional[DataFrame] = None,
     ):
         """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
         a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
@@ -75,6 +76,9 @@ class StreamingRuleEngine:
         # (ref: rules_sink.py:47-70; deterministic md5 roll — a
         # resumed/replayed micro-batch drops the same events)
         self.sample_config = sample_config
+        # label snapshot for HasLabel rulesets (stream-static
+        # broadcast join; refresh by restarting from checkpoint)
+        self.labels_df = labels_df
         if tee is not None:
             self.sink = MultiSink(output_dir, tee, console=tee_console)
         else:
@@ -103,7 +107,10 @@ class StreamingRuleEngine:
     def transform(self, stream: DataFrame) -> DataFrame:
         env = self.envelope_fn(stream)
         return self.ruleset.apply(
-            env, passthrough=self.passthrough, sample_config=self.sample_config
+            env,
+            passthrough=self.passthrough,
+            sample_config=self.sample_config,
+            labels_df=self.labels_df,
         )
 
     def start(self, available_now: bool = True, processing_time: Optional[str] = None):

@@ -619,3 +619,33 @@ LastUserText = CacheGetStr(key=K, default='none')
     want = {(r["conv_id"], r["turn_idx"]): r["LastUserText"] for r in batch.collect()}
     assert got == want and len(want) == 48
     assert any(v != "none" for v in want.values())
+
+
+def test_has_label_rules_stream(spark, tmp_path):
+    """HasLabel is a stream-static broadcast join against the label
+    snapshot — legal on streaming frames as-is."""
+    from osprey_spark.turns import TURN_BINDINGS
+
+    sml = """
+ConvId: Entity[str] = EntityJson(type='ConvId', path='$.conv_id')
+Watched = HasLabel(entity=ConvId, label='watch')
+"""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=4, turns_per_conv=3, hot_convs=0)
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+    snap = spark.createDataFrame(
+        [("ConvId", "conv_00000001", "watch", "added", 0, "2024-01-01 00:00:00")],
+        "entity_type string, entity_id string, label string, status string, "
+        "expires_at_unix long, mutation_ts string",
+    ).withColumn("mutation_ts", F.col("mutation_ts").cast("timestamp"))
+
+    rs = compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+    eng = StreamingRuleEngine(
+        spark, rs, in_dir, out_dir, passthrough=("conv_id", "turn_idx"), labels_df=snap
+    )
+    eng.run_to_completion()
+    got = {(r["conv_id"], r["turn_idx"]): r["Watched"] for r in eng.results().collect()}
+    assert len(got) == 12
+    assert all(v == (c == "conv_00000001") for (c, _), v in got.items())
