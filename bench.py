@@ -151,6 +151,29 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         if f.endswith(".json")
     ]
     lat = sorted(c["duration_s"] for c in commits) or [0.0]
+
+    # stateful variant: the same stream with a per-conversation
+    # sliding-window counter rule — measures the applyInPandasWithState
+    # path (keyed state store) alongside the stateless pipeline
+    stateful_sml = BENCH_SML + (
+        "\nWcKey: str = JsonData(path='$.conv_id')"
+        "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
+        "\nBurstConv = TurnRate >= 20\n"
+    )
+    out_dir2 = os.path.join("/dev/shm/osprey_bench", "stream_out_stateful")
+    shutil.rmtree(out_dir2, ignore_errors=True)
+    engine2 = StreamingRuleEngine(
+        spark,
+        compile_ruleset({"main.sml": stateful_sml}, bindings=TURN_BINDINGS),
+        input_dir=input_dir,
+        output_dir=out_dir2,
+        max_files_per_trigger=max(n_files // 4, 1),
+        repartition_buckets=False,
+    )
+    t0 = time.perf_counter()
+    engine2.run_to_completion()
+    wall2 = time.perf_counter() - t0
+
     return {
         "turns": n_rows,
         "streaming_wall_s": round(wall, 3),
@@ -158,6 +181,8 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "n_microbatches": len(commits),
         "batch_latency_p50_s": lat[len(lat) // 2],
         "batch_latency_max_s": lat[-1],
+        "stateful_turns_per_sec": round(n_rows / wall2, 1),
+        "stateful_wall_s": round(wall2, 3),
     }
 
 

@@ -811,29 +811,35 @@ class CompiledRuleset:
         passthrough_cols = [f.name for f in aug.schema.fields if not f.name.startswith("__wc_")]
 
         def fn(key, pdf_iter, state):
+            import numpy as np
+
             entries = _json.loads(state.get[0]) if state.exists else []
             frames = []
             for pdf in pdf_iter:
                 pdf = pdf.sort_values("__wc_sec", kind="stable")
-                counts = []
-                for s_, inc, g_ in zip(
-                    pdf["__wc_sec"].values, pdf["__wc_inc"].values, pdf["__wc_gate"].values
-                ):
-                    s_ = int(s_)
-                    if inc:
-                        entries.append(s_)
-                    # retain only what any future row inside the
-                    # watermark could still read
-                    lo = s_ - win + 1
-                    entries = [e for e in entries if e >= lo]
-                    if not g_:
-                        counts.append(0)
-                    else:
-                        n = sum(1 for e in entries if lo <= e <= s_)
-                        counts.append(min(n, cap) if cap else n)
+                sec_a = pdf["__wc_sec"].to_numpy(dtype="int64")
+                inc_a = pdf["__wc_inc"].to_numpy(dtype=bool)
+                gate_a = pdf["__wc_gate"].to_numpy(dtype=bool)
+                # all increment timestamps visible this batch: carried
+                # state + this batch's gated rows, sorted
+                inc_ts = np.sort(
+                    np.concatenate([np.asarray(entries, dtype="int64"), sec_a[inc_a]])
+                )
+                # count at row i = increments in [sec_i - win + 1, sec_i];
+                # a row's own increment sorts <= sec_i so it is included,
+                # and later rows' increments (> sec_i) are not — exactly
+                # the sequential zadd-then-zcard semantics, vectorized
+                hi = np.searchsorted(inc_ts, sec_a, side="right")
+                lo = np.searchsorted(inc_ts, sec_a - win + 1, side="left")
+                counts = hi - lo
+                if cap:
+                    counts = np.minimum(counts, cap)
+                counts = np.where(gate_a, counts, 0)
                 out = pdf[passthrough_cols].copy()
-                out[name] = counts
+                out[name] = counts.astype("int64")
                 frames.append(out)
+                keep = int(sec_a.max()) - win + 1 if len(sec_a) else None
+                entries = [int(e) for e in inc_ts if keep is None or e >= keep]
             state.update((_json.dumps(entries),))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
