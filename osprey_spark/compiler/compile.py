@@ -902,38 +902,59 @@ class CompiledRuleset:
         )
 
         def fn(key, pdf_iter, state):
+            import numpy as np
+
             latest = _json.loads(state.get[0]) if state.exists else None
             frames = []
             for pdf in pdf_iter:
+                # writes before probes at equal ts; among same-ts
+                # writes, statement idx ascending so "last position"
+                # = max (ts, idx) — the batch window's struct max
                 pdf = pdf.sort_values(
-                    ["__cts", "__cset"], ascending=[True, False], kind="stable"
+                    ["__cts", "__cset", "__cidx"], ascending=[True, False, True], kind="stable"
                 )
-                is_set = pdf["__cset"].values
-                vals = []
-                for i in range(len(pdf)):
-                    if is_set[i] == 1:
-                        cand = [
-                            int(pdf["__cts"].values[i]),
-                            int(pdf["__cidx"].values[i]),
-                            int(pdf["__cexp"].values[i]),
-                            None
-                            if pd.isna(pdf["__cv"].values[i])
-                            else pdf["__cv"].values[i].item()
-                            if hasattr(pdf["__cv"].values[i], "item")
-                            else pdf["__cv"].values[i],
-                        ]
-                        if latest is None or cand[:2] >= latest[:2]:
-                            latest = cand
-                    else:
-                        ts_ = int(pdf["__cts"].values[i])
-                        if latest is not None and latest[2] >= ts_:
-                            vals.append(latest[3])
-                        else:
-                            vals.append(None)
-                probes = pdf[is_set == 0]
-                out = probes[passthrough_cols].copy()
+                n = len(pdf)
+                is_set = pdf["__cset"].to_numpy() == 1
+                ts = pdf["__cts"].to_numpy(dtype="int64")
+                # position of the latest batch write at or before each
+                # row (writes sort before probes at equal ts — the
+                # zadd-then-read sequencing), fully columnar
+                last_w = np.maximum.accumulate(np.where(is_set, np.arange(n), -1))
+                pl = last_w[~is_set]
+                probe_ts = ts[~is_set]
+                safe = np.maximum(pl, 0)
+                w_ts = ts[safe]
+                w_idx = pdf["__cidx"].to_numpy(dtype="float64")[safe]
+                w_exp = pdf["__cexp"].to_numpy(dtype="float64")[safe]
+                w_val = pdf["__cv"].to_numpy(dtype=object)[safe]
+                if latest is not None:
+                    s_ts, s_idx, s_exp, s_val = latest
+                    # Redis overwrite: lexicographically newest (ts, idx)
+                    # write wins between carried state and batch writes
+                    use_state = (pl < 0) | (s_ts > w_ts) | ((s_ts == w_ts) & (s_idx > w_idx))
+                    exp_sel = np.where(use_state, float(s_exp), w_exp)
+                    val_sel = np.where(use_state, np.array([s_val], dtype=object)[0], w_val)
+                else:
+                    use_none = pl < 0
+                    exp_sel = np.where(use_none, -1.0, w_exp)
+                    val_sel = np.where(use_none, None, w_val)
+                valid = exp_sel >= probe_ts
+                vals = np.where(valid, val_sel, None)
+                out = pdf[~is_set][passthrough_cols].copy()
                 out["__cval"] = vals
                 frames.append(out)
+                # fold this batch's newest write into the carried state
+                if is_set.any():
+                    bi = int(np.flatnonzero(is_set)[-1])
+                    v = pdf["__cv"].values[bi]
+                    cand = [
+                        int(ts[bi]),
+                        int(pdf["__cidx"].values[bi]),
+                        int(pdf["__cexp"].values[bi]),
+                        None if pd.isna(v) else (v.item() if hasattr(v, "item") else v),
+                    ]
+                    if latest is None or cand[:2] >= latest[:2]:
+                        latest = cand
             state.update((_json.dumps(latest),))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
