@@ -59,6 +59,7 @@ HEADLINE = [
     "embedding_topk",
     "embedding_near_dup",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "label_state",
     "bulk_label",
     "has_label_roundtrip",

@@ -865,6 +865,23 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_EMBEDDING_LSH_TOPK = similarity.lsh_topk_oracle_sql(dim=64, k=5, n_planes=6)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the second scale path beside LSH): deterministic
+    md5-sampled codebook, nearest-cell inverted file, n_probe cell
+    probing, exact-cosine rank — fully replayed by the DuckDB
+    oracle."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=64, n_probe=8)
+
+
+O_EMBEDDING_IVF_TOPK = similarity.ivf_topk_oracle_sql(dim=64, k=5, n_centroids=64, n_probe=8)
+
+
 # --- stateful-rule parity (label store + window counters) -----------------
 
 
@@ -1136,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "label_state": q_label_state,
     "bulk_label": q_bulk_label,
     "has_label_roundtrip": q_has_label_roundtrip,
@@ -1174,6 +1192,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "embedding_lsh_topk": O_EMBEDDING_LSH_TOPK,
+    "embedding_ivf_topk": O_EMBEDDING_IVF_TOPK,
     "label_state": O_LABEL_STATE,
     "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,

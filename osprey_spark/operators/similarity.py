@@ -303,6 +303,149 @@ ORDER BY id_a, id_b
 """
 
 
+def ivf_centroids(vectors: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> list:
+    """Deterministic IVF codebook: the ``n_centroids`` vectors whose
+    md5(id) sorts first — a uniform deterministic sample of the
+    corpus standing in for trained k-means centroids (training is an
+    offline build step; any fixed codebook gives the same IVF plan
+    shape). Collected to the driver: the codebook is small by design
+    (like broadcasting a dimension table)."""
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r._vec) for r in rows]
+
+
+def _nearest_cells(vec_col: Column, cents: list, n_probe: int) -> Column:
+    """Array of the n_probe nearest centroid ids (cosine desc, cid asc
+    tiebreak) — computed as a sort of (cos, -cid) structs; every
+    centroid dot is evaluated exactly once (array literal, no
+    CASE-branch duplication)."""
+    import math as _m
+
+    entries = []
+    for cid, c in enumerate(cents):
+        cn = _m.sqrt(sum(x * x for x in c)) or 1.0
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        # the row vector's own norm is constant across centroids, so
+        # ranking by dot/|c| gives the cosine order without evaluating
+        # norm(vec) once per centroid
+        score = dot(vec_col, plane) / F.lit(cn)
+        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("r"), F.lit(cid).alias("c")))
+    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda e: e["c"])
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest centroid cell
+    (one projection over the scan — the inverted file), probe each
+    query's ``n_probe`` nearest cells, exact-cosine rank within the
+    probed cells. The scale shape: the cross product becomes an
+    equi-join on cell id; recall tunes with n_probe. Deterministic
+    codebook (see ivf_centroids) makes the whole query replayable by
+    the DuckDB oracle."""
+    cents = ivf_centroids(vectors, id_col, vec_col, n_centroids)
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vvec"),
+        _nearest_cells(F.col(vec_col), cents, 1)[0].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_probe)).alias("_cell"),
+    )
+    scored = q.join(v, "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("_qvec"), F.col("_vvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB replay of :func:`ivf_topk`: same md5-ordered codebook,
+    same (cosine desc, cid asc) assignment and probing, relationally
+    (the oracle may cross-join vectors × centroids — it only needs to
+    be correct, not fast)."""
+    dot_sql = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract({{a}}, i) AS DOUBLE) * CAST(list_extract({{b}}, i) AS DOUBLE)))"
+    )
+    # same scaled-dot ordering as _nearest_cells (dot / |centroid|)
+    cos = (
+        dot_sql.format(a="x.{v}", b="c.cvec")
+        + f" / sqrt({dot_sql.format(a='c.cvec', b='c.cvec')})"
+    ).replace("{v}", vec_col)
+    pair_dot = dot_sql.format(a="q._qv", b="v._vv")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS cid,
+         {vec_col} AS cvec
+  FROM {table} ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_centroids}
+),
+vassign AS (
+  SELECT {id_col}, _vv, cid AS _cell FROM (
+    SELECT x.{id_col}, x.{vec_col} AS _vv, c.cid,
+      row_number() OVER (PARTITION BY x.{id_col} ORDER BY {cos} DESC, c.cid) AS rn
+    FROM {table} x, cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT {id_col} AS query_id, _qv, cid AS _cell FROM (
+    SELECT x.{id_col}, x.{vec_col} AS _qv, c.cid,
+      row_number() OVER (PARTITION BY x.{id_col} ORDER BY {cos} DESC, c.cid) AS rn
+    FROM {table} x, cents c
+    WHERE x.{query_pred.replace(id_col, id_col)}
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, v.{id_col},
+    round({pair_dot} / (sqrt({dot_sql.format(a='q._qv', b='q._qv')})
+         * sqrt({dot_sql.format(a='v._vv', b='v._vv')})), 6) AS cosine
+  FROM qprobe q JOIN vassign v ON q._cell = v._cell
+),
+ranked AS (
+  SELECT query_id, {id_col}, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, {id_col}) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, {id_col}, cosine, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     dim: int,
