@@ -118,11 +118,24 @@ class ExactlyOnceParquetSink:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(batch_dir)
-        # row count observed during the single write pass
+        # row count observed during the single write pass; per-partition
+        # lineage (north rule) from filesystem metadata — files/bytes
+        # per partition directory of this batch, no second data pass
+        lineage: dict[str, dict] = {}
+        for root, _dirs, files in os.walk(batch_dir):
+            pqs = [f for f in files if f.endswith(".parquet")]
+            if not pqs:
+                continue
+            rel = os.path.relpath(root, batch_dir)
+            lineage[rel if rel != "." else ""] = {
+                "files": len(pqs),
+                "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in pqs),
+            }
         return {
             "rows": obs.get["rows"],
             "duration_s": round(time.time() - t0, 3),
             "partition_columns": parts,
+            "partitions": lineage,
         }
 
     def mark_commit(self, batch_id: int, stats: dict) -> None:

@@ -649,3 +649,21 @@ Watched = HasLabel(entity=ConvId, label='watch')
     got = {(r["conv_id"], r["turn_idx"]): r["Watched"] for r in eng.results().collect()}
     assert len(got) == 12
     assert all(v == (c == "conv_00000001") for (c, _), v in got.items())
+
+
+def test_commit_marker_per_partition_lineage(spark, tmp_path):
+    """North rule: per-partition lineage — commit markers record
+    files/bytes per bucket partition of each batch."""
+    import json as _json
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "s"), n_buckets=4)
+    df = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(40)], "conv_id string, turn_idx int"
+    )
+    sink.write_batch(df, 3)
+    marker = _json.load(open(os.path.join(str(tmp_path / "s"), "_commits", "3.json")))
+    parts = marker["partitions"]
+    assert parts and all(k.startswith("_bucket=") for k in parts)
+    assert sum(p["files"] for p in parts.values()) >= len(parts)
+    assert all(p["bytes"] > 0 for p in parts.values())
+    assert marker["rows"] == 40
