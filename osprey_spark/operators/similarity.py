@@ -71,19 +71,37 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [x / n for x in raw]
 
 
+def _const_json(value, schema: str) -> Column:
+    """A large numeric constant (plane family, codebook) as ONE
+    from_json literal that Catalyst constant-folds. Plan-build cost is
+    O(1) py4j calls; per-component ``F.lit`` costs a JVM round-trip
+    per number (measured ~10s of pure plan construction for a 96×64
+    plane family built that way, and ``F.lit(list)`` is ~100ms per
+    list)."""
+    import json as _json
+
+    return F.from_json(F.lit(_json.dumps(value)), schema)
+
+
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot products with
     n_planes fixed hyperplanes → int bucket. Cosine-similar vectors
     collide with high probability. ``plane_offset`` selects a disjoint
-    plane family per band (multi-band amplification)."""
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, plane_offset + p)])
-        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    plane family per band (multi-band amplification). The plane family
+    is one constant-folded literal; the bucket folds over it, so the
+    expression tree and plan-build cost are O(1) in planes×dim."""
+    planes = _const_json(
+        [_hyperplane(dim, plane_offset + p) for p in range(n_planes)], "array<array<double>>"
+    )
+    pows = _const_json([1 << p for p in range(n_planes)], "array<int>")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            dot(vec_col, F.element_at(planes, p + 1)) >= 0, F.element_at(pows, p + 1)
+        ).otherwise(F.lit(0)),
+    )
 
 
 def lsh_topk(
@@ -330,16 +348,24 @@ def _nearest_cells(vec_col: Column, cents: list, n_probe: int) -> Column:
     CASE-branch duplication)."""
     import math as _m
 
-    entries = []
-    for cid, c in enumerate(cents):
-        cn = _m.sqrt(sum(x * x for x in c)) or 1.0
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        # the row vector's own norm is constant across centroids, so
-        # ranking by dot/|c| gives the cosine order without evaluating
-        # norm(vec) once per centroid
-        score = dot(vec_col, plane) / F.lit(cn)
-        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("r"), F.lit(cid).alias("c")))
-    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    codebook = _const_json([[float(x) for x in c] for c in cents], "array<array<double>>")
+    norms_c = _const_json(
+        [_m.sqrt(sum(x * x for x in c)) or 1.0 for c in cents], "array<double>"
+    )
+    # one transform over the constant-folded codebook: each centroid
+    # dot evaluates exactly once and the expression tree is O(1) in
+    # codebook size (measured: ~10s plan build for the unrolled
+    # per-centroid form -> 0.2s). Ranking by dot/|c| equals the cosine
+    # order — the row vector's own norm is constant across centroids.
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            (dot(vec_col, F.element_at(codebook, i + 1)) / F.element_at(norms_c, i + 1)).alias("s"),
+            (-i).alias("r"),
+            i.alias("c"),
+        ),
+    )
+    ranked = F.reverse(F.array_sort(entries))
     return F.transform(F.slice(ranked, 1, n_probe), lambda e: e["c"])
 
 
