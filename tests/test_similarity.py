@@ -127,3 +127,18 @@ def test_dedup_groups_chain_components(spark):
         5: (5, True),   # component {5,6}
         6: (5, False),
     }
+
+
+def test_ann_recall_floor_vs_brute_force(spark):
+    """The ANN paths must be useful, not just deterministic: recall@5
+    vs brute force on the driver testdata (near-random vectors — the
+    hardest case; clustered real embeddings recall far higher).
+    Measured 0.34 (LSH, 6-bit buckets) and 0.56 (IVF, 8/64 cells)."""
+    import osprey_spark.entrypoint as ep
+
+    sf = "/root/testdata/sf0.01"
+    bf = {(r.query_id, r.vec_id) for r in ep.QUERIES["embedding_topk"](spark, sf).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in ep.QUERIES["embedding_lsh_topk"](spark, sf).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ep.QUERIES["embedding_ivf_topk"](spark, sf).collect()}
+    assert len(lsh & bf) / len(bf) >= 0.25
+    assert len(ivf & bf) / len(bf) >= 0.40
