@@ -1021,6 +1021,29 @@ class CompiledRuleset:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:
                 df = df.select("*", defn.alias(mangled))
+        # Output-name collision guard: the result frame must be usable
+        # under Spark's DEFAULT case-insensitive resolution, not just
+        # under this engine's caseSensitive=true sessions. A ruleset
+        # extracting `Role` with `role` passed through produces a frame
+        # where any unqualified select of either name throws
+        # AMBIGUOUS_REFERENCE on a default session — fail fast here
+        # with an actionable message instead.
+        out_names = list(passthrough or []) + list(self.ctx.extracted)
+        by_fold: dict[str, list[str]] = {}
+        for n in out_names:
+            by_fold.setdefault(n.lower(), []).append(n)
+        clashes = {k: v for k, v in by_fold.items() if len(v) > 1}
+        if clashes:
+            detail = "; ".join(
+                " vs ".join(sorted(v)) for v in clashes.values()
+            )
+            raise ValueError(
+                "apply() output would contain case-insensitively colliding "
+                f"columns ({detail}) — ambiguous under Spark's default "
+                "spark.sql.caseSensitive=false. Drop the colliding name "
+                "from passthrough (the extracted feature already carries "
+                "the value) or rename the feature."
+            )
         cols: list[Column] = []
         for name in passthrough or []:
             cols.append(F.col(name))

@@ -75,7 +75,10 @@ def rules_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     the execution-results table every analytics query runs over."""
     env = with_envelope(turns_from_events(spark, sf_dir))
     rs = compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS)
-    return rs.apply(env, passthrough=["conv_id", "turn_idx", "role", "ts"])
+    # `role` is NOT passed through: the ruleset extracts `Role` (same
+    # value) and emitting both would be ambiguous under the driver's
+    # default case-insensitive session (round-2 CORRECTNESS failure).
+    return rs.apply(env, passthrough=["conv_id", "turn_idx", "ts"])
 
 
 def q_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,14 +131,14 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
     out = rs.apply(
         env,
-        passthrough=["conv_id", "turn_idx", "role"],
+        passthrough=["conv_id", "turn_idx"],
         sample_config=_SAMPLE_CONFIG,
         sample_key=key,
     )
     return out.select(
         "conv_id",
         "turn_idx",
-        "role",
+        F.col("Role").alias("role"),
         F.col("__sample_rate").alias("sample_rate"),
         F.size("__verdicts").cast("long").alias("n_verdicts"),
     )

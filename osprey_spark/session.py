@@ -21,6 +21,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    case_sensitive: bool = True,
 ) -> SparkSession:
     """Build a SparkSession with engine defaults.
 
@@ -44,9 +45,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # osprey feature names are case-sensitive; a ruleset may extract
-        # `Role` alongside the passthrough `role` column (grammar.py:265)
-        .config("spark.sql.caseSensitive", "true")
+        # osprey feature names are case-sensitive (grammar.py:265); the
+        # engine ALSO works on default case-insensitive sessions —
+        # apply() rejects output frames whose names collide modulo case,
+        # and tests/check_parity exercise case_sensitive=False — but
+        # case-sensitive is the semantically faithful setting.
+        .config("spark.sql.caseSensitive", str(case_sensitive).lower())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")

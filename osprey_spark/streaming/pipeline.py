@@ -45,7 +45,11 @@ class StreamingRuleEngine:
         output_dir: str,
         checkpoint_dir: Optional[str] = None,
         schema: T.StructType = TURNS_SCHEMA,
-        passthrough: tuple[str, ...] = ("conv_id", "turn_idx", "role", "ts"),
+        # default passthrough deliberately excludes `role`/`text`: the
+        # usual rulesets extract `Role`/`TurnText` and a passthrough
+        # that case-insensitively collides with an extracted feature is
+        # rejected by apply() (ambiguous under default Spark sessions)
+        passthrough: tuple[str, ...] = ("conv_id", "turn_idx", "ts"),
         max_files_per_trigger: Optional[int] = None,
         envelope_fn: Callable[[DataFrame], DataFrame] = with_envelope,
         n_buckets: int = 32,

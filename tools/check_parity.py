@@ -53,13 +53,23 @@ def table_digest(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--default-session"]
+    # --default-session replicates the external driver gate: Spark's
+    # default case-INsensitive resolution and 200 shuffle partitions
+    # (the round-2 sampling failure only reproduced under this config).
+    default_session = "--default-session" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from osprey_spark.session import build_session
 
-    spark = build_session(master="local[8]", shuffle_partitions=8)
+    if default_session:
+        spark = build_session(
+            master="local[8]", shuffle_partitions=200, case_sensitive=False
+        )
+    else:
+        spark = build_session(master="local[8]", shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in TABLES:

@@ -119,7 +119,7 @@ def main() -> None:
     warm = spark.read.parquet(args.input).limit(200_000)
     rs_warm = compile_ruleset({"main.sml": BENCH_SML}, bindings=TURN_BINDINGS)
     warm_out = rs_warm.apply(
-        with_envelope(warm), passthrough=["conv_id", "turn_idx", "role", "text", "ts"]
+        with_envelope(warm), passthrough=["conv_id", "turn_idx", "text", "ts"]
     )
     warm_out.write.format("noop").mode("overwrite").save()
     warm_dir = args.output + "_warm"
@@ -133,7 +133,7 @@ def main() -> None:
         input_dir=args.input,
         output_dir=args.output,
         max_files_per_trigger=args.files_per_trigger,
-        passthrough=["conv_id", "turn_idx", "role", "text", "ts"],
+        passthrough=["conv_id", "turn_idx", "text", "ts"],
         # the generated input is clustered by xxhash64(conv_id) buckets,
         # co-partitioned with the sink's 32 buckets → no write shuffle
         repartition_buckets=False,
