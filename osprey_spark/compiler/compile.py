@@ -814,35 +814,42 @@ class CompiledRuleset:
             import numpy as np
 
             entries = _json.loads(state.get[0]) if state.exists else []
-            frames = []
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values("__wc_sec", kind="stable")
-                sec_a = pdf["__wc_sec"].to_numpy(dtype="int64")
-                inc_a = pdf["__wc_inc"].to_numpy(dtype=bool)
-                gate_a = pdf["__wc_gate"].to_numpy(dtype=bool)
-                # all increment timestamps visible this batch: carried
-                # state + this batch's gated rows, sorted
-                inc_ts = np.sort(
-                    np.concatenate([np.asarray(entries, dtype="int64"), sec_a[inc_a]])
-                )
-                # count at row i = increments in [sec_i - win + 1, sec_i];
-                # a row's own increment sorts <= sec_i so it is included,
-                # and later rows' increments (> sec_i) are not — exactly
-                # the sequential zadd-then-zcard semantics, vectorized
-                hi = np.searchsorted(inc_ts, sec_a, side="right")
-                lo = np.searchsorted(inc_ts, sec_a - win + 1, side="left")
-                counts = hi - lo
-                if cap:
-                    counts = np.minimum(counts, cap)
-                counts = np.where(gate_a, counts, 0)
-                out = pdf[passthrough_cols].copy()
-                out[name] = counts.astype("int64")
-                frames.append(out)
-                keep = int(sec_a.max()) - win + 1 if len(sec_a) else None
-                entries = [int(e) for e in inc_ts if keep is None or e >= keep]
+            # Materialize the WHOLE group before sorting: pdf_iter
+            # yields ~maxRecordsPerBatch-row Arrow chunks and a later
+            # chunk may hold earlier timestamps — per-chunk sorting
+            # with per-chunk state folds would make counts depend on
+            # chunk boundaries and diverge from the batch path. One
+            # key's micro-batch volume bounds the concat.
+            chunks = [c for c in pdf_iter if len(c)]
+            if not chunks:
+                state.update((_json.dumps(entries),))
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values("__wc_sec", kind="stable")
+            sec_a = pdf["__wc_sec"].to_numpy(dtype="int64")
+            inc_a = pdf["__wc_inc"].to_numpy(dtype=bool)
+            gate_a = pdf["__wc_gate"].to_numpy(dtype=bool)
+            # all increment timestamps visible this batch: carried
+            # state + this batch's gated rows, sorted
+            inc_ts = np.sort(
+                np.concatenate([np.asarray(entries, dtype="int64"), sec_a[inc_a]])
+            )
+            # count at row i = increments in [sec_i - win + 1, sec_i];
+            # a row's own increment sorts <= sec_i so it is included,
+            # and later rows' increments (> sec_i) are not — exactly
+            # the sequential zadd-then-zcard semantics, vectorized
+            hi = np.searchsorted(inc_ts, sec_a, side="right")
+            lo = np.searchsorted(inc_ts, sec_a - win + 1, side="left")
+            counts = hi - lo
+            if cap:
+                counts = np.minimum(counts, cap)
+            counts = np.where(gate_a, counts, 0)
+            out = pdf[passthrough_cols].copy()
+            out[name] = counts.astype("int64")
+            keep = int(sec_a.max()) - win + 1
+            entries = [int(e) for e in inc_ts if e >= keep]
             state.update((_json.dumps(entries),))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            yield out
 
         return aug.groupBy("__wc_key").applyInPandasWithState(
             fn,
@@ -905,59 +912,64 @@ class CompiledRuleset:
             import numpy as np
 
             latest = _json.loads(state.get[0]) if state.exists else None
-            frames = []
-            for pdf in pdf_iter:
-                # writes before probes at equal ts; among same-ts
-                # writes, statement idx ascending so "last position"
-                # = max (ts, idx) — the batch window's struct max
-                pdf = pdf.sort_values(
-                    ["__cts", "__cset", "__cidx"], ascending=[True, False, True], kind="stable"
-                )
-                n = len(pdf)
-                is_set = pdf["__cset"].to_numpy() == 1
-                ts = pdf["__cts"].to_numpy(dtype="int64")
-                # position of the latest batch write at or before each
-                # row (writes sort before probes at equal ts — the
-                # zadd-then-read sequencing), fully columnar
-                last_w = np.maximum.accumulate(np.where(is_set, np.arange(n), -1))
-                pl = last_w[~is_set]
-                probe_ts = ts[~is_set]
-                safe = np.maximum(pl, 0)
-                w_ts = ts[safe]
-                w_idx = pdf["__cidx"].to_numpy(dtype="float64")[safe]
-                w_exp = pdf["__cexp"].to_numpy(dtype="float64")[safe]
-                w_val = pdf["__cv"].to_numpy(dtype=object)[safe]
-                if latest is not None:
-                    s_ts, s_idx, s_exp, s_val = latest
-                    # Redis overwrite: lexicographically newest (ts, idx)
-                    # write wins between carried state and batch writes
-                    use_state = (pl < 0) | (s_ts > w_ts) | ((s_ts == w_ts) & (s_idx > w_idx))
-                    exp_sel = np.where(use_state, float(s_exp), w_exp)
-                    val_sel = np.where(use_state, np.array([s_val], dtype=object)[0], w_val)
-                else:
-                    use_none = pl < 0
-                    exp_sel = np.where(use_none, -1.0, w_exp)
-                    val_sel = np.where(use_none, None, w_val)
-                valid = exp_sel >= probe_ts
-                vals = np.where(valid, val_sel, None)
-                out = pdf[~is_set][passthrough_cols].copy()
-                out["__cval"] = vals
-                frames.append(out)
-                # fold this batch's newest write into the carried state
-                if is_set.any():
-                    bi = int(np.flatnonzero(is_set)[-1])
-                    v = pdf["__cv"].values[bi]
-                    cand = [
-                        int(ts[bi]),
-                        int(pdf["__cidx"].values[bi]),
-                        int(pdf["__cexp"].values[bi]),
-                        None if pd.isna(v) else (v.item() if hasattr(v, "item") else v),
-                    ]
-                    if latest is None or cand[:2] >= latest[:2]:
-                        latest = cand
+            # Materialize the whole group first — Arrow chunking is not
+            # time-ordered, so per-chunk sorting + state folding would
+            # let a chunk-1 write shadow a chunk-2 probe that precedes
+            # it in event time (chunk-boundary-dependent lookups).
+            chunks = [c for c in pdf_iter if len(c)]
+            if not chunks:
+                state.update((_json.dumps(latest),))
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            # writes before probes at equal ts; among same-ts
+            # writes, statement idx ascending so "last position"
+            # = max (ts, idx) — the batch window's struct max
+            pdf = pdf.sort_values(
+                ["__cts", "__cset", "__cidx"], ascending=[True, False, True], kind="stable"
+            )
+            n = len(pdf)
+            is_set = pdf["__cset"].to_numpy() == 1
+            ts = pdf["__cts"].to_numpy(dtype="int64")
+            # position of the latest batch write at or before each
+            # row (writes sort before probes at equal ts — the
+            # zadd-then-read sequencing), fully columnar
+            last_w = np.maximum.accumulate(np.where(is_set, np.arange(n), -1))
+            pl = last_w[~is_set]
+            probe_ts = ts[~is_set]
+            safe = np.maximum(pl, 0)
+            w_ts = ts[safe]
+            w_idx = pdf["__cidx"].to_numpy(dtype="float64")[safe]
+            w_exp = pdf["__cexp"].to_numpy(dtype="float64")[safe]
+            w_val = pdf["__cv"].to_numpy(dtype=object)[safe]
+            if latest is not None:
+                s_ts, s_idx, s_exp, s_val = latest
+                # Redis overwrite: lexicographically newest (ts, idx)
+                # write wins between carried state and batch writes
+                use_state = (pl < 0) | (s_ts > w_ts) | ((s_ts == w_ts) & (s_idx > w_idx))
+                exp_sel = np.where(use_state, float(s_exp), w_exp)
+                val_sel = np.where(use_state, np.array([s_val], dtype=object)[0], w_val)
+            else:
+                use_none = pl < 0
+                exp_sel = np.where(use_none, -1.0, w_exp)
+                val_sel = np.where(use_none, None, w_val)
+            valid = exp_sel >= probe_ts
+            vals = np.where(valid, val_sel, None)
+            out = pdf[~is_set][passthrough_cols].copy()
+            out["__cval"] = vals
+            # fold this batch's newest write into the carried state
+            if is_set.any():
+                bi = int(np.flatnonzero(is_set)[-1])
+                v = pdf["__cv"].values[bi]
+                cand = [
+                    int(ts[bi]),
+                    int(pdf["__cidx"].values[bi]),
+                    int(pdf["__cexp"].values[bi]),
+                    None if pd.isna(v) else (v.item() if hasattr(v, "item") else v),
+                ]
+                if latest is None or cand[:2] >= latest[:2]:
+                    latest = cand
             state.update((_json.dumps(latest),))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            yield out
 
         looked = rel.groupBy("__ck").applyInPandasWithState(
             fn,

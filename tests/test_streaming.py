@@ -621,6 +621,66 @@ LastUserText = CacheGetStr(key=K, default='none')
     assert any(v != "none" for v in want.values())
 
 
+@pytest.mark.parametrize("flavor", ["window", "cache"])
+def test_stateful_rules_chunked_arrow_batches(spark, tmp_path, flavor):
+    """Chunk-boundary regression (round-2 ADVICE): applyInPandasWithState
+    hands each key's micro-batch rows to the state fn as an ITERATOR of
+    Arrow chunks that is not time-ordered. With maxRecordsPerBatch
+    forced to 7 and the input written in descending event time, a
+    later chunk holds EARLIER timestamps — the old per-chunk
+    sort+fold produced chunk-boundary-dependent counts/lookups. The
+    fix materializes the whole group before sorting; streaming must
+    match batch exactly regardless of chunking."""
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    sml = {
+        "window": """
+K: str = JsonData(path='$.conv_id')
+IsUser = JsonData(path='$.role') == 'user'
+N = IncrementWindow(key=K, window_seconds=600.0, when_all=[IsUser])
+""",
+        "cache": """
+K: str = JsonData(path='$.conv_id')
+Text: str = JsonData(path='$.text')
+IsUser = JsonData(path='$.role') == 'user'
+CacheSetStr(key=K, value=Text, when_all=[IsUser], ttl_seconds=3600.0)
+LastUserText = CacheGetStr(key=K, default='none')
+""",
+    }[flavor]
+    out_col = {"window": "N", "cache": "LastUserText"}[flavor]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    # 2 convs x 40 turns: ~40 rows per key per micro-batch → 6 chunks
+    # of 7; descending ts ordering puts the earliest rows in the LAST
+    # chunk, the worst case for per-chunk state folding
+    t = generate_turns(spark, n_convs=2, turns_per_conv=40, hot_convs=0)
+    t.orderBy(F.col("ts").desc()).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        eng = StreamingRuleEngine(
+            spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+        )
+        eng.run_to_completion()
+        got = {
+            (r["conv_id"], r["turn_idx"]): r[out_col]
+            for r in eng.results().collect()
+        }
+        batch = rs().apply(
+            with_envelope(spark.read.parquet(in_dir)),
+            passthrough=["conv_id", "turn_idx"],
+        )
+        want = {(r["conv_id"], r["turn_idx"]): r[out_col] for r in batch.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == want and len(want) == 80
+
+
 def test_has_label_rules_stream(spark, tmp_path):
     """HasLabel is a stream-static broadcast join against the label
     snapshot — legal on streaming frames as-is."""
