@@ -668,8 +668,19 @@ class CompiledRuleset:
             ),
             F.lit(100),
         )
+        # 16-bit md5 bucket mod 100: deterministic replayable roll.
+        # Known slight bias: 65536 % 100 != 0, so buckets 0-35 occur
+        # 656/65536 of the time vs 655/65536 for 36-99 — a <0.16%
+        # relative skew vs the reference's uniform randint, accepted
+        # for exact replayability.
         bucket = F.conv(F.substring(F.md5(sample_key.cast("binary")), 1, 4), 16, 10).cast("int") % 100
-        keep = (rate == 100) | ((rate != 0) & (bucket >= rate))
+        # NULL sample keys have no identity to roll on. Policy: KEEP
+        # (fail-open — a safety engine should not silently drop events
+        # it cannot attribute), except rate=0 which is an explicit
+        # drop-all. The reference's randint roll would drop rate% of
+        # them nondeterministically; fail-open is the deterministic
+        # superset (every row the reference could keep, we keep).
+        keep = (rate == 100) | ((rate != 0) & F.coalesce(bucket >= rate, F.lit(True)))
         out = df.withColumn("__rate", rate).filter(keep)
         return out, F.when(F.col("__rate") < 100, F.col("__rate")).cast("int")
 

@@ -288,6 +288,7 @@ def dedup_groups(
     # docs rejoin as their own group at the end
     labels = edges.select("_u").distinct().withColumn("_lbl", F.col("_u"))
     persisted: list = []
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("_u", "_v"), "_v")
@@ -308,7 +309,21 @@ def dedup_groups(
         persisted.append(new_labels)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # labels were still changing after the final round: a
+        # chain-shaped component with diameter > max_iterations would
+        # come back silently split — surface it (ADVICE round 2)
+        import warnings
+
+        warnings.warn(
+            f"dedup_groups did not converge within {max_iterations} "
+            "iterations — components with diameter above the limit are "
+            "split; raise max_iterations (rounds = graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     for df_ in persisted[:-1]:
         df_.unpersist()
@@ -318,7 +333,17 @@ def dedup_groups(
         F.coalesce(F.col("_lbl"), F.col("_u")).alias("group_id"),
         (F.col("_u") == F.coalesce(F.col("_lbl"), F.col("_u"))).alias("is_keeper"),
     )
-    return out.orderBy(id_col)
+    out = out.orderBy(id_col)
+    # the final labels frame must stay persisted until the caller
+    # materializes the result; expose the same release handle the
+    # other persist-holding operators use so long-lived sessions can
+    # free it (round-2 VERDICT nit: it leaked)
+    if persisted:
+        last = persisted[-1]
+        out.unpersist_base = lambda: last.unpersist()
+    else:
+        out.unpersist_base = lambda: None
+    return out
 
 
 # 60 bits: 15 hex digits of md5 fit a signed BIGINT in any engine, so

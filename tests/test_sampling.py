@@ -46,6 +46,23 @@ def test_sampling_partial_rate_is_deterministic(spark):
     assert all(r["__sample_rate"] == 50 for r in out1.collect())
 
 
+def test_sampling_null_key_fail_open(spark):
+    """NULL sample keys (md5(NULL) -> NULL bucket) must follow the
+    documented policy instead of vanishing into a NULL predicate
+    (round-2 ADVICE): partial rates KEEP unattributable rows
+    (fail-open); rate=0 still drops everything."""
+    rs = compile_ruleset({"main.sml": SML})
+    df = _env(spark, ["a"] * 10 + ["b"] * 10)
+    null_key = F.when(F.col("action_id") < 0, F.col("action_name"))  # always NULL
+    # guard: the rows ARE null-keyed
+    assert df.select(null_key.alias("k")).filter(F.col("k").isNotNull()).count() == 0
+    out = rs.apply(df, sample_config={"a": 50, "b": 0}, sample_key=null_key)
+    rows = out.select("__action_id", "__sample_rate").collect()
+    ids = {r["__action_id"] for r in rows}
+    assert ids == set(range(10))  # all 'a' kept despite NULL key, all 'b' dropped
+    assert all(r["__sample_rate"] == 50 for r in rows)
+
+
 def test_sampling_rejects_bad_rate(spark):
     import pytest
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from osprey_spark.operators import similarity
@@ -127,6 +128,41 @@ def test_dedup_groups_chain_components(spark):
         5: (5, True),   # component {5,6}
         6: (5, False),
     }
+
+
+def test_dedup_groups_warns_on_non_convergence(spark):
+    """A chain with diameter above max_iterations must not come back
+    silently split (round-2 ADVICE): dedup_groups warns."""
+    from osprey_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup_groups(chain, docs, max_iterations=1)
+        # the propagation ran its rounds eagerly inside dedup_groups
+        # (fixpoint probes); the warning fires there, split labels out
+        assert len({r.group_id for r in out.collect()}) > 1
+    out.unpersist_base()
+
+
+def test_dedup_groups_releases_persisted_frames(spark):
+    """Repeated calls with unpersist_base() must not grow the set of
+    persisted RDDs (round-2 VERDICT: the final labels frame leaked)."""
+    from osprey_spark.operators.dedup import dedup_groups
+
+    jsc = spark.sparkContext._jsc.sc()
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        out = dedup_groups(pairs, docs)
+        out.collect()
+        out.unpersist_base()
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_ann_recall_floor_vs_brute_force(spark):
