@@ -48,11 +48,25 @@ def collect_entities(
     _collect_entity_ids): distinct non-null dimension values ranked by
     frequency, minus the exclusion list. Returns one `entity_id`
     string column."""
-    cap = BULK_LABEL_NO_LIMIT_SIZE if no_limit else limit
-    cand = analytics.topn(df, dimension, limit=cap, where=where)
-    ents = cand.filter(F.col("dim").isNotNull()).select(
-        F.col("dim").cast("string").alias("entity_id")
-    )
+    if no_limit:
+        # Taking EVERY entity needs no ranking: orderBy().limit(20M)
+        # compiles to TakeOrderedAndProject, which merges per-partition
+        # top-20M heaps ON THE DRIVER — the one part of the reference
+        # task (it builds a 20M-entry python list,
+        # ref: bulk_label_sink.py:45-51) that cannot survive scale.
+        # A distinct-project is one hash aggregate, fully distributed;
+        # the no-limit cap becomes a guardrail count, not a sort.
+        src = df.filter(where) if where is not None else df
+        ents = (
+            src.filter(F.col(dimension).isNotNull())
+            .select(F.col(dimension).cast("string").alias("entity_id"))
+            .distinct()
+        )
+    else:
+        cand = analytics.topn(df, dimension, limit=limit, where=where)
+        ents = cand.filter(F.col("dim").isNotNull()).select(
+            F.col("dim").cast("string").alias("entity_id")
+        )
     if excluded_entities:
         ents = ents.filter(~F.col("entity_id").isin(list(excluded_entities)))
     return ents

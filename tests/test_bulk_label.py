@@ -31,6 +31,25 @@ def test_collect_entities_excludes_and_caps(spark, results):
     assert got == ["conv_1", "conv_2", "conv_3", "conv_4"]
 
 
+def test_no_limit_skips_driver_side_ranking(spark, results):
+    """no_limit=True must NOT compile to TakeOrderedAndProject
+    (orderBy().limit(20M) merges per-partition top-20M heaps on the
+    driver — round-2 VERDICT #2): taking everything needs no ranking,
+    just a distributed distinct-project."""
+    ents = bulk_label.collect_entities(
+        results, "conv_id", no_limit=True, excluded_entities=["conv_0"]
+    )
+    plan = ents._sc._jvm.PythonSQLUtils.explainString(
+        ents._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" not in plan
+    got = sorted(r.entity_id for r in ents.collect())
+    assert got == [f"conv_{i}" for i in range(1, 10)]
+    # the limited path keeps its ranking semantics
+    capped = bulk_label.collect_entities(results, "conv_id", limit=3)
+    assert capped.count() == 3
+
+
 def test_guardrail_margin_and_excluded_retry():
     bulk_label.check_entity_count(100, 95)  # within 10%
     bulk_label.check_entity_count(100, None)  # no estimate -> skip
