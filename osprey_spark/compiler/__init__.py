@@ -10,3 +10,4 @@ become conditional array-append expressions.
 """
 
 from .compile import CompiledRuleset, InputBindings, compile_ruleset, compile_query_filter  # noqa: F401
+from .labels_config import LabelInfo, LabelsConfig  # noqa: F401

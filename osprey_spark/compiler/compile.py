@@ -144,10 +144,15 @@ class CompilerContext:
         sources: dict[str, str],
         bindings: InputBindings,
         registry: dict[str, Callable],
+        labels_config=None,
     ):
         self.sources = sources
         self.bindings = bindings
         self.registry = registry
+        # Optional LabelsConfig (labels.yaml stand-in): when present,
+        # LabelAdd/LabelRemove/HasLabel label names and entity types
+        # are validated at compile time (ref: validate_labels.py:36-85)
+        self.labels_config = labels_config
         self.features: dict[str, Value] = {}
         self.extracted: list[str] = []  # extraction order
         # Ordered (column_name, defining Column) pairs. Every non-const
@@ -174,6 +179,33 @@ class CompilerContext:
     # -- errors --------------------------------------------------------
     def error(self, msg: str, span: Span) -> SmlValidationError:
         return SmlValidationError(msg, span.source, span.line, span.col)
+
+    def validate_label(
+        self, label: str, entity_type: Optional[str], span: Span
+    ) -> None:
+        """Compile-time label validation against the registered config
+        (ref: validate_labels.py:46-85): unknown label → error with a
+        closest-match hint; entity type outside the label's valid_for
+        list → error listing the valid types. No-op without a config —
+        a typo'd label would otherwise silently return False forever."""
+        if self.labels_config is None:
+            return
+        from .labels_config import closest_within_threshold
+
+        info = self.labels_config.labels.get(label)
+        if info is None:
+            hint = f"there is no `{label}` label in the config"
+            closest = closest_within_threshold(label, self.labels_config.labels)
+            if closest is not None:
+                hint += f", did you mean `{closest}`?"
+            raise self.error(f"unknown label: {hint}", span)
+        if entity_type is not None and entity_type not in info.valid_for:
+            valid = ", ".join(f"`{t}`" for t in info.valid_for) or "(none)"
+            raise self.error(
+                f"label `{label}` is not valid for this entity type: entity "
+                f"has type `{entity_type}`, this label is valid for {valid}",
+                span,
+            )
 
     # -- name scoping ----------------------------------------------------
     def lookup(self, node: Name) -> Value:
@@ -1111,14 +1143,23 @@ def compile_ruleset(
     entry: str = "main.sml",
     bindings: Optional[InputBindings] = None,
     registry: Optional[dict[str, Callable]] = None,
+    labels_config=None,
 ) -> CompiledRuleset:
     """Compile a rule-source tree (path → SML text) to a ruleset.
 
     ``entry`` mirrors the reference convention that execution starts
     from ``main.sml`` (ref: engine/ast/sources.py:14-25).
+    ``labels_config``: optional ``LabelsConfig`` (labels.yaml stand-in)
+    enabling compile-time label validation.
     """
     bindings = bindings or InputBindings()
-    ctx = CompilerContext(sources, bindings, registry or _default_registry())
+    if labels_config is not None and not hasattr(labels_config, "labels"):
+        from .labels_config import LabelsConfig
+
+        labels_config = LabelsConfig.from_dict(labels_config)
+    ctx = CompilerContext(
+        sources, bindings, registry or _default_registry(), labels_config=labels_config
+    )
     ctx.compile_path(entry, Span(entry, 0, 0))
     return CompiledRuleset(ctx=ctx, bindings=bindings)
 

@@ -140,6 +140,7 @@ def _label_effect(ctx, call, args, status: str) -> Value:
     if entity_v.dtype != "entity":
         raise ctx.error(f"{call.func} entity= must be an Entity", call.span)
     label = const_arg(ctx, call, args, "label")
+    ctx.validate_label(label, entity_v.entity_type, call.span)
     apply_if = args.get("apply_if")
     expires = args.get("expires_after")
     expires_s = None
@@ -207,6 +208,7 @@ def has_label(ctx, call, args):
     if entity_v.dtype != "entity":
         raise ctx.error("HasLabel entity= must be an Entity", call.span)
     label = const_arg(ctx, call, args, "label")
+    ctx.validate_label(label, entity_v.entity_type, call.span)
     status = const_arg(ctx, call, args, "status", required=False, default="added")
     const_arg(ctx, call, args, "manual", required=False)
     min_age = args.get("min_label_age")

@@ -64,3 +64,67 @@ def test_validation_error(spark, label, sml, fragment):
     with pytest.raises(SmlError) as ei:
         compile_ruleset({"main.sml": sml})
     assert fragment.lower() in str(ei.value).lower()
+
+
+# --- label config validation (ref: validate_labels.py:36-85) ----------------
+
+LABELS = {
+    "spammer": {"valid_for": ["UserId"], "connotation": "negative"},
+    "trusted": ["UserId", "GuildId"],
+}
+
+_ENTITY = "U: Entity[str] = EntityJson(type='UserId', path='$.u')\n"
+_GUILD = "G: Entity[str] = EntityJson(type='GuildId', path='$.g')\n"
+
+LABEL_CASES = [
+    (
+        "unknown label with hint",
+        _ENTITY + "LabelAdd(entity=U, label='spammer2')\n",
+        "did you mean `spammer`",
+    ),
+    (
+        "unknown label haslabel",
+        _ENTITY + "B = HasLabel(entity=U, label='trustedd')\n",
+        "did you mean `trusted`",
+    ),
+    (
+        "short unknown label no hint",
+        _ENTITY + "LabelRemove(entity=U, label='xy')\n",
+        "unknown label",
+    ),
+    (
+        "entity type outside valid_for",
+        _GUILD + "LabelAdd(entity=G, label='spammer')\n",
+        "not valid for this entity type",
+    ),
+]
+
+
+@pytest.mark.parametrize("label,sml,fragment", LABEL_CASES, ids=[c[0] for c in LABEL_CASES])
+def test_label_config_validation_error(spark, label, sml, fragment):
+    with pytest.raises(SmlError) as ei:
+        compile_ruleset({"main.sml": sml}, labels_config=LABELS)
+    assert fragment.lower() in str(ei.value).lower()
+
+
+def test_label_config_accepts_valid_programs(spark):
+    from osprey_spark.compiler import LabelsConfig
+
+    sml = (
+        _ENTITY
+        + _GUILD
+        + "R = Rule(when_all=[True], description='r')\n"
+        + "WhenRules(rules_any=[R], then=[LabelAdd(entity=U, label='spammer'), "
+        + "LabelAdd(entity=G, label='trusted')])\n"
+        + "B = HasLabel(entity=U, label='trusted')\n"
+    )
+    # dict shape and prebuilt LabelsConfig both work; no config = no checks
+    compile_ruleset({"main.sml": sml}, labels_config=LABELS)
+    compile_ruleset({"main.sml": sml}, labels_config=LabelsConfig.from_dict(LABELS))
+    compile_ruleset(
+        {
+            "main.sml": _ENTITY
+            + "R = Rule(when_all=[True], description='r')\n"
+            + "WhenRules(rules_any=[R], then=[LabelAdd(entity=U, label='anything_goes')])\n"
+        }
+    )
