@@ -136,6 +136,10 @@ def annotation_dtype(ann: Optional[Annotation]) -> str:
 class _FileScope:
     path: str
     locals: dict[str, Value] = field(default_factory=dict)
+    # NoUnusedLocals lint state (ref: ast_validator/validators/
+    # no_unused_locals.py): first-store span per local + load marks
+    local_spans: dict[str, Span] = field(default_factory=dict)
+    local_loads: set = field(default_factory=set)
 
 
 class CompilerContext:
@@ -212,6 +216,7 @@ class CompilerContext:
         if node.is_local:
             for scope in reversed(self._scopes):
                 if node.identifier in scope.locals:
+                    scope.local_loads.add(node.identifier)
                     return scope.locals[node.identifier]
             raise self.error(f"undefined local {node.identifier}", node.span)
         if node.identifier in self.features:
@@ -220,7 +225,9 @@ class CompilerContext:
 
     def assign(self, stmt: Assign, value: Value) -> None:
         if stmt.name.startswith("_"):
-            self._scopes[-1].locals[stmt.name] = value
+            scope = self._scopes[-1]
+            scope.locals[stmt.name] = value
+            scope.local_spans.setdefault(stmt.name, stmt.span)
             return
         if stmt.name in self.features:
             # UniqueStoredNames validator parity
@@ -276,6 +283,17 @@ class CompilerContext:
         try:
             for stmt in program.statements:
                 self._compile_statement(stmt)
+            # NoUnusedLocals (ref: no_unused_locals.py:10-36): a local
+            # that is stored but never loaded has no effect — error
+            scope = self._scopes[-1]
+            for lname, lspan in scope.local_spans.items():
+                if lname not in scope.local_loads:
+                    raise self.error(
+                        f"unused local variable: `{lname}` — this variable is "
+                        "not used anywhere, and thus has no effect. either "
+                        "delete or comment it out",
+                        lspan,
+                    )
             self._compiled_paths.add(path)
         finally:
             self._scopes.pop()

@@ -98,6 +98,127 @@ def test_post_contains_hello_rule(spark, sources):
     assert rows[3]["PostContainsHelloRule"] is None
 
 
+# --- full record-type replay matrix -----------------------------------------
+# One fixture action per Require-dispatched record type
+# (ref: example_rules/rules/record/index.sml). Every rules/record/<type>/
+# directory in the reference tree MUST have an entry here (enforced by
+# test_every_record_type_has_a_replay_fixture), so a new record type in
+# the reference fails this corpus loudly instead of being silently
+# unreplayed. Skip-list for types using genuinely-external UDFs: empty —
+# the whole tree compiles against this engine's registry.
+UNREPLAYABLE_RECORD_TYPES: set[str] = set()
+
+_SUBJECT_URI = "at://did:plc:subject/app.bsky.feed.post/3kpost"
+
+RECORD_TYPE_FIXTURES = {
+    "post": (
+        "app.bsky.feed.post",
+        {"text": "hello everyone"},
+        {"PostText": "hello everyone", "PostContainsHelloRule": True},
+    ),
+    "profile": (
+        "app.bsky.actor.profile",
+        {"displayName": "someone"},
+        {"HaileyProfileRule": False},
+    ),
+    "like": (
+        "app.bsky.feed.like",
+        {"subject": {"uri": _SUBJECT_URI}},
+        {"LikeSubject": _SUBJECT_URI, "LikeSubjectDid": "did:plc:subject"},
+    ),
+    "repost": (
+        "app.bsky.feed.repost",
+        {"subject": {"uri": _SUBJECT_URI}},
+        {"RepostSubject": _SUBJECT_URI, "RepostSubjectDid": "did:plc:subject"},
+    ),
+    "follow": (
+        "app.bsky.graph.follow",
+        {"subject": "did:plc:followee"},
+        {"FollowSubjectDid": "did:plc:followee"},
+    ),
+    "block": (
+        "app.bsky.graph.block",
+        {"subject": "did:plc:blocked"},
+        {"BlockSubjectDid": "did:plc:blocked"},
+    ),
+    "list": (
+        "app.bsky.graph.list",
+        {"name": "mute list", "purpose": "app.bsky.graph.defs#modlist"},
+        {"ListName": "mute list", "ListPurpose": "app.bsky.graph.defs#modlist"},
+    ),
+    "listitem": (
+        "app.bsky.graph.listitem",
+        {"subject": "did:plc:member", "list": _SUBJECT_URI},
+        {"ListitemSubjectDid": "did:plc:member", "ListitemList": _SUBJECT_URI},
+    ),
+    "starterpack": (
+        "app.bsky.graph.starterpack",
+        {"name": "starter", "list": _SUBJECT_URI},
+        {"StarterpackList": _SUBJECT_URI, "StarterpackName": "starter"},
+    ),
+}
+
+
+def _record_action(collection, record, action="create"):
+    return {
+        "did": "did:plc:author",
+        "eventMetadata": {"handle": "user.bsky.social", "pdsHost": "pds.example"},
+        "operation": {
+            "action": action,
+            "collection": collection,
+            "path": f"{collection}/3kabc",
+            "cid": "bafy123",
+            "record": record,
+        },
+    }
+
+
+def test_every_record_type_has_a_replay_fixture():
+    on_disk = {
+        d
+        for d in os.listdir(os.path.join(RULES_DIR, "rules", "record"))
+        if os.path.isdir(os.path.join(RULES_DIR, "rules", "record", d))
+    }
+    assert on_disk == set(RECORD_TYPE_FIXTURES) | UNREPLAYABLE_RECORD_TYPES
+
+
+@pytest.mark.parametrize("rtype", sorted(RECORD_TYPE_FIXTURES))
+def test_record_type_replay(spark, sources, rtype):
+    """Replay the full reference tree on one action of each record
+    type: the type's model features extract the reference values, the
+    Require-dispatch gates every OTHER type's features to NULL, and
+    the shared base-model features resolve."""
+    collection, record, expected = RECORD_TYPE_FIXTURES[rtype]
+    _rs, rows = _run(
+        spark,
+        sources,
+        [_record_action(collection, record),
+         _record_action(collection, record, action="delete")],
+    )
+    created, deleted = rows
+    for feat, want in expected.items():
+        assert created[feat] == want, (rtype, feat, created[feat])
+        # delete ops never Require the type's rules file in
+        # (ref: rules/record/index.sml require_if=IsCreate or IsUpdate)
+        if not isinstance(want, bool):
+            assert deleted[feat] is None, (rtype, feat)
+    # base model resolves on every operation
+    assert created["Collection"] == collection
+    assert created["UserId"] == "did:plc:author"
+    assert created["AtUri"] == f"at://did:plc:author/{collection}/3kabc"
+    assert created["IsOperation"] is True
+    # dispatch isolation: other types' marquee features stay NULL
+    others = {
+        feat
+        for t, (_c, _r, exp) in RECORD_TYPE_FIXTURES.items()
+        if t != rtype
+        for feat in exp
+        if not isinstance(exp[feat], bool)
+    }
+    for feat in others:
+        assert created[feat] is None, (rtype, "leaked", feat)
+
+
 def test_hailey_profile_label_effect(spark, sources):
     hailey = "did:plc:oisofpd7lj26yvgiivf3lxsi"
     profile = {

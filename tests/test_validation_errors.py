@@ -56,7 +56,17 @@ CASES = [
         "T: str = JsonData(path='$.t')\nM = RegexMatch(target=T, pattern='[unclosed')\n",
         "invalid regex",
     ),
+    (
+        "unused local",
+        "_tmp = 1\nX = 2\n",
+        "unused local variable: `_tmp`",
+    ),
 ]
+
+
+def test_used_locals_pass_the_lint(spark):
+    # a local read even once (including by another local) is fine
+    compile_ruleset({"main.sml": "_a = 1\n_b = _a + 1\nX = _b * 2\n"})
 
 
 @pytest.mark.parametrize("label,sml,fragment", CASES, ids=[c[0] for c in CASES])
