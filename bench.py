@@ -66,6 +66,9 @@ HEADLINE = [
     "increment_window_rule",
     "multimodal_meta",
     "multimodal_decode",
+    "decontaminate",
+    "pii_scrub",
+    "repetition_signals",
 ]
 
 

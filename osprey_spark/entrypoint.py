@@ -1125,6 +1125,128 @@ FROM s ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# corpus curation (decontamination / PII scrub / repetition signals)
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 5-token shingle
+    with the deterministic 'benchmark' slice (doc_id % 7 == 0 stands
+    in for an eval suite). Broadcast shingle equi-join + one hash
+    aggregate — no cross join at any corpus size."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        k=5,
+    )
+
+
+O_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+    unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+4], 'string_agg', ' ') AS shingle
+  FROM idx
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+FROM sh JOIN bench USING (shingle)
+WHERE sh.doc_id % 7 <> 0
+GROUP BY sh.doc_id ORDER BY sh.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the transcripts (emails are planted in the
+    turn text): pure JVM regexp projection, zero shuffle. The oracle
+    hash-compares the scrubbed text itself, per turn."""
+    from .operators import curation
+
+    turns = turns_from_events(spark, sf_dir)
+    return curation.pii_scrub(
+        turns, id_cols=("conv_id", "turn_idx"), text_col="text"
+    ).orderBy("conv_id", "turn_idx")
+
+
+O_PII_SCRUB = (
+    TURNS_CTE
+    + r"""
+SELECT conv_id, turn_idx,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d[\d() -]{6,}\d\b', '<PHONE>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d[\d() -]{6,}\d\b')) AS BIGINT) AS n_phone
+FROM turns ORDER BY conv_id, turn_idx
+"""
+)
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition measures per document — pure per-row
+    array expressions, embarrassingly parallel."""
+    from .operators import curation
+
+    return curation.repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+O_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+bidx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+  FROM toks
+),
+bi AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (
+    SELECT doc_id,
+      CASE WHEN i + 1 <= len(t) THEN t[i] || ' ' || t[i + 1] ELSE t[i] END AS bg
+    FROM bidx
+  )
+  GROUP BY doc_id, bg
+),
+agg AS (
+  SELECT toks.doc_id,
+    len(t) AS n,
+    (SELECT max(c) FROM uni WHERE uni.doc_id = toks.doc_id) AS topu,
+    (SELECT max(c) FROM bi WHERE bi.doc_id = toks.doc_id) AS topb,
+    (SELECT count(*) FROM uni WHERE uni.doc_id = toks.doc_id) AS nd
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN n > 0 THEN round(topu * 1.0 / n, 6) ELSE 0.0 END AS top_unigram_frac,
+  CASE WHEN greatest(n - 1, 1) > 0 THEN round(topb * 1.0 / greatest(n - 1, 1), 6)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN n > 0 THEN round(nd * 1.0 / n, 6) ELSE 0.0 END AS distinct_token_ratio
+FROM agg ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1166,6 +1288,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "increment_window_rule": q_increment_window_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLES: dict[str, str] = {
@@ -1205,6 +1330,9 @@ ORACLES: dict[str, str] = {
     "increment_window_rule": O_INCREMENT_WINDOW,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,
+    "decontaminate": O_DECONTAMINATE,
+    "pii_scrub": O_PII_SCRUB,
+    "repetition_signals": O_REPETITION,
 }
 
 

@@ -260,19 +260,25 @@ def dedup_groups(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs → dedup groups with a
     canonical keeper (min id), the step that turns pairwise
     similarity output into an actually deduplicated corpus.
 
-    Iterative min-label propagation: every doc starts labeled with
-    itself; each round a doc takes the min label among itself and its
-    direct neighbors; stop at fixpoint. Rounds = graph diameter (no
-    star contraction — near-dup graphs are small dense clusters where
-    diameter is a handful; for adversarial long-chain graphs swap in
-    large-star/small-star). Each round is one shuffle join + one
-    map-side-combinable min aggregate; the graph never visits the
-    driver — the fixpoint test is a limit(1).count() probe.
+    Iterative min-label propagation with pointer jumping (the
+    hash-to-min family, Rastogi et al., "Finding Connected Components
+    in Map-Reduce in Logarithmic Rounds"): every doc starts labeled
+    with itself; each round a doc takes the min among its own label,
+    its direct neighbors' labels, AND its label's label (the pointer
+    jump — label chains halve every round, so rounds are
+    O(log diameter) instead of O(diameter); a 1M-doc chain converges
+    in ~20 rounds instead of 1M). Stop at fixpoint. Each round is two
+    shuffle joins + one map-side-combinable min aggregate; the graph
+    never visits the driver — the fixpoint test is a limit(1).count()
+    probe. ``pointer_jumping=False`` drops the second join for pure
+    neighbor propagation (cheaper per round on the dense low-diameter
+    clusters near-dup graphs usually form).
     Output: (doc_id, group_id, is_keeper); singleton docs form their
     own group.
     """
@@ -287,7 +293,34 @@ def dedup_groups(
     # propagation joins run on the pair set, not the corpus; singleton
     # docs rejoin as their own group at the end
     labels = edges.select("_u").distinct().withColumn("_lbl", F.col("_u"))
-    persisted: list = []
+
+    # Each round references the previous round's labels 2-3 times
+    # (neighbor agg, candidate join, pointer jump), so building rounds
+    # on raw lineage grows the LOGICAL plan 2-3x per round —
+    # exponential analysis cost (measured: driver OOM in
+    # generateTreeString at ~10 pointer-jumping rounds). localCheckpoint
+    # truncates each round to a LogicalRDD leaf (same trick GraphFrames
+    # uses for iterative algorithms); the checkpointed RDDs are tracked
+    # by id and freed like the persisted frames they replace.
+    sc = pairs.sparkSession.sparkContext
+
+    def _checkpointed(df):
+        jmap = sc._jsc.getPersistentRDDs()
+        before = set(jmap.keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        after = sc._jsc.getPersistentRDDs()
+        new_ids = [i for i in after.keySet().toArray() if i not in before]
+        return out, new_ids
+
+    def _free(ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = jmap.get(i)
+            if r is not None:
+                r.unpersist()
+
+    prev_ids: list = []
+    last_ids: list = []
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -295,18 +328,26 @@ def dedup_groups(
             .groupBy("_u")
             .agg(F.min("_lbl").alias("_nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "_u", "left")
-            .select("_u", F.least(F.col("_lbl"), F.coalesce(F.col("_nmin"), F.col("_lbl"))).alias("_lbl"))
-            .persist()
-        )
+        cand = labels.join(neighbor_min, "_u", "left")
+        best = F.least(F.col("_lbl"), F.coalesce(F.col("_nmin"), F.col("_lbl")))
+        if pointer_jumping:
+            # label(label(u)): labels are always ids of in-component
+            # nodes, so the self-join resolves; min keeps the
+            # invariant and chains compress geometrically
+            jump = labels.select(
+                F.col("_u").alias("_lbl"), F.col("_lbl").alias("_jlbl")
+            )
+            cand = cand.join(jump, "_lbl", "left")
+            best = F.least(best, F.coalesce(F.col("_jlbl"), F.col("_lbl")))
+        new_labels, new_ids = _checkpointed(cand.select("_u", best.alias("_lbl")))
         changed = (
             new_labels.join(labels.withColumnRenamed("_lbl", "_old"), "_u")
             .filter(F.col("_lbl") != F.col("_old"))
             .limit(1)
             .count()
         )
-        persisted.append(new_labels)
+        _free(prev_ids)
+        prev_ids, last_ids = last_ids, new_ids
         labels = new_labels
         if changed == 0:
             converged = True
@@ -325,8 +366,7 @@ def dedup_groups(
             stacklevel=2,
         )
     edges.unpersist()
-    for df_ in persisted[:-1]:
-        df_.unpersist()
+    _free(prev_ids)
     all_docs = docs.select(F.col(id_col).alias("_u")).distinct()
     out = all_docs.join(labels, "_u", "left").select(
         F.col("_u").alias(id_col),
@@ -334,15 +374,11 @@ def dedup_groups(
         (F.col("_u") == F.coalesce(F.col("_lbl"), F.col("_u"))).alias("is_keeper"),
     )
     out = out.orderBy(id_col)
-    # the final labels frame must stay persisted until the caller
-    # materializes the result; expose the same release handle the
-    # other persist-holding operators use so long-lived sessions can
-    # free it (round-2 VERDICT nit: it leaked)
-    if persisted:
-        last = persisted[-1]
-        out.unpersist_base = lambda: last.unpersist()
-    else:
-        out.unpersist_base = lambda: None
+    # the final labels frame's checkpointed RDD must stay alive until
+    # the caller materializes the result; expose the same release
+    # handle the other persist-holding operators use so long-lived
+    # sessions can free it (round-2 VERDICT nit: it leaked)
+    out.unpersist_base = lambda: _free(last_ids)
     return out
 
 

@@ -1,0 +1,69 @@
+"""Corpus-curation operators: decontamination, PII scrub, repetition
+signals — known-answer fixtures (the driver oracle covers the
+testdata-scale replay; these pin the semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osprey_spark.operators import curation
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),     # shares 5-gram with bench
+            (2, "one two three four five six seven"),       # clean
+            (3, "x alpha beta gamma delta epsilon y"),      # shares (shifted)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_hit_shingles for r in curation.decontaminate(docs, bench).collect()}
+    assert out == {1: 1, 3: 1}
+    # plan shape: benchmark side broadcast (no sort-merge on the eval set)
+    plan = curation.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or alice@corp.io now"),
+            (2, "server at 10.0.0.1 responded"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "nothing sensitive here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.pii_scrub(df).collect()}
+    assert rows[1].scrubbed == "mail <EMAIL> or <EMAIL> now"
+    assert rows[1].n_email == 2 and rows[1].n_ipv4 == 0
+    assert rows[2].scrubbed == "server at <IP> responded"
+    assert rows[2].n_ipv4 == 1
+    assert rows[3].scrubbed == "call <PHONE> today"
+    assert rows[3].n_phone == 1
+    assert rows[4].scrubbed == "nothing sensitive here"
+    assert rows[5].scrubbed is None and rows[5].n_email is None  # NULL passthrough
+
+
+def test_repetition_signals_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),              # max repetition
+            (2, "all words here are unique"),        # none
+            (3, "ab cd ab cd ab"),                   # bigram 'ab cd' x2 of 4
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.repetition_signals(df).collect()}
+    assert rows[1].top_unigram_frac == 1.0
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[1].distinct_token_ratio == 0.25
+    assert rows[2].top_unigram_frac == 0.2
+    assert rows[2].distinct_token_ratio == 1.0
+    assert rows[3].top_unigram_frac == 0.6        # 'ab' 3 of 5
+    assert rows[3].top_bigram_frac == 0.5         # 'ab cd' 2 of 4

@@ -147,6 +147,30 @@ def test_dedup_groups_warns_on_non_convergence(spark):
     out.unpersist_base()
 
 
+def test_dedup_groups_pointer_jumping_is_log_rounds(spark):
+    """Pointer jumping must compress chain-shaped components in
+    O(log diameter) rounds: a diameter-16 chain converges within 10
+    rounds with the jump join and does NOT without it (pure neighbor
+    propagation needs 16)."""
+    import warnings
+
+    from osprey_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(17)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = dedup_groups(chain, docs, max_iterations=10)
+        assert {r.group_id for r in out.collect()} == {0}
+    out.unpersist_base()
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup_groups(chain, docs, max_iterations=10, pointer_jumping=False)
+        out.collect()
+    out.unpersist_base()
+
+
 def test_dedup_groups_releases_persisted_frames(spark):
     """Repeated calls with unpersist_base() must not grow the set of
     persisted RDDs (round-2 VERDICT: the final labels frame leaked)."""
