@@ -274,6 +274,33 @@ def fingerprint(ctx, call, args):
     return Value(col=fingerprint_col(s.col), dtype="str")
 
 
+@register("ScrubPii")
+def scrub_pii(ctx, call, args):
+    """Redact emails/IPv4s/phone numbers with typed placeholders —
+    the corpus-curation ``operators.curation.pii_scrub_col`` exposed
+    to rulesets (rules often need to store or export text features
+    with PII removed). Pure JVM regexp chain, no Python."""
+    from ..operators.curation import pii_scrub_col
+
+    s = arg(ctx, call, args, "s")
+    return Value(col=pii_scrub_col(s.col), dtype="str")
+
+
+@register("CountPii")
+def count_pii(ctx, call, args):
+    """Number of PII matches of one category ('email'|'ipv4'|'phone')
+    in the string — the gating companion to ScrubPii."""
+    from ..operators.curation import PII_PATTERNS, pii_count_col
+
+    s = arg(ctx, call, args, "s")
+    category = const_arg(ctx, call, args, "category")
+    if category not in PII_PATTERNS:
+        raise ctx.error(
+            f"CountPii category= must be one of {sorted(PII_PATTERNS)}", call.span
+        )
+    return Value(col=pii_count_col(s.col, category), dtype="int")
+
+
 @register("CheckCensorized")
 def check_censorized(ctx, call, args):
     """Blocklist check on the cleaned string (ref: example_plugins/src/

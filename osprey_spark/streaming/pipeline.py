@@ -61,6 +61,8 @@ class StreamingRuleEngine:
         source_options: Optional[dict] = None,
         sample_config: Optional[dict] = None,
         labels_df: Optional[DataFrame] = None,
+        dedup_ids: Optional[tuple[str, ...]] = None,
+        dedup_watermark: str = "10 minutes",
     ):
         """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
         a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
@@ -83,6 +85,14 @@ class StreamingRuleEngine:
         # label snapshot for HasLabel rulesets (stream-static
         # broadcast join; refresh by restarting from checkpoint)
         self.labels_df = labels_df
+        # ingest dedup for at-least-once upstreams (Kafka redelivery,
+        # firehose replays): dropDuplicatesWithinWatermark on the
+        # natural key keeps ONE copy of each event per watermark
+        # horizon in the state store — upstream effectively-once to
+        # match the sink's exactly-once (the reference relies on its
+        # queue's ack semantics instead, input_stream.py:413-444)
+        self.dedup_ids = list(dedup_ids) if dedup_ids else None
+        self.dedup_watermark = dedup_watermark
         if tee is not None:
             self.sink = MultiSink(output_dir, tee, console=tee_console)
         else:
@@ -109,6 +119,9 @@ class StreamingRuleEngine:
         return reader.options(**self.source_options).parquet(self.input_dir)
 
     def transform(self, stream: DataFrame) -> DataFrame:
+        if self.dedup_ids:
+            stream = stream.withWatermark("ts", self.dedup_watermark)
+            stream = stream.dropDuplicatesWithinWatermark(self.dedup_ids)
         env = self.envelope_fn(stream)
         return self.ruleset.apply(
             env,

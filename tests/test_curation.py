@@ -50,6 +50,36 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[5].scrubbed is None and rows[5].n_email is None  # NULL passthrough
 
 
+def test_scrub_pii_udf_in_ruleset(spark):
+    """ScrubPii/CountPii ride the SML surface: a rule can gate on PII
+    presence and extract the scrubbed text."""
+    from osprey_spark.compiler import compile_ruleset
+
+    sml = """
+T: str = JsonData(path='$.t')
+Clean = ScrubPii(s=T)
+NumEmails = CountPii(s=T, category='email')
+HasPii = NumEmails > 0
+"""
+    rs = compile_ruleset({"main.sml": sml})
+    df = spark.createDataFrame(
+        [(1, "x", '{"t": "ping bob@x.io"}', "2024-01-01 00:00:00")],
+        "action_id long, action_name string, data string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = rs.apply(df).collect()[0]
+    assert row["Clean"] == "ping <EMAIL>"
+    assert row["NumEmails"] == 1 and row["HasPii"] is True
+
+    import pytest as _pytest
+
+    from osprey_spark.sml.errors import SmlError
+
+    with _pytest.raises(SmlError, match="category"):
+        compile_ruleset(
+            {"main.sml": "T: str = JsonData(path='$.t')\nN = CountPii(s=T, category='ssn')\n"}
+        )
+
+
 def test_repetition_signals_known_answers(spark):
     df = spark.createDataFrame(
         [

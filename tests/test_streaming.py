@@ -711,6 +711,32 @@ Watched = HasLabel(entity=ConvId, label='watch')
     assert all(v == (c == "conv_00000001") for (c, _), v in got.items())
 
 
+def test_ingest_dedup_drops_redelivered_events(spark, tmp_path):
+    """dedup_ids: an at-least-once upstream (Kafka redelivery /
+    firehose replay) delivering the same event twice must evaluate it
+    once — dropDuplicatesWithinWatermark keyed state keeps one copy
+    per watermark horizon, across micro-batches."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=6, turns_per_conv=5, hot_convs=0)
+    # file 1: all events; file 2: a full redelivery of the same events
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+
+    eng = StreamingRuleEngine(
+        spark, _ruleset(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"),
+        max_files_per_trigger=1,           # redelivery lands in a LATER batch
+        dedup_ids=("conv_id", "turn_idx"),
+        dedup_watermark="1 hour",
+    )
+    eng.run_to_completion()
+    rows = eng.results().select("conv_id", "turn_idx").collect()
+    assert len(rows) == 30                              # not 60
+    assert len({(r.conv_id, r.turn_idx) for r in rows}) == 30
+
+
 class RecordingTableFormat:
     """Fake TableFormat for the Iceberg swap-point contract test: an
     in-memory table keyed by batch_id + an ordered call log. Mimics
