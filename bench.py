@@ -153,26 +153,27 @@ def _bench_streaming(spark, work_dir: str) -> dict:
     n_files = 256
     input_dir, n_rows = _turns_input(spark, work_dir, n_convs, tpc, n_files)
 
-    out_dir = os.path.join("/dev/shm/osprey_bench", "stream_out")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    engine = StreamingRuleEngine(
-        spark,
-        compile_ruleset({"main.sml": BENCH_SML}, bindings=TURN_BINDINGS),
-        input_dir=input_dir,
-        output_dir=out_dir,
-        max_files_per_trigger=max(n_files // 4, 1),  # ≥4 micro-batches
-        repartition_buckets=False,  # input is co-partitioned (see _turns_input)
-    )
-    t0 = time.perf_counter()
-    engine.run_to_completion()
-    wall = time.perf_counter() - t0
-
-    commits = [
-        json.load(open(os.path.join(out_dir, "_commits", f)))
-        for f in sorted(os.listdir(os.path.join(out_dir, "_commits")))
-        if f.endswith(".json")
-    ]
-    lat = sorted(c["duration_s"] for c in commits) or [0.0]
+    def run(sml: str, tag: str) -> tuple[float, list]:
+        out_dir = os.path.join("/dev/shm/osprey_bench", f"stream_out_{tag}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        engine = StreamingRuleEngine(
+            spark,
+            compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS),
+            input_dir=input_dir,
+            output_dir=out_dir,
+            max_files_per_trigger=max(n_files // 4, 1),  # ≥4 micro-batches
+            repartition_buckets=False,  # input is co-partitioned (see _turns_input)
+        )
+        t0 = time.perf_counter()
+        engine.run_to_completion()
+        wall = time.perf_counter() - t0
+        commits = [
+            json.load(open(os.path.join(out_dir, "_commits", f)))
+            for f in sorted(os.listdir(os.path.join(out_dir, "_commits")))
+            if f.endswith(".json")
+        ]
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return wall, commits
 
     # stateful variant: the same stream with a per-conversation
     # sliding-window counter rule — measures the applyInPandasWithState
@@ -182,25 +183,27 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
         "\nBurstConv = TurnRate >= 20\n"
     )
-    out_dir2 = os.path.join("/dev/shm/osprey_bench", "stream_out_stateful")
-    shutil.rmtree(out_dir2, ignore_errors=True)
-    engine2 = StreamingRuleEngine(
-        spark,
-        compile_ruleset({"main.sml": stateful_sml}, bindings=TURN_BINDINGS),
-        input_dir=input_dir,
-        output_dir=out_dir2,
-        max_files_per_trigger=max(n_files // 4, 1),
-        repartition_buckets=False,
-    )
-    t0 = time.perf_counter()
-    engine2.run_to_completion()
-    wall2 = time.perf_counter() - t0
+    # best-of-2 interleaved, same discipline as the query suite: run 1
+    # of each mode also warms JIT/codegen for run 2 (first JVM pass of
+    # a 40-feature ruleset costs ~10 s of compilation, which is not
+    # engine throughput)
+    walls: dict[str, list] = {"stateless": [], "stateful": []}
+    commits_best: list = []
+    for _ in range(2):
+        w, commits = run(BENCH_SML, "stateless")
+        if not walls["stateless"] or w < min(walls["stateless"]):
+            commits_best = commits
+        walls["stateless"].append(w)
+        walls["stateful"].append(run(stateful_sml, "stateful")[0])
+    wall = min(walls["stateless"])
+    wall2 = min(walls["stateful"])
+    lat = sorted(c["duration_s"] for c in commits_best) or [0.0]
 
     return {
         "turns": n_rows,
         "streaming_wall_s": round(wall, 3),
         "turns_per_sec": round(n_rows / wall, 1),
-        "n_microbatches": len(commits),
+        "n_microbatches": len(commits_best),
         "batch_latency_p50_s": lat[len(lat) // 2],
         "batch_latency_max_s": lat[-1],
         "stateful_turns_per_sec": round(n_rows / wall2, 1),
