@@ -69,6 +69,7 @@ HEADLINE = [
     "decontaminate",
     "pii_scrub",
     "repetition_signals",
+    "corpus_curate",
 ]
 
 

@@ -1198,6 +1198,75 @@ FROM turns ORDER BY conv_id, turn_idx
 )
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass: fingerprint dedup → repetition
+    filter → benchmark decontamination → PII scrub, one declarative
+    plan (two shuffles + one broadcast join total)."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.curate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    )
+
+
+O_CORPUS_CURATE = r"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+tokc AS (
+  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM corpus
+),
+fp AS (
+  SELECT doc_id, text, t,
+    md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS f
+  FROM tokc
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
+uni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM kept) GROUP BY doc_id, tok
+),
+repz AS (
+  SELECT kept.doc_id,
+    round((SELECT max(c) FROM uni WHERE uni.doc_id = kept.doc_id) * 1.0 / len(t), 6)
+      AS top_unigram_frac
+  FROM kept
+),
+keptf AS (
+  SELECT kept.*, top_unigram_frac FROM kept JOIN repz USING (doc_id)
+  WHERE top_unigram_frac <= 0.15
+),
+idxc AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM keptf
+),
+shc AS (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+4], 'string_agg', ' ') AS shingle FROM idxc
+),
+btok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+bidx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM btok
+),
+bsh AS (SELECT DISTINCT list_aggregate(t[i:i+4], 'string_agg', ' ') AS shingle FROM bidx),
+contam AS (SELECT DISTINCT shc.doc_id FROM shc JOIN bsh USING (shingle))
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d[\d() -]{6,}\d\b', '<PHONE>', 'g') AS scrubbed,
+  top_unigram_frac
+FROM keptf
+WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+ORDER BY doc_id
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition measures per document — pure per-row
     array expressions, embarrassingly parallel."""
@@ -1291,6 +1360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
+    "corpus_curate": q_corpus_curate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1333,6 +1403,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": O_DECONTAMINATE,
     "pii_scrub": O_PII_SCRUB,
     "repetition_signals": O_REPETITION,
+    "corpus_curate": O_CORPUS_CURATE,
 }
 
 

@@ -114,6 +114,65 @@ def pii_scrub(
 
 
 # ---------------------------------------------------------------------------
+# composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def curate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_unigram_frac: float = 0.15,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The end-to-end corpus curation pass, composed from the family's
+    operators as ONE declarative plan (Catalyst fuses the projection
+    stages; the only shuffles are the fingerprint-dedup aggregate and
+    the decontamination join):
+
+      1. fingerprint dedup — keep the min-id doc per sorted-unique
+         token-set key;
+      2. repetition filter — drop docs whose most frequent token
+         exceeds ``max_top_unigram_frac`` of all tokens (Gopher);
+      3. decontamination — drop docs sharing any ``shingle_k``-gram
+         with the benchmark set (broadcast anti-join);
+      4. PII scrub the survivors.
+
+    Output: (id, scrubbed text, top_unigram_frac) for surviving docs.
+    """
+    from .dedup import tokens as _toks
+
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_toks(F.col(text_col)))), " ").cast(
+            "binary"
+        )
+    )
+    keepers = (
+        corpus.select(fp.alias("_fp"), F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_fp")
+    )
+    kept = corpus.join(keepers, id_col)
+    rep = repetition_signals(kept, id_col=id_col, text_col=text_col).select(
+        id_col, "top_unigram_frac"
+    )
+    kept = kept.join(rep, id_col).filter(
+        F.col("top_unigram_frac") <= F.lit(max_top_unigram_frac)
+    )
+    contaminated = decontaminate(
+        kept, bench, id_col=id_col, text_col=text_col, k=shingle_k
+    ).select(id_col)
+    clean = kept.join(contaminated, id_col, "left_anti")
+    return clean.select(
+        F.col(id_col),
+        pii_scrub_col(F.col(text_col)).alias("scrubbed"),
+        "top_unigram_frac",
+    ).orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
 # repetition signals
 # ---------------------------------------------------------------------------
 

@@ -50,6 +50,31 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[5].scrubbed is None and rows[5].n_email is None  # NULL passthrough
 
 
+def test_curate_pipeline_stages_and_plan(spark):
+    """The composed pass: fingerprint dup dropped, repetitive doc
+    dropped, contaminated doc dropped, survivor scrubbed; plan stays
+    equi/broadcast joins only."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "theta eta zeta epsilon delta gamma beta alpha"),   # fingerprint dup of 1
+            (3, "spam spam spam spam spam spam spam ham"),          # repetitive
+            (4, "one two three four five six seven eight mail bob@x.io"),
+            (5, "leak leak0 the secret bench phrase is here now"),  # contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the secret bench phrase is here")], "doc_id long, text string"
+    )
+    out = curation.curate(corpus, bench)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 4}
+    assert rows[4].scrubbed.endswith("mail <EMAIL>")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_scrub_pii_udf_in_ruleset(spark):
     """ScrubPii/CountPii ride the SML surface: a rule can gate on PII
     presence and extract the scrubbed text."""
