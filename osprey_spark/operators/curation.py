@@ -213,8 +213,14 @@ def repetition_signals(
         "_t",
         F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            # try_element_at: i+1 runs past the array for a one-token
+            # doc (ANSI element_at THROWS there); NULL is skipped by
+            # concat_ws so the lone token is its own "bigram", the
+            # same CASE the DuckDB oracle applies
             lambda i: F.concat_ws(
-                " ", F.element_at(F.col("_t"), i), F.element_at(F.col("_t"), i + 1)
+                " ",
+                F.element_at(F.col("_t"), i),
+                F.try_element_at(F.col("_t"), i + 1),
             ),
         ).alias("_b"),
     )

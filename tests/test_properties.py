@@ -110,3 +110,84 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
             .collect()
         }
         assert got == want, f"seed {seed}: prefix filter lost/added pairs"
+
+
+def test_pii_scrub_idempotent_and_clean(spark):
+    """Property: scrubbing is idempotent (scrub(scrub(x)) == scrub(x))
+    and a scrubbed text matches none of the PII patterns — on random
+    texts mixing PII shapes with near-miss lookalikes."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from osprey_spark.operators.curation import PII_PATTERNS, pii_scrub_col
+
+    rng = random.Random(13)
+    pieces = [
+        "hello", "a@b", "x.y", "user@example.com", "1.2.3.4", "999.1.2.3",
+        "+1 555 123 4567", "v1.2.3.4.5", "no-at-sign.com", "a@b.co",
+        "+12", "call +44 20 7946 0958 now", "127.0.0.1:8080", "..", "@",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 8))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    once = df.select("i", pii_scrub_col(F.col("text")).alias("s1"))
+    twice = once.select("i", "s1", pii_scrub_col(F.col("s1")).alias("s2"))
+    out = twice.collect()
+    for r in out:
+        assert r.s1 == r.s2, f"not idempotent: {r.s1!r} -> {r.s2!r}"
+        for cat, (pat, _repl) in PII_PATTERNS.items():
+            assert not _re.search(pat, r.s1.replace("<EMAIL>", "").replace("<IP>", "").replace("<PHONE>", "")), (cat, r.s1)
+
+
+def test_repetition_signals_bounds(spark):
+    """Property: every repetition signal lies in (0, 1], and
+    single-token docs hit the defined edge values."""
+    from osprey_spark.operators.curation import repetition_signals
+
+    rng = random.Random(99)
+    vocab = [f"t{i}" for i in range(6)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(150)]
+    rows.append((999, "solo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in repetition_signals(df).collect():
+        assert 0 < r.top_unigram_frac <= 1
+        assert 0 < r.top_bigram_frac <= 1
+        assert 0 < r.distinct_token_ratio <= 1
+        if r.doc_id == 999:
+            assert (r.top_unigram_frac, r.top_bigram_frac, r.distinct_token_ratio) == (1.0, 1.0, 1.0)
+
+
+def test_decontaminate_exact_vs_bruteforce(spark):
+    """Property: the broadcast shingle join returns exactly the docs a
+    brute-force any-shared-k-gram check finds, with exact hit counts."""
+    from pyspark.sql import functions as F
+
+    from osprey_spark.operators import dedup
+    from osprey_spark.operators.curation import decontaminate
+
+    vocab = [f"w{i}" for i in range(10)]
+    for seed in (3, 21):
+        rng = random.Random(seed)
+        mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+        docs = [(i, mk(rng.randint(4, 14))) for i in range(30)]
+        bench = [(100 + i, mk(rng.randint(4, 10))) for i in range(5)]
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        bdf = spark.createDataFrame(bench, "doc_id long, text string")
+        got = {(r.doc_id, r.n_hit_shingles) for r in decontaminate(ddf, bdf, k=3).collect()}
+        # brute force in python
+        def sh(text):
+            w = [t for t in text.lower().split(" ") if t]
+            if len(w) <= 3:
+                return {" ".join(w)}
+            return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+        bench_sh = set().union(*[sh(t) for _, t in bench])
+        want = set()
+        for i, t in docs:
+            hits = len(sh(t) & bench_sh)
+            if hits:
+                want.add((i, hits))
+        assert got == want, f"seed {seed}"
