@@ -711,6 +711,51 @@ Watched = HasLabel(entity=ConvId, label='watch')
     assert all(v == (c == "conv_00000001") for (c, _), v in got.items())
 
 
+def test_multi_tee_curation_table(spark, tmp_path):
+    """Rules + curation compose in ONE stream: a tee target derives a
+    PII-scrubbed turns table from the rule output (TurnText feature)
+    next to the verdict results table, under the shared commit log."""
+    from osprey_spark.operators.curation import pii_scrub_col
+    from osprey_spark.streaming.sink import MultiSink  # noqa: F401 (tee uses it)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=6, turns_per_conv=5, hot_convs=0)
+    # plant an email in one conversation's text
+    t = t.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "conv_00000000") & (F.col("turn_idx") == 0),
+            F.concat(F.col("text"), F.lit(" reach me at spam@evil.test")),
+        ).otherwise(F.col("text")),
+    )
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def scrubbed_turns(df):
+        return df.select(
+            "conv_id", "turn_idx", pii_scrub_col(F.col("TurnText")).alias("scrubbed")
+        )
+
+    eng = StreamingRuleEngine(
+        spark, _ruleset(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"),
+        tee={
+            "results": (None, {"bucket_col": "conv_id", "n_buckets": 4}),
+            "scrubbed": (scrubbed_turns, {"bucket_col": "conv_id", "n_buckets": 4}),
+        },
+    )
+    eng.run_to_completion()
+    scrubbed = {
+        (r.conv_id, r.turn_idx): r.scrubbed
+        for r in eng.sink.read_committed(spark, "scrubbed").collect()
+    }
+    assert len(scrubbed) == 30
+    assert scrubbed[("conv_00000000", 0)].endswith("reach me at <EMAIL>")
+    assert not any("@" in s for s in scrubbed.values())
+    assert eng.sink.read_committed(spark, "results").count() == 30
+
+
 def test_ingest_dedup_drops_redelivered_events(spark, tmp_path):
     """dedup_ids: an at-least-once upstream (Kafka redelivery /
     firehose replay) delivering the same event twice must evaluate it
