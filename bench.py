@@ -70,6 +70,7 @@ HEADLINE = [
     "pii_scrub",
     "repetition_signals",
     "corpus_curate",
+    "conv_stats",
 ]
 
 

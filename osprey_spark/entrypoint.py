@@ -1198,6 +1198,54 @@ FROM turns ORDER BY conv_id, turn_idx
 )
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-level rollup (north star: per-conversation state incl.
+    tool-usage sequences): one hash aggregate per conversation —
+    turn counts by role, event-time span, and the ORDERED tool
+    sequence (sort_array over (turn_idx, tool) structs, so the
+    sequence is deterministic regardless of partitioning)."""
+    turns = turns_from_events(spark, sf_dir)
+    tool_entries = F.when(
+        F.col("tool").isNotNull(), F.struct(F.col("turn_idx"), F.col("tool"))
+    )
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("long")
+            .alias("n_user"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+            .cast("long")
+            .alias("n_tool"),
+            F.floor(
+                epoch_seconds(F.max(F.col("ts").cast("timestamp")))
+                - epoch_seconds(F.min(F.col("ts").cast("timestamp")))
+            )
+            .cast("long")
+            .alias("span_s"),
+            F.transform(
+                F.array_sort(F.collect_list(tool_entries)), lambda e: e["tool"]
+            ).alias("tool_seq"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+O_CONV_STATS = (
+    TURNS_CTE
+    + """
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+  CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS span_s,
+  list(tool ORDER BY turn_idx) FILTER (tool IS NOT NULL) AS tool_seq
+FROM turns GROUP BY conv_id ORDER BY conv_id
+"""
+)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass: fingerprint dedup → repetition
     filter → benchmark decontamination → PII scrub, one declarative
@@ -1361,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
     "corpus_curate": q_corpus_curate,
+    "conv_stats": q_conv_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1404,6 +1453,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": O_PII_SCRUB,
     "repetition_signals": O_REPETITION,
     "corpus_curate": O_CORPUS_CURATE,
+    "conv_stats": O_CONV_STATS,
 }
 
 
