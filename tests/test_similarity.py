@@ -189,6 +189,25 @@ def test_dedup_groups_releases_persisted_frames(spark):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_ngram_jaccard_releases_persisted_frames(spark):
+    """ngram_jaccard_pairs persists its shingle base + prefix frames
+    (self-join reuse); unpersist_base() must release both."""
+    from osprey_spark.operators import dedup
+
+    jsc = spark.sparkContext._jsc.sc()
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        out = dedup.ngram_jaccard_pairs(docs, threshold=0.4, k=2)
+        out.collect()
+        out.unpersist_base()
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_ann_recall_floor_vs_brute_force(spark):
     """The ANN paths must be useful, not just deterministic: recall@5
     vs brute force on the driver testdata (near-random vectors — the
