@@ -71,6 +71,8 @@ HEADLINE = [
     "repetition_signals",
     "corpus_curate",
     "conv_stats",
+    "sequence_packing",
+    "dataset_mixing",
 ]
 
 

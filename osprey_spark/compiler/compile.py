@@ -339,15 +339,29 @@ class CompilerContext:
             # feature; ref: example_plugins/src/udfs/cache.py:278-302)
             fn = self.registry.get(call.func)
             if fn is not None:
-                v = fn(self, call, {k: self.compile_expr(e) for k, e in call.kwargs.items()
+                from ..functions.registry import TrackedArgs
+
+                args = TrackedArgs({k: self.compile_expr(e) for k, e in call.kwargs.items()
                                     if k != "when_all"})
+                v = fn(self, call, args)
                 if v.dtype == "none":
+                    self._reject_unconsumed_kwargs(call, args)
                     return
             # other bare effect calls are not meaningful outside WhenRules
             raise self.error(f"{call.func} cannot appear as a bare statement", call.span)
         raise self.error(f"unsupported statement {type(stmt).__name__}", stmt.span)
 
+    def _check_stmt_kwargs(self, call: Call, allowed: set) -> None:
+        extra = set(call.kwargs) - allowed
+        if extra:
+            raise self.error(
+                f"{call.func} got unexpected keyword argument(s): "
+                + ", ".join(sorted(extra)),
+                call.span,
+            )
+
     def _stmt_import(self, call: Call) -> None:
+        self._check_stmt_kwargs(call, {"rules"})
         rules = call.kwargs.get("rules")
         if not isinstance(rules, ListLiteral):
             raise self.error("Import(rules=[...]) requires a literal list", call.span)
@@ -362,6 +376,7 @@ class CompilerContext:
             self.compile_path(p, call.span)
 
     def _stmt_require(self, call: Call) -> None:
+        self._check_stmt_kwargs(call, {"rule", "require_if"})
         rule = call.kwargs.get("rule")
         require_if = call.kwargs.get("require_if")
         guard: Optional[Value] = None
@@ -402,6 +417,7 @@ class CompilerContext:
         raise self.error("Require(rule=...) must be a string literal or f-string", call.span)
 
     def _stmt_when_rules(self, call: Call) -> None:
+        self._check_stmt_kwargs(call, {"rules_any", "then"})
         rules_any = call.kwargs.get("rules_any")
         then = call.kwargs.get("then")
         if not isinstance(rules_any, ListLiteral) or not isinstance(then, ListLiteral):
@@ -496,9 +512,15 @@ class CompilerContext:
         if isinstance(node, UnaryOperation):
             v = self.compile_expr(node.operand)
             if node.op == "not":
-                return Value(col=~v.col.cast("boolean"), dtype="bool")
+                out = Value(col=~v.col.cast("boolean"), dtype="bool")
+                if v.is_const:
+                    out.const = not v.const
+                return out
             if node.op == "-":
-                return Value(col=-v.col, dtype=v.dtype)
+                out = Value(col=-v.col, dtype=v.dtype)
+                if v.is_const and isinstance(v.const, (int, float)):
+                    out.const = -v.const
+                return out
             return v
 
         if isinstance(node, Call):
@@ -510,8 +532,27 @@ class CompilerContext:
         fn = self.registry.get(node.func)
         if fn is None:
             raise self.error(f"unknown UDF {node.func}", node.span)
-        args = {k: self.compile_expr(v) for k, v in node.kwargs.items()}
-        return fn(self, node, args)
+        from ..functions.registry import TrackedArgs
+
+        args = TrackedArgs({k: self.compile_expr(v) for k, v in node.kwargs.items()})
+        out = fn(self, node, args)
+        self._reject_unconsumed_kwargs(node, args)
+        return out
+
+    def _reject_unconsumed_kwargs(self, node: Call, args) -> None:
+        """Reject typo'd/unexpected keyword arguments: every kwarg a
+        call passes must be consumed by its UDF's compile fn (ref:
+        ast_validator/validators/validate_call_kwargs.py — the
+        reference errors on kwargs absent from the UDF's Arguments
+        class; a silently ignored `statu='added'` is the same bug
+        class as an unknown label)."""
+        extra = set(node.kwargs) - args.accessed
+        if extra:
+            raise self.error(
+                f"{node.func} got unexpected keyword argument(s): "
+                + ", ".join(sorted(extra)),
+                node.span,
+            )
 
     def _compile_binop(self, node: BinaryOperation) -> Value:
         left = self.compile_expr(node.left)

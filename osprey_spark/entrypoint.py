@@ -1363,6 +1363,80 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of the documents into
+    512-token training sequences, 4 independent packing streams per
+    source. One shuffle (the stream window partition) + a linear
+    cumulative-sum scan — no self-join, no driver state."""
+    from .operators.packing import sequence_packing
+
+    return sequence_packing(
+        _docs(spark, sf_dir), token_budget=512, n_streams=4
+    ).orderBy("doc_id")
+
+
+O_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, source, doc_id % 4 AS stream,
+    CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source, stream ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+  ) AS cum FROM t
+)
+SELECT doc_id, source, CAST(stream AS BIGINT) AS stream, n_tokens,
+  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset,
+  CAST(CASE WHEN n_tokens = 0 THEN 0
+       ELSE ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1
+       END AS BIGINT) AS n_packs_spanned
+FROM c ORDER BY doc_id
+"""
+
+
+# mixture exercising every branch: drop (fr), under-sample (en),
+# pass-through (zh), integer over-sample (de), fractional (es)
+MIX_WEIGHTS = {"en": 0.5, "de": 2.0, "es": 1.25, "fr": 0.0, "zh": 1.0}
+
+
+def q_dataset_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture resampling — zero shuffles,
+    md5-bucketed fractional copies, one row per (doc, copy)."""
+    from .operators.packing import dataset_mixing
+
+    return dataset_mixing(_docs(spark, sf_dir), MIX_WEIGHTS).orderBy(
+        "doc_id", "copy"
+    )
+
+
+def _mixing_oracle_sql(weights: dict) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v)} + (CASE WHEN bucket < {round((v - int(v)) * 100)} "
+        "THEN 1 ELSE 0 END)"
+        for k, v in sorted(weights.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    CAST(CASE lang {cases} ELSE 1 END AS BIGINT) AS copies
+  FROM b
+)
+SELECT doc_id, lang, u.copy
+FROM m CROSS JOIN LATERAL unnest(generate_series(1, copies)) AS u(copy)
+WHERE copies >= 1 ORDER BY doc_id, copy
+"""
+
+
+O_DATASET_MIXING = _mixing_oracle_sql(MIX_WEIGHTS)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1410,6 +1484,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "corpus_curate": q_corpus_curate,
     "conv_stats": q_conv_stats,
+    "sequence_packing": q_sequence_packing,
+    "dataset_mixing": q_dataset_mixing,
 }
 
 ORACLES: dict[str, str] = {
@@ -1454,6 +1530,8 @@ ORACLES: dict[str, str] = {
     "repetition_signals": O_REPETITION,
     "corpus_curate": O_CORPUS_CURATE,
     "conv_stats": O_CONV_STATS,
+    "sequence_packing": O_SEQUENCE_PACKING,
+    "dataset_mixing": O_DATASET_MIXING,
 }
 
 

@@ -34,10 +34,11 @@ from .registry import arg, const_arg, register
 DAY = 86400.0
 
 
-def _gate(ctx, call):
+def _gate(ctx, call, args):
     from ..sml.nodes import ListLiteral
+    from .registry import raw_arg
 
-    when_all = call.kwargs.get("when_all")
+    when_all = raw_arg(ctx, call, args, "when_all")
     if when_all is None:
         return None
     if not isinstance(when_all, ListLiteral):
@@ -56,7 +57,7 @@ def _cache_set(ctx, call, args, family: str):
             f"whole-second resolution), got {ttl}",
             call.span,
         )
-    gate = _gate(ctx, call)
+    gate = _gate(ctx, call, args)
     if not hasattr(ctx, "cache_sets"):
         ctx.cache_sets = []
     ctx.cache_sets.append(
@@ -83,7 +84,7 @@ def _cache_get(ctx, call, args, family: str, default, out_dtype: str, cast: str)
     key_v = arg(ctx, call, args, "key")
     d = args.get("default")
     default_col = d.col if d is not None else F.lit(default)
-    gate = _gate(ctx, call)
+    gate = _gate(ctx, call, args)
     sets = [s for s in getattr(ctx, "cache_sets", []) if s["family"] == family]
     if not sets:
         raise ctx.error(

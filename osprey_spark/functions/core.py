@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..compiler.values import Effect, Value
 from ..compiler import nullsafe
 from ..compiler.compile import annotation_dtype
-from .registry import arg, const_arg, register
+from .registry import arg, const_arg, raw_arg, register
 
 _JSON_CAST = {"str": "string", "int": "long", "float": "double", "bool": "boolean"}
 
@@ -100,6 +100,10 @@ def entity_json(ctx, call, args):
     etype = const_arg(ctx, call, args, "type")
     path = const_arg(ctx, call, args, "path")
     const_arg(ctx, call, args, "required", required=False, default=True)
+    # EntityJsonArguments extends json_data.Arguments (ref:
+    # stdlib/udfs/entity.py:35), so coerce_type is accepted; entity
+    # ids always land as strings here, which subsumes the coercion
+    const_arg(ctx, call, args, "coerce_type", required=False, default=False)
     col, _ = _payload_col(ctx, path)
     return Value(col=col.cast("string"), dtype="entity", entity_type=etype)
 
@@ -111,7 +115,7 @@ def rule(ctx, call, args):
     strictness per node_executor/literals/list_executor.py:17-18)."""
     from ..sml.nodes import ListLiteral
 
-    when_all_node = call.kwargs.get("when_all")
+    when_all_node = raw_arg(ctx, call, args, "when_all")
     if not isinstance(when_all_node, ListLiteral) or not when_all_node.items:
         raise ctx.error("Rule requires when_all=[...conditions...]", call.span)
     conds = [ctx.compile_expr(e) for e in when_all_node.items]
@@ -264,7 +268,7 @@ def _window_count(ctx, call, args, increments: bool):
     # ref cache.py:166,198-201: counts saturate at max_events_cap
     cap = const_arg(ctx, call, args, "max_events_cap", required=False, default=10_000)
     gate = None
-    when_all = call.kwargs.get("when_all")
+    when_all = raw_arg(ctx, call, args, "when_all")
     if when_all is not None:
         if not isinstance(when_all, ListLiteral):
             raise ctx.error(f"{call.func} when_all= must be a list", call.span)
@@ -470,6 +474,20 @@ def experiment(ctx, call, args):
     name = const_arg(ctx, call, args, "name", required=False, default="experiment")
     version = const_arg(ctx, call, args, "version", required=False, default=1)
     parity = const_arg(ctx, call, args, "parity", required=False, default=False)
+    # compile-time experiment validation
+    # (ref: stdlib/udfs/experiments.py:70-98)
+    if not isinstance(version, int) or version < 0:
+        raise ctx.error("experiment version must be zero or greater", call.span)
+    if not buckets or len(buckets) > 10:
+        raise ctx.error(
+            "number of experiment buckets must be between 1 and 10 inclusive", call.span
+        )
+    if "control" not in buckets:
+        raise ctx.error("'control' must be one of the buckets", call.span)
+    if sizes is not None and len(sizes) != len(buckets):
+        raise ctx.error(
+            "buckets and bucket_sizes must have the same number of elements", call.span
+        )
     if sizes is None:
         sizes = [10000 // len(buckets)] * len(buckets)
     if parity:

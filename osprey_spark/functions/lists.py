@@ -13,7 +13,7 @@ import re
 from pyspark.sql import functions as F
 
 from ..compiler.values import Value
-from .registry import arg, const_arg, const_str_list, register
+from .registry import arg, const_arg, const_str_list, raw_arg, register
 
 # named lists registered by the host application
 # (the reference loads them from a lists service; we keep a registry)
@@ -50,7 +50,7 @@ def concat_string_lists(ctx, call, args):
     """ref: example_plugins/src/udfs/list.py:369 — None lists skipped."""
     from ..sml.nodes import ListLiteral
 
-    node = call.kwargs.get("lists")
+    node = raw_arg(ctx, call, args, "lists")
     if not isinstance(node, ListLiteral):
         raise ctx.error("ConcatStringLists requires lists=[...]", call.span)
     cols = [F.coalesce(ctx.compile_expr(e).col, F.array().cast("array<string>")) for e in node.items]
@@ -64,7 +64,7 @@ def _named_list(ctx, call, args) -> list[str]:
         if values is None:
             raise ctx.error(f"unknown named list {name!r}", call.span)
         return values
-    return const_str_list(ctx, call, "values")
+    return const_str_list(ctx, call, "values", args=args)
 
 
 @register("SimpleListContains", query=True)

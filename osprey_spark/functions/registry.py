@@ -19,6 +19,33 @@ REGISTRY: dict[str, CompileFn] = {}
 QUERY_REGISTRY: dict[str, CompileFn] = {}
 
 
+class TrackedArgs(dict):
+    """Compiled-kwargs dict that records which names a UDF compile fn
+    consumed, so the compiler can reject unexpected keyword arguments
+    afterwards (ref: ast_validator/validators/validate_call_kwargs.py —
+    the reference validates every Call against its UDF's Arguments
+    class; here consumption IS the signature)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.accessed: set = set()
+
+    def mark(self, name: str) -> None:
+        self.accessed.add(name)
+
+    def get(self, name, default=None):
+        self.accessed.add(name)
+        return super().get(name, default)
+
+    def __getitem__(self, name):
+        self.accessed.add(name)
+        return super().__getitem__(name)
+
+    def __contains__(self, name):
+        self.accessed.add(name)
+        return super().__contains__(name)
+
+
 def register(name: str, query: bool = False):
     def deco(fn: CompileFn) -> CompileFn:
         REGISTRY[name] = fn
@@ -61,10 +88,21 @@ def const_arg(
     return v.const
 
 
-def const_str_list(ctx, call: Call, name: str) -> list[str]:
+def raw_arg(ctx, call: Call, args: dict[str, Value], name: str):
+    """Read a kwarg's raw AST node (for strict-list / lazy / gating
+    semantics the compiled Value can't carry), marking it consumed for
+    unexpected-kwarg validation."""
+    if isinstance(args, TrackedArgs):
+        args.mark(name)
+    return call.kwargs.get(name)
+
+
+def const_str_list(ctx, call: Call, name: str, args: Optional[dict] = None) -> list[str]:
     """A ConstExpr[List[str]] argument, read from the raw AST."""
     from ..sml.nodes import ListLiteral, Literal
 
+    if isinstance(args, TrackedArgs):
+        args.mark(name)
     node = call.kwargs.get(name)
     if not isinstance(node, ListLiteral):
         raise ctx.error(f"{call.func} requires {name}=[...literals...]", call.span)

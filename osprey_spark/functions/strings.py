@@ -211,7 +211,7 @@ def regex_plugin(ctx, call, args):
 def regex_match_map(ctx, call, args):
     """OR over patterns (ref: stdlib/udfs/regex_match.py:51-68)."""
     target = arg(ctx, call, args, "target")
-    patterns = const_str_list_helper(ctx, call, "patterns")
+    patterns = const_str_list_helper(ctx, call, "patterns", args)
     col = F.lit(False)
     for p in patterns:
         re.compile(p)
@@ -219,10 +219,10 @@ def regex_match_map(ctx, call, args):
     return Value(col=col, dtype="bool")
 
 
-def const_str_list_helper(ctx, call, name):
+def const_str_list_helper(ctx, call, name, args=None):
     from .registry import const_str_list
 
-    return const_str_list(ctx, call, name)
+    return const_str_list(ctx, call, name, args=args)
 
 
 # --- domains / emails / urls ------------------------------------------------

@@ -1,0 +1,159 @@
+"""Sequence packing and dataset mixing — the two steps between a
+curated corpus (``operators.curation``) and a training run.
+
+Training-data pipeline operators the reference engine does not have
+(its domain is abuse rules); designed Spark-first like the rest of the
+family and DuckDB-replayable (oracle SQL in entrypoint.py):
+
+- ``sequence_packing``: concat-and-chunk assignment of documents into
+  fixed token-budget training sequences ("packs"). Documents are laid
+  end-to-end in deterministic (id) order within independent packing
+  streams; each doc gets the pack id / offset where its first token
+  lands plus how many packs it spans. Plan shape: ONE shuffle (the
+  window partition on (stream_by, stream)) and a linear cumulative-sum
+  scan per stream — no self-join, no driver state. ``n_streams``
+  bounds window-partition size: at 100 TB you raise it so each stream
+  holds ~1 executor-partition of documents; streams pack independently
+  (packing order across streams is arbitrary by construction, so this
+  loses nothing).
+- ``dataset_mixing``: deterministic per-stratum up/down-sampling to
+  target mixture weights (the "data mixing" step: e.g. en×0.5,
+  code×2.25). weight = expected copies per document; the fractional
+  part is resolved by the same replayable 16-bit-md5 bucket the
+  per-action sampling operator uses (compiler/compile.py md5 bucket;
+  DuckDB-identical). Pure projection + bounded explode — zero
+  shuffles, scales linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def sequence_packing(
+    docs: DataFrame,
+    token_budget: int = 512,
+    n_streams: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_by: str = "source",
+) -> DataFrame:
+    """Assign every document a (pack_id, pack_offset) in a
+    concat-and-chunk packing of ``token_budget``-token sequences.
+
+    Within each packing stream — ``(stream_by, id % n_streams)`` —
+    documents are concatenated in ``id_col`` order; ``pack_id`` is the
+    sequence index where the document's first token lands,
+    ``pack_offset`` its position inside that sequence, and
+    ``n_packs_spanned`` how many sequences it crosses (1 = fits, ≥2 =
+    split across a boundary, 0 = empty document).
+
+    Columns: (id, stream_by, stream, n_tokens, pack_id, pack_offset,
+    n_packs_spanned).
+    """
+    if token_budget < 1:
+        raise ValueError("token_budget must be >= 1")
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        F.col(stream_by),
+        (F.col(id_col) % n_streams).cast("long").alias("stream"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(stream_by, "stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    b = F.lit(token_budget).cast("long")
+    out = base.withColumn("_cum", cum).select(
+        id_col,
+        stream_by,
+        "stream",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / b).cast("long").alias("pack_id"),
+        ((F.col("_cum") - F.col("n_tokens")) % b).cast("long").alias("pack_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("_cum") - 1) / b)
+            - F.floor((F.col("_cum") - F.col("n_tokens")) / b)
+            + 1
+        )
+        .cast("long")
+        .alias("n_packs_spanned"),
+    )
+    return out
+
+
+def _mix_bucket(id_col: Column) -> Column:
+    """Replayable 16-bit md5 bucket in [0, 100) — the same recipe the
+    per-action-name sampling gate uses (oracle:
+    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4)) AS INT) % 100).
+    Known slight bias: 65536 % 100 != 0 (documented at the sampling
+    operator)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+
+
+def dataset_mixing(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic dataset mixing: replicate/drop documents so each
+    stratum contributes ~``weights[stratum]`` copies per document.
+
+    weight w => every doc yields floor(w) copies plus one more for the
+    deterministic ``frac(w)`` fraction of ids (16-bit md5 bucket — no
+    RNG, identical on re-runs and in the DuckDB oracle). w = 0 drops
+    the stratum; w = 1 passes it through; w = 2.25 emits 2 copies for
+    75% of ids and 3 for 25%.
+
+    Output: one row per (doc, copy) — (id, stratum, copy) with
+    copy ∈ [1, copies]; ``keep_cols`` are carried through.
+    """
+    strata = sorted(weights)
+    for s, wv in weights.items():
+        if wv < 0:
+            raise ValueError(f"negative mixing weight for {s!r}: {wv}")
+    bucket = _mix_bucket(F.col(id_col))
+
+    def copies_for(w: float) -> Column:
+        whole = int(w)
+        frac_pct = round((w - whole) * 100)
+        c = F.lit(whole)
+        if frac_pct:
+            c = c + (bucket < F.lit(frac_pct)).cast("int")
+        return c
+
+    copies: Column = copies_for(default_weight)
+    for s in strata:
+        copies = F.when(F.col(stratum_col) == s, copies_for(weights[s])).otherwise(
+            copies
+        )
+    base = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        *[F.col(c) for c in keep_cols],
+        copies.cast("long").alias("_copies"),
+    ).filter(F.col("_copies") >= 1)
+    # sequence() is ascending only when start <= stop (Spark descends
+    # otherwise) — the >= 1 filter above guarantees that
+    return base.select(
+        id_col,
+        stratum_col,
+        *keep_cols,
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))).alias("copy"),
+    )

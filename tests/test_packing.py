@@ -1,0 +1,114 @@
+"""Sequence packing + dataset mixing — known-answer fixtures and
+invariants (the driver oracle covers the testdata-scale replay)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osprey_spark.operators.packing import dataset_mixing, sequence_packing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_sequence_packing_layout(spark):
+    # one stream (n_streams=1, one source), budget 5; token counts
+    # 3, 4, 5, 2 laid end-to-end -> starts 0, 3, 7, 12
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c", "s"),
+            (1, "d e f g", "s"),
+            (2, "h i j k l", "s"),
+            (3, "m n", "s"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.n_packs_spanned)
+        for r in sequence_packing(docs, token_budget=5, n_streams=1).collect()
+    }
+    assert out == {
+        0: (0, 0, 1),  # tokens [0,3) — fits pack 0
+        1: (0, 3, 2),  # tokens [3,7) — crosses into pack 1
+        2: (1, 2, 2),  # tokens [7,12) — crosses into pack 2
+        3: (2, 2, 1),  # tokens [12,14)
+    }
+
+
+def test_sequence_packing_streams_are_independent(spark):
+    # same docs, 2 streams: even/odd ids pack separately, both from 0
+    docs = _docs(
+        spark,
+        [(i, "w x y", "s") for i in range(4)],  # 3 tokens each
+    )
+    out = {
+        r.doc_id: (r.stream, r.pack_id, r.pack_offset)
+        for r in sequence_packing(docs, token_budget=4, n_streams=2).collect()
+    }
+    # stream 0: ids 0,2 -> starts 0,3; stream 1: ids 1,3 -> starts 0,3
+    assert out == {0: (0, 0, 0), 2: (0, 0, 3), 1: (1, 0, 0), 3: (1, 0, 3)}
+
+
+def test_sequence_packing_empty_doc_and_validation(spark):
+    docs = _docs(spark, [(0, "", "s"), (1, "a b", "s")])
+    out = {
+        r.doc_id: (r.n_tokens, r.n_packs_spanned)
+        for r in sequence_packing(docs, token_budget=8, n_streams=1).collect()
+    }
+    assert out == {0: (0, 0), 1: (2, 1)}
+    with pytest.raises(ValueError, match="token_budget"):
+        sequence_packing(docs, token_budget=0)
+
+
+def test_sequence_packing_offsets_within_budget(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(["t"] * (1 + i % 7)), f"src{i % 3}") for i in range(60)],
+    )
+    rows = sequence_packing(docs, token_budget=6, n_streams=2).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert 0 <= r.pack_offset < 6
+        assert r.n_packs_spanned >= 1
+        # a doc that fits the remaining budget must not span
+        if r.pack_offset + r.n_tokens <= 6:
+            assert r.n_packs_spanned == 1
+
+
+def test_dataset_mixing_weight_semantics(spark):
+    docs = spark.createDataFrame(
+        [(i, "x", ["en", "de", "fr", "zh"][i % 4]) for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    out = dataset_mixing(
+        docs, {"en": 0.5, "de": 2.0, "fr": 0.0, "zh": 1.0}
+    ).collect()
+    by_lang: dict = {}
+    copies: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+        copies[(r.doc_id, r.copy)] = copies.get((r.doc_id, r.copy), 0) + 1
+    assert "fr" not in by_lang  # weight 0 drops the stratum
+    assert len(by_lang["zh"]) == 100  # weight 1 passes through
+    # weight 2.0: every de doc exactly twice
+    de_rows = [r for r in out if r.lang == "de"]
+    assert len(de_rows) == 200 and {r.copy for r in de_rows} == {1, 2}
+    # weight 0.5: a deterministic ~half of en docs (md5 bucket)
+    n_en = len(by_lang["en"])
+    assert 30 <= n_en <= 70
+    # deterministic: second run identical
+    out2 = dataset_mixing(docs, {"en": 0.5, "de": 2.0, "fr": 0.0, "zh": 1.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # no duplicate (doc, copy) rows
+    assert all(v == 1 for v in copies.values())
+
+
+def test_dataset_mixing_default_weight_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "en"), (2, "x", "unlisted")], "doc_id long, text string, lang string"
+    )
+    out = dataset_mixing(docs, {"en": 2.0}, default_weight=1.0).collect()
+    assert sorted((r.doc_id, r.copy) for r in out) == [(1, 1), (1, 2), (2, 1)]
+    with pytest.raises(ValueError, match="negative"):
+        dataset_mixing(docs, {"en": -1.0})

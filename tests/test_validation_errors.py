@@ -61,6 +61,60 @@ CASES = [
         "_tmp = 1\nX = 2\n",
         "unused local variable: `_tmp`",
     ),
+    # unexpected-kwarg rejection (ref: validate_call_kwargs.py — a
+    # typo'd kwarg must not silently compile to default behavior)
+    (
+        "typoed udf kwarg",
+        "U: Entity[str] = EntityJson(type='U', path='$.u')\n"
+        "B = HasLabel(entity=U, label='x', statu='added')\n",
+        "unexpected keyword argument(s): statu",
+    ),
+    (
+        "typoed jsondata kwarg",
+        "T: str = JsonData(path='$.t', requird=False)\n",
+        "unexpected keyword argument(s): requird",
+    ),
+    (
+        "extra rule kwarg",
+        "R = Rule(when_all=[True], description='d', extra=1)\n",
+        "unexpected keyword argument(s): extra",
+    ),
+    (
+        "extra statement udf kwarg",
+        "K: str = JsonData(path='$.k')\n"
+        "CacheSetStr(key=K, value=K, ttl_seconds=5, when_all=[True], extra=2)\n",
+        "unexpected keyword argument(s): extra",
+    ),
+    (
+        "extra whenrules kwarg",
+        "R = Rule(when_all=[True], description='d')\n"
+        "WhenRules(rules_any=[R], then=[DeclareVerdict(verdict='v')], els=[])\n",
+        "unexpected keyword argument(s): els",
+    ),
+    (
+        "extra require kwarg",
+        "Require(rule='other.sml', when=True)\n",
+        "unexpected keyword argument(s): when",
+    ),
+    # experiment validation (ref: stdlib/udfs/experiments.py:70-98)
+    (
+        "experiment without control bucket",
+        "U: Entity[str] = EntityJson(type='U', path='$.u')\n"
+        "E = Experiment(entity=U, buckets=['a', 'b'], name='e1')\n",
+        "'control' must be one of the buckets",
+    ),
+    (
+        "experiment size length mismatch",
+        "U: Entity[str] = EntityJson(type='U', path='$.u')\n"
+        "E = Experiment(entity=U, buckets=['control', 'b'], bucket_sizes=[5000], name='e1')\n",
+        "same number of elements",
+    ),
+    (
+        "experiment negative version",
+        "U: Entity[str] = EntityJson(type='U', path='$.u')\n"
+        "E = Experiment(entity=U, buckets=['control'], name='e1', version=-1)\n",
+        "version must be zero or greater",
+    ),
 ]
 
 
