@@ -554,34 +554,89 @@ class CompilerContext:
                 node.span,
             )
 
+    def _type_kind(self, dtype: str) -> Optional[str]:
+        """Static-type kind for the transition checks (ref:
+        validate_static_types.py:722-757 binary-operation transitions,
+        :760-782 comparison transitions). ``None`` = unknown/wrapper —
+        not checked (the reference's AnyType); timedelta counts as
+        numeric (post-exec seconds, ref: language_types/time_delta.py)."""
+        if dtype == "str":
+            return "str"
+        if dtype in ("int", "float", "bool", "timedelta"):
+            return "num"
+        if dtype.startswith("list"):
+            return "list"
+        return None
+
+    def _check_op_types(self, node, op: str, lt: str, rt: str, allowed) -> None:
+        """Reject statically known type mismatches, mirroring the
+        reference's transition tables; unknown kinds pass."""
+        lk, rk = self._type_kind(lt), self._type_kind(rt)
+        if lk is None or rk is None or (lk, rk) in allowed:
+            return
+        raise self.error(
+            f"unsupported operand type(s) for {op}: `{lt}` and `{rt}`", node.span
+        )
+
     def _compile_binop(self, node: BinaryOperation) -> Value:
         left = self.compile_expr(node.left)
         right = self.compile_expr(node.right)
         op = node.op
         l, r = left.col, right.col
         lt, rt = left.dtype, right.dtype
+        NUM = {("num", "num")}
         if op == "+":
+            self._check_op_types(
+                node, op, lt, rt, NUM | {("str", "str"), ("list", "list")}
+            )
             if lt == "str" or rt == "str":
                 return Value(col=F.concat(l, r), dtype="str")
             if lt.startswith("list") or rt.startswith("list"):
                 return Value(col=F.concat(l, r), dtype=lt if lt.startswith("list") else rt)
             return Value(col=l + r, dtype=_num(lt, rt))
         if op == "-":
+            self._check_op_types(node, op, lt, rt, NUM)
             return Value(col=l - r, dtype=_num(lt, rt))
         if op == "*":
+            # str * int / int * str = repetition
+            # (ref: validate_static_types.py:742-745 Multiply table)
+            self._check_op_types(
+                node, op, lt, rt, NUM | {("str", "num"), ("num", "str")}
+            )
+            if lt == "str" and rt in ("int", "bool"):
+                return Value(col=F.repeat(l, r.cast("int")), dtype="str")
+            if rt == "str" and lt in ("int", "bool"):
+                return Value(col=F.repeat(r, l.cast("int")), dtype="str")
+            if "str" in (lt, rt):
+                raise self.error(
+                    f"unsupported operand type(s) for *: `{lt}` and `{rt}`", node.span
+                )
             return Value(col=l * r, dtype=_num(lt, rt))
         if op == "/":
+            self._check_op_types(node, op, lt, rt, NUM)
             return Value(col=l / r, dtype="float")
         if op == "//":
+            self._check_op_types(node, op, lt, rt, NUM)
             if lt == "int" and rt == "int":
                 return Value(col=F.floor(l.cast("double") / r).cast("long"), dtype="int")
             return Value(col=F.floor(l / r).cast("double"), dtype="float")
         if op == "%":
             # Python modulo takes the sign of the divisor; SQL pmod covers
             # the common non-negative-divisor case.
+            self._check_op_types(node, op, lt, rt, NUM)
             return Value(col=F.pmod(l, r), dtype=_num(lt, rt))
         if op == "**":
+            self._check_op_types(node, op, lt, rt, NUM)
             return Value(col=F.pow(l, r), dtype="float")
+        # shifts and bitwise ops are int-only in the reference table
+        # (validate_static_types.py:746-756)
+        if op in ("<<", ">>", "|", "^", "&"):
+            self._check_op_types(node, op, lt, rt, NUM)
+            if "float" in (lt, rt):
+                raise self.error(
+                    f"unsupported operand type(s) for {op}: `{lt}` and `{rt}`",
+                    node.span,
+                )
         if op == "<<":
             return Value(col=F.shiftleft(l, _const_int(self, right, node.span)), dtype="int")
         if op == ">>":
@@ -598,14 +653,44 @@ class CompilerContext:
         left = self.compile_expr(node.left)
         right = self.compile_expr(node.right)
         op = node.op
-        if op == "==":
-            return Value(col=nullsafe.sml_eq(left, right), dtype="bool")
-        if op == "!=":
+        lt, rt = left.dtype, right.dtype
+        lk, rk = self._type_kind(lt), self._type_kind(rt)
+        if op in ("==", "!="):
+            # incompatible known kinds always compare False/True
+            # (ref: validate_static_types.py:472-534 — errors
+            # "left and right sides have incompatible types"); null
+            # literals compare against anything
+            if (
+                lk is not None
+                and rk is not None
+                and lk != rk
+                and "null" not in (lt, rt)
+            ):
+                raise self.error(
+                    f"left and right sides have incompatible types "
+                    f"(`{lt}` vs `{rt}`)",
+                    node.span,
+                )
+            if op == "==":
+                return Value(col=nullsafe.sml_eq(left, right), dtype="bool")
             return Value(col=nullsafe.sml_ne(left, right), dtype="bool")
-        if op == "in":
-            return Value(col=nullsafe.sml_in(left, right), dtype="bool")
-        if op == "not in":
-            return Value(col=~nullsafe.sml_in(left, right), dtype="bool")
+        if op in ("in", "not in"):
+            # valid: str in str, any in List
+            # (ref: validate_static_types.py:768-773)
+            if rk == "num" or (rk == "str" and lk not in (None, "str")):
+                raise self.error(
+                    f"unsupported operand type(s) for in: `{lt}` and `{rt}`",
+                    node.span,
+                )
+            col = nullsafe.sml_in(left, right)
+            return Value(col=col if op == "in" else ~col, dtype="bool")
+        # ordering comparisons are numeric-only in the reference
+        # (validate_static_types.py:764-767: LessThan..GreaterThanEquals
+        # accept _INT_OR_FLOAT_T only)
+        if (lk is not None and lk != "num") or (rk is not None and rk != "num"):
+            raise self.error(
+                f"unsupported operand type(s) for {op}: `{lt}` and `{rt}`", node.span
+            )
         cmap = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
         col = getattr(left.col, cmap[op])(right.col)
         return Value(col=col, dtype="bool")

@@ -248,3 +248,56 @@ UsesHidden = Hidden == "b"
 """,
     )
     assert data == {"ConstExtracted": "d", "UsesHidden": True}
+
+
+# --- static-type transitions (ref: validate_static_types.py:722-782) --------
+
+
+def test_string_repetition(spark):
+    data = execute_one(
+        spark,
+        'S: ExtractLiteral[str] = "ab"\nN: ExtractLiteral[int] = 3\n'
+        "R1: str = S * N\nR2: str = N * S\n",
+    )
+    assert data["R1"] == "ababab" and data["R2"] == "ababab"
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "'a' + 1",          # Add has no (str, num) transition
+        "'a' - 'b'",        # Subtract is numeric-only
+        "'a' * 'b'",        # Multiply: str*str invalid
+        "'a' * 1.5",        # Multiply: str*float invalid
+        "'a' < 'b'",        # ordering comparisons are numeric-only
+        "1 < 'b'",
+        "'a' == 1",         # incompatible kinds
+        "[1] == 'a'",
+        "1 in 5",           # `in` needs str or List on the right
+        "1 in 'abc'",       # str `in` str needs str on the left
+        "1.5 << 2",         # shifts are int-only
+        "1 & 2.5",          # bitwise is int-only
+    ],
+)
+def test_static_type_errors(spark, expr):
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.sml.errors import SmlError
+
+    with pytest.raises(SmlError, match="unsupported operand|incompatible types"):
+        compile_ruleset({"main.sml": f"X = {expr}\n"})
+
+
+def test_annotated_operands_type_as_annotated(spark):
+    # annotated JsonData carries its type into the transition checks;
+    # un-annotated JsonData is a *string* feature here (documented) so
+    # arithmetic on it errors — the reference is stricter still: an
+    # un-annotated dynamic call is itself invalid (ref: ast_validator/
+    # validators/validate_dynamic_calls_have_annotated_rvalue.py)
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.sml.errors import SmlError
+
+    compile_ruleset(
+        {"main.sml": "V: int = JsonData(path='$.v')\nX = V + 1\nY = V < 5\n"}
+    )
+    with pytest.raises(SmlError, match="unsupported operand"):
+        compile_ruleset({"main.sml": "V = JsonData(path='$.v')\nX = V + 1\n"})
