@@ -126,10 +126,7 @@ def curate(
     max_top_unigram_frac: float = 0.15,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """The end-to-end corpus curation pass, composed from the family's
-    operators as ONE declarative plan (Catalyst fuses the projection
-    stages; the only shuffles are the fingerprint-dedup aggregate and
-    the decontamination join):
+    """The end-to-end corpus curation pass as ONE single-scan plan:
 
       1. fingerprint dedup — keep the min-id doc per sorted-unique
          token-set key;
@@ -139,37 +136,58 @@ def curate(
          with the benchmark set (broadcast anti-join);
       4. PII scrub the survivors.
 
+    Plan shape (this matters at 100 TB — the first composed version
+    joined the corpus back to itself per stage and executed NINE
+    corpus scans / 25 exchanges at sf0.01): tokens are materialized
+    once, the repetition signal is an inline column (no join), the
+    dedup keeper is ``row_number() == 1`` over the fingerprint window
+    (one shuffle, replaces groupBy-min + self-join), and the one
+    unavoidable reuse — survivors feed both the contamination probe
+    and the anti-join — is persisted, not recomputed. Net: ONE corpus
+    scan, two shuffles (fingerprint window + contamination aggregate),
+    one broadcast join. Call ``result.unpersist_base()`` to release
+    the persisted survivors in long-lived sessions.
+
     Output: (id, scrubbed text, top_unigram_frac) for surviving docs.
     """
+    from pyspark.sql import Window
+
     from .dedup import tokens as _toks
 
-    fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(_toks(F.col(text_col)))), " ").cast(
-            "binary"
+    base = corpus.select(F.col(id_col), F.col(text_col), _toks(F.col(text_col)).alias("_t"))
+    n = F.size(F.col("_t"))
+    frac = F.when(
+        n > 0,
+        F.round(F.array_max(_counts_of(F.col("_t"))).cast("double") / n, 6),
+    ).otherwise(F.lit(0.0))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("_t"))), " ").cast("binary"))
+    sig = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        frac.alias("top_unigram_frac"),
+        fp.alias("_fp"),
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    kept = (
+        sig.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("top_unigram_frac") <= F.lit(max_top_unigram_frac))
         )
-    )
-    keepers = (
-        corpus.select(fp.alias("_fp"), F.col(id_col))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("_fp")
-    )
-    kept = corpus.join(keepers, id_col)
-    rep = repetition_signals(kept, id_col=id_col, text_col=text_col).select(
-        id_col, "top_unigram_frac"
-    )
-    kept = kept.join(rep, id_col).filter(
-        F.col("top_unigram_frac") <= F.lit(max_top_unigram_frac)
+        .drop("_rn", "_fp")
+        .persist()
     )
     contaminated = decontaminate(
         kept, bench, id_col=id_col, text_col=text_col, k=shingle_k
     ).select(id_col)
     clean = kept.join(contaminated, id_col, "left_anti")
-    return clean.select(
+    out = clean.select(
         F.col(id_col),
         pii_scrub_col(F.col(text_col)).alias("scrubbed"),
         "top_unigram_frac",
     ).orderBy(id_col)
+    out.unpersist_base = lambda: kept.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
