@@ -73,6 +73,7 @@ def test_curate_pipeline_stages_and_plan(spark):
     assert rows[4].scrubbed.endswith("mail <EMAIL>")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    out.unpersist_base()  # release the survivors cache (session-scoped fixture)
 
 
 def test_scrub_pii_udf_in_ruleset(spark):

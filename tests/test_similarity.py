@@ -176,17 +176,19 @@ def test_dedup_groups_releases_persisted_frames(spark):
     persisted RDDs (round-2 VERDICT: the final labels frame leaked)."""
     from osprey_spark.operators.dedup import dedup_groups
 
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
     docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (4, 5), (8, 9), (9, 10)], "id_a long, id_b long"
     )
-    before = jsc.getPersistentRDDs().size()
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     for _ in range(3):
         out = dedup_groups(pairs, docs)
         out.collect()
         out.unpersist_base()
-    assert jsc.getPersistentRDDs().size() == before
+    # set-based: immune to the async ContextCleaner reaping unrelated
+    # entries another test leaked between the two measurements
+    assert set(jsc.getPersistentRDDs().keySet().toArray()) - before == set()
 
 
 def test_ngram_jaccard_releases_persisted_frames(spark):
@@ -194,18 +196,18 @@ def test_ngram_jaccard_releases_persisted_frames(spark):
     (self-join reuse); unpersist_base() must release both."""
     from osprey_spark.operators import dedup
 
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
          for i in range(20)],
         "doc_id long, text string",
     )
-    before = jsc.getPersistentRDDs().size()
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     for _ in range(2):
         out = dedup.ngram_jaccard_pairs(docs, threshold=0.4, k=2)
         out.collect()
         out.unpersist_base()
-    assert jsc.getPersistentRDDs().size() == before
+    assert set(jsc.getPersistentRDDs().keySet().toArray()) - before == set()
 
 
 def test_ann_recall_floor_vs_brute_force(spark):
