@@ -438,6 +438,56 @@ FROM turns
 )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule stream-stream join replayed in batch: verdict rows
+    (emitted 60 s after their turn) join back to the turn stream on
+    (conv_id, turn_idx) within the 600 s state-eviction window via
+    streaming.windows.join_verdicts_to_turns — the SAME code path the
+    streaming pipeline runs (Catalyst's EliminateEventTimeWatermark
+    drops the watermark node on batch children, leaving an identical
+    join plan, so the output is DuckDB-replayable; watermark eviction
+    itself is pinned by tests/test_streaming.py). Output preserves the
+    turn's text for the per-turn equality invariant."""
+    from .streaming.windows import join_verdicts_to_turns
+
+    turns = turns_from_events(spark, sf_dir)
+    out = rules_output(spark, sf_dir)
+    verdicts = out.filter(F.size("__verdicts") > 0).select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(F.array_sort("__verdicts"), ",").alias("verdicts"),
+        (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("v_ts"),
+    )
+    joined = join_verdicts_to_turns(turns, verdicts)
+    return joined.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "text",
+        "verdicts",
+    ).orderBy("conv_id", "turn_idx")
+
+
+O_STREAM_JOIN = (
+    TURNS_CTE
+    + ","
+    + _FLAGSHIP_ORACLE_FEAT
+    + """
+, verd AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN has_hello AND ((has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4))
+         THEN 'hello,review'
+         WHEN has_hello THEN 'hello'
+         ELSE 'review' END AS verdicts
+  FROM feat
+  WHERE has_hello OR (has_url AND has_spam_domain) OR (is_tool AND num_tokens >= 4)
+)
+SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx, t.text, v.verdicts
+FROM turns t JOIN verd v ON t.conv_id = v.conv_id AND t.turn_idx = v.turn_idx
+ORDER BY t.conv_id, t.turn_idx
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # relational core (scan/agg/join path)
 # --------------------------------------------------------------------------
@@ -1459,6 +1509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window": q_sessions,
     "rate_rule": q_rate_rule,
     "escalation_state": q_escalation,
+    "stream_join": q_stream_join,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "dedup_exact": q_dedup_exact,
@@ -1505,6 +1556,7 @@ ORACLES: dict[str, str] = {
     "session_window": O_SESSIONS,
     "rate_rule": O_RATE_RULE,
     "escalation_state": O_ESCALATION,
+    "stream_join": O_STREAM_JOIN,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
     "dedup_exact": O_DEDUP_EXACT,
