@@ -407,23 +407,33 @@ def simhash_table(
     shuffle keyed by doc id — the shape that survives 100 TB; per-row
     array-lambda folding over 60 bits does not (60 interpreted passes
     per document)."""
-    exploded = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s"))
-    h = F.conv(F.substring(F.md5(F.col("_s").cast("binary")), 1, 15), 16, 10).cast("long")
+    # The 60 per-bit sign sums and the 60-term bit pack are emitted as
+    # SQL strings (F.expr) rather than Column-by-Column: each Column
+    # method is a py4j JVM round-trip (~0.5-0.8 ms), so the ~800-call
+    # tree cost ~1.4 s of pure PYTHON plan-build per query; the SQL
+    # parses JVM-side in one call per expression with the identical
+    # resulting plan (HashAggregate of 60 sums -> OR-chain projection).
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    ).select(
+        "_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(_s AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("_h"),
+    )
     sums = [
-        F.sum(
-            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{bit}")
-        for bit in range(SIMHASH_BITS)
-    ]
-    agg = exploded.groupBy("_id").agg(*sums)
-    bit_cols = [
-        F.when(F.col(f"_b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-            F.lit(0).cast("long")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(_h, {bit}) & 1) = 1 THEN 1 ELSE -1 END) AS _b{bit}"
         )
         for bit in range(SIMHASH_BITS)
     ]
-    sim = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
-    return agg.select("_id", sim.alias("_sim"))
+    agg = exploded.groupBy("_id").agg(*sums)
+    pack = " | ".join(
+        f"(CASE WHEN _b{bit} > 0 THEN shiftleft(CAST(1 AS BIGINT), {bit})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    return agg.select("_id", F.expr(pack).alias("_sim"))
 
 
 def simhash_dedup(
