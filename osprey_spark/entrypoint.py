@@ -70,11 +70,32 @@ feat AS (
 """
 
 
+import weakref
+
+# Compiled rulesets are reusable across input frames (Columns resolve
+# by name at analysis), so keep one compiled copy per live session —
+# the production shape: the reference keeps the compiled engine
+# resident across events (ref: worker/lib/osprey_engine.py), it does
+# not re-validate sources per evaluation. Keyed weakly on the
+# SparkSession because compile-time Column construction binds to the
+# active session (Spark 4).
+_RS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _compiled(spark: SparkSession, sml: str, bindings=None):
+    per_session = _RS_CACHE.setdefault(spark, {})
+    rs = per_session.get(sml)
+    if rs is None:
+        rs = compile_ruleset({"main.sml": sml}, bindings=bindings)
+        per_session[sml] = rs
+    return rs
+
+
 def rules_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compiled flagship ruleset applied to the turns stream —
     the execution-results table every analytics query runs over."""
     env = with_envelope(turns_from_events(spark, sf_dir))
-    rs = compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS)
+    rs = _compiled(spark, FLAGSHIP_SML, bindings=TURN_BINDINGS)
     # `role` is NOT passed through: the ruleset extracts `Role` (same
     # value) and emitting both would be ambiguous under the driver's
     # default case-insensitive session (round-2 CORRECTNESS failure).
@@ -127,7 +148,7 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic md5 bucket of (conv_id, turn_idx) so DuckDB
     replays the identical kept set."""
     env = with_envelope(turns_from_events(spark, sf_dir))
-    rs = compile_ruleset({"main.sml": FLAGSHIP_SML}, bindings=TURN_BINDINGS)
+    rs = _compiled(spark, FLAGSHIP_SML, bindings=TURN_BINDINGS)
     key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
     out = rs.apply(
         env,
@@ -1050,13 +1071,12 @@ def q_has_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = latest_labels(_label_changelog(spark, sf_dir))
     env = with_envelope(turns_from_events(spark, sf_dir))
-    rs = compile_ruleset(
-        {
-            "main.sml": """
+    rs = _compiled(
+        spark,
+        """
 ConvId: Entity[str] = EntityJson(type='ConvId', path='$.conv_id')
 InFlaggedConv = HasLabel(entity=ConvId, label='flagged')
-"""
-        },
+""",
         bindings=TURN_BINDINGS,
     )
     out = rs.apply(env, passthrough=["conv_id", "turn_idx"], labels_df=snap)
@@ -1082,14 +1102,13 @@ def q_increment_window_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     udfs/cache.py:161-227): turns-per-conv in a trailing 10-minute
     window, judged at each turn's event time."""
     env = with_envelope(turns_from_events(spark, sf_dir))
-    rs = compile_ruleset(
-        {
-            "main.sml": """
+    rs = _compiled(
+        spark,
+        """
 K: str = JsonData(path='$.conv_id')
 N = IncrementWindow(key=K, window_seconds=600.0)
 Bursty = N >= 5
-"""
-        },
+""",
         bindings=TURN_BINDINGS,
     )
     out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
