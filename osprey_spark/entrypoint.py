@@ -1506,6 +1506,69 @@ WHERE copies >= 1 ORDER BY doc_id, copy
 O_DATASET_MIXING = _mixing_oracle_sql(MIX_WEIGHTS)
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram vocabulary over the corpus: top-500 tokens by frequency
+    with deterministic (count desc, token) ranking — the vocab-build
+    step of a tokenizer-training pipeline. Plan: explode → hash
+    aggregate (map-side partial) → TopK; the only full-width shuffle
+    carries (token, partial_count), never documents — at 100 TB the
+    aggregate output is vocabulary-sized, not corpus-sized."""
+    from .functions.text import tokenize_col
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(tokenize_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # TakeOrdered top-K first (tree-reduced, scale-safe), THEN rank:
+    # a row_number window over the full vocabulary would single-task
+    # every distinct token; after limit(500) the window is trivial
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(500)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "token", "n")
+        .orderBy("rank")
+    )
+
+
+O_VOCAB_BUILD = f"""
+WITH t AS (SELECT unnest({_DUCK_RTOKENS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+r AS (
+  SELECT token, n,
+    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM c
+)
+SELECT rank, token, n FROM r WHERE rank <= 500 ORDER BY rank
+"""
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle via
+    packing.global_shuffle_order: position = global rank of a seeded
+    md5 key, computed as prefix-group offsets + per-group ranks (no
+    single-task global window; only (key, id) pairs shuffle, never
+    documents)."""
+    from .operators.packing import global_shuffle_order
+
+    return global_shuffle_order(_docs(spark, sf_dir)).orderBy("position")
+
+
+O_SHUFFLE_ORDER = """
+WITH k AS (
+  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+  CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS position
+FROM k ORDER BY position
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1556,6 +1619,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_stats": q_conv_stats,
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
+    "vocab_build": q_vocab_build,
+    "shuffle_order": q_shuffle_order,
 }
 
 ORACLES: dict[str, str] = {
@@ -1603,6 +1668,8 @@ ORACLES: dict[str, str] = {
     "conv_stats": O_CONV_STATS,
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,
+    "vocab_build": O_VOCAB_BUILD,
+    "shuffle_order": O_SHUFFLE_ORDER,
 }
 
 

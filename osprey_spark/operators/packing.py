@@ -157,3 +157,42 @@ def dataset_mixing(
         *keep_cols,
         F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))).alias("copy"),
     )
+
+
+def global_shuffle_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuf",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: ``position`` =
+    global rank of ``md5(seed || ':' || id)`` — a seeded,
+    engine-replayable stand-in for the random permutation a training
+    pipeline draws before epoch 0.
+
+    Scale shape (why NOT ``row_number() OVER (ORDER BY key)``): a
+    global window collapses the whole table into ONE task. Instead the
+    md5 key space is split into 16^prefix_len uniform groups; per-group
+    counts (a vocabulary-sized aggregate) become broadcast offsets, and
+    position = group offset + rank within group — every group ranks in
+    its own task. Only (key, id) pairs ever shuffle, never documents;
+    consumers join back on ``id_col``. At 10^11 rows raise prefix_len
+    so each group fits an executor task (16^3 = 4096 groups).
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    keyed = docs.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
+        "_pfx", F.substring("shuffle_key", 1, prefix_len)
+    )
+    counts = keyed.groupBy("_pfx").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pfx").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).select("_pfx", "_off")
+    w_local = Window.partitionBy("_pfx").orderBy("shuffle_key")
+    return (
+        keyed.join(F.broadcast(offsets), "_pfx")
+        .withColumn(
+            "position", (F.col("_off") + F.row_number().over(w_local)).cast("long")
+        )
+        .select(id_col, "shuffle_key", "position")
+    )

@@ -112,3 +112,25 @@ def test_dataset_mixing_default_weight_and_validation(spark):
     assert sorted((r.doc_id, r.copy) for r in out) == [(1, 1), (1, 2), (2, 1)]
     with pytest.raises(ValueError, match="negative"):
         dataset_mixing(docs, {"en": -1.0})
+
+
+def test_global_shuffle_order_is_permutation_and_prefix_invariant(spark):
+    from osprey_spark.operators.packing import global_shuffle_order
+
+    docs = spark.createDataFrame([(i, "t") for i in range(97)], "doc_id long, text string")
+    out = global_shuffle_order(docs).collect()
+    # positions are exactly 1..N — a permutation, no gaps or dups
+    assert sorted(r.position for r in out) == list(range(1, 98))
+    # position = global rank of the md5 key, independent of grouping
+    by_key = {r.doc_id: r.position for r in out}
+    expected = {
+        r.doc_id: rank + 1
+        for rank, r in enumerate(sorted(out, key=lambda r: r.shuffle_key))
+    }
+    assert by_key == expected
+    # a different prefix_len changes the plan, not the result
+    out2 = global_shuffle_order(docs, prefix_len=2).collect()
+    assert {r.doc_id: r.position for r in out2} == by_key
+    # a different seed is a different permutation
+    out3 = global_shuffle_order(docs, seed="epoch1").collect()
+    assert {r.doc_id: r.position for r in out3} != by_key
