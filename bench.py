@@ -187,11 +187,68 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
         "\nBurstConv = TurnRate >= 20\n"
     )
+    # stream-stream join mode (north rule): verdict rows join back to
+    # the turn stream on (conv_id, turn_idx) within watermark bounds.
+    # The verdict side is materialized once (batch, cached by size) so
+    # the timed section is the stateful join itself, sunk to noop.
+    from pyspark.sql import functions as F
+
+    verdicts_dir = os.path.join(work_dir, f"verdicts_{n_convs}x{tpc}")
+    if not os.path.exists(os.path.join(verdicts_dir, "_SUCCESS")):
+        from osprey_spark.turns import with_envelope
+
+        rs = compile_ruleset({"main.sml": BENCH_SML}, bindings=TURN_BINDINGS)
+        batch = rs.apply(
+            with_envelope(spark.read.parquet(input_dir)),
+            passthrough=["conv_id", "turn_idx", "ts"],
+        )
+        (
+            batch.filter(F.size("__verdicts") > 0)
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col("__verdicts").alias("verdicts"),
+                F.col("ts").alias("v_ts"),
+            )
+            .repartition(n_files // 4, F.pmod(F.xxhash64("conv_id"), F.lit(n_files // 4)))
+            .write.mode("overwrite")
+            .parquet(verdicts_dir)
+        )
+    n_verdicts = spark.read.parquet(verdicts_dir).count()
+
+    def run_join() -> float:
+        from osprey_spark.streaming.pipeline import TURNS_SCHEMA
+        from osprey_spark.streaming.windows import join_verdicts_to_turns
+
+        turns_stream = (
+            spark.readStream.schema(TURNS_SCHEMA)
+            .option("maxFilesPerTrigger", max(n_files // 4, 1))
+            .parquet(input_dir)
+        )
+        verdicts_stream = spark.readStream.schema(
+            "conv_id string, turn_idx int, verdicts array<string>, v_ts timestamp"
+        ).parquet(verdicts_dir)
+        joined = join_verdicts_to_turns(turns_stream, verdicts_stream)
+        ckpt = os.path.join("/dev/shm/osprey_bench", "join_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return wall
+
     # best-of-2 interleaved, same discipline as the query suite: run 1
     # of each mode also warms JIT/codegen for run 2 (first JVM pass of
     # a 40-feature ruleset costs ~10 s of compilation, which is not
     # engine throughput)
-    walls: dict[str, list] = {"stateless": [], "stateful": []}
+    walls: dict[str, list] = {"stateless": [], "stateful": [], "join": []}
     commits_best: list = []
     for _ in range(2):
         w, commits = run(BENCH_SML, "stateless")
@@ -199,8 +256,10 @@ def _bench_streaming(spark, work_dir: str) -> dict:
             commits_best = commits
         walls["stateless"].append(w)
         walls["stateful"].append(run(stateful_sml, "stateful")[0])
+        walls["join"].append(run_join())
     wall = min(walls["stateless"])
     wall2 = min(walls["stateful"])
+    wall3 = min(walls["join"])
     lat = sorted(c["duration_s"] for c in commits_best) or [0.0]
 
     return {
@@ -212,6 +271,9 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "batch_latency_max_s": lat[-1],
         "stateful_turns_per_sec": round(n_rows / wall2, 1),
         "stateful_wall_s": round(wall2, 3),
+        "join_turns_per_sec": round(n_rows / wall3, 1),
+        "join_wall_s": round(wall3, 3),
+        "join_verdict_rows": n_verdicts,
     }
 
 
