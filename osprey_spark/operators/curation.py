@@ -186,7 +186,7 @@ def curate(
         pii_scrub_col(F.col(text_col)).alias("scrubbed"),
         "top_unigram_frac",
     ).orderBy(id_col)
-    out.unpersist_base = lambda: kept.unpersist()
+    out.unpersist_base = lambda: kept.unpersist(blocking=True)
     return out
 
 

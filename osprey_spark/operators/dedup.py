@@ -173,7 +173,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
-    out.unpersist_base = lambda: base.unpersist()
+    out.unpersist_base = lambda: base.unpersist(blocking=True)
     return out
 
 
@@ -257,7 +257,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
-    out.unpersist_base = lambda: (base.unpersist(), pref.unpersist())
+    out.unpersist_base = lambda: (base.unpersist(blocking=True), pref.unpersist(blocking=True))
     return out
 
 
@@ -325,7 +325,7 @@ def dedup_groups(
         for i in ids:
             r = jmap.get(i)
             if r is not None:
-                r.unpersist()
+                r.unpersist(True)  # blocking: callers assert the RDD is gone
 
     prev_ids: list = []
     last_ids: list = []
@@ -373,7 +373,7 @@ def dedup_groups(
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()
+    edges.unpersist(blocking=True)
     _free(prev_ids)
     all_docs = docs.select(F.col(id_col).alias("_u")).distinct()
     out = all_docs.join(labels, "_u", "left").select(

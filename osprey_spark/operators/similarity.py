@@ -208,7 +208,7 @@ def banded_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
-    out.unpersist_base = lambda: (base.unpersist(), bands.unpersist())
+    out.unpersist_base = lambda: (base.unpersist(blocking=True), bands.unpersist(blocking=True))
     return out
 
 
