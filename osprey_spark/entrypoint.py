@@ -1569,6 +1569,156 @@ FROM k ORDER BY position
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: every purchase event picks the latest
+    click/view at-or-before it by the same user — operators.joins.
+    asof_join's union-and-carry-forward plan (ONE shuffle on user_id,
+    no inequality-join fan-out). The right side pre-aggregates to
+    unique (user_id, ts) so the match is deterministic; DuckDB replays
+    it with its native ASOF LEFT JOIN."""
+    from .operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("click_click_id").alias("click_id"),
+        F.col("click_ts").alias("click_ts"),
+    ).orderBy("event_id")
+
+
+O_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.click_id AS click_id, c.ts AS click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment without a cartesian product: parts join
+    every brand's [min, max] retail-price band they fall inside —
+    operators.joins.range_join's binned rewrite (points bin once,
+    intervals explode to covered bins, equi-join on the bin, exact
+    BETWEEN post-filter). Output aggregates to per-band membership
+    stats, all order-insensitive-exact columns."""
+    from .operators.joins import range_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bands = part.groupBy(F.col("p_brand").alias("band_brand")).agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    points = part.select("p_partkey", "p_retailprice")
+    joined = range_join(
+        points, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi", bin_width=50.0
+    )
+    return (
+        joined.groupBy("band_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .orderBy("band_brand")
+    )
+
+
+O_RANGE_JOIN = """
+WITH bands AS (
+  SELECT p_brand AS band_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT b.band_brand, count(*) AS n_parts,
+       min(p.p_retailprice) AS min_price, max(p.p_retailprice) AS max_price
+FROM part p JOIN bands b ON p.p_retailprice BETWEEN b.lo AND b.hi
+GROUP BY b.band_brand ORDER BY b.band_brand
+"""
+
+
+TRAIN_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the corpus —
+    operators.joins.hash_split: one projection, zero shuffles, no RNG;
+    the md5-bucket boundaries replay exactly in DuckDB."""
+    from .operators.joins import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, TRAIN_SPLIT_WEIGHTS, id_col="doc_id", seed="r3").select(
+        "doc_id", "lang", "split"
+    ).orderBy("doc_id")
+
+
+def _train_split_oracle_sql() -> str:
+    from .operators.joins import hash_split_oracle_case
+
+    case = hash_split_oracle_case(TRAIN_SPLIT_WEIGHTS, "doc_id", seed="r3")
+    return f"SELECT doc_id, lang, {case} AS split FROM documents ORDER BY doc_id"
+
+
+O_TRAIN_SPLIT = _train_split_oracle_sql()
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf) —
+    curation.tfidf_top_terms; tf/df aggregates shuffle (doc, term)
+    pairs once, N rides as a 1-row broadcast, per-doc top-k windows
+    stay document-sized."""
+    from .operators.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5).orderBy("doc_id", "rank")
+
+
+O_TFIDF = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_RTOKENS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    round(tf.tf * (ln((n.n + 1) / (df.df + 1.0)) + 1), 6) AS weight
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, weight,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, weight FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1621,6 +1771,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixing": q_dataset_mixing,
     "vocab_build": q_vocab_build,
     "shuffle_order": q_shuffle_order,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "train_split": q_train_split,
+    "tfidf": q_tfidf,
 }
 
 ORACLES: dict[str, str] = {
@@ -1670,6 +1824,10 @@ ORACLES: dict[str, str] = {
     "dataset_mixing": O_DATASET_MIXING,
     "vocab_build": O_VOCAB_BUILD,
     "shuffle_order": O_SHUFFLE_ORDER,
+    "asof_join": O_ASOF_JOIN,
+    "range_join": O_RANGE_JOIN,
+    "train_split": O_TRAIN_SPLIT,
+    "tfidf": O_TFIDF,
 }
 
 

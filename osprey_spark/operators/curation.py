@@ -254,3 +254,68 @@ def repetition_signals(
         frac(top_bi, F.greatest(n - 1, F.lit(1))).alias("top_bigram_frac"),
         frac(nd, n).alias("distinct_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword/relevance
+    scoring step of a corpus-analytics pipeline.
+
+    Weight: ``tf * (ln((N + 1) / (df + 1)) + 1)`` (smoothed idf,
+    sklearn's ``TfidfVectorizer(smooth_idf=True)`` convention), with
+    ``tf`` the raw in-document term count and ``df`` the number of
+    documents containing the term.
+
+    Plan shape at 100 TB:
+
+    1. explode tokens -> ONE hash aggregate to (doc, term, tf): the
+       shuffle carries (doc_id, term) pairs once — map-side partial
+       aggregation collapses repeats before the exchange;
+    2. term document-frequency is a second aggregate OVER THE (doc,
+       term) FRAME (already one row per doc-term, so ``count(*)`` ==
+       distinct-doc count — no count_distinct shuffle);
+    3. N rides in as a 1-row broadcast (no driver collect);
+    4. idf joins back on the term — vocabulary-sized right side,
+       hash-partitioned equi-join; hot stopword terms are naturally
+       spread because the left side is (doc, term), not term-grouped;
+    5. per-doc top-k via ``row_number`` over a doc-partitioned window:
+       partitions are document-sized, never corpus-sized.
+
+    Weights round to 6 decimals (ln is IEEE-double-stable across
+    engines; the rounding absorbs last-ulp differences).
+    """
+    from ..functions.text import tokenize_col
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokenize_col(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_ = df_.filter(F.col("df") >= min_df)
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn("weight", F.round(F.col("tf") * idf, 6))
+        .drop("__n", "df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "weight")
+    )

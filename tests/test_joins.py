@@ -1,0 +1,162 @@
+"""Unit tests for operators.joins: as-of join semantics (direction,
+inclusivity, tolerance, left-join nulls), range-join strategy
+equivalence, and hash_split determinism/proportions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from osprey_spark.operators.joins import asof_join, hash_split, range_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [("A", _ts(5), 100.0), ("A", _ts(10), 101.0), ("B", _ts(3), 50.0)],
+        "sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(4), 99.5),
+            ("A", _ts(5), 99.9),  # equal-ts: inclusive match
+            ("A", _ts(8), 100.5),
+            ("B", _ts(7), 49.0),  # after B's only trade
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on=["sym"], right_cols=["bid"]).collect()
+    by = {(r.sym, r.ts.minute): r for r in out}
+    assert by[("A", 5)].r_bid == 99.9  # equal ts wins over minute-4
+    assert by[("A", 10)].r_bid == 100.5
+    assert by[("B", 3)].r_bid is None  # nothing at-or-before -> null
+    assert len(out) == 3  # left cardinality preserved
+
+
+def test_asof_forward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], right_cols=["bid"], direction="forward"
+    ).collect()
+    by = {(r.sym, r.ts.minute): r for r in out}
+    assert by[("A", 5)].r_bid == 99.9  # inclusive at equal ts
+    assert by[("A", 10)].r_bid is None  # nothing at-or-after
+    assert by[("B", 3)].r_bid == 49.0
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], right_cols=["bid"], tolerance_s=60.0
+    ).collect()
+    by = {(r.sym, r.ts.minute): r for r in out}
+    assert by[("A", 5)].r_bid == 99.9  # gap 0s
+    assert by[("A", 10)].r_bid is None  # nearest is 2 min away > 60 s
+
+
+def test_asof_prefix_collision_raises(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades,
+            quotes.withColumnRenamed("bid", "price"),
+            on=["sym"],
+            right_cols=["price"],
+            prefix="",
+        )
+
+
+def test_range_join_binned_equals_broadcast(spark):
+    points = spark.range(0, 200).select((F.col("id") * 7 % 1000).alias("x"), "id")
+    intervals = spark.createDataFrame(
+        [(0, 100, "a"), (50, 400, "b"), (390, 391, "c"), (900, 2000, "d")],
+        "lo long, hi long, tag string",
+    )
+    binned = {
+        (r.id, r.tag)
+        for r in range_join(points, intervals, "x", "lo", "hi", bin_width=64).collect()
+    }
+    bcast = {
+        (r.id, r.tag)
+        for r in range_join(
+            points, intervals, "x", "lo", "hi", broadcast_intervals=True
+        ).collect()
+    }
+    assert binned == bcast and len(binned) > 0
+    # overlapping intervals produce one row per containing interval
+    x70 = [t for (i, t) in binned if i * 7 % 1000 == 0 and False]  # noqa: F841
+    both = {t for (i, t) in binned if (i * 7 % 1000) == 70}
+    assert both == {"a", "b"}
+
+
+def test_range_join_keyed(spark):
+    points = spark.createDataFrame(
+        [("u1", 5), ("u1", 50), ("u2", 5)], "k string, x long"
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 0, 10, "w1"), ("u2", 0, 3, "w2")], "k string, lo long, hi long, tag string"
+    )
+    out = range_join(
+        points, intervals, "x", "lo", "hi", on=["k"], bin_width=8
+    ).collect()
+    assert {(r.k, r.x, r.tag) for r in out} == {("u1", 5, "w1")}
+
+
+def test_range_join_requires_strategy(spark):
+    df = spark.range(1).select(F.col("id").alias("x"))
+    iv = spark.range(1).select(F.col("id").alias("lo"), (F.col("id") + 1).alias("hi"))
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(df, iv, "x", "lo", "hi")
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, w, seed="s").groupBy("split").count().collect()
+    b = hash_split(df, w, seed="s").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r.split: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    # different seed -> different assignment of at least one row
+    c = hash_split(df, w, seed="other")
+    diff = (
+        hash_split(df, w, seed="s")
+        .alias("a")
+        .join(c.alias("b"), "doc_id")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.range(1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5, "val": 0.1})
+
+
+def test_asof_join_single_exchange(spark, quotes_trades):
+    """The whole point: no inequality join, ONE hash exchange on the
+    key feeding one sort — SMJ-shaped cost, zero fan-out."""
+    trades, quotes = quotes_trades
+    plan = (
+        asof_join(trades, quotes, on=["sym"], right_cols=["bid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # union + window, not a join operator
+    assert plan.count("Exchange hashpartitioning") == 1

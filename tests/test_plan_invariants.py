@@ -21,8 +21,9 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 # Queries allowed to contain a nested-loop join: brute_force_topk and
 # the IVF centroid ranking broadcast a bounded small side (queries /
 # codebook) by design — the cross product IS the documented plan, with
-# the small side capped (Q≈10 rows, codebook 64 rows).
-_CROSS_OK = {"embedding_topk", "embedding_ivf_topk"}
+# the small side capped (Q≈10 rows, codebook 64 rows). tfidf joins a
+# 1-row broadcast corpus-count frame (no join key by construction).
+_CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf"}
 
 # Queries expected to broadcast at least one join side (small dim /
 # snapshot / bucket-count table); a SortMergeJoin regression here means
@@ -34,6 +35,7 @@ _EXPECT_BROADCAST = {
     "corpus_curate",
     "embedding_topk",
     "shuffle_order",
+    "range_join",
 }
 
 
