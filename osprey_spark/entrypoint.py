@@ -1719,6 +1719,67 @@ ORDER BY doc_id, rank
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact value percentiles (p50/p90/p99) —
+    analytics.group_percentiles. Exact interpolated percentile
+    (DuckDB quantile_cont semantics) is the oracle path; the same
+    operator flips to approx_percentile sketches for high-cardinality
+    groups at 100 TB."""
+    from .plans.analytics import group_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_percentiles(
+        ev, "value", ["event_type"], (0.5, 0.9, 0.99)
+    ).orderBy("event_type")
+
+
+O_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel per user —
+    analytics.funnel: one distributed job, user-cardinality stage
+    frames chained on one equi-key, event-time ordering enforced
+    stage over stage."""
+    from .plans.analytics import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, "user_id", "event_type", "ts", FUNNEL_STAGES).orderBy(
+        "stage_idx"
+    )
+
+
+O_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY e.user_id
+)
+SELECT * FROM (
+  VALUES ('view', 0, (SELECT count(*) FROM s0)),
+         ('click', 1, (SELECT count(*) FROM s1)),
+         ('purchase', 2, (SELECT count(*) FROM s2))
+) t(stage, stage_idx, n_users) ORDER BY stage_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1775,6 +1836,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "train_split": q_train_split,
     "tfidf": q_tfidf,
+    "percentiles": q_percentiles,
+    "funnel": q_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -1828,6 +1891,8 @@ ORACLES: dict[str, str] = {
     "range_join": O_RANGE_JOIN,
     "train_split": O_TRAIN_SPLIT,
     "tfidf": O_TFIDF,
+    "percentiles": O_PERCENTILES,
+    "funnel": O_FUNNEL,
 }
 
 

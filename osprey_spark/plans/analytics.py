@@ -203,3 +203,93 @@ def entity_filter(df: DataFrame, entity_columns: Sequence[str], entity_id) -> Co
     for c in entity_columns:
         cond = cond | F.col(c).cast("string").eqNullSafe(F.lit(str(entity_id)))
     return cond
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str],
+    percentiles: Sequence[float] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group value percentiles.
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate
+    (interpolated, DuckDB ``quantile_cont`` semantics — the oracle
+    path): per-group sorted state, fine when groups are bounded
+    (event types, tenants). ``exact=False`` switches to
+    ``approx_percentile`` (t-digest-style sketch, constant memory per
+    group) — the 100 TB path for high-cardinality or skewed groups;
+    same output shape, rank error <= 1/accuracy.
+
+    Output: one row per group with ``p<pct>`` columns, rounded to 6
+    decimals so IEEE last-ulp interpolation differences never surface
+    in engine comparison.
+    """
+    aggs = []
+    for p in percentiles:
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        if exact:
+            c = F.percentile(F.col(value_col), F.lit(float(p)))
+        else:
+            c = F.approx_percentile(F.col(value_col), F.lit(float(p)), F.lit(10000))
+        aggs.append(F.round(c, 6).alias(name))
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered conversion funnel: how many users reached stage i
+    having passed stages 0..i-1 IN EVENT-TIME ORDER (each stage's
+    earliest qualifying timestamp >= the previous stage's, ties
+    inclusive).
+
+    Plan shape — ONE distributed job, no driver-side loop over
+    stages: stage 0 aggregates to a (user, t0) frame; each later
+    stage left-joins its events on the user key with the
+    ``ts >= t_{i-1}`` qualifier and re-aggregates to (user, t0..ti).
+    Every frame past the first is USER-cardinality, not
+    event-cardinality, every join is an equi-join on the same key
+    (one hash partitioning reused end-to-end under AQE), and
+    non-converting users ride through as NULLs instead of being
+    re-counted per stage. The final single-row conditional count
+    unpivots to (stage, stage_idx, n_users).
+    """
+    uc = F.col(user_col)
+    per_user = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(F.col(ts_col)).alias("_t0"))
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        si = df.filter(F.col(type_col) == stage).select(
+            uc.alias("_u"), F.col(ts_col).alias("_sts")
+        )
+        carried = [F.max(f"_t{j}").alias(f"_t{j}") for j in range(i)]
+        per_user = (
+            per_user.join(
+                si,
+                (uc == F.col("_u"))
+                & (F.col("_sts") >= F.col(f"_t{i - 1}")),
+                "left",
+            )
+            .groupBy(user_col)
+            .agg(*carried, F.min("_sts").alias(f"_t{i}"))
+        )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"_n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    pairs = ", ".join(f"'{s}', {i}, _n{i}" for i, s in enumerate(stages))
+    return counts.selectExpr(
+        f"stack({len(stages)}, {pairs}) AS (stage, stage_idx, n_users)"
+    ).select(
+        "stage", F.col("stage_idx").cast("int").alias("stage_idx"), F.col("n_users").cast("long").alias("n_users")
+    )

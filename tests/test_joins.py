@@ -95,7 +95,6 @@ def test_range_join_binned_equals_broadcast(spark):
     }
     assert binned == bcast and len(binned) > 0
     # overlapping intervals produce one row per containing interval
-    x70 = [t for (i, t) in binned if i * 7 % 1000 == 0 and False]  # noqa: F841
     both = {t for (i, t) in binned if (i * 7 % 1000) == 70}
     assert both == {"a", "b"}
 
@@ -160,3 +159,53 @@ def test_asof_join_single_exchange(spark, quotes_trades):
     )
     assert "Join" not in plan  # union + window, not a join operator
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_ordering_enforced(spark):
+    """A user who clicks BEFORE ever viewing does not count as
+    view->click; equal timestamps are inclusive."""
+    from osprey_spark.plans.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [
+            # u1: full ordered funnel
+            (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+            # u2: click precedes view -> stops at view
+            (2, "click", 1), (2, "view", 2),
+            # u3: view + click same ts (inclusive), no purchase
+            (3, "view", 5), (3, "click", 5),
+            # u4: purchase only -> not even stage 0
+            (4, "purchase", 9),
+        ],
+        "user_id long, event_type string, t long",
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    out = {
+        r.stage: r.n_users
+        for r in funnel(ev, "user_id", "event_type", "ts", ("view", "click", "purchase")).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_group_percentiles_interpolation(spark):
+    from osprey_spark.plans.analytics import group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [10, 20, 30, 40]] + [("b", 7.0)],
+        "g string, value double",
+    )
+    rows = {r.g: r for r in group_percentiles(df, "value", ["g"], (0.5, 0.9)).collect()}
+    assert rows["a"].p50 == 25.0  # (20+30)/2 interpolated
+    assert rows["a"].p90 == pytest.approx(37.0)  # idx 2.7 -> 30 + .7*10
+    assert rows["b"].p50 == 7.0
+
+
+def test_group_percentiles_approx_shape(spark):
+    from osprey_spark.plans.analytics import group_percentiles
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").cast("double").alias("value")
+    )
+    rows = group_percentiles(df, "value", ["g"], (0.5,), exact=False).collect()
+    assert {r.g for r in rows} == {"0", "1"}
+    for r in rows:
+        assert 400 <= r.p50 <= 600
