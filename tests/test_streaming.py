@@ -901,3 +901,64 @@ def test_commit_marker_per_partition_lineage(spark, tmp_path):
     assert sum(p["files"] for p in parts.values()) >= len(parts)
     assert all(p["bytes"] > 0 for p in parts.values())
     assert marker["rows"] == 40
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """The streaming as-of (state-store latest-prior-right) emits
+    exactly the batch asof_join rows, across multiple micro-batches
+    with out-of-event-time file order."""
+    from osprey_spark.operators.joins import asof_join
+    from osprey_spark.streaming.state import stream_asof_enrich
+
+    lt_dir, rt_dir = str(tmp_path / "lt"), str(tmp_path / "rt")
+    # deterministic interleaved history: turns every 60s, verdicts on
+    # some turns, three convs, one conv hot
+    lrows, rrows = [], []
+    for ci, conv in enumerate(("c1", "c2", "c3")):
+        for i in range(12 if conv == "c1" else 5):
+            sec = i * 60 + ci * 7
+            lrows.append((conv, i, f"t-{conv}-{i}", f"2024-01-01 10:{sec // 60:02d}:{sec % 60:02d}"))
+            if (i + ci) % 3 == 0:
+                rrows.append((conv, f"v{ci}{i}", i % 2 == 0,
+                              f"2024-01-01 10:{sec // 60:02d}:{sec % 60:02d}"))
+    ldf = spark.createDataFrame(
+        lrows, "conv_id string, turn_idx int, text string, ts_str string"
+    ).select("conv_id", "turn_idx", "text", F.to_timestamp("ts_str").alias("ts"))
+    rdf = spark.createDataFrame(
+        rrows, "conv_id string, verdict string, block boolean, ts_str string"
+    ).select("conv_id", "verdict", "block", F.to_timestamp("ts_str").alias("ts"))
+    # two files per side -> maxFilesPerTrigger=1 interleaves batches;
+    # split by parity of turn_idx so a later batch carries EARLIER ts
+    ldf.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.parquet(lt_dir)
+    ldf.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode("append").parquet(lt_dir)
+    rdf.coalesce(1).write.parquet(rt_dir)
+
+    ls = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(lt_dir)
+    rs = spark.readStream.schema(
+        "conv_id string, verdict string, block boolean, ts timestamp"
+    ).parquet(rt_dir)
+    out = stream_asof_enrich(
+        ls, rs, key="conv_id", right_cols=["verdict", "block"], horizon_s=10_000.0
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.turn_idx): (r.r_verdict, r.r_block, r.r_ts)
+        for r in spark.sql("select * from asof_enrich").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): (r.r_verdict, r.r_block, r.r_ts)
+        for r in asof_join(
+            ldf, rdf, on=["conv_id"], right_cols=["verdict", "block"]
+        ).collect()
+    }
+    assert len(got) == len(lrows)
+    assert got == want
