@@ -73,6 +73,16 @@ HEADLINE = [
     "conv_stats",
     "sequence_packing",
     "dataset_mixing",
+    "vocab_build",
+    "shuffle_order",
+    "stream_join",
+    "asof_join",
+    "range_join",
+    "train_split",
+    "tfidf",
+    "percentiles",
+    "funnel",
+    "cms_heavy_hitters",
 ]
 
 

@@ -1780,6 +1780,61 @@ SELECT * FROM (
 """
 
 
+_CMS_W, _CMS_D = 1024, 4
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — operators.sketches: the
+    deterministic md5-hash CMS makes even the sketch ESTIMATES
+    hash-exact against the DuckDB oracle. Exact top-20 users (tree-
+    reduced TakeOrdered) join their CMS estimates read from the
+    width×depth counter table (broadcast-sized by construction)."""
+    from .operators.sketches import count_min_build, count_min_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    sketch = count_min_build(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    est = count_min_estimate(sketch, exact, "user_id", width=_CMS_W, depth=_CMS_D)
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_n", "cms_n")
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from .operators.sketches import count_min_sketch_cte, duck_bucket_sql
+
+    cte = count_min_sketch_cte("events", "user_id", width=_CMS_W, depth=_CMS_D)
+    kb = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {duck_bucket_sql('user_id', d, _CMS_W)} AS bucket FROM top"
+        for d in range(_CMS_D)
+    )
+    return f"""
+WITH cms AS ({cte}),
+top AS (
+  SELECT user_id, count(*) AS exact_n FROM events
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+),
+kb AS ({kb}),
+est AS (
+  SELECT kb.user_id, min(coalesce(cms.n, 0)) AS cms_n
+  FROM kb LEFT JOIN cms USING (d, bucket) GROUP BY kb.user_id
+)
+SELECT t.user_id, t.exact_n, e.cms_n
+FROM top t JOIN est e USING (user_id)
+ORDER BY t.exact_n DESC, t.user_id
+"""
+
+
+O_CMS_HEAVY_HITTERS = _cms_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1838,6 +1893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "percentiles": q_percentiles,
     "funnel": q_funnel,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1893,6 +1949,7 @@ ORACLES: dict[str, str] = {
     "tfidf": O_TFIDF,
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
+    "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
 }
 
 
