@@ -13,6 +13,7 @@ is read-your-writes (matching osprey's cross-event visibility).
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -408,65 +409,92 @@ def stream_asof_enrich(
         ]
     )
 
+    # same key-coalescing as the compiler's window-counter / cache
+    # state ops: group by a hash BUCKET of the key with a per-bucket
+    # {key: entries} map, amortizing applyInPandasWithState's fixed
+    # per-group cost; per-key segment folds keep semantics identical.
+    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    _NULL_KEY = "\x00"
+
     def fn(key_tuple, pdf_iter, state):
-        entries = json.loads(state.get[0]) if state.exists else []
+        smap = json.loads(state.get[0]) if state.exists else {}
         chunks = [c for c in pdf_iter if len(c)]
         if not chunks:
-            state.update((json.dumps(entries),))
+            state.update((json.dumps(smap),))
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        # event-time order, right rows before left at equal ts — the
-        # batch operator's inclusive-backward tie rule
-        pdf = pdf.sort_values(["__ats", "__side"], kind="stable")
-        is_right = (pdf["__side"] == 0).to_numpy()
-        ats = pdf["__ats"].to_numpy(dtype="float64")
-        # carried entries are already ts-sorted; batch rights append in
-        # sorted order, and carried ts <= horizon floor <= batch ts in
-        # the common case — merge defensively anyway
-        r_ts = [e[0] for e in entries] + [float(t) for t in ats[is_right]]
-        r_pj = [e[1] for e in entries] + list(pdf["__pj"].to_numpy()[is_right])
-        order = np.argsort(np.asarray(r_ts), kind="stable")
-        r_ts_arr = np.asarray(r_ts, dtype="float64")[order]
-        r_pj = [r_pj[i] for i in order]
+        # per key: event-time order, right rows before left at equal
+        # ts — the batch operator's inclusive-backward tie rule
+        pdf = pdf.sort_values(
+            [key, "__ats", "__side"], kind="stable", na_position="last"
+        )
+        keys_a = pdf[key].to_numpy(dtype=object)
+        side_a = (pdf["__side"] == 0).to_numpy()
+        ats_a = pdf["__ats"].to_numpy(dtype="float64")
+        pj_a = pdf["__pj"].to_numpy(dtype=object)
+        n = len(keys_a)
+        change = np.nonzero(keys_a[1:] != keys_a[:-1])[0] + 1
+        outs = []
+        for s, e in zip(np.concatenate(([0], change)), np.concatenate((change, [n]))):
+            mk = keys_a[s] if keys_a[s] is not None else _NULL_KEY
+            entries = smap.get(mk, [])
+            is_right = side_a[s:e]
+            ats = ats_a[s:e]
+            # carried entries are already ts-sorted; batch rights
+            # append in sorted order — merge defensively anyway
+            r_ts = [x[0] for x in entries] + [float(t) for t in ats[is_right]]
+            r_pj = [x[1] for x in entries] + list(pj_a[s:e][is_right])
+            order = np.argsort(np.asarray(r_ts), kind="stable")
+            r_ts_arr = np.asarray(r_ts, dtype="float64")[order]
+            r_pj = [r_pj[i] for i in order]
 
-        lmask = ~is_right
-        if lmask.any():
-            lts = ats[lmask]
-            idx = np.searchsorted(r_ts_arr, lts, side="right") - 1
-            out = pdf.loc[lmask, passthrough].copy()
-            mts, payloads = [], []
-            for i in idx:
-                if i >= 0:
-                    mts.append(float(r_ts_arr[i]))
-                    payloads.append(json.loads(r_pj[i]))
-                else:
-                    mts.append(None)
-                    payloads.append({})
-            out[prefix + right_ts] = mts
-            for c in right_cols:
-                out[prefix + c] = [p.get(c) for p in payloads]
-            yield out
+            lmask = ~is_right
+            if lmask.any():
+                lts = ats[lmask]
+                idx = np.searchsorted(r_ts_arr, lts, side="right") - 1
+                out = pdf.iloc[s:e].loc[lmask, passthrough].copy()
+                mts, payloads = [], []
+                for i in idx:
+                    if i >= 0:
+                        mts.append(float(r_ts_arr[i]))
+                        payloads.append(json.loads(r_pj[i]))
+                    else:
+                        mts.append(None)
+                        payloads.append({})
+                out[prefix + right_ts] = mts
+                for c in right_cols:
+                    out[prefix + c] = [p.get(c) for p in payloads]
+                outs.append(out)
 
-        # compact: keep rights within the horizon of the max seen
-        # event time, plus the single latest older entry
-        if len(r_ts_arr):
-            floor = float(ats.max()) - float(horizon_s)
-            keep = r_ts_arr >= floor
-            first_kept = int(np.argmax(keep)) if keep.any() else len(r_ts_arr)
-            start = max(first_kept - 1, 0) if not keep.all() else first_kept
-            if not keep.any():
-                start = len(r_ts_arr) - 1  # latest-only baseline
-            entries = [
-                [float(r_ts_arr[i]), r_pj[i]] for i in range(start, len(r_ts_arr))
-            ]
-        state.update((json.dumps(entries),))
+            # compact: keep rights within the horizon of this key's
+            # max seen event time, plus the single latest older entry
+            if len(r_ts_arr):
+                floor = float(ats.max()) - float(horizon_s)
+                keep = r_ts_arr >= floor
+                first_kept = int(np.argmax(keep)) if keep.any() else len(r_ts_arr)
+                start = max(first_kept - 1, 0) if not keep.all() else first_kept
+                if not keep.any():
+                    start = len(r_ts_arr) - 1  # latest-only baseline
+                smap[mk] = [
+                    [float(r_ts_arr[i]), r_pj[i]] for i in range(start, len(r_ts_arr))
+                ]
+        state.update((json.dumps(smap),))
+        if outs:
+            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
-    enriched = u.groupBy(key).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=_ASOF_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    enriched = (
+        u.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
+        )
+        .groupBy("__bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )
     proj = [F.col(c) for c in passthrough]
     proj.append(
