@@ -83,6 +83,7 @@ HEADLINE = [
     "percentiles",
     "funnel",
     "cms_heavy_hitters",
+    "cohort_retention",
 ]
 
 

@@ -1835,6 +1835,40 @@ ORDER BY t.exact_n DESC, t.user_id
 O_CMS_HEAVY_HITTERS = _cms_oracle_sql()
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-activity day, active
+    users per (cohort_day, day_offset) cell. Plan: dedupe to (user,
+    day) pairs, one user-keyed aggregate for the cohort day, one
+    equi-join on the user key, one final hash aggregate — because
+    (user, day) is already distinct, the cell count is a plain
+    count(*), no count-distinct shuffle. All frames after the dedupe
+    are user- or cell-cardinality, never event-cardinality."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    act = ev.distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+O_COHORT_RETENTION = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, a.d) AS day_offset,
+       count(*) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1894,6 +1928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -1950,6 +1985,7 @@ ORACLES: dict[str, str] = {
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+    "cohort_retention": O_COHORT_RETENTION,
 }
 
 
