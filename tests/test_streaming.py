@@ -962,3 +962,68 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(lrows)
     assert got == want
+
+
+@pytest.mark.parametrize("flavor", ["window", "cache"])
+def test_stateful_rules_coalesced_single_bucket(spark, tmp_path, monkeypatch, flavor):
+    """Key-coalescing stress: force ALL keys into ONE state bucket
+    (OSPREY_WC_STATE_BUCKETS=1) so every micro-batch's state fn call
+    must segment and fold MANY interleaved keys from a shared map —
+    the multi-key-per-bucket path the production 1024-bucket config
+    hits at real key cardinality. Streaming must still match batch
+    per key, with descending-ts input across several convs."""
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    monkeypatch.setenv("OSPREY_WC_STATE_BUCKETS", "1")
+    sml = {
+        "window": """
+K: str = JsonData(path='$.conv_id')
+IsUser = JsonData(path='$.role') == 'user'
+N = IncrementWindow(key=K, window_seconds=600.0, when_all=[IsUser])
+""",
+        "cache": """
+K: str = JsonData(path='$.conv_id')
+Text: str = JsonData(path='$.text')
+IsUser = JsonData(path='$.role') == 'user'
+CacheSetStr(key=K, value=Text, when_all=[IsUser], ttl_seconds=3600.0)
+LastUserText = CacheGetStr(key=K, default='none')
+""",
+    }[flavor]
+    out_col = {"window": "N", "cache": "LastUserText"}[flavor]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=6, turns_per_conv=15, hot_convs=1)
+    # two micro-batches split on EVENT TIME (batch 2 strictly later, so
+    # no cross-batch late data muddies the equivalence — that caveat is
+    # covered elsewhere); within each batch rows arrive ts-DESCENDING
+    # with all keys interleaved in the single shared bucket
+    mid = t.agg(
+        F.percentile(F.col("ts").cast("long"), F.lit(0.5)).cast("long")
+    ).collect()[0][0]
+    sec = F.col("ts").cast("long")
+    t.filter(sec <= mid).orderBy(F.col("ts").desc()).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    t.filter(sec > mid).orderBy(F.col("ts").desc()).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx"),
+        max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    got = {
+        (r["conv_id"], r["turn_idx"]): r[out_col] for r in eng.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {(r["conv_id"], r["turn_idx"]): r[out_col] for r in batch.collect()}
+    assert len(want) == t.count()  # hot conv inflates beyond 6x15
+    assert got == want
