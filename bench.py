@@ -84,6 +84,7 @@ HEADLINE = [
     "funnel",
     "cms_heavy_hitters",
     "cohort_retention",
+    "duplicate_spans",
 ]
 
 

@@ -1869,6 +1869,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication fraction per doc (Lee et al. 2022
+    style, k=8 token windows) — dedup.duplicate_spans: window
+    fingerprints explode once, one per-fingerprint distinct-doc
+    aggregate, duplicated fingerprints equi-join back. No cross
+    join."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=8).orderBy("doc_id")
+
+
+O_DUPLICATE_SPANS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 8
+),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+  FROM sized, LATERAL unnest(generate_series(1, n - 7)) AS u(i)
+),
+dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h)
+  WHERE nd >= 2
+),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS dup_windows FROM wins w JOIN dup USING (h)
+  GROUP BY w.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n - 7 AS BIGINT) AS n_windows,
+       CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       round(coalesce(p.dup_windows, 0) / CAST(s.n - 7 AS DOUBLE), 6) AS dup_frac
+FROM sized s LEFT JOIN per_doc p USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1929,6 +1971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cohort_retention": q_cohort_retention,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -1986,6 +2029,7 @@ ORACLES: dict[str, str] = {
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "cohort_retention": O_COHORT_RETENTION,
+    "duplicate_spans": O_DUPLICATE_SPANS,
 }
 
 

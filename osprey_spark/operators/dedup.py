@@ -483,3 +483,78 @@ def simhash_dedup(
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signal via k-token window
+    fingerprints — the distributed approximation of suffix-array
+    substring dedup (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): a text span duplicated across
+    documents shows up as identical md5 fingerprints of its k-token
+    windows in BOTH documents.
+
+    Output per doc: total k-windows, windows whose fingerprint occurs
+    in >= 2 DISTINCT documents, and the duplicated fraction — the
+    "fraction of text in a duplicated span" curation signal.
+
+    Plan at 100 TB:
+      1. tokens materialize ONCE as a projected column (HOF lambdas
+         are not CSE'd across references — the measured trap);
+      2. windows explode to (doc, fingerprint) pairs — one row per
+         token position, the same volume a tokenize-explode costs;
+      3. one hash aggregate per fingerprint with countDistinct(doc)
+         (map-side partial on the fingerprint key); boilerplate spans
+         concentrate on few fingerprints, which AQE-skew-safe
+         aggregates handle because partials collapse before exchange;
+      4. duplicated fingerprints equi-join back (fingerprint-keyed)
+         and one final per-doc aggregate.
+    No cross join; nothing driver-side."""
+    w = tokens(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col).alias("_id"), w.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= k)
+    )
+    wins = base.select(
+        "_id",
+        (F.col("_n") - (k - 1)).alias("_nw"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, _n - {k} + 1), "
+                f"i -> md5(cast(concat_ws(' ', slice(_t, i, {k})) as binary)))"
+            )
+        ).alias("_h"),
+    )
+    # collapse to one row per (doc, fingerprint) first: both branches
+    # below build on the same aggregate subtree (one shared exchange,
+    # ReuseExchange-friendly), and the distinct-doc count becomes a
+    # plain count(*) — no count_distinct expansion
+    wg = wins.groupBy("_id", "_h").agg(F.count(F.lit(1)).alias("_wc"))
+    dup = (
+        wg.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    per_doc_dup = (
+        wg.join(dup, "_h").groupBy("_id").agg(F.sum("_wc").alias("dup_windows"))
+    )
+    return (
+        base.select("_id", (F.col("_n") - (k - 1)).alias("n_windows"))
+        .join(per_doc_dup, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+            F.round(
+                F.coalesce(F.col("dup_windows"), F.lit(0)).cast("double")
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
