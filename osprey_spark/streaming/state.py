@@ -53,42 +53,63 @@ TOOL_SEQ_K = 8
 
 
 def _conv_state_fn(escalate_after: int):
-    def fn(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        (conv_id,) = key
-        if state.exists:
-            n_turns, n_flagged, tool_seq = state.get
-        else:
-            n_turns, n_flagged, tool_seq = 0, 0, ""
-        tools = tool_seq.split(",") if tool_seq else []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("turn_idx")
-            out_turns = []
-            out_flagged = []
-            out_seq = []
-            out_esc = []
-            for flagged, tool in zip(pdf["flagged"].values, pdf["tool"].values):
-                n_turns += 1
-                if flagged:
-                    n_flagged += 1
-                if isinstance(tool, str) and tool:
-                    tools.append(tool)
-                    tools = tools[-TOOL_SEQ_K:]
-                out_turns.append(n_turns)
-                out_flagged.append(n_flagged)
-                out_seq.append(",".join(tools))
-                out_esc.append(n_flagged >= escalate_after)
-            yield pd.DataFrame(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": pdf["turn_idx"].values,
-                    "ts": pdf["ts"].values,
-                    "turns_so_far": out_turns,
-                    "flagged_so_far": out_flagged,
-                    "tool_seq": out_seq,
-                    "escalated": out_esc,
-                }
-            )
-        state.update((n_turns, n_flagged, ",".join(tools)))
+    """Bucketed state fn: the group key is a hash BUCKET of conv_id
+    (key coalescing — see the compiler's window-counter op), state is
+    a JSON map {conv_id: [n_turns, n_flagged, tool_seq]}; each conv's
+    segment of the (conv_id, turn_idx)-sorted batch folds against its
+    own entry, so per-conversation semantics are identical to the
+    per-key grouping (and to the per-key TWS variant, which the
+    equivalence test pins)."""
+
+    def fn(key: Tuple[int], pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        smap = json.loads(state.get[0]) if state.exists else {}
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            state.update((json.dumps(smap),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+        out_turns = []
+        out_flagged = []
+        out_seq = []
+        out_esc = []
+        prev_conv = None
+        n_turns = n_flagged = 0
+        tools: list = []
+        for conv_id, flagged, tool in zip(
+            pdf["conv_id"].values, pdf["flagged"].values, pdf["tool"].values
+        ):
+            mk = conv_id if conv_id is not None else "\x00"
+            if mk != prev_conv:
+                if prev_conv is not None:
+                    smap[prev_conv] = [n_turns, n_flagged, ",".join(tools)]
+                n_turns, n_flagged, tool_seq = smap.get(mk, (0, 0, ""))
+                tools = tool_seq.split(",") if tool_seq else []
+                prev_conv = mk
+            n_turns += 1
+            if flagged:
+                n_flagged += 1
+            if isinstance(tool, str) and tool:
+                tools.append(tool)
+                tools = tools[-TOOL_SEQ_K:]
+            out_turns.append(n_turns)
+            out_flagged.append(n_flagged)
+            out_seq.append(",".join(tools))
+            out_esc.append(n_flagged >= escalate_after)
+        if prev_conv is not None:
+            smap[prev_conv] = [n_turns, n_flagged, ",".join(tools)]
+        state.update((json.dumps(smap),))
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "ts": pdf["ts"].values,
+                "turns_so_far": out_turns,
+                "flagged_so_far": out_flagged,
+                "tool_seq": out_seq,
+                "escalated": out_esc,
+            }
+        )
 
     return fn
 
@@ -105,12 +126,15 @@ def conversation_state(
     Input: a *streaming* DataFrame with (conv_id, turn_idx, ts, tool)
     + a boolean ``flagged_col``. Output: one row per turn with running
     counters and the escalation flag. Keyed state lives in the Spark
-    state store; the shuffle key is conv_id (hot conversations are a
-    single-key hotspot by definition — the state op itself is O(rows)
-    per key, so skew shows up as one long task; the sink bucketing
-    salts downstream, and upstream rule evaluation is stateless so AQE
-    balances it).
+    state store, grouped by a hash BUCKET of conv_id with a per-bucket
+    {conv_id: counters} map (key coalescing, OSPREY_WC_STATE_BUCKETS —
+    the fixed per-group Arrow cost dominates at real conversation
+    cardinality). Skew: a hot conversation is a single-key hotspot by
+    definition — the op is O(rows) per conv either way; the sink
+    bucketing salts downstream, and upstream rule evaluation is
+    stateless so AQE balances it.
     """
+    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
     src = (
         turns.withWatermark("ts", watermark)
         .select(
@@ -119,13 +143,14 @@ def conversation_state(
             "ts",
             F.col("tool").cast("string").alias("tool"),
             F.coalesce(F.col(flagged_col), F.lit(False)).alias("flagged"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int").alias("__cs_bkt"),
         )
-        .groupBy("conv_id")
+        .groupBy("__cs_bkt")
     )
     return src.applyInPandasWithState(
         _conv_state_fn(escalate_after),
         outputStructType=CONV_OUTPUT_SCHEMA,
-        stateStructType=CONV_STATE_SCHEMA,
+        stateStructType=StructType([StructField("state_json", StringType())]),
         outputMode="append",
         timeoutConf="NoTimeout",
     )
