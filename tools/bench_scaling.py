@@ -119,13 +119,18 @@ def main() -> None:
     # from host contention, so alternating keeps the two levels'
     # effective hardware comparable; best-of-k recovers the capability
     # a dedicated cluster node would show.
-    modes = ("e2e", "ruleval", "cal")
+    # the stateful (python state store) mode runs on its own smaller
+    # input: its per-turn cost is ~3x the stateless pipeline's, and the
+    # scaling ratio—not absolute wall—is the measurement
+    stateful_input = gen_input(int(os.environ.get("BENCH_SCALING_STATEFUL_CONVS", "200000")))
+    modes = ("e2e", "ruleval", "stateful", "cal")
     runs = {(m, c): [] for m in modes for c in (8, 32)}
     for i in range(repeats):
         for mode in modes:
             for cores in (8, 32):
+                src = stateful_input if mode == "stateful" else input_dir
                 runs[(mode, cores)].append(
-                    run_worker(zpath, f"local[{cores}]", input_dir, f"{mode}{cores}_{i}", mode)
+                    run_worker(zpath, f"local[{cores}]", src, f"{mode}{cores}_{i}", mode)
                 )
     fps = {r["output_fingerprint"] for r in runs[("e2e", 8)] + runs[("e2e", 32)]}
     assert len(fps) == 1, f"output diverged across runs: {fps}"
@@ -153,6 +158,22 @@ def main() -> None:
             "4N_turns_per_sec": best[("ruleval", 32)]["turns_per_sec"],
             "scaling_efficiency": eff("ruleval"),
         },
+        # key-coalesced python state store (IncrementWindow rule) on
+        # its own input; state_parity = identical (conv, turn, count)
+        # fingerprints at both parallelism levels
+        "stateful": {
+            "input_turns": best[("stateful", 8)]["rows"],
+            "N_turns_per_sec": best[("stateful", 8)]["turns_per_sec"],
+            "4N_turns_per_sec": best[("stateful", 32)]["turns_per_sec"],
+            "scaling_efficiency": eff("stateful"),
+            "state_parity": len(
+                {
+                    r["output_fingerprint"]
+                    for r in runs[("stateful", 8)] + runs[("stateful", 32)]
+                }
+            )
+            == 1,
+        },
         # hardware ceiling: pure-CPU zero-I/O JVM pipeline on the same
         # VM — the most ANY software can scale 8→32 threads here
         "cpu_calibration": {
@@ -167,6 +188,7 @@ def main() -> None:
         "normalized_efficiency": {
             "e2e": round(eff("e2e") / eff("cal"), 3),
             "ruleval": round(eff("ruleval") / eff("cal"), 3),
+            "stateful": round(eff("stateful") / eff("cal"), 3),
         },
         "meets_0.8_target": (
             eff("e2e") >= 0.8

@@ -38,13 +38,16 @@ def main() -> None:
     ap.add_argument("--files-per-trigger", type=int, default=64)
     ap.add_argument(
         "--mode",
-        choices=["e2e", "ruleval", "cal"],
+        choices=["e2e", "ruleval", "stateful", "cal"],
         default="e2e",
         help="e2e = full pipeline incl. exactly-once sink; ruleval = "
         "identical micro-batched rule evaluation with a counting sink "
         "(isolates engine compute from the single-box storage path, "
         "which is shared between N and 4N in this sandbox but scales "
-        "with nodes on a real cluster)",
+        "with nodes on a real cluster); stateful = ruleval plus a "
+        "per-conversation IncrementWindow rule through the key-"
+        "coalesced state store, fingerprinting (conv, turn, count) so "
+        "state results can be parity-checked across parallelism levels",
     )
     args = ap.parse_args()
 
@@ -111,6 +114,16 @@ def main() -> None:
     from osprey_spark.streaming.pipeline import StreamingRuleEngine
     from osprey_spark.turns import TURN_BINDINGS, with_envelope
 
+    sml_text = BENCH_SML
+    if args.mode == "stateful":
+        # the bench stateful rule: per-conversation sliding-window turn
+        # counter through the key-coalesced state store
+        sml_text = BENCH_SML + (
+            "\nWcKey: str = JsonData(path='$.conv_id')"
+            "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
+            "\nBurstConv = TurnRate >= 20\n"
+        )
+
     # Warm-up: run the same transform + both sink paths on a slice of
     # the input before starting the clock. JIT/codegen compilation of
     # the 40-feature pipeline costs a constant ~10 s per fresh JVM,
@@ -129,7 +142,7 @@ def main() -> None:
     shutil.rmtree(args.output, ignore_errors=True)
     engine = StreamingRuleEngine(
         spark,
-        compile_ruleset({"main.sml": BENCH_SML}, bindings=TURN_BINDINGS),
+        compile_ruleset({"main.sml": sml_text}, bindings=TURN_BINDINGS),
         input_dir=args.input,
         output_dir=args.output,
         max_files_per_trigger=args.files_per_trigger,
@@ -138,6 +151,56 @@ def main() -> None:
         # co-partitioned with the sink's 32 buckets → no write shuffle
         repartition_buckets=False,
     )
+
+    if args.mode == "stateful":
+        # noop sink + additive fingerprint over (conv, turn, window
+        # count): two runs at different parallelism must produce
+        # IDENTICAL state results — modular sums are order- and
+        # batch-boundary-insensitive
+        acc = {"n": 0, "hsum": 0, "hmod": 0}
+
+        def fp_batch(df, batch_id):
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            row_h = F.xxhash64("conv_id", "turn_idx", F.col("TurnRate"))
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.pmod(row_h, F.lit(1_000_003))).alias("hsum"),
+                F.sum(F.pmod(row_h, F.lit(999_983))).alias("hmod"),
+            ).write.format("noop").mode("overwrite").save()
+            got = obs.get
+            acc["n"] += got["rows"]
+            acc["hsum"] += got["hsum"] or 0
+            acc["hmod"] += got["hmod"] or 0
+
+        t0 = time.perf_counter()
+        q = (
+            engine.transform(engine.source())
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", engine.checkpoint_dir)
+            .foreachBatch(fp_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "master": args.master,
+                    "mode": "stateful",
+                    "rows": acc["n"],
+                    "wall_s": round(wall, 3),
+                    "turns_per_sec": round(acc["n"] / wall, 1),
+                    "output_fingerprint": f"{acc['n']}:{acc['hsum']}:{acc['hmod']}",
+                    "text_parity": True,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if args.mode == "ruleval":
         rows_seen = {"n": 0}
