@@ -85,6 +85,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "cohort_retention",
     "duplicate_spans",
+    "rate_anomaly",
+    "bm25",
 ]
 
 

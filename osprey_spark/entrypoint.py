@@ -1911,6 +1911,146 @@ ORDER BY s.doc_id
 """
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly-rate anomaly detection: hours where a user's
+    event count is >= 2 sample standard deviations above their own
+    mean. The z-score computes from INTEGER sums (count, sum, sum of
+    squares) with one fixed expression shape, so the float result is
+    bit-identical across engines (no order-dependent running
+    variance). Plan: two hash aggregates + one user-keyed equi-join —
+    every frame after the first aggregate is user- or cell-sized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (
+        ev.select(
+            "user_id",
+            (F.col("ts").cast("timestamp").cast("long") / 3600).cast("long").alias("hour"),
+        )
+        .groupBy("user_id", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hours.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    ).filter(F.col("cnt") >= 5)
+    j = hours.join(stats, "user_id")
+    cnt, s1, s2, n = (F.col(c).cast("double") for c in ("cnt", "s1", "s2", "n"))
+    var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))
+    z = (n - s1 / cnt) / F.sqrt(var)
+    return (
+        j.filter(var > 0)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.col("z") >= 2.0)
+        .select("user_id", "hour", "n", "z")
+        .orderBy("user_id", "hour")
+    )
+
+
+O_RATE_ANOMALY = """
+WITH hours AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, count(*) AS cnt, sum(n) AS s1, sum(n * n) AS s2
+  FROM hours GROUP BY user_id HAVING count(*) >= 5
+)
+SELECT h.user_id, h.hour, h.n,
+       round((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.cnt AS DOUBLE))
+             / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                     / CAST(s.cnt AS DOUBLE)) / (CAST(s.cnt AS DOUBLE) - 1.0)), 4) AS z
+FROM hours h JOIN stats s USING (user_id)
+WHERE (CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+       / CAST(s.cnt AS DOUBLE)) / (CAST(s.cnt AS DOUBLE) - 1.0) > 0
+  AND round((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.cnt AS DOUBLE))
+            / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                    / CAST(s.cnt AS DOUBLE)) / (CAST(s.cnt AS DOUBLE) - 1.0)), 4) >= 2.0
+ORDER BY h.user_id, h.hour
+"""
+
+
+BM25_QUERY_TERMS = ("data", "model", "system")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores for a fixed term query over the corpus —
+    the retrieval-scoring step of a search/RAG pipeline. The tf frame
+    filters to the query terms FIRST (term-cardinality bound), idf
+    derives from the same frame's doc frequencies, avgdl rides as a
+    1-row broadcast; one doc-keyed join attaches lengths. Top-20 by
+    (score desc, doc_id) via tree-reduced TakeOrdered."""
+    from .functions.text import tokenize_col
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize_col(F.col("text")).alias("_t"))
+    dl = toks.select("doc_id", F.size("_t").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("_t").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    # avgdl from INTEGER sums (one division, bit-exact across engines;
+    # a float avg would be summation-order-dependent)
+    avgdl = dl.select(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfn = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    # per-term conditional aggregates added in FIXED order — a plain
+    # sum() over the term contributions would be summation-order-
+    # dependent in the last ulp
+    contribs = [
+        F.sum(F.when(F.col("term") == t, idf * tfn)).alias(f"_c{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    total = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        c = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .join(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(*contribs)
+        .select("doc_id", F.round(total, 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+O_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_RTOKENS} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data', 'model', 'system')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+g AS (
+  SELECT tf.doc_id, sum(CASE WHEN tf.term = 'data' THEN ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) END) AS _c0, sum(CASE WHEN tf.term = 'model' THEN ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) END) AS _c1, sum(CASE WHEN tf.term = 'system' THEN ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) END) AS _c2
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(coalesce(_c0, 0.0) + coalesce(_c1, 0.0) + coalesce(_c2, 0.0), 6) AS score
+FROM g ORDER BY score DESC, doc_id LIMIT 20
+"""
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1972,6 +2112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
+    "rate_anomaly": q_rate_anomaly,
+    "bm25": q_bm25,
 }
 
 ORACLES: dict[str, str] = {
@@ -2030,6 +2172,8 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,
+    "rate_anomaly": O_RATE_ANOMALY,
+    "bm25": O_BM25,
 }
 
 
