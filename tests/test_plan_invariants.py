@@ -21,9 +21,9 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 # Queries allowed to contain a nested-loop join: brute_force_topk and
 # the IVF centroid ranking broadcast a bounded small side (queries /
 # codebook) by design — the cross product IS the documented plan, with
-# the small side capped (Q≈10 rows, codebook 64 rows). tfidf joins a
-# 1-row broadcast corpus-count frame (no join key by construction).
-_CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf"}
+# the small side capped (Q≈10 rows, codebook 64 rows). tfidf/bm25 join
+# 1-row broadcast corpus-stat frames (no join key by construction).
+_CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf", "bm25"}
 
 # Queries expected to broadcast at least one join side (small dim /
 # snapshot / bucket-count table); a SortMergeJoin regression here means
