@@ -1302,6 +1302,13 @@ class CompiledRuleset:
         frames get the same order — feature columns are pure
         expressions, so materialization order is semantics-free there.
         """
+        # pure function of compile-time state — memoize so repeated
+        # apply() calls skip the per-column py4j node().toString()
+        # round trips (the compiled-ruleset session cache otherwise
+        # pays them on every query build)
+        cached = getattr(self, "_hoisted_order_cache", None)
+        if cached is not None:
+            return cached
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -1367,7 +1374,9 @@ class CompiledRuleset:
                 rank[n] = max((r(d) for d in refs_of[n]), default=-1.0) + 1e-6
             return rank[n]
 
-        return sorted(entries, key=lambda e: (r(e[0]), pos[e[0]]))
+        out = sorted(entries, key=lambda e: (r(e[0]), pos[e[0]]))
+        self._hoisted_order_cache = out
+        return out
 
     def apply(
         self,

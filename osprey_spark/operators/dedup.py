@@ -522,7 +522,6 @@ def duplicate_spans(
     )
     wins = base.select(
         "_id",
-        (F.col("_n") - (k - 1)).alias("_nw"),
         F.explode(
             F.expr(
                 f"transform(sequence(1, _n - {k} + 1), "

@@ -89,7 +89,11 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     )
-    r2 = right.select(
+    # a NULL-timestamped right row can never be "at or before/after"
+    # anything, but under asc-NULLS-FIRST ordering it would sort ahead
+    # of every real row and its payload would carry into matchless
+    # left rows — drop them up front
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *on, F.col(right_ts).alias("__ats"), F.lit(0).alias("__side"), payload.alias("__r")
     )
     l2 = left.select(
@@ -108,7 +112,12 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("__r", ignorenulls=True).over(w)
+    # a NULL-timestamped LEFT row matches nothing (under forward's
+    # desc-NULLS-LAST ordering it would otherwise pick up the
+    # minimum-ts right row)
+    matched = F.when(
+        F.col("__ats").isNotNull(), F.last("__r", ignorenulls=True).over(w)
+    )
     out = u.withColumn("__m", matched).filter(F.col("__side") == 1)
 
     if tolerance_s is not None:
@@ -189,12 +198,14 @@ def range_join(
 
 
 def bucket_of(id_col: Column, seed: str = "", buckets: int = 10000) -> Column:
-    """Deterministic [0, buckets) bucket from md5(seed:id) — the same
-    16-bit-prefix construction the sampling filter and dataset mixing
-    use, so an external SQL engine replays it exactly."""
+    """Deterministic [0, buckets) bucket from md5(seed:id), replayable
+    by an external SQL engine. Uses a 32-bit digest prefix: a 16-bit
+    prefix mod 10000 would leave a 7:6 frequency skew between buckets
+    below/above 5536 (65536 % 10000), visibly biasing split fractions;
+    2^32 % 10000 leaves a relative bias of ~7e-7."""
     key = F.concat(F.lit(seed), F.lit(":"), id_col.cast("string"))
     return (
-        F.conv(F.substring(F.md5(key.cast("binary")), 1, 4), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
         % F.lit(buckets)
     )
 
@@ -239,8 +250,8 @@ def hash_split_oracle_case(weights: dict[str, float], id_expr: str, seed: str = 
     """DuckDB CASE expression replaying :func:`hash_split` bucket
     boundaries for the oracle query."""
     bucket = (
-        f"CAST(('0x' || substr(md5(CAST('{seed}' || ':' || {id_expr} AS VARCHAR)), 1, 4)) "
-        "AS INT) % 10000"
+        f"CAST(('0x' || substr(md5(CAST('{seed}' || ':' || {id_expr} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 10000"
     )
     acc = 0.0
     arms = []

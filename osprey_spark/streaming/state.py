@@ -410,6 +410,20 @@ def stream_asof_enrich(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
     right_fields = {f.name: f for f in right.schema.fields}
+    # payload rides a to_json/json.loads round trip; types that do not
+    # survive it (timestamp/date/binary/decimal come back as strings
+    # or lossy floats) would fail or corrupt at the Arrow boundary —
+    # reject them up front with an actionable message. The batch
+    # asof_join carries a native struct and has no such restriction.
+    _json_safe = ("string", "boolean", "byte", "short", "integer", "long", "float", "double", "array", "map", "struct")
+    for c in right_cols:
+        tn = right_fields[c].dataType.typeName()
+        if not tn.startswith(_json_safe):
+            raise ValueError(
+                f"stream_asof_enrich right_col {c!r} has type {tn}, which does "
+                "not survive the JSON state round trip — cast it (e.g. "
+                "timestamps to double epoch seconds) or use the batch asof_join"
+            )
 
     l2 = left.withWatermark(left_ts, watermark).select(
         "*",
@@ -461,7 +475,10 @@ def stream_asof_enrich(
         change = np.nonzero(keys_a[1:] != keys_a[:-1])[0] + 1
         outs = []
         for s, e in zip(np.concatenate(([0], change)), np.concatenate((change, [n]))):
-            mk = keys_a[s] if keys_a[s] is not None else _NULL_KEY
+            # json.dumps stringifies map keys — stringify on lookup too,
+            # or a non-string key column (bigint user ids) would silently
+            # miss its carried state every batch
+            mk = _NULL_KEY if keys_a[s] is None else str(keys_a[s])
             entries = smap.get(mk, [])
             is_right = side_a[s:e]
             ats = ats_a[s:e]

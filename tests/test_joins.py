@@ -209,3 +209,40 @@ def test_group_percentiles_approx_shape(spark):
     assert {r.g for r in rows} == {"0", "1"}
     for r in rows:
         assert 400 <= r.p50 <= 600
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """NULL-ts right rows never match (asc NULLS FIRST would otherwise
+    leak their payload into matchless left rows); NULL-ts left rows
+    match nothing in either direction."""
+    left = spark.createDataFrame(
+        [("A", _ts(5)), ("A", None)], "sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", None, 1.0), ("A", _ts(9), 2.0)], "sym string, ts timestamp, bid double"
+    )
+    back = {r.ts: r.r_bid for r in asof_join(left, right, on=["sym"], right_cols=["bid"]).collect()}
+    assert back == {_ts(5): None, None: None}
+    fwd = {
+        r.ts: r.r_bid
+        for r in asof_join(
+            left, right, on=["sym"], right_cols=["bid"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {_ts(5): 2.0, None: None}
+
+
+def test_hash_split_bucket_uniformity(spark):
+    """The 32-bit md5 prefix keeps bucket frequencies uniform; the old
+    16-bit prefix mod 10000 skewed buckets below 5536 by 7:6 and val
+    (sorted last) lost ~8% relative mass."""
+    df = spark.range(0, 40000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r.split: r["count"]
+        for r in hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="u")
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert abs(counts["val"] / 40000 - 0.1) < 0.008
+    assert abs(counts["test"] / 40000 - 0.1) < 0.008

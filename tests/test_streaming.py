@@ -1060,3 +1060,47 @@ Heavy = N >= 3
     assert "__f_WcKey" in sig  # the dep closure rides along
     for feature in ("__f_Big1", "__f_Big2", "__f_Big3"):
         assert feature not in sig, f"{feature} crossed the Arrow boundary"
+
+
+def test_stream_asof_enrich_long_key_carries_state(spark, tmp_path):
+    """Regression: JSON state-map keys are strings; a bigint key column
+    must still find its carried entries in later micro-batches (the
+    lookup stringifies to match json.dumps), and non-JSON-safe right
+    column types are rejected up front."""
+    from osprey_spark.streaming.state import stream_asof_enrich
+
+    lt_dir, rt_dir = str(tmp_path / "lt"), str(tmp_path / "rt")
+    # rights arrive in batch 1 (early ts); lefts arrive in batch 2 with
+    # later ts -> every match must come from carried state
+    rdf = spark.createDataFrame(
+        [(7, "v1", "2024-01-01 10:00:00")], "uid long, verdict string, ts_str string"
+    ).select("uid", "verdict", F.to_timestamp("ts_str").alias("ts"))
+    ldf = spark.createDataFrame(
+        [(7, 1, "2024-01-01 10:05:00"), (7, 2, "2024-01-01 10:06:00")],
+        "uid long, seq int, ts_str string",
+    ).select("uid", "seq", F.to_timestamp("ts_str").alias("ts"))
+    rdf.coalesce(1).write.parquet(rt_dir)
+    # two left files -> seq 2 arrives in micro-batch 2, where its only
+    # possible match is the CARRIED state entry (rights were all
+    # consumed in batch 1)
+    ldf.filter(F.col("seq") == 1).coalesce(1).write.mode("append").parquet(lt_dir)
+    ldf.filter(F.col("seq") == 2).coalesce(1).write.mode("append").parquet(lt_dir)
+    ls = spark.readStream.schema("uid long, seq int, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(lt_dir)
+    rs = spark.readStream.schema("uid long, verdict string, ts timestamp").parquet(rt_dir)
+    out = stream_asof_enrich(ls, rs, key="uid", right_cols=["verdict"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_longkey")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.seq: r.r_verdict for r in spark.sql("select * from asof_longkey").collect()}
+    assert got == {1: "v1", 2: "v1"}
+
+    with pytest.raises(ValueError, match="JSON state round trip"):
+        stream_asof_enrich(ls, rs.withColumn("when", F.col("ts")), key="uid",
+                           right_cols=["verdict", "when"])
