@@ -1104,3 +1104,47 @@ def test_stream_asof_enrich_long_key_carries_state(spark, tmp_path):
     with pytest.raises(ValueError, match="JSON state round trip"):
         stream_asof_enrich(ls, rs.withColumn("when", F.col("ts")), key="uid",
                            right_cols=["verdict", "when"])
+
+
+def test_window_counter_state_survives_checkpoint_restart(spark, tmp_path):
+    """North rule: resumable from checkpoint. The bucketed window-
+    counter state (per-bucket JSON map in the state store) must carry
+    across an engine RESTART: rows arriving after the resume count
+    increments persisted by the previous run."""
+    from osprey_spark.turns import TURN_BINDINGS
+
+    sml = """
+K: str = JsonData(path='$.conv_id')
+N = IncrementWindow(key=K, window_seconds=3600.0)
+"""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    rows1 = [("c1", 0, "user", "a", None, "2024-01-01 10:00:00"),
+             ("c1", 1, "user", "b", None, "2024-01-01 10:05:00")]
+    rows2 = [("c1", 2, "user", "c", None, "2024-01-01 10:10:00"),
+             ("c2", 0, "user", "d", None, "2024-01-01 10:11:00")]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts_str string"
+
+    def write(rows):
+        (spark.createDataFrame(rows, schema)
+         .select("conv_id", "turn_idx", "role", "text", "tool",
+                 F.to_timestamp("ts_str").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    def run():
+        eng = StreamingRuleEngine(
+            spark, compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS),
+            in_dir, out_dir, passthrough=("conv_id", "turn_idx"),
+        )
+        eng.run_to_completion()
+        return eng
+
+    write(rows1)
+    run()
+    write(rows2)
+    eng = run()  # fresh engine object, same checkpoint + state store
+    got = {(r["conv_id"], r["turn_idx"]): r["N"] for r in eng.results().collect()}
+    # c1 turn 2 arrives post-restart: its in-window count must include
+    # the two increments persisted by the FIRST run
+    assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c2", 0): 1}
