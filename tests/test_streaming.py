@@ -1148,3 +1148,50 @@ N = IncrementWindow(key=K, window_seconds=3600.0)
     # c1 turn 2 arrives post-restart: its in-window count must include
     # the two increments persisted by the FIRST run
     assert got == {("c1", 0): 1, ("c1", 1): 2, ("c1", 2): 3, ("c2", 0): 1}
+
+
+def test_window_counter_under_rocksdb_state_store(spark, tmp_path):
+    """The 10^12-turn state path: Spark's bundled RocksDB state store
+    provider (changelog-checkpointable on a real cluster) must produce
+    exactly the HDFS-backed provider's counts for the bucketed
+    window-counter op."""
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    sml = """
+K: str = JsonData(path='$.conv_id')
+N = IncrementWindow(key=K, window_seconds=600.0)
+"""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=4, turns_per_conv=6, hot_convs=1)
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        eng = StreamingRuleEngine(
+            spark,
+            compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS),
+            in_dir,
+            str(tmp_path / "out"),
+            passthrough=("conv_id", "turn_idx"),
+        )
+        eng.run_to_completion()
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["N"] for r in eng.results().collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS).apply(
+        with_envelope(spark.read.parquet(in_dir)), passthrough=["conv_id", "turn_idx"]
+    )
+    want = {(r["conv_id"], r["turn_idx"]): r["N"] for r in batch.collect()}
+    assert len(got) == t.count()
+    assert got == want
