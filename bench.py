@@ -87,6 +87,8 @@ HEADLINE = [
     "duplicate_spans",
     "rate_anomaly",
     "bm25",
+    "salted_join",
+    "stratified_split",
 ]
 
 

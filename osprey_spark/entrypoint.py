@@ -2051,6 +2051,77 @@ SELECT doc_id, round(coalesce(_c0, 0.0) + coalesce(_c1, 0.0) + coalesce(_c2, 0.0
 FROM g ORDER BY score DESC, doc_id LIMIT 20
 """
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated lineitem⋈orders equi-join — joins.salted_join:
+    the hot-key fix the brief names (salting) as a reusable operator.
+    Left rows take one deterministic salt, the right side replicates
+    once per salt, the join key becomes (key, salt) — results are
+    bit-identical to the plain join (the oracle IS the plain join)."""
+    from .operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_quantity").cast("long").alias("qty")
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, od, "okey", salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("qty").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_SALTED_JOIN = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+STRAT_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum train/val/test proportions (vs train_split's
+    in-expectation hash split) — joins.stratified_split_exact: seeded
+    md5 rank within each language, ceil-threshold boundaries."""
+    from .operators.joins import stratified_split_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_split_exact(
+        docs, STRAT_SPLIT_WEIGHTS, strata_col="lang", id_col="doc_id", seed="r3x"
+    ).select("doc_id", "lang", "split").orderBy("doc_id")
+
+
+def _strat_split_oracle_sql() -> str:
+    arms, acc = [], 0.0
+    for name, frac in sorted(STRAT_SPLIT_WEIGHTS.items()):
+        acc += frac
+        # repr(acc) keeps the accumulated double bit-identical to the
+        # Spark side's literal (0.1 + 0.8 = 0.9000000000000001)
+        arms.append(f"WHEN rk <= ceil(n * {acc!r}) THEN '{name}'")
+    last = sorted(STRAT_SPLIT_WEIGHTS)[-1]
+    case = "CASE " + " ".join(arms) + f" ELSE '{last}' END"
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5('r3x:' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rk,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS split FROM r ORDER BY doc_id
+"""
+
+
+O_STRATIFIED_SPLIT = _strat_split_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2114,6 +2185,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,
     "rate_anomaly": q_rate_anomaly,
     "bm25": q_bm25,
+    "salted_join": q_salted_join,
+    "stratified_split": q_stratified_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -2174,6 +2247,8 @@ ORACLES: dict[str, str] = {
     "duplicate_spans": O_DUPLICATE_SPANS,
     "rate_anomaly": O_RATE_ANOMALY,
     "bm25": O_BM25,
+    "salted_join": O_SALTED_JOIN,
+    "stratified_split": O_STRATIFIED_SPLIT,
 }
 
 

@@ -260,3 +260,89 @@ def hash_split_oracle_case(weights: dict[str, float], id_expr: str, seed: str = 
         arms.append(f"WHEN {bucket} < {round(acc * 10000)} THEN '{name}'")
     last = sorted(weights)[-1]
     return "CASE " + " ".join(arms) + f" ELSE '{last}' END"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: a hot join key concentrates all its
+    rows in one task of a plain hash join; salting splits the hot
+    key's LEFT rows across ``salts`` sub-partitions and replicates the
+    RIGHT side once per salt, so the join key becomes (key, salt) and
+    the hot key's work spreads over ``salts`` tasks.
+
+    Semantics are exactly the plain join's: each left row carries ONE
+    deterministic salt (hash of the whole row — duplicate rows share a
+    salt, which only affects balance, never results), each right row
+    exists once per salt, so every (left, right) match appears exactly
+    once; ``left``-outer unmatched rows survive as themselves.
+
+    Use when the right side is too big to broadcast but cheap to
+    replicate ``salts``× (dimension-to-fact scale gap); for broadcast-
+    sized right sides just broadcast, and for both-sides-huge skew
+    prefer AQE's skew-join split, which salts adaptively at runtime.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)
+    ).cast("int")
+    l2 = left.withColumn("__salt", salt)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    joined = l2.join(r2, [on, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum split proportions: rows rank inside their
+    stratum by a seeded md5 order and split at rank/count thresholds,
+    so every stratum's split sizes are exact to ±1 row (vs
+    :func:`hash_split`'s in-expectation proportions).
+
+    Scale shape: one count aggregate per stratum (broadcast back) and
+    one rank window PER STRATUM — a stratum is a single sort
+    partition, so this is for BOUNDED strata (languages, sources);
+    for high-cardinality or giant strata use ``hash_split``, which is
+    one shuffle-free projection. Deterministic: same seed → same
+    assignment, replayable in SQL.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-4:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    order_key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(strata_col).orderBy(order_key, F.col(id_col))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = df.withColumn("__rk", F.row_number().over(w)).join(
+        F.broadcast(counts), strata_col
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in sorted(weights.items()):
+        acc += frac
+        # ceil at each cumulative boundary -> sizes exact to the
+        # rounding of the boundary, replayable as ceil() in SQL
+        hi = F.ceil(F.col("__n") * F.lit(acc))
+        branch = F.lit(name)
+        if expr is None:
+            expr = F.when(F.col("__rk") <= hi, branch)
+        else:
+            expr = expr.when(F.col("__rk") <= hi, branch)
+    last = sorted(weights)[-1]
+    return ranked.withColumn(split_col, expr.otherwise(F.lit(last))).drop(
+        "__rk", "__n"
+    )

@@ -246,3 +246,68 @@ def test_hash_split_bucket_uniformity(spark):
     }
     assert abs(counts["val"] / 40000 - 0.1) < 0.008
     assert abs(counts["test"] / 40000 - 0.1) < 0.008
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must never change results: inner and left joins over a
+    HOT key (one key = 80% of rows) are row-identical to plain joins."""
+    from osprey_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(80)] + [(2, 100), (3, 200), (9, 300)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "unused")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.tag)
+            for r in salted_join(left, right, "k", salts=4, how=how).collect()
+        )
+        want = sorted((r.k, r.v, r.tag) for r in left.join(right, "k", how).collect())
+        assert got == want and len(got) > 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's left rows land in multiple salt buckets."""
+    from osprey_spark.operators.joins import salted_join  # noqa: F401
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, i) for i in range(200)], "k long, v long")
+    salts = (
+        left.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(4))
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 4
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Per-stratum split sizes are exact to the ceil boundary, even
+    for tiny and skewed strata; assignment is deterministic."""
+    from osprey_spark.operators.joins import stratified_split_exact
+
+    rows = [(i, "big") for i in range(1000)] + [(10_000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = stratified_split_exact(df, w, strata_col="lang", seed="t")
+    counts = {
+        (r.lang, r.split): r["count"]
+        for r in out.groupBy("lang", "split").count().collect()
+    }
+    assert counts[("big", "test")] == 100
+    # cum boundaries: test ceil(1000*0.1)=100, train ceil(1000*(0.1+0.8))
+    # — (0.1+0.8)*1000 rounds to exactly 900.0 in IEEE, so train=800
+    assert counts[("big", "train")] == 800
+    assert counts[("big", "val")] == 100
+    assert sum(v for (l, s), v in counts.items() if l == "big") == 1000
+    assert counts[("small", "test")] == 1
+    assert sum(v for (l, s), v in counts.items() if l == "small") == 10
+    # deterministic across invocations
+    a = sorted(map(tuple, out.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, stratified_split_exact(df, w, strata_col="lang", seed="t").select("doc_id", "split").collect()))
+    assert a == b
