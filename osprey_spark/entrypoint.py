@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .compiler import compile_ruleset, compile_query_filter
+from .operators import curation as curation_ops
 from .operators import dedup, similarity, windows
 from .operators.timeutil import epoch_seconds
 from .plans import analytics
@@ -2126,6 +2127,126 @@ O_STRATIFIED_SPLIT = _strat_split_oracle_sql()
 # registry
 # --------------------------------------------------------------------------
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter over the documents table: per-doc
+    heuristic metrics + composite pass verdict, all pure per-row
+    array/regexp expressions (no shuffle at any corpus size)."""
+    from .operators import curation
+
+    return curation.gopher_quality(_docs(spark, sf_dir))
+
+
+_GQ_STOPS = ", ".join(f"'{s}'" for s in curation_ops.GOPHER_STOPWORDS)
+
+O_GOPHER_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t,
+    string_split(text, chr(10)) AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CASE WHEN len(t) > 0 THEN round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(t) > 0 THEN round(CAST(
+      (len(text) - len(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.'))
+      AS DOUBLE) / len(t), 6) ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS alpha_word_frac,
+    CAST(len(list_intersect(list_distinct(t), [{_GQ_STOPS}])) AS BIGINT) AS stopword_hits,
+    CASE WHEN len(l) > 0 THEN round(CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE) / len(l), 6) ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(l) > 0 THEN round(CAST(len(list_filter(l, x -> regexp_matches(rtrim(x), '\.\.\.$'))) AS DOUBLE) / len(l), 6) ELSE 0.0 END AS ellipsis_line_frac
+  FROM base
+)
+SELECT *,
+  (n_words >= 5 AND n_words <= 100000
+   AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+   AND symbol_word_ratio <= 0.1
+   AND alpha_word_frac >= 0.8
+   AND stopword_hits >= 2
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3) AS passes
+FROM m ORDER BY doc_id
+"""
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (the 100 TB variant of
+    `decontaminate`): the benchmark side broadcasts only its Bloom bit
+    positions (ints, ≤ m rows), candidates are exact-verified. Same
+    bench split as q_decontaminate (doc_id % 7)."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        k=5,
+        n_hashes=4,
+        m=65536,
+    )
+
+
+_BLOOM_POS_LAMBDA = (
+    "list_distinct(list_transform(range(0, 4), j -> "
+    "CAST(('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || shingle), 1, 8)) "
+    "AS BIGINT) % 65536))"
+)
+
+O_DECONTAMINATE_BLOOM = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+    unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, list_aggregate(t[i:i+4], 'string_agg', ' ') AS shingle
+  FROM idx
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+docsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0),
+benchpos AS (
+  SELECT DISTINCT unnest({_BLOOM_POS_LAMBDA}) AS pos FROM bench
+),
+dp AS (
+  SELECT doc_id, shingle, len(pl) AS npos, unnest(pl) AS pos
+  FROM (SELECT doc_id, shingle, {_BLOOM_POS_LAMBDA} AS pl FROM docsh)
+),
+cand AS (
+  SELECT doc_id, shingle, npos, count(*) AS hits
+  FROM dp JOIN benchpos USING (pos)
+  GROUP BY doc_id, shingle, npos
+  HAVING count(*) = npos
+)
+SELECT cand.doc_id,
+  CAST(count(*) AS BIGINT) AS n_candidate_shingles,
+  CAST(count(b.shingle) AS BIGINT) AS n_hit_shingles
+FROM cand LEFT JOIN bench b ON cand.shingle = b.shingle
+GROUP BY cand.doc_id ORDER BY cand.doc_id
+"""
+
+
+_SEMANTIC_DEDUP_CFG = dict(dim=64, n_centroids=64, tau=0.8)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings: nearest-cell
+    assignment (deterministic codebook), within-cell cosine pairs at
+    tau, keep the min-id representative. Equi-join on the cell id —
+    no cross join; fully replayed by the DuckDB oracle."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    return similarity.semantic_dedup(emb, **_SEMANTIC_DEDUP_CFG)
+
+
+O_SEMANTIC_DEDUP = similarity.semantic_dedup_oracle_sql(**_SEMANTIC_DEDUP_CFG)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -2187,6 +2308,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25": q_bm25,
     "salted_join": q_salted_join,
     "stratified_split": q_stratified_split,
+    "gopher_quality": q_gopher_quality,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2249,6 +2373,9 @@ ORACLES: dict[str, str] = {
     "bm25": O_BM25,
     "salted_join": O_SALTED_JOIN,
     "stratified_split": O_STRATIFIED_SPLIT,
+    "gopher_quality": O_GOPHER_QUALITY,
+    "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
 }
 
 

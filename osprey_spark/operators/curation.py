@@ -71,6 +71,186 @@ def decontaminate(
     )
 
 
+def _bloom_positions(shingle: Column, n_hashes: int, m: int) -> Column:
+    """Distinct Bloom bit positions of one shingle: ``n_hashes``
+    md5-derived 32-bit hashes mod ``m`` (same hex-slice scheme as the
+    count-min sketch — replayed verbatim by the DuckDB oracle)."""
+    from .sketches import _bucket
+
+    return F.array_distinct(
+        F.array(*[_bucket(shingle, j, m, seed="bloom") for j in range(n_hashes)])
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 4,
+    m: int = 65536,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB scale path for
+    :func:`decontaminate`.
+
+    Direct shingle-join decontamination broadcasts the benchmark's
+    *distinct shingle strings*; for a large eval corpus that broadcast
+    is GBs of text. This variant broadcasts only the benchmark's Bloom
+    filter — the distinct *bit positions* set by its shingles, at most
+    ``m`` integers regardless of benchmark size — and joins the
+    document shingles' positions against it. A shingle whose
+    ``n_hashes`` positions are all present is a *candidate*; candidates
+    (a tiny, false-positive-bounded subset) are then exact-verified
+    against the true benchmark shingle set, so the result is exact
+    while the full-corpus join key is an int, not a string.
+
+    Plan shape: explode doc shingles → posexplode the ≤``n_hashes``
+    distinct positions → broadcast equi-join on the position int → one
+    hash aggregate keeps shingles with all positions hit → broadcast
+    verify join → per-doc aggregate. The corpus is scanned once; no
+    cross join; driver holds nothing.
+
+    Output: one row per contaminated-or-candidate document —
+    ``(id_col, n_candidate_shingles, n_hit_shingles)`` where
+    ``n_candidate_shingles`` counts shingles passing the Bloom filter
+    and ``n_hit_shingles`` those verified as true benchmark shingles
+    (the difference is the observed false-positive count).
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    )
+    bench_pos = (
+        bench.select(F.explode(shingles(F.col(text_col), k)).alias("_s"))
+        .distinct()
+        .select(F.explode(_bloom_positions(F.col("_s"), n_hashes, m)).alias("_pos"))
+        .distinct()
+    )
+    probe = doc_sh.select(
+        "_id",
+        "_s",
+        F.size(_bloom_positions(F.col("_s"), n_hashes, m)).alias("_npos"),
+        F.explode(_bloom_positions(F.col("_s"), n_hashes, m)).alias("_pos"),
+    )
+    cand = (
+        probe.join(F.broadcast(bench_pos), "_pos")
+        .groupBy("_id", "_s", "_npos")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == F.col("_npos"))
+    )
+    bench_sh = F.broadcast(
+        bench.select(F.explode(shingles(F.col(text_col), k)).alias("_s"))
+        .distinct()
+        .withColumn("_true", F.lit(1))
+    )
+    return (
+        cand.join(bench_sh, "_s", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_shingles"),
+            F.count("_true").alias("n_hit_shingles"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_candidate_shingles").cast("long"),
+            F.col("n_hit_shingles").cast("long"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bloom_position_sql(shingle_expr: str, j: int, m: int = 65536) -> str:
+    """DuckDB expression replaying one :func:`_bloom_positions` hash."""
+    from .sketches import duck_bucket_sql
+
+    return duck_bucket_sql(shingle_expr, j, m, seed="bloom")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter
+# ---------------------------------------------------------------------------
+
+# small closed-class English word set shared with the DuckDB oracle
+# (Gopher's "stop word" presence check, Rae et al. 2021 §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-rules document quality filter (Rae et al. 2021 §A1.1):
+    per-document heuristic metrics plus the composite pass/fail
+    verdict. Every metric is a pure per-row array/regexp expression —
+    no shuffle, embarrassingly parallel at any corpus size — and every
+    expression has an exact DuckDB twin (ratios rounded to 6 decimals
+    to absorb last-ulp division differences).
+
+    Metrics: word count, mean word length, symbol-to-word ratio
+    ('#' characters + '...' runs per word), fraction of words with an
+    alphabetic character, distinct-stopword hits, fraction of lines
+    starting with a bullet and ending with an ellipsis.
+    """
+    t = tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), F.col(text_col), t.alias("_t"), lines.alias("_l"))
+    n = F.size(F.col("_t"))
+    nl = F.size(F.col("_l"))
+    r6 = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 6)
+    ).otherwise(F.lit(0.0))
+    mean_wl = r6(
+        F.aggregate(F.col("_t"), F.lit(0), lambda acc, x: acc + F.length(x)), n
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), 0))
+    symbol_ratio = r6(n_hash + n_ellipsis, n)
+    alpha_frac = r6(F.size(F.filter(F.col("_t"), lambda x: x.rlike("[a-z]"))), n)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_t")), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    bullet_frac = r6(
+        F.size(F.filter(F.col("_l"), lambda l: F.ltrim(l).rlike("^[-*•]"))), nl
+    )
+    ellipsis_frac = r6(
+        F.size(F.filter(F.col("_l"), lambda l: F.rtrim(l).rlike("\\.\\.\\.$"))), nl
+    )
+    scored = base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+    )
+    return scored.withColumn("passes", passes).orderBy(id_col)
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

@@ -499,3 +499,106 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    tau: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest codebook
+    cell, compare pairs only *within* a cell, and drop the larger-id
+    member of every pair with cosine >= ``tau`` — keeping one
+    representative per semantic near-duplicate set.
+
+    Scale shape: the quadratic comparison is confined to a cell (the
+    paper's per-cluster pairwise step); globally the plan is one
+    projection for cell assignment plus an equi-join on the cell id —
+    no cross join. Cell population is bounded by the codebook
+    granularity (``n_centroids`` scales with corpus size; a trained
+    k-means codebook keeps cells balanced — the deterministic
+    md5-sample codebook here stands in for it, see
+    :func:`ivf_centroids`).
+
+    Output: one row per input vector — ``(id_col, cell, is_kept)``,
+    ``is_kept = false`` iff some same-cell vector with a smaller id is
+    cosine-similar at >= ``tau``.
+    """
+    cents = ivf_centroids(vectors, id_col, vec_col, n_centroids)
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _nearest_cells(F.col(vec_col), cents, 1)[0].alias("_cell"),
+    ).persist()
+    a, b = v.alias("a"), v.alias("b")
+    dropped = (
+        a.join(b, (F.col("a._cell") == F.col("b._cell")) & (F.col("a._id") < F.col("b._id")))
+        .filter(F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6) >= tau)
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    out = (
+        v.join(dropped, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").cast("long").alias("cell"),
+            F.col("_dropped").isNull().alias("is_kept"),
+        )
+        .orderBy(id_col)
+    )
+    out.unpersist_base = lambda: v.unpersist(blocking=True)
+    return out
+
+
+def semantic_dedup_oracle_sql(
+    dim: int,
+    n_centroids: int = 64,
+    tau: float = 0.8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`semantic_dedup` — identical md5-ordered
+    codebook, identical (scaled-dot desc, cid asc) cell assignment,
+    identical rounded-cosine pair predicate."""
+    dot_sql = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract({{a}}, i) AS DOUBLE) * CAST(list_extract({{b}}, i) AS DOUBLE)))"
+    )
+    cos = (
+        dot_sql.format(a=f"x.{vec_col}", b="c.cvec")
+        + f" / sqrt({dot_sql.format(a='c.cvec', b='c.cvec')})"
+    )
+    pair_cos = (
+        f"{dot_sql.format(a='a._vv', b='b._vv')} / (sqrt({dot_sql.format(a='a._vv', b='a._vv')})"
+        f" * sqrt({dot_sql.format(a='b._vv', b='b._vv')}))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS cid,
+         {vec_col} AS cvec
+  FROM {table} ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_centroids}
+),
+vassign AS (
+  SELECT {id_col}, _vv, cid AS _cell FROM (
+    SELECT x.{id_col}, x.{vec_col} AS _vv, c.cid,
+      row_number() OVER (PARTITION BY x.{id_col} ORDER BY {cos} DESC, c.cid) AS rn
+    FROM {table} x, cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.{id_col}
+  FROM vassign a JOIN vassign b
+    ON a._cell = b._cell AND a.{id_col} < b.{id_col}
+  WHERE round({pair_cos}, 6) >= {tau}
+)
+SELECT v.{id_col}, CAST(v._cell AS BIGINT) AS cell,
+       (d.{id_col} IS NULL) AS is_kept
+FROM vassign v LEFT JOIN dropped d USING ({id_col})
+ORDER BY v.{id_col}
+"""
