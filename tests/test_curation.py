@@ -123,3 +123,57 @@ def test_repetition_signals_known_answers(spark):
     assert rows[2].distinct_token_ratio == 1.0
     assert rows[3].top_unigram_frac == 0.6        # 'ab' 3 of 5
     assert rows[3].top_bigram_frac == 0.5         # 'ab cd' 2 of 4
+
+
+def test_gopher_quality_known_answers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and that dog did have fun with it"),
+            (2, "hi there"),                       # too few words
+            (3, "- one\n- two\n- three\n- four"),  # all bullet lines, no stopwords
+            (4, "the ### cat ### and ### hat ### that"),  # symbol-heavy
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.gopher_quality(docs).collect()}
+    assert rows[1].passes and rows[1].stopword_hits >= 2
+    assert not rows[2].passes and rows[2].n_words == 2
+    assert not rows[3].passes and rows[3].bullet_line_frac == 1.0
+    assert not rows[4].passes and rows[4].symbol_word_ratio > 0.1
+    # pure per-row projection: no exchange anywhere in the plan
+    plan = (
+        curation.gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_decontaminate_bloom_matches_exact_decontaminate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven eight"),
+            (3, "pre alpha beta gamma delta epsilon post"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    exact = {
+        r.doc_id: r.n_hit_shingles
+        for r in curation.decontaminate(docs, bench).collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in curation.decontaminate_bloom(docs, bench).collect()
+    }
+    # verified hits identical to the direct shingle join; candidates are a
+    # false-positive-bounded superset of the true hits
+    assert {k: v.n_hit_shingles for k, v in bloom.items() if v.n_hit_shingles} == exact
+    for r in bloom.values():
+        assert r.n_candidate_shingles >= r.n_hit_shingles
+    plan = (
+        curation.decontaminate_bloom(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

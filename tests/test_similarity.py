@@ -223,3 +223,35 @@ def test_ann_recall_floor_vs_brute_force(spark):
     ivf = {(r.query_id, r.vec_id) for r in ep.QUERIES["embedding_ivf_topk"](spark, sf).collect()}
     assert len(lsh & bf) / len(bf) >= 0.25
     assert len(ivf & bf) / len(bf) >= 0.40
+
+
+def test_semantic_dedup_drops_larger_id_duplicates(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),   # distinct direction -> kept
+            (4, [0.99, 0.14, 0.0, 0.0]),  # near-dup of 1 (cos ~0.99) -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(vecs, dim=4, n_centroids=2, tau=0.9)
+    rows = {r.vec_id: r for r in out.collect()}
+    out.unpersist_base()
+    assert rows[1].is_kept and rows[3].is_kept
+    # exact duplicate always shares 1's cell (same nearest centroid) -> dropped
+    assert rows[2].cell == rows[1].cell and not rows[2].is_kept
+    # SemDeDup semantics: the near-dup is dropped iff it shares a cell with a
+    # smaller-id similar vector (cross-cell near-dups are missed by design)
+    assert rows[4].is_kept == (rows[4].cell not in (rows[1].cell, rows[2].cell))
+
+
+def test_semantic_dedup_plan_is_equi_join(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.1]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(vecs, dim=4, n_centroids=2, tau=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    out.unpersist_base()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
