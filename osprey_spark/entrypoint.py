@@ -2189,7 +2189,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_POS_LAMBDA = (
     "list_distinct(list_transform(range(0, 4), j -> "
-    "CAST(('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || shingle), 1, 8)) "
+    "CAST(('0x' || substr(md5('bloom:0:' || shingle), 1 + 8 * CAST(j AS INT), 8)) "
     "AS BIGINT) % 65536))"
 )
 

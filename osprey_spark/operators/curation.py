@@ -73,12 +73,26 @@ def decontaminate(
 
 def _bloom_positions(shingle: Column, n_hashes: int, m: int) -> Column:
     """Distinct Bloom bit positions of one shingle: ``n_hashes``
-    md5-derived 32-bit hashes mod ``m`` (same hex-slice scheme as the
-    count-min sketch — replayed verbatim by the DuckDB oracle)."""
-    from .sketches import _bucket
-
+    32-bit hashes mod ``m``, sliced 8-hex-chars-at-a-time from
+    ``ceil(n_hashes / 4)`` md5 digests seeded ``bloom:{i}:`` — ONE md5
+    per shingle for the default ``n_hashes=4`` (the same sliced-digest
+    trick as minhash, 4× fewer digest computations than hashing per
+    position). Replayed verbatim by the DuckDB oracle
+    (entrypoint._BLOOM_POS_LAMBDA)."""
+    digests = [
+        F.md5(F.concat(F.lit(f"bloom:{i}:"), shingle.cast("string")).cast("binary"))
+        for i in range((n_hashes + 3) // 4)
+    ]
     return F.array_distinct(
-        F.array(*[_bucket(shingle, j, m, seed="bloom") for j in range(n_hashes)])
+        F.array(
+            *[
+                F.conv(F.substring(digests[j // 4], 1 + 8 * (j % 4), 8), 16, 10).cast(
+                    "long"
+                )
+                % F.lit(m)
+                for j in range(n_hashes)
+            ]
+        )
     )
 
 
@@ -105,11 +119,18 @@ def decontaminate_bloom(
     against the true benchmark shingle set, so the result is exact
     while the full-corpus join key is an int, not a string.
 
-    Plan shape: explode doc shingles → posexplode the ≤``n_hashes``
-    distinct positions → broadcast equi-join on the position int → one
-    hash aggregate keeps shingles with all positions hit → broadcast
-    verify join → per-doc aggregate. The corpus is scanned once; no
-    cross join; driver holds nothing.
+    Plan shape: the benchmark's bit positions are aggregated ONCE and
+    packed into an ``m``-bit bitmap (``m/64`` longs — 8 KB at the
+    default ``m=65536``) embedded in the plan as a literal array, the
+    one bounded driver materialization (dimension-table class, like
+    the IVF codebook: ≤ ``m`` bits regardless of benchmark size). The
+    corpus-side prefilter is then a pure per-row expression — filter
+    the document's shingle array to those whose ``n_hashes`` positions
+    are all set (``getbit`` probes into the literal) — so the full
+    corpus is never exploded, joined, or re-aggregated: only the tiny
+    false-positive-bounded candidate set is exploded and
+    broadcast-verified against the true benchmark shingles. One corpus
+    scan, one shuffle (the final per-doc aggregate), no cross join.
 
     Output: one row per contaminated-or-candidate document —
     ``(id_col, n_candidate_shingles, n_hit_shingles)`` where
@@ -117,29 +138,33 @@ def decontaminate_bloom(
     and ``n_hit_shingles`` those verified as true benchmark shingles
     (the difference is the observed false-positive count).
     """
-    doc_sh = docs.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s")
-    )
-    bench_pos = (
-        bench.select(F.explode(shingles(F.col(text_col), k)).alias("_s"))
+    bench_sh_col = shingles(F.col(text_col), k)
+    pos_rows = (
+        bench.select(F.explode(bench_sh_col).alias("_s"))
         .distinct()
         .select(F.explode(_bloom_positions(F.col("_s"), n_hashes, m)).alias("_pos"))
         .distinct()
+        .collect()
     )
-    probe = doc_sh.select(
-        "_id",
-        "_s",
-        F.size(_bloom_positions(F.col("_s"), n_hashes, m)).alias("_npos"),
-        F.explode(_bloom_positions(F.col("_s"), n_hashes, m)).alias("_pos"),
+    n_words = (m + 63) // 64
+    words = [0] * n_words
+    for r in pos_rows:
+        p = int(r["_pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement fold so each word fits a signed Spark long
+    bitmap = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def _bit_set(p: Column) -> Column:
+        word = F.element_at(bitmap, F.shiftright(p, 6).cast("int") + 1)
+        return F.call_function("getbit", word, p.bitwiseAND(F.lit(63))) == 1
+
+    cand_arr = F.filter(
+        shingles(F.col(text_col), k),
+        lambda s: F.forall(_bloom_positions(s, n_hashes, m), _bit_set),
     )
-    cand = (
-        probe.join(F.broadcast(bench_pos), "_pos")
-        .groupBy("_id", "_s", "_npos")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .filter(F.col("_hits") == F.col("_npos"))
-    )
+    cand = docs.select(F.col(id_col).alias("_id"), F.explode(cand_arr).alias("_s"))
     bench_sh = F.broadcast(
-        bench.select(F.explode(shingles(F.col(text_col), k)).alias("_s"))
+        bench.select(F.explode(bench_sh_col).alias("_s"))
         .distinct()
         .withColumn("_true", F.lit(1))
     )
@@ -160,10 +185,12 @@ def decontaminate_bloom(
 
 
 def bloom_position_sql(shingle_expr: str, j: int, m: int = 65536) -> str:
-    """DuckDB expression replaying one :func:`_bloom_positions` hash."""
-    from .sketches import duck_bucket_sql
-
-    return duck_bucket_sql(shingle_expr, j, m, seed="bloom")
+    """DuckDB expression replaying one :func:`_bloom_positions` hash:
+    hex slice ``j % 4`` of the md5 digest seeded ``bloom:{j // 4}:``."""
+    return (
+        f"CAST(('0x' || substr(md5('bloom:{j // 4}:' || CAST({shingle_expr} AS VARCHAR)), "
+        f"{1 + 8 * (j % 4)}, 8)) AS BIGINT) % {m}"
+    )
 
 
 # ---------------------------------------------------------------------------
