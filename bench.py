@@ -26,70 +26,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Queries that are themselves approximate or quadratic-by-design keep
-# running but are excluded from the headline value if they blow up.
-HEADLINE = [
-    "rule_eval",
-    "sampling",
-    "verdict_counts",
-    "json_extract",
-    "sml_filter",
-    "topn",
-    "topn_pop",
-    "timeseries",
-    "paginated_scan",
-    "count_distinct",
-    "approx_distinct",
-    "entity_filter",
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "rate_rule",
-    "escalation_state",
-    "tpch_q1",
-    "tpch_q3",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "minhash_lsh_pairs",
-    "dedup_groups",
-    "ngram_jaccard",
-    "simhash_pairs",
-    "doc_stats",
-    "lang_id",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "label_state",
-    "bulk_label",
-    "has_label_roundtrip",
-    "increment_window_rule",
-    "multimodal_meta",
-    "multimodal_decode",
-    "decontaminate",
-    "pii_scrub",
-    "repetition_signals",
-    "corpus_curate",
-    "conv_stats",
-    "sequence_packing",
-    "dataset_mixing",
-    "vocab_build",
-    "shuffle_order",
-    "stream_join",
-    "asof_join",
-    "range_join",
-    "train_split",
-    "tfidf",
-    "percentiles",
-    "funnel",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "duplicate_spans",
-    "rate_anomaly",
-    "bm25",
-    "salted_join",
-    "stratified_split",
-]
+def _headline() -> list[str]:
+    """Every registered query, in registry order — derived from the
+    entrypoint so the bench cannot drift when queries are added (the
+    manual list this replaces had already missed three)."""
+    from osprey_spark.entrypoint import QUERIES
+
+    return list(QUERIES)
+
+
+HEADLINE = _headline()
 
 
 def _bench_queries(spark, sf_dir: str, k: int = 2) -> dict[str, float]:

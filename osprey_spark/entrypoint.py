@@ -2247,6 +2247,43 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SEMANTIC_DEDUP = similarity.semantic_dedup_oracle_sql(**_SEMANTIC_DEDUP_CFG)
 
 
+# role → one-char symbol alphabet for CEP patterns over the turn stream
+CEP_ROLE_SYMBOLS = {"user": "u", "assistant": "a", "system": "s", "tool": "t"}
+# "escalation run": an assistant turn followed by ≥2 consecutive tool
+# turns before the user speaks again — the MATCH_RECOGNIZE-style shape
+# the reference keeps tool_seq state for but cannot pattern-match
+CEP_PATTERN = "a[^u]*t{2,}"
+_CEP_SYMBOL_SQL = (
+    "CASE role WHEN 'user' THEN 'u' WHEN 'assistant' THEN 'a' "
+    "WHEN 'system' THEN 's' WHEN 'tool' THEN 't' ELSE '?' END"
+)
+
+
+def q_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence detection (operators.cep.sequence_match): each
+    conversation's turns become an ordered one-char-per-turn symbol
+    string (one hash aggregate, per-conv state bounded by conversation
+    length), and the pattern is counted/located with JVM regexp —
+    (conv_id, seq_len, n_matches, first_match_idx)."""
+    from .operators import cep
+
+    t = turns_from_events(spark, sf_dir)
+    return cep.sequence_match(
+        t,
+        CEP_PATTERN,
+        cep.symbols_from_map(F.col("role"), CEP_ROLE_SYMBOLS),
+        key_col="conv_id",
+        order_cols=("turn_idx",),
+    )
+
+
+from .operators.cep import sequence_match_oracle_sql as _seq_oracle  # noqa: E402
+
+O_CEP_SEQUENCE = _seq_oracle(CEP_PATTERN, _CEP_SYMBOL_SQL, table="turns").replace(
+    "WITH seqs AS", TURNS_CTE + ", seqs AS", 1
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -2311,6 +2348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "decontaminate_bloom": q_decontaminate_bloom,
     "semantic_dedup": q_semantic_dedup,
+    "cep_sequence": q_cep_sequence,
 }
 
 ORACLES: dict[str, str] = {
@@ -2376,6 +2414,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": O_GOPHER_QUALITY,
     "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
     "semantic_dedup": O_SEMANTIC_DEDUP,
+    "cep_sequence": O_CEP_SEQUENCE,
 }
 
 

@@ -1,0 +1,277 @@
+"""CEP sequence-pattern detection over per-key event sequences.
+
+The north-rule engine class (Flink CEP / SQL MATCH_RECOGNIZE) detects
+ORDERED patterns — "an assistant turn followed by a run of tool calls
+with no user turn in between" — which Spark has no built-in operator
+for. This module implements it MATCH_RECOGNIZE-style as a composition
+of DataFrame ops:
+
+1. each row maps to ONE character from a caller-chosen alphabet
+   (``symbols_from_map``: a chained CASE — pure projection);
+2. one hash aggregate per key builds the ordered symbol string
+   (``collect_list(struct(order, sym))`` → ``array_sort`` →
+   ``array_join``) — the ONLY shuffle, carrying one char per event;
+3. the pattern — a regular expression over the alphabet — is counted
+   and located with JVM-side ``regexp_count`` / ``regexp_instr``.
+
+Because every event is exactly one character, string positions ARE
+sequence positions: ``first_match_idx`` is the 0-based index (e.g.
+``turn_idx``) of the first matching event.
+
+Scale shape at 10^12 turns: per-key state is bounded by the
+conversation length, never the corpus (the same boundedness contract
+as session windows); the aggregate is map-side partial over (key,
+order, char) triples; no join, no window over the full table. Matching
+cost is linear in the per-key sequence length. Patterns must not match
+the empty string (both engines would loop on zero-width matches) —
+rejected at construction.
+
+Regex subset: character literals, classes (``[^ua]``), anchors,
+bounded/unbounded greedy quantifiers — the subset with identical
+semantics in Java regex (Spark) and RE2 (the DuckDB oracle). Counting
+is non-overlapping leftmost, the shared convention of Java
+``Matcher.find`` loops and RE2 global extraction.
+
+The reference engine keeps per-conversation tool sequences in rule
+state (streaming form: ``streaming/state.py`` escalation ``tool_seq``)
+but has no pattern matcher over them; this operator is the survey's
+§2.6 CEP extension. Streaming form: ``stream_sequence_match`` below —
+incremental non-overlapping counting through
+``applyInPandasWithState``, same leftmost semantics per key.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _validate_pattern(pattern: str) -> None:
+    re.compile(pattern)  # syntax check (Python ~ Java subset used here)
+    if re.search(pattern, "") is not None:
+        raise ValueError(f"pattern must not match the empty string: {pattern!r}")
+
+
+def symbols_from_map(col: Column, mapping: Mapping[str, str], default: str = "?") -> Column:
+    """Map a categorical column to one-char symbols (chained CASE;
+    NULL and unmapped values map to ``default``)."""
+    for v in list(mapping.values()) + [default]:
+        if len(v) != 1:
+            raise ValueError(f"symbols must be single characters, got {v!r}")
+    expr = F.lit(default)
+    for k, v in reversed(list(mapping.items())):
+        expr = F.when(col == F.lit(k), F.lit(v)).otherwise(expr)
+    return expr
+
+
+def sequence_match(
+    df: DataFrame,
+    pattern: str,
+    symbol: Column,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    min_matches: int = 1,
+) -> DataFrame:
+    """Keys whose ordered symbol sequence matches ``pattern`` at least
+    ``min_matches`` times (non-overlapping, leftmost) →
+    ``(key, seq_len, n_matches, first_match_idx)``.
+
+    ``first_match_idx`` is the 0-based sequence position (== the first
+    ``order_cols`` rank) where the first match starts.
+    """
+    _validate_pattern(pattern)
+    seq = (
+        df.select(F.col(key_col), *[F.col(c) for c in order_cols], symbol.alias("_sym"))
+        .groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(*order_cols, "_sym"))
+                    ),
+                    lambda s: s["_sym"],
+                ),
+                "",
+            ).alias("_seq")
+        )
+    )
+    n = F.regexp_count(F.col("_seq"), F.lit(pattern))
+    return (
+        seq.select(
+            F.col(key_col),
+            F.length("_seq").cast("long").alias("seq_len"),
+            n.cast("long").alias("n_matches"),
+            (F.regexp_instr(F.col("_seq"), F.lit(pattern)) - 1)
+            .cast("long")
+            .alias("first_match_idx"),
+        )
+        .filter(F.col("n_matches") >= min_matches)
+        .orderBy(key_col)
+    )
+
+
+def stream_sequence_match(
+    turns: DataFrame,
+    pattern: str,
+    symbol: Column,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    max_buffer: int = 4096,
+) -> DataFrame:
+    """Streaming counterpart of :func:`sequence_match`: per-key
+    incremental pattern detection through ``applyInPandasWithState``.
+
+    Emits one row per key per micro-batch that touched it —
+    ``(key, seq_len, n_matches, first_match_idx)`` — a changelog whose
+    latest row per key equals the batch operator's row for the same
+    prefix of the stream (equivalence-tested across multi-batch
+    splits).
+
+    State per key: the symbol buffer SINCE THE END OF THE LAST COUNTED
+    MATCH (plus counters). Non-overlapping leftmost counting consumes
+    matched prefixes, so a match spanning micro-batches is found when
+    its last symbol arrives, exactly as the batch regex would.
+    Matching is EAGER (inherent to any online CEP — a matcher cannot
+    wait forever for a greedy quantifier to stop extending): a match
+    counts as soon as it completes on the symbols seen so far, so a
+    pattern with an unbounded trailing quantifier (``t{2,}``) whose
+    batch-form match would span micro-batches may count as several
+    shorter matches. Fixed-length patterns (``at{2}``, ``a[ts]a``) —
+    where a match cannot extend — are batch-exact (equivalence-tested).
+    Boundedness: the unconsumed buffer caps at ``max_buffer`` symbols —
+    older symbols are dropped from the front, so patterns whose matches
+    span more than ``max_buffer`` events are missed past the cap (the
+    standard bounded-state CEP tradeoff; size it to the maximum
+    plausible match span, not the conversation length). Anchors are
+    rejected — prefix consumption would change their meaning.
+
+    Key coalescing as in ``streaming/state.py``: grouped by a hash
+    bucket of the key (OSPREY_WC_STATE_BUCKETS) with a per-bucket
+    {key: state} map; per-key segments of the (key, order)-sorted batch
+    fold independently, so semantics equal per-key grouping while the
+    fixed per-group Arrow cost amortizes across keys.
+    """
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    _validate_pattern(pattern)
+    if "^" in pattern or "$" in pattern:
+        raise ValueError("anchors are not supported in the streaming form")
+    rx = re.compile(pattern)
+    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("seq_len", LongType()),
+            StructField("n_matches", LongType()),
+            StructField("first_match_idx", LongType()),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        smap = json.loads(state.get[0]) if state.exists else {}
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            state.update((json.dumps(smap),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values([key_col, order_col], kind="stable")
+        out_keys, out_len, out_n, out_first = [], [], [], []
+        for conv, grp in pdf.groupby(key_col, sort=False):
+            mk = str(conv) if conv is not None else "\x00"
+            seq_len, n_matches, first_idx, base, buf = smap.get(
+                mk, [0, 0, -1, 0, ""]
+            )
+            buf += "".join(grp["_sym"].to_numpy(dtype=object))
+            seq_len += len(grp)
+            while True:
+                m = rx.search(buf)
+                if m is None:
+                    break
+                if first_idx < 0:
+                    first_idx = base + m.start()
+                n_matches += 1
+                buf = buf[m.end() :]
+                base += m.end()
+            if len(buf) > max_buffer:
+                drop = len(buf) - max_buffer
+                buf = buf[drop:]
+                base += drop
+            smap[mk] = [seq_len, n_matches, first_idx, base, buf]
+            out_keys.append(conv)
+            out_len.append(seq_len)
+            out_n.append(n_matches)
+            out_first.append(first_idx if first_idx >= 0 else None)
+        state.update((json.dumps(smap),))
+        yield pd.DataFrame(
+            {
+                key_col: out_keys,
+                "seq_len": out_len,
+                "n_matches": out_n,
+                "first_match_idx": pd.array(out_first, dtype="Int64"),
+            }
+        )
+
+    src = (
+        turns.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(order_col),
+            F.col(ts_col),
+            symbol.alias("_sym"),
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("__cep_bkt"),
+        )
+        .groupBy("__cep_bkt")
+    )
+    return src.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=StructType([StructField("state_json", StringType())]),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def sequence_match_oracle_sql(
+    pattern: str,
+    symbol_case_sql: str,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    table: str = "turns",
+    min_matches: int = 1,
+) -> str:
+    """DuckDB replay of :func:`sequence_match`. ``symbol_case_sql`` is
+    the SQL twin of the ``symbol`` expression. ``first_match_idx`` is
+    replayed as the length of the shortest prefix after which the
+    pattern matches (lazy-prefix capture) — identical to the leftmost
+    match start ``regexp_instr`` reports."""
+    esc = pattern.replace("'", "''")
+    return f"""
+WITH seqs AS (
+  SELECT {key_col}, string_agg({symbol_case_sql}, '' ORDER BY {order_col}) AS seq
+  FROM {table} GROUP BY {key_col}
+)
+SELECT {key_col},
+  CAST(length(seq) AS BIGINT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, '{esc}')) AS BIGINT) AS n_matches,
+  CAST(length(regexp_extract(seq, '^((?:.)*?)(?:{esc})', 1)) AS BIGINT) AS first_match_idx
+FROM seqs
+WHERE len(regexp_extract_all(seq, '{esc}')) >= {min_matches}
+ORDER BY {key_col}
+"""

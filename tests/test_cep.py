@@ -1,0 +1,192 @@
+"""CEP sequence-pattern operator: known-answer + semantics tests.
+
+Driver-oracle parity (counts and first-match positions vs DuckDB over
+thousands of turns) is exercised by the `cep_sequence` entry in
+tools/check_parity.py; these tests pin the hand-checkable semantics:
+ordering, non-overlapping counting, 0-based first-match position,
+construction-time validation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osprey_spark.operators import cep
+
+
+def _turns(spark, seq_by_conv):
+    rows = [
+        (conv, i, sym)
+        for conv, seq in seq_by_conv.items()
+        for i, sym in enumerate(seq)
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+
+
+SYMS = {"u": "u", "a": "a", "s": "s", "t": "t"}
+
+
+def test_known_answer_counts_and_position(spark):
+    df = _turns(
+        spark,
+        {
+            "c1": "uattuatt",  # two non-overlapping 'att' matches, first at 1
+            "c2": "uuuu",  # no match
+            "c3": "attatt",  # matches at 0 and 3
+        },
+    )
+    out = cep.sequence_match(
+        df, "at{2}", cep.symbols_from_map(F.col("role"), SYMS)
+    ).collect()
+    got = {r["conv_id"]: (r["seq_len"], r["n_matches"], r["first_match_idx"]) for r in out}
+    assert got == {"c1": (8, 2, 1), "c3": (6, 2, 0)}
+
+
+def test_order_cols_define_sequence_order(spark):
+    # rows arrive shuffled; turn_idx must define the string order
+    rows = [("c1", 2, "t"), ("c1", 0, "a"), ("c1", 1, "t")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = cep.sequence_match(
+        df, "att", cep.symbols_from_map(F.col("role"), SYMS)
+    ).collect()
+    assert len(out) == 1 and out[0]["first_match_idx"] == 0
+
+
+def test_nonoverlapping_leftmost(spark):
+    # 'aaa' in 'aaaaa' counts once (leftmost match consumes 0-2, the
+    # remainder 'aa' cannot match) — the Matcher.find convention
+    df = _turns(spark, {"c": "aaaaa"})
+    out = cep.sequence_match(
+        df, "aaa", cep.symbols_from_map(F.col("role"), SYMS)
+    ).collect()
+    assert out[0]["n_matches"] == 1
+
+
+def test_min_matches_filters(spark):
+    df = _turns(spark, {"c1": "atat", "c2": "atuu"})
+    out = cep.sequence_match(
+        df, "at", cep.symbols_from_map(F.col("role"), SYMS), min_matches=2
+    ).collect()
+    assert [r["conv_id"] for r in out] == ["c1"]
+
+
+def test_unmapped_and_null_roles_get_default(spark):
+    rows = [("c", 0, "assistant"), ("c", 1, None), ("c", 2, "weird")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = cep.sequence_match(
+        df, "a\\?\\?", cep.symbols_from_map(F.col("role"), {"assistant": "a"})
+    ).collect()
+    assert out[0]["n_matches"] == 1
+
+
+def test_empty_matching_pattern_rejected(spark):
+    df = _turns(spark, {"c": "a"})
+    with pytest.raises(ValueError, match="empty"):
+        cep.sequence_match(df, "a*", cep.symbols_from_map(F.col("role"), SYMS))
+
+
+def test_multichar_symbol_rejected():
+    with pytest.raises(ValueError, match="single"):
+        cep.symbols_from_map(F.col("x"), {"user": "uu"})
+
+
+def _ts(i):
+    return f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}"
+
+
+ROLE_SYMS = {"user": "u", "assistant": "a", "tool": "t"}
+
+
+def test_stream_sequence_match_matches_batch(spark, tmp_path):
+    """Streaming CEP over multi-batch file splits: the latest emitted
+    row per conversation equals the batch operator's row, for a
+    fixed-length pattern (the batch-exact class), including matches
+    whose symbols SPAN micro-batches."""
+    rows = []
+    seqs = {"c1": "uattuatt", "c2": "uuuuu", "c3": "attatt", "c4": "aat"}
+    for ci, (conv, seq) in enumerate(sorted(seqs.items())):
+        for i, sym in enumerate(seq):
+            role = {"u": "user", "a": "assistant", "t": "tool"}[sym]
+            rows.append((conv, i, role, _ts(i * 60 + ci)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_str string"
+    ).select("conv_id", "turn_idx", "role", F.to_timestamp("ts_str").alias("ts"))
+    src = str(tmp_path / "turns")
+    # split mid-match: turn_idx < 3 in file 1, the rest in file 2, so
+    # c1's second 'att' and c3's second 'att' straddle the boundary
+    df.filter(F.col("turn_idx") < 3).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = cep.stream_sequence_match(
+        stream, "at{2}", cep.symbols_from_map(F.col("role"), ROLE_SYMS)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from cep_stream").collect()
+    latest = {}
+    for r in emitted:
+        prev = latest.get(r.conv_id)
+        if prev is None or r.seq_len > prev.seq_len:
+            latest[r.conv_id] = r
+    got = {
+        k: (r.seq_len, r.n_matches, r.first_match_idx) for k, r in latest.items()
+    }
+    batch = cep.sequence_match(
+        df, "at{2}", cep.symbols_from_map(F.col("role"), ROLE_SYMS), min_matches=0
+    ).collect()
+    want = {
+        r.conv_id: (
+            r.seq_len,
+            r.n_matches,
+            r.first_match_idx if r.n_matches > 0 else None,
+        )
+        for r in batch
+    }
+    assert got == want
+    assert got["c1"][1] == 2 and got["c3"][1] == 2  # spanning matches found
+
+
+def test_stream_sequence_buffer_cap_bounds_state(spark, tmp_path):
+    """A never-matching conversation's buffer caps at max_buffer; the
+    counters stay exact."""
+    rows = [("c", i, "user", _ts(i)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_str string"
+    ).select("conv_id", "turn_idx", "role", F.to_timestamp("ts_str").alias("ts"))
+    src = str(tmp_path / "turns")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, ts timestamp")
+        .parquet(src)
+    )
+    out = cep.stream_sequence_match(
+        stream, "at{2}", cep.symbols_from_map(F.col("role"), ROLE_SYMS), max_buffer=8
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_cap")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.sql("select * from cep_cap").collect()[-1]
+    assert (r.seq_len, r.n_matches, r.first_match_idx) == (50, 0, None)
+
+
+def test_stream_anchor_rejected(spark):
+    df = spark.createDataFrame([("c", 0, "user")], "conv_id string, turn_idx int, role string")
+    with pytest.raises(ValueError, match="anchor"):
+        cep.stream_sequence_match(
+            df, "^at", cep.symbols_from_map(F.col("role"), SYMS)
+        )
