@@ -2283,6 +2283,38 @@ O_CEP_SEQUENCE = _seq_oracle(CEP_PATTERN, _CEP_SYMBOL_SQL, table="turns").replac
     "WITH seqs AS", TURNS_CTE + ", seqs AS", 1
 )
 
+# session-scoped variant: the match must complete within one session
+# (30-min gap) — the Flink-CEP within() analogue
+CEP_SESSION_PATTERN = "a[^u]*t"
+
+
+def q_cep_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded CEP (cep.sequence_match_sessions): sessionize each
+    conversation (30-min gaps) and match the pattern within sessions —
+    per-group state bounded by session length, one key shuffle shared
+    by the session-id window and the per-session aggregate."""
+    from .operators import cep
+
+    t = turns_from_events(spark, sf_dir)
+    return cep.sequence_match_sessions(
+        t,
+        CEP_SESSION_PATTERN,
+        cep.symbols_from_map(F.col("role"), CEP_ROLE_SYMBOLS),
+        key_col="conv_id",
+        ts_col="ts",
+        order_cols=("turn_idx",),
+        gap_seconds=1800,
+    )
+
+
+from .operators.cep import (  # noqa: E402
+    sequence_match_sessions_oracle_sql as _seq_sess_oracle,
+)
+
+O_CEP_SESSION = _seq_sess_oracle(
+    CEP_SESSION_PATTERN, _CEP_SYMBOL_SQL, gap_seconds=1800, table="turns"
+).replace("WITH e AS", TURNS_CTE + ", e AS", 1)
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
@@ -2349,6 +2381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "semantic_dedup": q_semantic_dedup,
     "cep_sequence": q_cep_sequence,
+    "cep_session": q_cep_session,
 }
 
 ORACLES: dict[str, str] = {
@@ -2415,6 +2448,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "cep_sequence": O_CEP_SEQUENCE,
+    "cep_session": O_CEP_SESSION,
 }
 
 

@@ -113,6 +113,119 @@ def sequence_match(
     )
 
 
+def sequence_match_sessions(
+    df: DataFrame,
+    pattern: str,
+    symbol: Column,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("turn_idx",),
+    gap_seconds: int = 1800,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Time-bounded CEP (Flink CEP ``within()`` analogue): the pattern
+    must complete inside ONE session — a maximal run of events per key
+    with inter-event gaps ≤ ``gap_seconds`` — so matches cannot span
+    arbitrarily stale history. Composition of the engine's sessionizer
+    (lag + gap-flag + running-sum session ids, one key shuffle reused
+    by both windows) with :func:`sequence_match` grouped by
+    (key, session): per-group state is bounded by the SESSION length,
+    strictly tighter than the whole-conversation bound.
+
+    Output: ``(key, session_id, session_start, seq_len, n_matches,
+    first_match_idx)`` — ``first_match_idx`` is the position within
+    the session, ``session_id`` the per-key 1-based session ordinal.
+    """
+    from pyspark.sql import Window
+
+    from .timeutil import epoch_seconds
+
+    _validate_pattern(pattern)
+    base = df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        epoch_seconds(F.col(ts_col)).alias("_sec"),
+        symbol.alias("_sym"),
+    )
+    byk = Window.partitionBy(key_col).orderBy("_sec", *order_cols)
+    sec = F.col("_sec")
+    new_sess = (
+        F.when(F.lag(sec).over(byk).isNull(), 1)
+        .when(sec - F.lag(sec).over(byk) > gap_seconds, 1)
+        .otherwise(0)
+    )
+    with_sess = base.withColumn("_sess", F.sum(new_sess).over(byk))
+    seq = with_sess.groupBy(key_col, "_sess").agg(
+        F.floor(F.min("_sec")).cast("long").alias("session_start"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_sec", *order_cols, "_sym"))),
+                lambda s: s["_sym"],
+            ),
+            "",
+        ).alias("_seq"),
+    )
+    n = F.regexp_count(F.col("_seq"), F.lit(pattern))
+    return (
+        seq.select(
+            F.col(key_col),
+            F.col("_sess").cast("long").alias("session_id"),
+            F.col("session_start"),
+            F.length("_seq").cast("long").alias("seq_len"),
+            n.cast("long").alias("n_matches"),
+            (F.regexp_instr(F.col("_seq"), F.lit(pattern)) - 1)
+            .cast("long")
+            .alias("first_match_idx"),
+        )
+        .filter(F.col("n_matches") >= min_matches)
+        .orderBy(key_col, "session_id")
+    )
+
+
+def sequence_match_sessions_oracle_sql(
+    pattern: str,
+    symbol_case_sql: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    gap_seconds: int = 1800,
+    table: str = "turns",
+    min_matches: int = 1,
+) -> str:
+    """DuckDB replay of :func:`sequence_match_sessions` — identical
+    lag/gap/running-sum session assignment, identical regex reads."""
+    esc = pattern.replace("'", "''")
+    return f"""
+WITH e AS (
+  SELECT {key_col}, {order_col}, epoch({ts_col}) AS sec,
+         {symbol_case_sql} AS sym
+  FROM {table}
+),
+m AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                      OR sec - lag(sec) OVER w > {gap_seconds}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY {key_col} ORDER BY sec, {order_col})
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY {key_col} ORDER BY sec, {order_col}) AS sess
+  FROM m
+),
+seqs AS (
+  SELECT {key_col}, sess, CAST(floor(min(sec)) AS BIGINT) AS session_start,
+         string_agg(sym, '' ORDER BY sec, {order_col}) AS seq
+  FROM s GROUP BY {key_col}, sess
+)
+SELECT {key_col}, CAST(sess AS BIGINT) AS session_id, session_start,
+  CAST(length(seq) AS BIGINT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, '{esc}')) AS BIGINT) AS n_matches,
+  CAST(length(regexp_extract(seq, '^((?:.)*?)(?:{esc})', 1)) AS BIGINT) AS first_match_idx
+FROM seqs
+WHERE len(regexp_extract_all(seq, '{esc}')) >= {min_matches}
+ORDER BY {key_col}, session_id
+"""
+
+
 def stream_sequence_match(
     turns: DataFrame,
     pattern: str,

@@ -89,6 +89,36 @@ def test_multichar_symbol_rejected():
         cep.symbols_from_map(F.col("x"), {"user": "uu"})
 
 
+def test_sessions_bound_matching(spark):
+    """A pattern whose symbols straddle a session gap must NOT match;
+    within-session matches report session-relative positions."""
+    # conv c1: 'a','t' at minute 0-1, then a 2-hour gap, then 'a','t','t'
+    rows = [
+        ("c1", 0, "a", "2024-01-01 10:00:00"),
+        ("c1", 1, "a", "2024-01-01 10:01:00"),  # session 1 ends 'aa'
+        ("c1", 2, "t", "2024-01-01 12:30:00"),  # session 2: 'tt' alone
+        ("c1", 3, "t", "2024-01-01 12:31:00"),
+        ("c2", 0, "a", "2024-01-01 10:00:00"),
+        ("c2", 1, "t", "2024-01-01 10:05:00"),
+        ("c2", 2, "t", "2024-01-01 10:06:00"),  # one session: 'att'
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_str string"
+    ).select("conv_id", "turn_idx", "role", F.to_timestamp("ts_str").alias("ts"))
+    out = cep.sequence_match_sessions(
+        df, "at{2}", cep.symbols_from_map(F.col("role"), SYMS), gap_seconds=1800
+    ).collect()
+    # c1's 'a...tt' spans the session boundary -> no match anywhere;
+    # unsessionized matching WOULD find it (guard the premise)
+    whole = cep.sequence_match(
+        df, "at{2}", cep.symbols_from_map(F.col("role"), SYMS)
+    ).collect()
+    assert {r["conv_id"] for r in whole} == {"c1", "c2"}
+    assert [(r["conv_id"], r["session_id"], r["n_matches"], r["first_match_idx"]) for r in out] == [
+        ("c2", 1, 1, 0)
+    ]
+
+
 def _ts(i):
     return f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}"
 
