@@ -346,3 +346,40 @@ def stratified_split_exact(
     return ranked.withColumn(split_col, expr.otherwise(F.lit(last))).drop(
         "__rk", "__n"
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed (co-located) joins
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a Spark catalog table hash-bucketed (and
+    bucket-sorted) on ``key`` — the write-side half of a co-located
+    join. Tables bucketed on the same key with the SAME bucket count
+    sort-merge-join with ZERO exchanges: each task reads matching
+    buckets from both sides, so a 100 TB fact⋈fact join costs no
+    shuffle at all (the brief's "bucketing for co-located joins";
+    `tests/test_bucketed_join.py` asserts the exchange-free plan).
+    Bucket counts are a layout contract: pick once per table family
+    (e.g. 4096 for turn-scale tables) and keep writers consistent —
+    mismatched counts fall back to shuffling one side.
+
+    On the cluster target this maps 1:1 onto Iceberg's ``bucket(N,
+    key)`` partition transform with storage-partitioned joins; the
+    local form uses the session catalog so the optimization is
+    testable here.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(*(sort_cols or [key]))
+        .saveAsTable(table)
+    )
