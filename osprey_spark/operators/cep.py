@@ -235,9 +235,18 @@ def stream_sequence_match(
     ts_col: str = "ts",
     watermark: str = "30 minutes",
     max_buffer: int = 4096,
+    session_gap_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming counterpart of :func:`sequence_match`: per-key
     incremental pattern detection through ``applyInPandasWithState``.
+    With ``session_gap_seconds`` set it is instead the streaming
+    counterpart of :func:`sequence_match_sessions`: an event-time gap
+    larger than the threshold closes the key's session — the finished
+    session's final changelog row is emitted and the buffer, counters
+    and match position reset, so matches cannot span a pause and
+    ``session_id``/``first_match_idx`` line up with the batch
+    operator's per-session rows (equivalence-tested). Without it,
+    ``session_id`` is constantly 1.
 
     Emits one row per key per micro-batch that touched it —
     ``(key, seq_len, n_matches, first_match_idx)`` — a changelog whose
@@ -289,6 +298,7 @@ def stream_sequence_match(
     out_schema = StructType(
         [
             StructField(key_col, StringType()),
+            StructField("session_id", LongType()),
             StructField("seq_len", LongType()),
             StructField("n_matches", LongType()),
             StructField("first_match_idx", LongType()),
@@ -303,36 +313,65 @@ def stream_sequence_match(
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values([key_col, order_col], kind="stable")
-        out_keys, out_len, out_n, out_first = [], [], [], []
+        out_keys, out_sess, out_len, out_n, out_first = [], [], [], [], []
+
+        def emit(conv, sess, seq_len, n_matches, first_idx):
+            out_keys.append(conv)
+            out_sess.append(sess)
+            out_len.append(seq_len)
+            out_n.append(n_matches)
+            out_first.append(first_idx if first_idx >= 0 else None)
+
         for conv, grp in pdf.groupby(key_col, sort=False):
             mk = str(conv) if conv is not None else "\x00"
-            seq_len, n_matches, first_idx, base, buf = smap.get(
-                mk, [0, 0, -1, 0, ""]
+            sess, seq_len, n_matches, first_idx, base, buf, last_sec = smap.get(
+                mk, [1, 0, 0, -1, 0, "", None]
             )
-            buf += "".join(grp["_sym"].to_numpy(dtype=object))
-            seq_len += len(grp)
-            while True:
-                m = rx.search(buf)
-                if m is None:
-                    break
-                if first_idx < 0:
-                    first_idx = base + m.start()
-                n_matches += 1
-                buf = buf[m.end() :]
-                base += m.end()
+
+            def consume():
+                nonlocal n_matches, first_idx, base, buf
+                while True:
+                    m = rx.search(buf)
+                    if m is None:
+                        break
+                    if first_idx < 0:
+                        first_idx = base + m.start()
+                    n_matches += 1
+                    buf = buf[m.end() :]
+                    base += m.end()
+
+            if session_gap_seconds is None:
+                buf += "".join(grp["_sym"].to_numpy(dtype=object))
+                seq_len += len(grp)
+                consume()
+            else:
+                secs = (
+                    grp[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+                    / 1e9
+                )
+                for sym, sec in zip(grp["_sym"].to_numpy(dtype=object), secs):
+                    if last_sec is not None and sec - last_sec > session_gap_seconds:
+                        # close the finished session's changelog row,
+                        # then reset per-session counters
+                        consume()
+                        emit(conv, sess, seq_len, n_matches, first_idx)
+                        sess += 1
+                        seq_len, n_matches, first_idx, base, buf = 0, 0, -1, 0, ""
+                    last_sec = sec
+                    buf += sym
+                    seq_len += 1
+                consume()
             if len(buf) > max_buffer:
                 drop = len(buf) - max_buffer
                 buf = buf[drop:]
                 base += drop
-            smap[mk] = [seq_len, n_matches, first_idx, base, buf]
-            out_keys.append(conv)
-            out_len.append(seq_len)
-            out_n.append(n_matches)
-            out_first.append(first_idx if first_idx >= 0 else None)
+            smap[mk] = [sess, seq_len, n_matches, first_idx, base, buf, last_sec]
+            emit(conv, sess, seq_len, n_matches, first_idx)
         state.update((json.dumps(smap),))
         yield pd.DataFrame(
             {
                 key_col: out_keys,
+                "session_id": out_sess,
                 "seq_len": out_len,
                 "n_matches": out_n,
                 "first_match_idx": pd.array(out_first, dtype="Int64"),

@@ -214,6 +214,128 @@ def test_stream_sequence_buffer_cap_bounds_state(spark, tmp_path):
     assert (r.seq_len, r.n_matches, r.first_match_idx) == (50, 0, None)
 
 
+def test_stream_session_gap_matches_batch_sessions(spark, tmp_path):
+    """With session_gap_seconds set, the streaming changelog's latest
+    row per (conv, session) equals sequence_match_sessions — including
+    a session that STRADDLES the micro-batch split, and a gap that
+    closes a session mid-batch."""
+    rows = [
+        # c1: session 1 = 'aa' (no match), 2h gap, session 2 = 'att'
+        ("c1", 0, "assistant", "2024-01-01 10:00:00"),
+        ("c1", 1, "assistant", "2024-01-01 10:01:00"),
+        ("c1", 2, "assistant", "2024-01-01 12:30:00"),
+        ("c1", 3, "tool", "2024-01-01 12:31:00"),
+        ("c1", 4, "tool", "2024-01-01 12:32:00"),
+        # c2: one session 'att'
+        ("c2", 0, "assistant", "2024-01-01 10:00:00"),
+        ("c2", 1, "tool", "2024-01-01 10:05:00"),
+        ("c2", 2, "tool", "2024-01-01 10:06:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_str string"
+    ).select("conv_id", "turn_idx", "role", F.to_timestamp("ts_str").alias("ts"))
+    src = str(tmp_path / "turns")
+    # c1's session 2 straddles the file split (turn 3 boundary)
+    df.filter(F.col("turn_idx") < 4).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = cep.stream_sequence_match(
+        stream,
+        "at{2}",
+        cep.symbols_from_map(F.col("role"), ROLE_SYMS),
+        session_gap_seconds=1800,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = {}
+    for r in spark.sql("select * from cep_sess_stream").collect():
+        k = (r.conv_id, r.session_id)
+        if k not in latest or r.seq_len > latest[k].seq_len:
+            latest[k] = r
+    got = {
+        k: (r.seq_len, r.n_matches, r.first_match_idx) for k, r in latest.items()
+    }
+    want = {
+        (r.conv_id, r.session_id): (
+            r.seq_len,
+            r.n_matches,
+            r.first_match_idx if r.n_matches > 0 else None,
+        )
+        for r in cep.sequence_match_sessions(
+            df,
+            "at{2}",
+            cep.symbols_from_map(F.col("role"), ROLE_SYMS),
+            gap_seconds=1800,
+            min_matches=0,
+        ).collect()
+    }
+    assert got == want
+    assert got[("c1", 2)] == (3, 1, 0)  # straddling session matched
+
+
+def test_stream_sequence_state_survives_checkpoint_restart(spark, tmp_path):
+    """North rule: resumable from checkpoint. A pattern whose symbols
+    span an engine RESTART must still match — the unconsumed buffer
+    persists in the state store."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "conv_id string, turn_idx int, role string, ts_str string"
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .select("conv_id", "turn_idx", "role", F.to_timestamp("ts_str").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, ts timestamp"
+            ).parquet(in_dir)
+        )
+        out = cep.stream_sequence_match(
+            stream, "at{2}", cep.symbols_from_map(F.col("role"), ROLE_SYMS)
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([("c1", 0, "assistant", _ts(0)), ("c1", 1, "tool", _ts(60))])
+    run()
+    write([("c1", 2, "tool", _ts(120))])
+    run()  # fresh query, same checkpoint + state store
+    rows = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r.seq_len
+    )
+    assert [(r.seq_len, r.n_matches, r.first_match_idx) for r in rows] == [
+        (2, 0, None),
+        (3, 1, 0),  # the 'att' completed by the post-restart turn
+    ]
+
+
 def test_stream_anchor_rejected(spark):
     df = spark.createDataFrame([("c", 0, "user")], "conv_id string, turn_idx int, role string")
     with pytest.raises(ValueError, match="anchor"):
