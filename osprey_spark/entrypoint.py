@@ -571,6 +571,100 @@ GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 20
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join path (local-supplier volume): lineitem⋈orders
+    shuffles on the order key; customer/supplier join on the shared
+    nation key; region→nation→supplier/customer are dimension-sized →
+    broadcast. The c_nationkey = s_nationkey condition rides the
+    supplier join, so no extra shuffle for it."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asian_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+O_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: the having-filtered per-order quantity
+    aggregate SEMI-joins back to orders (order-cardinality frame, one
+    shuffle), then customer broadcast-enriches. The per-order sums are
+    computed once and reused as the output column."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+O_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------------
@@ -2337,6 +2431,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q18": q_tpch_q18,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -2404,6 +2500,8 @@ ORACLES: dict[str, str] = {
     "stream_join": O_STREAM_JOIN,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
+    "tpch_q5": O_TPCH_Q5,
+    "tpch_q18": O_TPCH_Q18,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,

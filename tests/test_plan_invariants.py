@@ -30,6 +30,8 @@ _CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf", "bm25"}
 # a broadcast hint or size estimate broke.
 _EXPECT_BROADCAST = {
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
     "has_label_roundtrip",
     "decontaminate",
     "corpus_curate",
