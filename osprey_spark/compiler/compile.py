@@ -1103,6 +1103,110 @@ class CompiledRuleset:
             timeoutConf="NoTimeout",
         )
 
+    def _join_seq_match(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one SequenceMatches. Batch frames: collect the
+        rolling last-K symbol window with a rows-between window (one
+        shuffle on the key, whole-stage codegen, JVM `rlike`).
+        Streaming frames: key-coalesced applyInPandasWithState whose
+        per-key state is the ≤K-char symbol suffix — the reference's
+        tool_seq shape — carried across micro-batches, so a pattern
+        completed by a later batch's event matches when that event
+        arrives. Within a batch rows apply in (event time, order)
+        order; the suffix semantics make streaming == batch whenever
+        (event time, order) is a total order per key (equivalence- and
+        restart-tested)."""
+        name = spec["name"]
+        k = int(spec["last_k"])
+        pattern = spec["pattern"]
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        order_cols = [sec] + (
+            [spec["order_col"]] if spec["order_col"] is not None else []
+        )
+        if not df.isStreaming:
+            from pyspark.sql import Window as W
+
+            w = (
+                W.partitionBy(spec["key_col"])
+                .orderBy(*order_cols)
+                .rowsBetween(-(k - 1), 0)
+            )
+            suffix = F.array_join(F.collect_list(spec["symbol_col"]).over(w), "")
+            matched = F.coalesce(suffix.rlike(pattern), F.lit(False))
+            return df.select("*", matched.alias(name))
+
+        import json as _json
+        import os as _os
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rx = _re.compile(pattern)
+        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        aug = df.select(
+            "*",
+            spec["key_col"].cast("string").alias("__sq_key"),
+            sec.alias("__sq_sec"),
+            (
+                spec["order_col"].cast("double")
+                if spec["order_col"] is not None
+                else F.lit(0.0)
+            ).alias("__sq_ord"),
+            spec["symbol_col"].alias("__sq_sym"),
+            F.pmod(F.xxhash64(spec["key_col"].cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("__sq_bkt"),
+        )
+        out_schema = T.StructType(
+            [f for f in aug.schema.fields if not f.name.startswith("__sq_")]
+            + [T.StructField(name, T.BooleanType())]
+        )
+        passthrough_cols = [
+            f.name for f in aug.schema.fields if not f.name.startswith("__sq_")
+        ]
+        _NULL_KEY = "\x00"
+
+        def fn(key, pdf_iter, state):
+            smap = _json.loads(state.get[0]) if state.exists else {}
+            chunks = [c for c in pdf_iter if len(c)]
+            if not chunks:
+                state.update((_json.dumps(smap),))
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(
+                ["__sq_key", "__sq_sec", "__sq_ord"], kind="stable", na_position="last"
+            )
+            keys = pdf["__sq_key"].to_numpy(dtype=object)
+            syms = pdf["__sq_sym"].to_numpy(dtype=object)
+            matched = [False] * len(keys)
+            prev = None
+            suffix = ""
+            for i, (mk_raw, ch) in enumerate(zip(keys, syms)):
+                mk = mk_raw if mk_raw is not None else _NULL_KEY
+                if mk != prev:
+                    if prev is not None:
+                        smap[prev] = suffix
+                    suffix = smap.get(mk, "")
+                    prev = mk
+                suffix = (suffix + ch)[-k:]
+                matched[i] = rx.search(suffix) is not None
+            if prev is not None:
+                smap[prev] = suffix
+            out = pdf[passthrough_cols].copy()
+            out[name] = matched
+            state.update((_json.dumps(smap),))
+            yield out
+
+        return aug.groupBy("__sq_bkt").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [T.StructField("suffix_json", T.StringType())]
+            ),
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+
     def _join_cache_streaming(self, df: DataFrame, spec: dict, sec: Column) -> DataFrame:
         """Streaming strategy for a CacheGet: each event row explodes
         into its Set-write pieces (narrow: key, ts, stmt idx, value,
@@ -1274,7 +1378,7 @@ class CompiledRuleset:
         self._cache_persists = []
 
     def _hoisted_feature_order(
-        self, window_specs: dict, cache_specs: dict
+        self, window_specs: dict, cache_specs: dict, seq_specs: dict | None = None
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -1309,11 +1413,18 @@ class CompiledRuleset:
         cached = getattr(self, "_hoisted_order_cache", None)
         if cached is not None:
             return cached
+        seq_specs = seq_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
 
         def spec_cols(mangled: str) -> list[Column]:
+            if mangled in seq_specs:
+                s = seq_specs[mangled]
+                cols = [s["key_col"], s["symbol_col"]]
+                if s["order_col"] is not None:
+                    cols.append(s["order_col"])
+                return cols
             if mangled in window_specs:
                 s = window_specs[mangled]
                 cols = [s["key_col"], s["incremented"]]
@@ -1338,7 +1449,7 @@ class CompiledRuleset:
         for name, defn in entries:
             if defn is None:
                 cols = spec_cols(name)
-                if name in window_specs or name in cache_specs:
+                if name in window_specs or name in cache_specs or name in seq_specs:
                     state_ops.append(name)
             else:
                 cols = [defn]
@@ -1409,12 +1520,17 @@ class CompiledRuleset:
         # plan stays linear in ruleset size.
         cache_specs = {s["name"]: s for s in getattr(self.ctx, "cache_lookups", [])}
         window_specs = {s["name"]: s for s in getattr(self.ctx, "window_lookups", [])}
-        for mangled, defn in self._hoisted_feature_order(window_specs, cache_specs):
+        seq_specs = {s["name"]: s for s in getattr(self.ctx, "seq_lookups", [])}
+        for mangled, defn in self._hoisted_feature_order(
+            window_specs, cache_specs, seq_specs
+        ):
             if defn is None:
                 if mangled in cache_specs:
                     df = self._join_cache(df, cache_specs[mangled])
                 elif mangled in window_specs:
                     df = self._join_window_count(df, window_specs[mangled])
+                elif mangled in seq_specs:
+                    df = self._join_seq_match(df, seq_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -1223,6 +1223,41 @@ FROM turns
 )
 
 
+def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level CEP (SequenceMatches): per turn, does the rolling
+    last-6 role-symbol suffix of the conversation contain
+    assistant→tool→tool? Batch physical form is a rows-between window
+    + JVM rlike; the streaming form keeps the ≤6-char suffix in the
+    state store (tests/test_stateful_udfs.py equivalence + restart)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+Sym: str = JsonData(path='$.role')
+Ti: int = JsonData(path='$.turn_idx')
+ToolRun = SequenceMatches(key=K, symbol=Sym, pattern='at{2}', last_k=6, order=Ti)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx", F.col("ToolRun").alias("tool_run")
+    ).orderBy("conv_id", "turn_idx")
+
+
+O_SEQ_RULE = (
+    TURNS_CTE
+    + """
+SELECT conv_id, turn_idx,
+  regexp_matches(string_agg(substr(role, 1, 1), '') OVER (
+    PARTITION BY conv_id ORDER BY floor(epoch(ts)), turn_idx
+    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 'at{2}') AS tool_run
+FROM turns ORDER BY conv_id, turn_idx
+"""
+)
+
+
 # --- multimodal columns -----------------------------------------------------
 
 
@@ -2449,6 +2484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bulk_label": q_bulk_label,
     "has_label_roundtrip": q_has_label_roundtrip,
     "increment_window_rule": q_increment_window_rule,
+    "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "decontaminate": q_decontaminate,
@@ -2518,6 +2554,7 @@ ORACLES: dict[str, str] = {
     "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,
     "increment_window_rule": O_INCREMENT_WINDOW,
+    "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "decontaminate": O_DECONTAMINATE,

@@ -331,6 +331,70 @@ def get_window_count(ctx, call, args):
     return _window_count(ctx, call, args, increments=False)
 
 
+@register("SequenceMatches")
+def sequence_matches(ctx, call, args):
+    """CEP in the rule language (north_star: "tool-usage sequences …
+    stateful rule escalation"): True when the rolling last-``last_k``
+    one-char symbols of same-key events — event-time order, current
+    event included — contain a regex match.
+
+    The reference carries a last-K tool sequence in rule state
+    (example_plugins cache zsets / this engine's escalation
+    ``tool_seq``) but has no matcher over it; this surfaces
+    ``operators.cep`` to SML. ``symbol`` contributes its FIRST
+    character (NULL/empty → '?'); ``order=`` is the within-key
+    tiebreak after event time (pass the turn index — without it,
+    equal-timestamp events order nondeterministically). Patterns must
+    not match the empty string; anchors are rejected (the window is a
+    rolling suffix, so ^/$ would mean "exactly K events ago", a trap).
+
+    Physical strategy is deferred to apply(): batch frames get a
+    rows-between window (one shuffle on the key); streaming frames a
+    key-coalesced applyInPandasWithState op whose state is the ≤K-char
+    suffix per key (bounded, exactly the reference's tool_seq shape).
+    """
+    key_v = arg(ctx, call, args, "key")
+    sym_v = arg(ctx, call, args, "symbol")
+    order_v = arg(ctx, call, args, "order", required=False)
+    pattern = const_arg(ctx, call, args, "pattern")
+    last_k = const_arg(ctx, call, args, "last_k", required=False, default=8)
+    try:
+        rx = re.compile(str(pattern))
+    except re.error as e:
+        raise ctx.error(f"SequenceMatches: invalid pattern: {e}", call.span)
+    if rx.search("") is not None:
+        raise ctx.error(
+            "SequenceMatches: pattern must not match the empty string", call.span
+        )
+    if "^" in str(pattern) or "$" in str(pattern):
+        raise ctx.error(
+            "SequenceMatches: anchors are not supported over a rolling suffix",
+            call.span,
+        )
+    k = int(last_k)
+    if not 1 <= k <= 64:
+        raise ctx.error(
+            f"SequenceMatches: last_k must be in [1, 64], got {k}", call.span
+        )
+    sym = F.coalesce(F.substring(sym_v.col.cast("string"), 1, 1), F.lit("?"))
+    sym = F.when(sym == "", F.lit("?")).otherwise(sym)
+    if not hasattr(ctx, "seq_lookups"):
+        ctx.seq_lookups = []
+    name = f"__sq_{len(ctx.seq_lookups)}"
+    ctx.seq_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "symbol_col": sym,
+            "order_col": order_v.col if order_v is not None else None,
+            "pattern": str(pattern),
+            "last_k": k,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="bool")
+
+
 @register("GetSnowflakeBucket")
 def get_snowflake_bucket(ctx, call, args):
     """Bucket a snowflake id's embedded timestamp

@@ -14,10 +14,22 @@ from pyspark.sql import functions as F
 from osprey_spark.operators.joins import write_bucketed
 
 
+TABLES = ("bj_turns", "bj_verdicts", "bj_agg", "bj_a8", "bj_b4")
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # a previous session's managed-table files survive in the warehouse
+    # dir while the in-memory catalog does not — clear both sides or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     yield
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

@@ -237,3 +237,61 @@ Got = CacheGetStr(key=K, default='gone')
     out = sorted(_apply(spark, sml, rows), key=lambda r: r["__timestamp"])
     assert out[2]["Got"] == "short"
     assert out[3]["Got"] == "gone"  # NOT 'long': overwritten then expired
+
+
+def test_sequence_matches_rolling_suffix(spark):
+    """SequenceMatches: per event, the rolling last-K symbol suffix
+    (current event included) is searched — a match appears exactly when
+    its last symbol arrives and persists while still inside the
+    window."""
+    sml = """
+K: str = JsonData(path='$.conv')
+R: str = JsonData(path='$.role')
+I: int = JsonData(path='$.i', coerce_type='int')
+Hit = SequenceMatches(key=K, symbol=R, pattern='at{2}', last_k=3, order=I)
+"""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {"conv": "c", "role": role, "i": i, "_ts": t0.replace(minute=i)}
+        for i, role in enumerate(["assistant", "tool", "tool", "user", "tool"])
+    ]
+    out = sorted(_apply(spark, sml, rows), key=lambda r: r["I"])
+    # suffix windows (k=3): a, at, att*, ttu, tut
+    assert [r["Hit"] for r in out] == [False, False, True, False, False]
+
+
+def test_sequence_matches_order_breaks_ts_ties(spark):
+    """Equal-timestamp events order by the order= expression."""
+    sml = """
+K: str = JsonData(path='$.conv')
+R: str = JsonData(path='$.role')
+I: int = JsonData(path='$.i', coerce_type='int')
+Hit = SequenceMatches(key=K, symbol=R, pattern='at', last_k=2, order=I)
+"""
+    t0 = datetime(2024, 1, 1)
+    # same ts; order= says assistant first, tool second -> 'at' matches
+    rows = [
+        {"conv": "c", "role": "tool", "i": 2, "_ts": t0},
+        {"conv": "c", "role": "assistant", "i": 1, "_ts": t0},
+    ]
+    out = sorted(_apply(spark, sml, rows), key=lambda r: r["I"])
+    assert [r["Hit"] for r in out] == [False, True]
+
+
+def test_sequence_matches_validation(spark):
+    from osprey_spark.sml.errors import SmlValidationError
+
+    base = """
+K: str = JsonData(path='$.conv')
+R: str = JsonData(path='$.role')
+Hit = SequenceMatches(key=K, symbol=R, pattern={pat}, last_k={k})
+"""
+    for pat, k, msg in [
+        ("'a*'", 8, "empty"),
+        ("'^at'", 8, "anchor"),
+        ("'at'", 0, "last_k"),
+        ("'at'", 1000, "last_k"),
+        ("'(a'", 8, "invalid pattern"),
+    ]:
+        with pytest.raises(SmlValidationError, match=msg):
+            compile_sml(base.format(pat=pat, k=k), bindings=InputBindings())

@@ -580,6 +580,89 @@ Bursty = N >= 3
     assert any(v[0] >= 3 for v in want.values())  # counter actually accumulates
 
 
+def test_sequence_matches_rule_streams(spark, tmp_path):
+    """An SML ruleset with SequenceMatches runs in the streaming
+    engine (suffix state in the state store) and matches the batch
+    evaluation exactly, including patterns whose symbols straddle a
+    micro-batch boundary. In-order input (late_fraction=0): the
+    rolling-suffix op is order-sensitive by definition, so cross-batch
+    late data appends in arrival order — the documented online-CEP
+    semantics — while in-order streams are batch-exact."""
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    sml = """
+K: str = JsonData(path='$.conv_id')
+Role: str = JsonData(path='$.role')
+Ti: int = JsonData(path='$.turn_idx')
+ToolRun = SequenceMatches(key=K, symbol=Role, pattern='at', last_k=4, order=Ti)
+"""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=8, turns_per_conv=10, hot_convs=0, late_fraction=0.0)
+    t.filter(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(in_dir)
+    t.filter(F.col("turn_idx") >= 5).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"), max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    assert len(eng.sink.committed_batches()) >= 2
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["ToolRun"] for r in eng.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)), passthrough=["conv_id", "turn_idx"]
+    )
+    want = {(r["conv_id"], r["turn_idx"]): r["ToolRun"] for r in batch.collect()}
+    assert got == want and len(want) == 80
+    assert any(want.values()) and not all(want.values())
+
+
+def test_sequence_matches_state_survives_checkpoint_restart(spark, tmp_path):
+    """The suffix state persists across an engine restart: a pattern
+    completed by the first post-restart turn matches."""
+    from osprey_spark.turns import TURN_BINDINGS
+
+    sml = """
+K: str = JsonData(path='$.conv_id')
+Role: str = JsonData(path='$.role')
+Ti: int = JsonData(path='$.turn_idx')
+Run = SequenceMatches(key=K, symbol=Role, pattern='at{2}', last_k=4, order=Ti)
+"""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts_str string"
+
+    def write(rows):
+        (spark.createDataFrame(rows, schema)
+         .select("conv_id", "turn_idx", "role", "text", "tool",
+                 F.to_timestamp("ts_str").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    def run():
+        eng = StreamingRuleEngine(
+            spark, compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS),
+            in_dir, out_dir, passthrough=("conv_id", "turn_idx"),
+        )
+        eng.run_to_completion()
+        return eng
+
+    write([("c1", 0, "assistant", "x", None, "2024-01-01 10:00:00"),
+           ("c1", 1, "tool", "y", None, "2024-01-01 10:01:00")])
+    run()
+    write([("c1", 2, "tool", "z", None, "2024-01-01 10:02:00")])
+    eng = run()  # fresh engine object, same checkpoint + state store
+    got = {(r["conv_id"], r["turn_idx"]): r["Run"] for r in eng.results().collect()}
+    # turn 2 completes 'att' only if the pre-restart 'at' suffix survived
+    assert got == {("c1", 0): False, ("c1", 1): False, ("c1", 2): True}
+
+
 def test_cache_rules_stream(spark, tmp_path):
     """Cache Set/Get rules run in the streaming engine: the KV state
     (latest write per key) carries across micro-batches and matches
