@@ -226,6 +226,32 @@ ORDER BY {key_col}, session_id
 """
 
 
+def consume_matches(
+    rx: "re.Pattern[str]",
+    buf: str,
+    base: int,
+    n_matches: int,
+    first_idx: int,
+) -> tuple[str, int, int, int]:
+    """The incremental non-overlapping matcher shared by the streaming
+    state fns: count every leftmost match in ``buf``, consuming each
+    matched prefix; ``base`` is the global sequence index of
+    ``buf[0]``. Returns the updated (buf, base, n_matches,
+    first_idx). Split-invariance — feeding a symbol string through
+    this in ANY chunking yields the same counts/first index as one
+    pass, and equals the batch regex semantics for fixed-length
+    patterns — is pinned by a hypothesis property test."""
+    while True:
+        m = rx.search(buf)
+        if m is None:
+            return buf, base, n_matches, first_idx
+        if first_idx < 0:
+            first_idx = base + m.start()
+        n_matches += 1
+        buf = buf[m.end() :]
+        base += m.end()
+
+
 def stream_sequence_match(
     turns: DataFrame,
     pattern: str,
@@ -330,15 +356,9 @@ def stream_sequence_match(
 
             def consume():
                 nonlocal n_matches, first_idx, base, buf
-                while True:
-                    m = rx.search(buf)
-                    if m is None:
-                        break
-                    if first_idx < 0:
-                        first_idx = base + m.start()
-                    n_matches += 1
-                    buf = buf[m.end() :]
-                    base += m.end()
+                buf, base, n_matches, first_idx = consume_matches(
+                    rx, buf, base, n_matches, first_idx
+                )
 
             if session_gap_seconds is None:
                 buf += "".join(grp["_sym"].to_numpy(dtype=object))

@@ -191,3 +191,32 @@ def test_decontaminate_exact_vs_bruteforce(spark):
             if hits:
                 want.add((i, hits))
         assert got == want, f"seed {seed}"
+
+
+@given(
+    s=st.text(alphabet="uast", max_size=200),
+    splits=st.lists(st.integers(min_value=0, max_value=200), max_size=8),
+    pat=st.sampled_from(["at", "at{2}", "a[ts]t", "ut", "ss", "a[ts][ts]"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_incremental_matcher_split_invariant(s, splits, pat):
+    """The streaming CEP consume loop (cep.consume_matches) is
+    split-invariant for fixed-length patterns: ANY chunking of the
+    symbol string yields the same n_matches / first_match_idx as the
+    batch regex (non-overlapping leftmost findall)."""
+    import re
+
+    from osprey_spark.operators.cep import consume_matches
+
+    rx = re.compile(pat)
+    bounds = sorted({min(x, len(s)) for x in splits} | {0, len(s)})
+    chunks = [s[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    buf, base, n, first = "", 0, 0, -1
+    for ch in chunks:
+        buf, base, n, first = consume_matches(rx, buf + ch, base, n, first)
+
+    want_n = len(rx.findall(s))
+    m = rx.search(s)
+    want_first = m.start() if m else -1
+    assert (n, first) == (want_n, want_first)
