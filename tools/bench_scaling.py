@@ -73,7 +73,19 @@ def run_worker(zpath: str, master: str, input_dir: str, tag: str, mode: str = "e
     # fingerprints + parity-checks the output before exiting, so it
     # need not survive the run)
     out_dir = os.path.join("/dev/shm/osprey_scaling", f"out_{tag}")
-    cmd = [
+    cmd = []
+    # BENCH_SCALING_PIN=1: pin the whole process tree (JVM AND the
+    # pyspark worker processes) to as many physical CPUs as the level
+    # has task slots. Default OFF to keep the methodology diffable
+    # round-over-round; the unpinned N-level overstates throughput for
+    # state-op modes because python workers sprawl onto the VM's idle
+    # cores (see BASELINE.md stateful caveat) — a pinned supplementary
+    # run quantifies exactly that gap.
+    if os.environ.get("BENCH_SCALING_PIN") == "1" and shutil.which("taskset"):
+        n = master[master.find("[") + 1 : master.find("]")]
+        if n.isdigit():
+            cmd += ["taskset", "-c", f"0-{int(n) - 1}"]
+    cmd += [
         "spark-submit",
         "--master",
         master,
