@@ -63,6 +63,7 @@ class StreamingRuleEngine:
         labels_df: Optional[DataFrame] = None,
         dedup_ids: Optional[tuple[str, ...]] = None,
         dedup_watermark: str = "10 minutes",
+        partition_hour: bool = False,
     ):
         """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
         a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
@@ -93,11 +94,17 @@ class StreamingRuleEngine:
         # queue's ack semantics instead, input_stream.py:413-444)
         self.dedup_ids = list(dedup_ids) if dedup_ids else None
         self.dedup_watermark = dedup_watermark
+        # north rule: sink "partitioned by hash(conv_id) and ts-hour" —
+        # the hash buckets are always on; this adds the event-time-hour
+        # partition column so time-range reads prune at the directory
+        # level (Iceberg: an hours(ts) transform beside bucket(N, conv_id))
+        self.partition_hour = partition_hour
         if tee is not None:
             self.sink = MultiSink(output_dir, tee, console=tee_console)
         else:
             self.sink = ExactlyOnceParquetSink(
                 output_dir,
+                partition_by=["ts_hour"] if partition_hour else (),
                 n_buckets=n_buckets,
                 bucket_col="conv_id",
                 repartition_buckets=repartition_buckets,
@@ -123,12 +130,15 @@ class StreamingRuleEngine:
             stream = stream.withWatermark("ts", self.dedup_watermark)
             stream = stream.dropDuplicatesWithinWatermark(self.dedup_ids)
         env = self.envelope_fn(stream)
-        return self.ruleset.apply(
+        out = self.ruleset.apply(
             env,
             passthrough=self.passthrough,
             sample_config=self.sample_config,
             labels_df=self.labels_df,
         )
+        if self.partition_hour:
+            out = out.withColumn("ts_hour", F.date_format("ts", "yyyy-MM-dd-HH"))
+        return out
 
     def start(self, available_now: bool = True, processing_time: Optional[str] = None):
         out = self.transform(self.source())

@@ -82,6 +82,51 @@ def test_streaming_matches_batch(spark, turns_dir, tmp_path):
     assert len(eng.sink.committed_batches()) >= 2
 
 
+def test_hour_partitioned_sink(spark, turns_dir, tmp_path):
+    """North rule: sink 'partitioned by hash(conv_id) and ts-hour'.
+    partition_hour=True adds the event-time-hour partition column
+    beside the hash buckets; a time-range read then prunes whole
+    directories (the hours(ts) transform beside bucket(N, conv_id) on
+    an Iceberg table)."""
+    import os
+
+    out_dir = str(tmp_path / "out")
+    eng = StreamingRuleEngine(
+        spark, _ruleset(), turns_dir, out_dir, partition_hour=True, n_buckets=4
+    )
+    eng.run_to_completion()
+    got = eng.results()
+    src_n = spark.read.parquet(turns_dir).count()
+    assert got.count() == src_n
+
+    # hive-style ts_hour=... dirs exist under each batch partition
+    data = os.path.join(out_dir, "data")
+    batch_dirs = [d for d in os.listdir(data) if d.startswith("_batch_id=")]
+    assert batch_dirs
+    hour_dirs = {
+        h
+        for b in batch_dirs
+        for h in os.listdir(os.path.join(data, b))
+        if h.startswith("ts_hour=")
+    }
+    assert len(hour_dirs) > 1  # the day-spanning input really split by hour
+
+    # partition pruning: an hour-equality read scans only that hour's files
+    one_hour = sorted(hour_dirs)[0].split("=", 1)[1]
+    pruned = got.filter(F.col("ts_hour") == one_hour)
+    expected = (
+        spark.read.parquet(turns_dir)
+        .filter(F.date_format("ts", "yyyy-MM-dd-HH") == one_hour)
+        .count()
+    )
+    assert pruned.count() == expected > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # ts_hour is a directory-partition column: the equality lands in the
+    # scan's PartitionFilters (pruned before IO), not a row-level Filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("ts_hour" in ln for ln in pf)
+
+
 def test_sink_replay_idempotent(spark, turns_dir, tmp_path):
     sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
     df = spark.read.parquet(turns_dir).limit(50)

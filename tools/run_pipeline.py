@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="source already clustered by hash(conv_id) buckets (bucketed Iceberg layout) — skip the sink exchange",
     )
     ap.add_argument(
+        "--partition-hour",
+        action="store_true",
+        help="also partition the sink by the event-time hour (ts_hour=yyyy-MM-dd-HH dirs) — time-range reads prune at the directory level; needs ts in --passthrough",
+    )
+    ap.add_argument(
         "--salt-span",
         type=int,
         default=None,
@@ -158,6 +163,7 @@ def run(args: argparse.Namespace, spark=None):
         labels_df=labels_df,
         dedup_ids=tuple(args.dedup_ids.split(",")) if args.dedup_ids else None,
         dedup_watermark=args.dedup_watermark,
+        partition_hour=args.partition_hour,
     )
     if args.trigger == "availableNow":
         return engine.start(available_now=True)
