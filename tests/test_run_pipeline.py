@@ -118,6 +118,60 @@ def test_cli_restart_resumes_without_duplicates(spark, rules_dir, input_dir, tmp
     assert spark.read.parquet(os.path.join(out, "data")).count() == n1 + n_extra
 
 
+STATEFUL_RULES = """
+K: str = JsonData(path='$.conv_id')
+IsUser = JsonData(path='$.role') == 'user'
+N = IncrementWindow(key=K, window_seconds=600.0, when_all=[IsUser])
+Bursty = N >= 3
+"""
+
+
+def test_cli_stateful_rule_state_survives_restart(spark, tmp_path):
+    """The app shell drives the state-op path: an IncrementWindow rule
+    through run_pipeline, with the second half of the stream arriving
+    after a restart — counter state restores from the checkpoint, so
+    the final counts equal one batch evaluation of the whole input."""
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.turns import TURN_BINDINGS, generate_turns, with_envelope
+
+    rdir = tmp_path / "rules"
+    rdir.mkdir()
+    (rdir / "main.sml").write_text(STATEFUL_RULES)
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    t = generate_turns(spark, n_convs=12, turns_per_conv=8, hot_convs=0).cache()
+    t.filter(F.col("turn_idx") < 4).coalesce(1).write.mode("append").parquet(in_dir)
+
+    args = _args(str(rdir), in_dir, out, buckets=2)
+    run_pipeline.run(args, spark=spark).awaitTermination()
+    t.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode("append").parquet(in_dir)
+    run_pipeline.run(args, spark=spark).awaitTermination()
+
+    got = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .select("conv_id", "turn_idx", F.col("N").cast("long").alias("n"), "Bursty")
+    )
+    rs = compile_ruleset({"main.sml": STATEFUL_RULES}, bindings=TURN_BINDINGS)
+    exp = rs.apply(with_envelope(t), passthrough=["conv_id", "turn_idx", "ts"]).select(
+        "conv_id", "turn_idx", F.col("N").cast("long").alias("n"), "Bursty"
+    )
+    assert got.count() == t.count()
+    key = ["conv_id", "turn_idx"]
+    assert got.orderBy(*key).collect() == exp.orderBy(*key).collect()
+    t.unpersist()
+
+
+def test_cli_explain_prints_plan_without_starting(spark, rules_dir, input_dir, tmp_path, capsys):
+    out = str(tmp_path / "noout")
+    q = run_pipeline.run(
+        _args(rules_dir, input_dir, out, explain=True), spark=spark
+    )
+    assert q is None
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan
+    assert not os.path.exists(os.path.join(out, "data"))  # nothing ran
+
+
 def test_spark_submit_py_files_end_to_end(rules_dir, input_dir, tmp_path):
     """The real deployment invocation: a fresh JVM via spark-submit with
     the library shipped as --py-files, nothing importable from CWD."""

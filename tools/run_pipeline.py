@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--metrics", default=None, help="append per-batch JSON metrics here")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="compile the rules, print the streaming plan (explain formatted), exit without starting",
+    )
     return ap
 
 
@@ -165,6 +170,9 @@ def run(args: argparse.Namespace, spark=None):
         dedup_watermark=args.dedup_watermark,
         partition_hour=args.partition_hour,
     )
+    if getattr(args, "explain", False):
+        engine.transform(engine.source()).explain("formatted")
+        return None
     if args.trigger == "availableNow":
         return engine.start(available_now=True)
     return engine.start(available_now=False, processing_time=args.trigger)
@@ -173,7 +181,8 @@ def run(args: argparse.Namespace, spark=None):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     q = run(args)
-    q.awaitTermination()
+    if q is not None:
+        q.awaitTermination()
 
 
 if __name__ == "__main__":
