@@ -136,6 +136,21 @@ def main() -> None:
     # the SAME input (overhead amortization matters for the ratio)
     stateful_convs = int(os.environ.get("BENCH_SCALING_STATEFUL_CONVS", "0"))
     stateful_input = gen_input(stateful_convs) if stateful_convs else input_dir
+
+    # BENCH_SCALING_CLUSTER=1: run each level as a local-cluster of
+    # SEPARATE EXECUTOR JVMS (4 cores each) instead of local[N]
+    # threads — 2 executors (N) vs 8 executors (4N), with real
+    # executor-process isolation, block-manager shuffle transport, and
+    # per-executor heaps. The closest this sandbox gets to the north
+    # rule's literal "two cluster sizes (N and 4N executors)".
+    cluster = os.environ.get("BENCH_SCALING_CLUSTER") == "1"
+    exec_mem = os.environ.get("BENCH_SCALING_EXEC_MEM_MB", "6144")
+
+    def master_for(cores: int) -> str:
+        if cluster:
+            return f"local-cluster[{cores // 4},4,{exec_mem}]"
+        return f"local[{cores}]"
+
     modes = ("e2e", "ruleval", "stateful", "cal")
     runs = {(m, c): [] for m in modes for c in (8, 32)}
     for i in range(repeats):
@@ -143,7 +158,7 @@ def main() -> None:
             for cores in (8, 32):
                 src = stateful_input if mode == "stateful" else input_dir
                 runs[(mode, cores)].append(
-                    run_worker(zpath, f"local[{cores}]", src, f"{mode}{cores}_{i}", mode)
+                    run_worker(zpath, master_for(cores), src, f"{mode}{cores}_{i}", mode)
                 )
     fps = {r["output_fingerprint"] for r in runs[("e2e", 8)] + runs[("e2e", 32)]}
     assert len(fps) == 1, f"output diverged across runs: {fps}"
@@ -163,8 +178,8 @@ def main() -> None:
             for m in modes
             for c in (8, 32)
         },
-        "N": {"master": "local[8]", **{k: e2e_n[k] for k in ("wall_s", "turns_per_sec")}},
-        "4N": {"master": "local[32]", **{k: e2e_4n[k] for k in ("wall_s", "turns_per_sec")}},
+        "N": {"master": master_for(8), **{k: e2e_n[k] for k in ("wall_s", "turns_per_sec")}},
+        "4N": {"master": master_for(32), **{k: e2e_4n[k] for k in ("wall_s", "turns_per_sec")}},
         "scaling_efficiency": eff("e2e"),
         "ruleval": {
             "N_turns_per_sec": best[("ruleval", 8)]["turns_per_sec"],
@@ -212,7 +227,8 @@ def main() -> None:
         "text_parity": bool(e2e_n["text_parity"] and e2e_4n["text_parity"]),
         "fingerprint": e2e_n["output_fingerprint"],
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = "BENCH_SCALING_CLUSTER.json" if cluster else "BENCH_SCALING.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 

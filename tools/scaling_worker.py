@@ -53,7 +53,10 @@ def main() -> None:
 
     from osprey_spark.session import build_session
 
-    n = args.master[args.master.find("[") + 1 : args.master.find("]")]
+    # total task slots: local[N] -> N; local-cluster[n,c,mem] -> n*c
+    inside = args.master[args.master.find("[") + 1 : args.master.find("]")]
+    parts = inside.split(",")
+    n = int(parts[0]) * (int(parts[1]) if len(parts) > 1 else 1)
     spark = build_session(
         "osprey_scaling_worker",
         master=args.master,
