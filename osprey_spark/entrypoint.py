@@ -665,6 +665,109 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change: the pure pushdown query. All three
+    predicates (shipdate range, discount band, quantity cap) reach the
+    parquet scan as PushedFilters; the plan is scan → partial agg →
+    single-row final agg — zero joins, one 1-row exchange. The
+    canonical 'is the filter pushed down' probe at 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+O_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking, adapted to the driver schema (no
+    l_commitdate/l_receiptdate in TESTDATA): EXISTS becomes 'any line
+    shipped after the order date'. The shape under test is the LEFT
+    SEMI join — lineitem is distinct-reduced map-side by the semi
+    join itself (no pre-aggregate needed), orders shuffles once on the
+    order key, then a tiny 5-group count."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: lineitem ⋈ part on the part key with part
+    broadcast (dimension-sized), then one conditional aggregate — the
+    'join + countIf' shape ClickHouse-style analytics use constantly.
+    No shuffle beyond the 1-row final agg when the dim broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+O_TPCH_Q14 = """
+SELECT round(
+  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------------
@@ -2468,6 +2571,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q18": q_tpch_q18,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q14": q_tpch_q14,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -2538,6 +2644,9 @@ ORACLES: dict[str, str] = {
     "tpch_q3": O_TPCH_Q3,
     "tpch_q5": O_TPCH_Q5,
     "tpch_q18": O_TPCH_Q18,
+    "tpch_q6": O_TPCH_Q6,
+    "tpch_q4": O_TPCH_Q4,
+    "tpch_q14": O_TPCH_Q14,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,
