@@ -1157,6 +1157,28 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_EMBEDDING_IVF_TOPK = similarity.ivf_topk_oracle_sql(dim=64, k=5, n_centroids=64, n_probe=8)
 
 
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (third scale path beside LSH and IVF-flat): probed
+    cells rank by the ADC approximate inner product over 8x16 PQ
+    codes — the candidate join carries 8 small ints per vector, never
+    the raw embedding. Codebooks are the md5-ordered sample, so the
+    DuckDB oracle replays encode + ADC exactly."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(
+        emb, queries, dim=64, k=5, n_centroids=64, n_probe=8, m_sub=8, k_codes=16
+    )
+
+
+O_EMBEDDING_PQ_TOPK = similarity.pq_topk_oracle_sql(
+    dim=64, k=5, n_centroids=64, n_probe=8, m_sub=8, k_codes=16
+)
+
+
 # --- stateful-rule parity (label store + window counters) -----------------
 
 
@@ -2586,6 +2608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_pq_topk": q_embedding_pq_topk,
     "label_state": q_label_state,
     "bulk_label": q_bulk_label,
     "has_label_roundtrip": q_has_label_roundtrip,
@@ -2659,6 +2682,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "embedding_lsh_topk": O_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": O_EMBEDDING_IVF_TOPK,
+    "embedding_pq_topk": O_EMBEDDING_PQ_TOPK,
     "label_state": O_LABEL_STATE,
     "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,

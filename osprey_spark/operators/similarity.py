@@ -602,3 +602,253 @@ SELECT v.{id_col}, CAST(v._cell AS BIGINT) AS cell,
 FROM vassign v LEFT JOIN dropped d USING ({id_col})
 ORDER BY v.{id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC ranking inside probed IVF cells
+# --------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def pq_codes(vec_col: Column, cents: list, dim: int, m_sub: int, k_codes: int) -> Column:
+    """PQ encoding: split the vector into ``m_sub`` subspaces and map
+    each subvector to the index of its nearest (squared-L2) entry in
+    that subspace's codebook. Codebooks are the subspace slices of the
+    deterministic md5-ordered corpus sample (``ivf_centroids`` prefix),
+    so the oracle can re-derive them relationally. The whole encode is
+    one constant-folded nested transform — JVM-side, O(1) expression
+    tree in (m_sub x k_codes)."""
+    dsub = dim // m_sub
+    # [m][j][dsub] sub-codebooks from the first k_codes sample vectors
+    cb = _const_json(
+        [
+            [[float(x) for x in c[m * dsub : (m + 1) * dsub]] for c in cents[:k_codes]]
+            for m in range(m_sub)
+        ],
+        "array<array<array<double>>>",
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k_codes - 1)),
+                lambda j: F.struct(
+                    _l2sq(
+                        F.slice(vec_col, m * dsub + 1, dsub),
+                        F.element_at(F.element_at(cb, m + 1), j + 1),
+                    ).alias("d"),
+                    j.alias("j"),
+                ),
+            )
+        )[0]["j"],
+    )
+
+
+def pq_adc_dot(qvec: Column, codes: Column, cents: list, dim: int, m_sub: int, k_codes: int) -> Column:
+    """Asymmetric-distance (ADC) inner product: the query stays exact,
+    the database vector is its PQ reconstruction — sum over subspaces
+    of dot(query subvector, coded sub-centroid). At scale the scan
+    side carries only the m_sub small ints (32x narrower than the raw
+    vector at dim=64/m_sub=8), which is the whole point of PQ."""
+    dsub = dim // m_sub
+    cb = _const_json(
+        [
+            [[float(x) for x in c[m * dsub : (m + 1) * dsub]] for c in cents[:k_codes]]
+            for m in range(m_sub)
+        ],
+        "array<array<array<double>>>",
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + dot(
+            F.slice(qvec, m * dsub + 1, dsub),
+            F.element_at(F.element_at(cb, m + 1), F.element_at(codes, m + 1) + 1),
+        ),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-PQ ANN top-k (Jegou et al. 2011 shape, with re-rank):
+    vectors live in IVF cells carrying only their PQ codes; queries
+    probe ``n_probe`` cells, shortlist ``rerank`` candidates by the
+    ADC approximate inner product (no exact vector crosses the
+    candidate join), then fetch ONLY the shortlist's raw vectors for
+    an exact-cosine final rank. Scale shape: the cell equi-join ships
+    m_sub small ints per vector (~32x narrower than the embedding at
+    dim=64/m_sub=8); the exact re-rank join touches rerank x |Q| rows
+    regardless of corpus size. Recall tunes with (n_probe, m_sub,
+    rerank). Fully deterministic (md5-sampled cells + sub-codebooks),
+    replayed exactly by the DuckDB oracle."""
+    cents = ivf_centroids(vectors, id_col, vec_col, n_centroids)
+    v = vectors.select(
+        F.col(id_col),
+        _nearest_cells(F.col(vec_col), cents, 1)[0].alias("_cell"),
+        pq_codes(F.col(vec_col), cents, dim, m_sub, k_codes).alias("_codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_probe)).alias("_cell"),
+    )
+    scored = q.join(v, "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("_qvec"),
+        F.round(
+            pq_adc_dot(F.col("_qvec"), F.col("_codes"), cents, dim, m_sub, k_codes), 6
+        ).alias("adc_dot"),
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(F.desc("adc_dot"), F.asc(id_col))
+    shortlist = scored.withColumn("_adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("_adc_rank") <= rerank
+    )
+    raw = vectors.select(F.col(id_col), F.col(vec_col).alias("_vvec"))
+    reranked = shortlist.join(raw, id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("_qvec"), F.col("_vvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def pq_topk_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 32,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB replay of :func:`pq_topk`: cells and PQ sub-codebooks
+    re-derived from the same md5-ordered sample; encoding is the same
+    (squared-L2, code-index tiebreak) argmin; ADC contributions sum
+    per (query, vector). Cross joins are fine here — oracle is
+    correctness-only."""
+    dsub = dim // m_sub
+    dot_sql = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract({{a}}, i) AS DOUBLE) * CAST(list_extract({{b}}, i) AS DOUBLE)))"
+    )
+    cos = (
+        dot_sql.format(a=f"x.{vec_col}", b="c.cvec")
+        + f" / sqrt({dot_sql.format(a='c.cvec', b='c.cvec')})"
+    )
+    # squared-L2 between subvectors m of x.{vec_col} and p.pvec
+    l2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+        f"pow(CAST(list_extract(x.{vec_col}, m.m * {dsub} + i) AS DOUBLE)"
+        f" - CAST(list_extract(p.pvec, m.m * {dsub} + i) AS DOUBLE), 2)))"
+    )
+    # full ADC dot as ONE ordered left-to-right list_sum (m = 0..m_sub-1,
+    # matching Spark's F.aggregate fold order — a SQL sum() over
+    # per-subspace rows would add in arbitrary order and can flip the
+    # 6-digit rounding via float non-associativity)
+    adc = (
+        f"list_sum(list_transform(range(0, {m_sub}), m -> "
+        f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+        f"CAST(list_extract(q._qv, m * {dsub} + i) AS DOUBLE)"
+        f" * CAST(list_extract(list_extract(pl.pl, list_extract(cl.codes, m + 1) + 1),"
+        f" m * {dsub} + i) AS DOUBLE)))))"
+    )
+    pair_cos = (
+        dot_sql.format(a="s._qv", b=f"r.{vec_col}")
+        + f" / (sqrt({dot_sql.format(a='s._qv', b='s._qv')})"
+        + f" * sqrt({dot_sql.format(a=f'r.{vec_col}', b=f'r.{vec_col}')}))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS cid,
+         {vec_col} AS cvec
+  FROM {table} ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_centroids}
+),
+pq AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS pj,
+         {vec_col} AS pvec
+  FROM {table} ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k_codes}
+),
+subs AS (SELECT unnest(range(0, {m_sub})) AS m),
+vassign AS (
+  SELECT {id_col}, cid AS _cell FROM (
+    SELECT x.{id_col}, c.cid,
+      row_number() OVER (PARTITION BY x.{id_col} ORDER BY {cos} DESC, c.cid) AS rn
+    FROM {table} x, cents c
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT {id_col}, m, pj AS code FROM (
+    SELECT x.{id_col}, m.m, p.pj,
+      row_number() OVER (PARTITION BY x.{id_col}, m.m ORDER BY {l2}, p.pj) AS rn
+    FROM {table} x, subs m, pq p
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT {id_col} AS query_id, _qv, cid AS _cell FROM (
+    SELECT x.{id_col}, x.{vec_col} AS _qv, c.cid,
+      row_number() OVER (PARTITION BY x.{id_col} ORDER BY {cos} DESC, c.cid) AS rn
+    FROM {table} x, cents c
+    WHERE x.{query_pred}
+  ) WHERE rn <= {n_probe}
+),
+codes_l AS (
+  SELECT {id_col}, list(code ORDER BY m) AS codes FROM codes GROUP BY 1
+),
+pq_l AS (
+  SELECT list(pvec ORDER BY pj) AS pl FROM pq
+),
+scored AS (
+  SELECT q.query_id, v.{id_col}, q._qv, round({adc}, 6) AS adc_dot
+  FROM qprobe q
+  JOIN vassign v ON q._cell = v._cell
+  JOIN codes_l cl ON cl.{id_col} = v.{id_col}
+  CROSS JOIN pq_l pl
+),
+shortlist AS (
+  SELECT query_id, {id_col}, _qv FROM (
+    SELECT query_id, {id_col}, _qv,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, {id_col}) AS adc_rank
+    FROM scored
+  ) WHERE adc_rank <= {rerank}
+),
+reranked AS (
+  SELECT s.query_id, s.{id_col},
+    round({pair_cos}, 6) AS cosine
+  FROM shortlist s JOIN {table} r ON s.{id_col} = r.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, {id_col}) AS BIGINT) AS rank
+  FROM reranked
+)
+SELECT query_id, {id_col}, cosine, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

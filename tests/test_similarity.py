@@ -255,3 +255,48 @@ def test_semantic_dedup_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     out.unpersist_base()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_recall_floor_and_plan(spark):
+    """IVF-PQ: recall@5 vs brute force on the driver testdata must
+    clear a floor (measured 0.52 with 8/64 probed cells + 8x16 codes
+    + rerank=32 on near-random vectors — ADC-only was 0.34; the
+    shortlist re-rank recovers IVF-flat's 0.56-class recall), and the
+    candidate join must be an equi-join on the cell id — no cartesian
+    anywhere."""
+    import osprey_spark.entrypoint as ep
+
+    sf = "/root/testdata/sf0.01"
+    bf = {(r.query_id, r.vec_id) for r in ep.QUERIES["embedding_topk"](spark, sf).collect()}
+    out = ep.QUERIES["embedding_pq_topk"](spark, sf)
+    pq = {(r.query_id, r.vec_id) for r in out.collect()}
+    assert len(pq & bf) / len(bf) >= 0.40
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codes_reconstruct_sample_vectors_exactly(spark):
+    """A vector that IS one of the k_codes sample vectors encodes to
+    its own index in every subspace (distance 0), so its ADC dot with
+    itself equals its true squared norm — a self-consistency anchor
+    for the encode + ADC pair."""
+    dim = 8
+    rows = [(i, _vec(i, dim)) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(df, "vec_id", "embedding", 4)
+    sample0 = cents[0]
+    enc = df.select(
+        "vec_id",
+        similarity.pq_codes(F.col("embedding"), cents, dim, m_sub=2, k_codes=4).alias("codes"),
+        similarity.pq_adc_dot(
+            F.col("embedding"),
+            similarity.pq_codes(F.col("embedding"), cents, dim, m_sub=2, k_codes=4),
+            cents, dim, m_sub=2, k_codes=4,
+        ).alias("adc"),
+    ).collect()
+    full = {r.vec_id: r for r in enc}
+    match = [vid for vid, e in rows if e == sample0]
+    assert match, "md5 sample must come from the corpus"
+    r0 = full[match[0]]
+    assert list(r0.codes) == [0, 0]
+    assert abs(r0.adc - sum(x * x for x in sample0)) < 1e-9
