@@ -1974,6 +1974,50 @@ ORDER BY doc_id, rank
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of the English subset (target) vs the whole
+    corpus (raw) — the data-selection scorer used to pick pretraining
+    documents that look like a target domain. Histogram joins are
+    broadcast; the per-doc sum folds in fixed bucket order so the
+    DuckDB oracle replays it bit-exactly."""
+    from .operators.curation import importance_weights
+
+    return importance_weights(
+        _docs(spark, sf_dir), target_pred=(F.col("lang") == "en"), n_buckets=256
+    )
+
+
+O_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS t, unnest({_DUCK_RTOKENS}) AS term FROM documents
+),
+bt AS (
+  SELECT doc_id, t,
+         CAST(('0x' || substr(md5(term), 1, 4)) AS INT) % 256 AS b,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+bs AS (
+  SELECT b, sum(cnt) AS nr, sum(CASE WHEN t THEN cnt ELSE 0 END) AS nt
+  FROM bt GROUP BY 1
+),
+tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM bs),
+lr AS (
+  SELECT b, ln((nt + 1) / (tt + 256.0)) - ln((nr + 1) / (tr + 256.0)) AS lr
+  FROM bs CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    round(list_sum(list_transform(
+      list(struct_pack(b := bt.b, c := cnt * lr.lr) ORDER BY bt.b),
+      s -> s.c)), 6) AS log_weight
+  FROM bt JOIN lr USING (b) GROUP BY 1
+)
+SELECT doc_id, n_tokens, log_weight FROM per ORDER BY doc_id
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type exact value percentiles (p50/p90/p99) —
     analytics.group_percentiles. Exact interpolated percentile
@@ -2629,6 +2673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "train_split": q_train_split,
     "tfidf": q_tfidf,
+    "dsir_weights": q_dsir_weights,
     "percentiles": q_percentiles,
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2703,6 +2748,7 @@ ORACLES: dict[str, str] = {
     "range_join": O_RANGE_JOIN,
     "train_split": O_TRAIN_SPLIT,
     "tfidf": O_TFIDF,
+    "dsir_weights": O_DSIR_WEIGHTS,
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,

@@ -526,3 +526,84 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "weight")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    via Importance Resampling"): score every document by how much more
+    likely its hashed-unigram bag is under the TARGET distribution
+    (rows satisfying ``target_pred``) than under the RAW corpus
+    distribution. ``log_weight = sum_tokens ln p_tgt(b)/p_raw(b)``
+    with add-one smoothing over ``n_buckets`` md5 hash buckets.
+
+    Plan shape at 100 TB:
+
+    1. explode tokens -> ONE (doc, bucket) hash aggregate (map-side
+       partial collapses repeats before the exchange);
+    2. both bucket histograms come from that frame via conditional
+       aggregation — a second aggregate to exactly ``n_buckets`` rows,
+       no separate target-side scan;
+    3. totals ride as a 1-row broadcast; the n_buckets-row histogram
+       broadcast-joins back (constant-size right side at any corpus);
+    4. the per-doc sum folds a bucket-sorted collected list so float
+       addition order is fixed — bit-reproducible across runs,
+       partitionings, AND the DuckDB oracle (an unordered SUM() can
+       flip the 6-digit rounding via non-associativity).
+
+    Hash buckets use a 16-bit md5 slice mod n_buckets; keep n_buckets
+    a power of two <= 65536 so the modulus is exactly unbiased.
+    """
+    from ..functions.text import tokenize_col
+
+    b_col = (
+        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 4), 16, 10).cast("int")
+        % n_buckets
+    )
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_t"),
+        F.explode(tokenize_col(F.col(text_col))).alias("term"),
+    )
+    per_db = (
+        toks.select(id_col, "_t", b_col.alias("b"))
+        .groupBy(id_col, "_t", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bstats = per_db.groupBy("b").agg(
+        F.sum("cnt").alias("nr"),
+        F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0))).alias("nt"),
+    )
+    tot = bstats.agg(F.sum("nr").alias("tr"), F.sum("nt").alias("tt"))
+    lr = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("nt") + 1) / (F.col("tt") + float(n_buckets)))
+            - F.log((F.col("nr") + 1) / (F.col("tr") + float(n_buckets)))
+        ).alias("lr"),
+    )
+    contrib = per_db.join(F.broadcast(lr), "b").select(
+        F.col(id_col),
+        F.col("cnt"),
+        F.struct(F.col("b").alias("b"), (F.col("cnt") * F.col("lr")).alias("c")).alias("s"),
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("s")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ),
+                6,
+            ).alias("log_weight"),
+        )
+        .orderBy(id_col)
+    )

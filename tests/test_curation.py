@@ -177,3 +177,34 @@ def test_decontaminate_bloom_matches_exact_decontaminate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_dsir_importance_weights_orders_target_like_docs(spark):
+    """DSIR sanity: documents made of target-distribution tokens must
+    score a strictly higher log-weight than documents made of
+    raw-only tokens; a mixed doc lands between. Also: the only joins
+    are broadcasts of constant-size histograms (no cartesian over
+    docs)."""
+    from pyspark.sql import functions as F
+    from osprey_spark.operators.curation import importance_weights
+
+    rows = []
+    # target corpus: 20 docs of "alpha beta gamma", flagged lang='t'
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha beta", "t"))
+    # raw-only noise: 20 docs of disjoint vocabulary
+    for i in range(20, 40):
+        rows.append((i, "zeta omega kappa zeta omega", "r"))
+    # probes: one target-looking, one raw-looking, one mixed
+    rows += [(100, "alpha beta gamma", "r"),
+             (101, "zeta omega kappa", "r"),
+             (102, "alpha beta kappa", "r")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = importance_weights(docs, target_pred=(F.col("lang") == "t"), n_buckets=64)
+    w = {r.doc_id: r.log_weight for r in out.collect()}
+    assert w[100] > w[102] > w[101]
+    # token counts survive the fold
+    n = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert n[100] == 3 and n[101] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
