@@ -1021,6 +1021,77 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_quality_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized quality z-scores
+    (curation.winsorized_quality_z): percentile-clamped, then
+    z-normalized from integer micro-unit moments — thresholds become
+    comparable across language shards. Two dimension-sized broadcast
+    joins, zero doc-keyed shuffles."""
+    from .operators.curation import winsorized_quality_z
+
+    return winsorized_quality_z(_docs(spark, sf_dir))
+
+
+_DUCK_QI = """
+WITH t AS (
+  SELECT doc_id, lang, text, {rtoks} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+    CAST(len(list_filter(toks, t -> list_contains({sw}, t))) AS DOUBLE) AS sw_hits,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM t
+),
+q AS (
+  SELECT doc_id, lang,
+    CAST(round(round((least(n_chars / 500.0, 1.0)
+       + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
+       + least(CASE WHEN n_tokens > 0 THEN sw_hits * 10.0 / n_tokens ELSE 0.0 END, 1.0)
+       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) * 1e6, 0) AS BIGINT) AS qi
+  FROM m
+)
+"""
+
+O_QUALITY_NORMALIZE = (
+    _DUCK_QI.format(rtoks=_DUCK_RTOKENS, sw=_DUCK_EN_SW)
+    + """,
+bounds AS (
+  SELECT lang,
+    CAST(round(quantile_cont(qi, 0.05), 0) AS BIGINT) AS bl,
+    CAST(round(quantile_cont(qi, 0.95), 0) AS BIGINT) AS bh
+  FROM q GROUP BY lang
+),
+clamped AS (
+  SELECT q.doc_id, q.lang, q.qi,
+    least(greatest(q.qi, b.bl), b.bh) AS qw
+  FROM q JOIN bounds b USING (lang)
+),
+mom AS (
+  SELECT lang, count(*) AS cnt, sum(qw) AS s1, sum(qw * qw) AS s2
+  FROM clamped GROUP BY lang
+)
+SELECT c.doc_id, c.lang,
+  round(c.qi / 1e6, 6) AS quality,
+  round(c.qw / 1e6, 6) AS q_winsor,
+  CASE WHEN m.cnt > 1 AND
+    (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / CAST(m.cnt AS DOUBLE))
+      / (CAST(m.cnt AS DOUBLE) - 1.0) > 0
+  THEN round(
+    (CAST(c.qw AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.cnt AS DOUBLE))
+    / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / CAST(m.cnt AS DOUBLE))
+           / (CAST(m.cnt AS DOUBLE) - 1.0)), 4)
+  ELSE NULL END AS z
+FROM clamped c JOIN mom m USING (lang)
+ORDER BY c.doc_id
+"""
+)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import language_id_col
 
@@ -2674,6 +2745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "tfidf": q_tfidf,
     "dsir_weights": q_dsir_weights,
+    "quality_normalize": q_quality_normalize,
     "percentiles": q_percentiles,
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2749,6 +2821,7 @@ ORACLES: dict[str, str] = {
     "train_split": O_TRAIN_SPLIT,
     "tfidf": O_TFIDF,
     "dsir_weights": O_DSIR_WEIGHTS,
+    "quality_normalize": O_QUALITY_NORMALIZE,
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,

@@ -607,3 +607,61 @@ def importance_weights(
         )
         .orderBy(id_col)
     )
+
+
+def winsorized_quality_z(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized quality z-scores: clamp each document's
+    quality score to its language's [p_low, p_high] exact percentile
+    band, then z-normalize within the language — the standard move
+    before mixing language shards with one global quality threshold
+    (a raw cutoff keeps only high-resource-language docs; per-language
+    z makes thresholds comparable across languages).
+
+    Determinism discipline (rate_anomaly's): scores quantize to
+    micro-units (the score is already rounded to 6 decimals, so this
+    is exact), percentile bounds round to micro-longs, and the z-score
+    computes from INTEGER moment sums via one fixed expression shape —
+    no order-dependent float accumulation anywhere, so the DuckDB
+    replay is bit-exact. Moment sums ride in decimal(38,0): exact and
+    overflow-free to ~1e26 rows/group (a raw long sum of squared
+    micro-units overflows past ~9e6 rows/group).
+
+    Plan shape at 100 TB: one projection for the score, two per-group
+    aggregates (groups = languages, dimension-sized) broadcast back —
+    zero doc-keyed shuffles. Exact percentile state is per-group
+    sorted values; flip to approx_percentile if groups ever stop being
+    dimension-sized."""
+    from ..functions.text import quality_score_col
+
+    qi = F.round(quality_score_col(F.col(text_col)) * 1e6, 0).cast("long")
+    base = docs.select(F.col(id_col), F.col(group_col), qi.alias("qi"))
+    bounds = base.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("qi"), F.lit(float(p_low))), 0).cast("long").alias("bl"),
+        F.round(F.percentile(F.col("qi"), F.lit(float(p_high))), 0).cast("long").alias("bh"),
+    )
+    clamped = base.join(F.broadcast(bounds), group_col).withColumn(
+        "qw", F.least(F.greatest(F.col("qi"), F.col("bl")), F.col("bh"))
+    )
+    mom = clamped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("qw").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("qw") * F.col("qw")).cast("decimal(38,0)")).alias("s2"),
+    )
+    j = clamped.join(F.broadcast(mom), group_col)
+    cnt, s1, s2, qw = (F.col(c).cast("double") for c in ("cnt", "s1", "s2", "qw"))
+    var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))
+    z = F.when((F.col("cnt") > 1) & (var > 0), F.round((qw - s1 / cnt) / F.sqrt(var), 4))
+    return j.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(F.col("qi") / 1e6, 6).alias("quality"),
+        F.round(F.col("qw") / 1e6, 6).alias("q_winsor"),
+        z.alias("z"),
+    ).orderBy(id_col)

@@ -208,3 +208,35 @@ def test_dsir_importance_weights_orders_target_like_docs(spark):
     assert n[100] == 3 and n[101] == 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_winsorized_quality_z_clamps_and_normalizes(spark):
+    """Winsorize sanity on a constructed corpus: the clamp band is per
+    group, outliers land exactly on the band edge, and z has mean ~0
+    within each group."""
+    from osprey_spark.operators.curation import winsorized_quality_z
+
+    # two "languages" with different quality regimes (text length
+    # drives the len_term of the heuristic score)
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta " * (2 + i % 5), "aa"))
+    for i in range(40, 80):
+        rows.append((i, "zz " * (1 + i % 3), "bb"))
+    # one extreme outlier per group: must be clamped to the p95 edge
+    rows.append((900, "alpha beta gamma delta " * 60, "aa"))
+    rows.append((901, "quick brown foxes jumped " * 40, "bb"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = winsorized_quality_z(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        qs = sorted(r.q_winsor for r in rs)
+        # clamped values stay within the observed band and z-means ~0
+        assert min(qs) >= min(r.quality for r in rs)
+        assert max(qs) <= max(r.quality for r in rs)
+        zs = [r.z for r in rs if r.z is not None]
+        assert zs and abs(sum(zs) / len(zs)) < 0.05
+    # winsorization actually clamps something in the spread-out group
+    assert any(r.q_winsor != r.quality for r in out)
