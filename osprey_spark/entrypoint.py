@@ -1250,6 +1250,21 @@ O_EMBEDDING_PQ_TOPK = similarity.pq_topk_oracle_sql(
 )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means document clustering (k=8, 2 rounds) — the
+    clustering layer under SemDeDup / cluster-balanced sampling.
+    Integer micro-unit moments make every centroid exact, so the
+    DuckDB oracle replays both rounds bit-identically; per round the
+    engine runs ONE k-row hash aggregate (no explode)."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    return similarity.kmeans_clusters(emb, dim=64, k=8, iterations=2)
+
+
+O_KMEANS_CLUSTERS = similarity.kmeans_clusters_oracle_sql(dim=64, k=8, iterations=2)
+
+
 # --- stateful-rule parity (label store + window counters) -----------------
 
 
@@ -2724,6 +2739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "kmeans_clusters": q_kmeans_clusters,
     "label_state": q_label_state,
     "bulk_label": q_bulk_label,
     "has_label_roundtrip": q_has_label_roundtrip,
@@ -2800,6 +2816,7 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_topk": O_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": O_EMBEDDING_IVF_TOPK,
     "embedding_pq_topk": O_EMBEDDING_PQ_TOPK,
+    "kmeans_clusters": O_KMEANS_CLUSTERS,
     "label_state": O_LABEL_STATE,
     "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,

@@ -852,3 +852,160 @@ ranked AS (
 SELECT query_id, {id_col}, cosine, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd) document clustering over embeddings
+# --------------------------------------------------------------------------
+
+
+def _quantize(vec_col: Column) -> Column:
+    """Micro-unit quantization: each component -> round(x * 1e6) as a
+    long. All downstream sums are INTEGER sums, so centroid updates
+    are bit-identical across engines, partitionings, and runs — the
+    float-mean order-dependence that normally makes distributed
+    k-means non-replayable disappears at the cost of a 1e-6 input
+    resolution (far below embedding noise)."""
+    return F.transform(vec_col, lambda x: F.round(x * 1e6, 0).cast("long"))
+
+
+def _assign_cells_l2(qvec: Column, cents_micro: list) -> Column:
+    """argmin_j squared-L2(qvec, centroid_j) with smallest-j tiebreak;
+    centroids ride as one constant-folded literal."""
+    cb = _const_json([[float(x) for x in c] for c in cents_micro], "array<array<double>>")
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents_micro) - 1)),
+        lambda j: F.struct(
+            _l2sq(F.transform(qvec, lambda x: x.cast("double")), F.element_at(cb, j + 1)).alias("d"),
+            j.alias("j"),
+        ),
+    )
+    return F.array_sort(entries)[0]["j"]
+
+
+def kmeans_clusters(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over the embedding column: md5-sampled seeds
+    (ivf_centroids prefix), then ``iterations`` rounds of
+    assign-to-nearest / recompute-mean. The clustering layer under
+    SemDeDup-style curation, cluster-balanced sampling, and topic
+    mixture reporting.
+
+    Scale shape per round: ONE hash aggregate to k rows — per-cell
+    count plus ``dim`` per-component integer sums as aggregate
+    expressions (map-side partial combine collapses everything before
+    the exchange; no explode, no (row x dim) shuffle). The k-row
+    centroid table collects to the driver (dimension-table class,
+    like the IVF codebook) and re-enters as a constant-folded literal,
+    so each round is one scan + one tiny exchange. Driver-coordinated
+    rounds, same as dedup_groups.
+
+    Output: (id, cell, dist2) with dist2 the squared L2 distance to
+    the final centroid in original units, rounded to 6. Deterministic
+    end-to-end: integer moment sums make every centroid exact, so the
+    DuckDB oracle replays all rounds bit-identically."""
+    cents0 = ivf_centroids(vectors, id_col, vec_col, k)
+    cents = [[float(round(x * 1e6)) for x in c] for c in cents0]
+    base = vectors.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_qv"))
+    for _ in range(iterations):
+        assigned = base.withColumn("_cell", _assign_cells_l2(F.col("_qv"), cents))
+        sums = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at(F.col("_qv"), i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = sums.collect()
+        new_cents = list(cents)
+        for r in rows:
+            new_cents[r["_cell"]] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+        cents = new_cents
+    out = base.withColumn("_cell", _assign_cells_l2(F.col("_qv"), cents))
+    cb = _const_json([[float(x) for x in c] for c in cents], "array<array<double>>")
+    dist2 = _l2sq(
+        F.transform(F.col("_qv"), lambda x: x.cast("double")),
+        F.element_at(cb, F.col("_cell") + 1),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_cell").cast("int").alias("cell"),
+        F.round(dist2 / 1e12, 6).alias("dist2"),
+    ).orderBy(id_col)
+
+
+def kmeans_clusters_oracle_sql(
+    dim: int,
+    k: int = 8,
+    iterations: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`kmeans_clusters`: the seed sample, the
+    quantization, and each Lloyd round unroll into CTEs (assignment =
+    argmin row_number; centroid update = per-component integer-sum
+    mean via a positions cross join). Iterations are unrolled — the
+    oracle is correctness-only."""
+    l2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+        f"pow(CAST(list_extract(v.qv, i) AS DOUBLE) - c.cent[i], 2)))"
+    )
+    sql = f"""
+WITH base AS (
+  SELECT {id_col}, list_transform({vec_col},
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS qv
+  FROM {table}
+),
+seed AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS cid,
+         list_transform({vec_col},
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS DOUBLE)) AS cent
+  FROM {table} ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k}
+),
+c0 AS (SELECT cid, cent FROM seed)"""
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        sql += f""",
+a{it} AS (
+  SELECT {id_col}, qv, cid AS cell FROM (
+    SELECT v.{id_col}, v.qv, c.cid,
+      row_number() OVER (PARTITION BY v.{id_col} ORDER BY {l2}, c.cid) AS rn
+    FROM base v, {prev} c
+  ) WHERE rn = 1
+),
+m{it} AS (
+  SELECT cell AS cid, p.i,
+         CAST(sum(list_extract(qv, p.i)) AS DOUBLE) / count(*) AS comp
+  FROM a{it}, (SELECT unnest(range(1, {dim + 1})) AS i) p
+  GROUP BY 1, 2
+),
+u{it} AS (
+  SELECT cid, list(comp ORDER BY i) AS cent FROM m{it} GROUP BY 1
+),
+c{it} AS (
+  SELECT c.cid, coalesce(u.cent, c.cent) AS cent
+  FROM {prev} c LEFT JOIN u{it} u USING (cid)
+)"""
+        prev = f"c{it}"
+    sql += f""",
+final AS (
+  SELECT {id_col}, cell, qv FROM (
+    SELECT v.{id_col}, v.qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY v.{id_col} ORDER BY {l2}, c.cid) AS rn
+    FROM base v, {prev} c
+  ) WHERE rn = 1
+)
+SELECT f.{id_col}, CAST(f.cell AS INT) AS cell,
+  round(list_sum(list_transform(range(1, {dim + 1}), i ->
+    pow(CAST(list_extract(f.qv, i) AS DOUBLE) - c.cent[i], 2))) / 1e12, 6) AS dist2
+FROM final f JOIN {prev} c ON f.cell = c.cid
+ORDER BY f.{id_col}
+"""
+    return sql

@@ -300,3 +300,34 @@ def test_pq_codes_reconstruct_sample_vectors_exactly(spark):
     r0 = full[match[0]]
     assert list(r0.codes) == [0, 0]
     assert abs(r0.adc - sum(x * x for x in sample0)) < 1e-9
+
+
+def test_kmeans_separable_clusters_and_partitioning_invariance(spark):
+    """Lloyd k-means: (a) on linearly separable blobs every blob lands
+    in one cell with tiny dist2; (b) the integer-moment centroid
+    update makes the result IDENTICAL under different partitionings
+    (the order-dependent float mean this replaces does not survive a
+    repartition)."""
+    import itertools
+
+    dim = 8
+    blobs = []
+    vid = 0
+    for b in range(3):
+        center = [10.0 * (b + 1) if i == b else 0.0 for i in range(dim)]
+        for j in range(10):
+            blobs.append((vid, [c + 0.01 * ((j % 5) - 2) for c in center]))
+            vid += 1
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    out1 = similarity.kmeans_clusters(df, dim=dim, k=3, iterations=3).collect()
+    out2 = similarity.kmeans_clusters(
+        df.repartition(7), dim=dim, k=3, iterations=3
+    ).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    # blob members share a cell; cross-blob members never do
+    cell = {r.vec_id: r.cell for r in out1}
+    for b in range(3):
+        ids = range(b * 10, (b + 1) * 10)
+        assert len({cell[i] for i in ids}) == 1
+    assert len({cell[b * 10] for b in range(3)}) == 3
+    assert all(r.dist2 < 0.01 for r in out1)
