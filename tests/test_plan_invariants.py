@@ -21,9 +21,11 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 # Queries allowed to contain a nested-loop join: brute_force_topk and
 # the IVF centroid ranking broadcast a bounded small side (queries /
 # codebook) by design — the cross product IS the documented plan, with
-# the small side capped (Q≈10 rows, codebook 64 rows). tfidf/bm25 join
-# 1-row broadcast corpus-stat frames (no join key by construction).
-_CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf", "bm25"}
+# the small side capped (Q≈10 rows, codebook 64 rows). tfidf/bm25/
+# dsir_weights join 1-row broadcast corpus-stat frames (no join key by
+# construction). embedding_pq_topk and kmeans_clusters inherit the
+# bounded-codebook class but stay equi-join-only, so they are NOT here.
+_CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf", "bm25", "dsir_weights"}
 
 # Queries expected to broadcast at least one join side (small dim /
 # snapshot / bucket-count table); a SortMergeJoin regression here means
