@@ -1032,6 +1032,63 @@ def q_quality_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_quality_z(_docs(spark, sf_dir))
 
 
+def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (CCNet-class
+    perplexity filter, Wenzek et al. 2020): add-one-smoothed bigram
+    model trained on the English subset, scored over every doc —
+    curation.lm_nll. Model tables are token-keyed aggregates joined
+    back by equi-join; the per-doc sum folds position-ordered so the
+    DuckDB replay is hash-exact."""
+    from .operators.curation import lm_nll
+
+    return lm_nll(_docs(spark, sf_dir), target_pred=(F.col("lang") == "en"))
+
+
+O_LM_NLL = f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS t, {_DUCK_RTOKENS} AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, t, i AS pos, arr[i] AS tok
+  FROM base, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks WHERE t GROUP BY tok)
+  WHERE c >= 2
+),
+vn AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+mapped AS (
+  SELECT toks.doc_id, toks.t, toks.pos,
+         CASE WHEN vocab.tok IS NOT NULL THEN toks.tok ELSE '<unk>' END AS mt
+  FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+),
+big AS (
+  SELECT doc_id, t, pos, mt AS w1,
+         lead(mt) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM mapped
+),
+uni_m AS (SELECT w1, count(*) AS cu FROM big WHERE t GROUP BY w1),
+bi_m AS (
+  SELECT w1, w2, count(*) AS cb FROM big WHERE t AND w2 IS NOT NULL GROUP BY w1, w2
+),
+scored AS (
+  SELECT big.doc_id, big.pos,
+         ln((coalesce(bi_m.cb, 0) + 1)
+            / (CAST(coalesce(uni_m.cu, 0) AS DOUBLE) + vn.v)) AS l
+  FROM big
+  LEFT JOIN bi_m ON big.w1 = bi_m.w1 AND big.w2 = bi_m.w2
+  LEFT JOIN uni_m ON big.w1 = uni_m.w1
+  CROSS JOIN vn
+  WHERE big.w2 IS NOT NULL
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(-list_sum(list_transform(
+     list(struct_pack(p := pos, l := l) ORDER BY pos, l), s -> s.l)) / count(*), 6
+  ) AS nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _DUCK_QI = """
 WITH t AS (
   SELECT doc_id, lang, text, {rtoks} AS toks FROM documents
@@ -2762,6 +2819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "dsir_weights": q_dsir_weights,
     "quality_normalize": q_quality_normalize,
+    "lm_nll": q_lm_nll,
     "percentiles": q_percentiles,
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2839,6 +2897,7 @@ ORACLES: dict[str, str] = {
     "tfidf": O_TFIDF,
     "dsir_weights": O_DSIR_WEIGHTS,
     "quality_normalize": O_QUALITY_NORMALIZE,
+    "lm_nll": O_LM_NLL,
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,

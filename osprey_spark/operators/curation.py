@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles, tokens
@@ -665,3 +665,94 @@ def winsorized_quality_z(
         F.round(F.col("qw") / 1e6, 6).alias("q_winsor"),
         z.alias("z"),
     ).orderBy(id_col)
+
+
+def lm_nll(
+    docs: DataFrame,
+    target_pred: Column,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document language-model negative log-likelihood — the
+    CCNet-class perplexity filter (Wenzek et al. 2020 score docs with
+    a KenLM trained on the target domain; this is the same pipeline
+    with an add-one-smoothed bigram model, trained and scored entirely
+    in-engine). Output: ``nll`` = -mean ln P(w_i | w_{i-1}) under the
+    model fit on ``target_pred`` rows; perplexity = exp(nll) is a
+    display transform, kept OUT of the hashed result so libm exp()
+    ulp differences can never flip a rounding.
+
+    Model: vocab = target tokens seen >= min_count (others -> <unk>,
+    which cannot collide — tokens are \\w+ only); P(w2|w1) =
+    (C(w1,w2)+1) / (C(w1)+V); V = |vocab|+1.
+
+    Plan shape at 100 TB: token-keyed equi-joins against the
+    vocab/unigram/bigram model tables (model-sized right sides, AQE
+    picks broadcast vs shuffle), per-document windows for the bigram
+    pairing (doc-sized partitions, never corpus-sized), and the
+    per-doc sum folds position-ordered so float addition order is
+    fixed — bit-reproducible and oracle-exact. Docs with < 2 tokens
+    have no bigrams and drop out, same as the SQL replay.
+    """
+    from ..functions.text import tokenize_col
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_t"),
+        F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    rawuni = toks.filter("_t").groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = rawuni.filter(F.col("c") >= min_count).select("tok")
+    vn = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("v"))
+    mapped = (
+        toks.join(vocab.withColumn("_known", F.lit(True)), "tok", "left")
+        .select(
+            id_col,
+            "_t",
+            "pos",
+            F.when(F.col("_known"), F.col("tok")).otherwise(F.lit("<unk>")).alias("mt"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = mapped.select(
+        id_col, "_t", "pos", F.col("mt").alias("w1"), F.lead("mt").over(w).alias("w2")
+    )
+    uni_m = big.filter("_t").groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi_m = (
+        big.filter(F.col("_t") & F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    scored = (
+        big.filter(F.col("w2").isNotNull())
+        .join(bi_m, ["w1", "w2"], "left")
+        .join(uni_m, "w1", "left")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            F.col(id_col),
+            F.struct(
+                F.col("pos").alias("p"),
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.col("v"))
+                ).alias("l"),
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                -F.aggregate(
+                    F.array_sort(F.collect_list("s")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["l"],
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+        .orderBy(id_col)
+    )

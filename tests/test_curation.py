@@ -240,3 +240,33 @@ def test_winsorized_quality_z_clamps_and_normalizes(spark):
         assert zs and abs(sum(zs) / len(zs)) < 0.05
     # winsorization actually clamps something in the spread-out group
     assert any(r.q_winsor != r.quality for r in out)
+
+
+def test_lm_nll_bigram_model_known_answer(spark):
+    """Hand-checked add-one bigram model: vocab from target rows only,
+    <unk> mapping, docs without bigrams drop."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b a b"),
+            (2, "en", "a b"),
+            (3, "fr", "c"),          # 1 token -> no bigrams -> dropped
+            (4, "fr", "a b x"),      # x is OOV -> <unk>
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.lm_nll(docs, target_pred=(F.col("lang") == "en")).collect()
+    }
+    # target tokens: a:3 b:3 -> vocab {a, b}, V = 3
+    # bigram counts (target): (a,b)=3 (b,a)=1; unigram: a=3 b=3
+    p_ab, p_ba, p_bu = 4 / 6, 2 / 6, 1 / 6
+    assert set(out) == {1, 2, 4}
+    assert out[1].n_bigrams == 3
+    assert out[1].nll == round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert out[2].n_bigrams == 1
+    assert out[2].nll == round(-math.log(p_ab), 6)
+    assert out[4].n_bigrams == 2
+    assert out[4].nll == round(-(math.log(p_ab) + math.log(p_bu)) / 2, 6)

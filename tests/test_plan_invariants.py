@@ -25,7 +25,14 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 # dsir_weights join 1-row broadcast corpus-stat frames (no join key by
 # construction). embedding_pq_topk and kmeans_clusters inherit the
 # bounded-codebook class but stay equi-join-only, so they are NOT here.
-_CROSS_OK = {"embedding_topk", "embedding_ivf_topk", "tfidf", "bm25", "dsir_weights"}
+_CROSS_OK = {
+    "embedding_topk",
+    "embedding_ivf_topk",
+    "tfidf",
+    "bm25",
+    "dsir_weights",
+    "lm_nll",  # 1-row vocab-size frame broadcast into the scorer
+}
 
 # Queries expected to broadcast at least one join side (small dim /
 # snapshot / bucket-count table); a SortMergeJoin regression here means
