@@ -1713,6 +1713,175 @@ FROM turns GROUP BY conv_id ORDER BY conv_id
 )
 
 
+def q_turn_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation consecutive-turn Jaccard repetition
+    (transcripts.turn_repetition) — the degenerate agent-loop signal.
+    One conv-partitioned window + one conv-keyed aggregate; each
+    pair's similarity is a single integer/integer division and the
+    mean folds in turn order, so the replay is hash-exact."""
+    from .operators.transcripts import turn_repetition
+
+    return turn_repetition(turns_from_events(spark, sf_dir))
+
+
+O_TURN_REPETITION = (
+    TURNS_CTE
+    + f""",
+tk AS (SELECT conv_id, turn_idx, list_distinct({_DUCK_RTOKENS}) AS tset FROM turns),
+pr AS (
+  SELECT conv_id, turn_idx, tset,
+         lag(tset) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pv
+  FROM tk
+),
+jj AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN (len(tset) + len(pv)
+               - len(list_filter(tset, x -> list_contains(pv, x)))) = 0 THEN 1.0
+         ELSE CAST(len(list_filter(tset, x -> list_contains(pv, x))) AS DOUBLE)
+              / (len(tset) + len(pv)
+                 - len(list_filter(tset, x -> list_contains(pv, x))))
+    END AS j
+  FROM pr WHERE pv IS NOT NULL
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+  round(list_sum(list_transform(
+    list(struct_pack(i := turn_idx, j := j) ORDER BY turn_idx), s -> s.j)) / count(*), 6
+  ) AS mean_jaccard
+FROM jj WHERE j IS NOT NULL GROUP BY conv_id ORDER BY conv_id
+"""
+)
+
+
+def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate filter at turn granularity
+    (transcripts.boilerplate_turns): turn texts appearing in >= 3
+    distinct conversations are boilerplate; per-conv rollup. Two-phase
+    distinct + text-keyed join back + conv aggregate."""
+    from .operators.transcripts import boilerplate_turns
+
+    return boilerplate_turns(turns_from_events(spark, sf_dir))
+
+
+O_BOILERPLATE_TURNS = (
+    TURNS_CTE
+    + """,
+fl AS (
+  SELECT text FROM (
+    SELECT text, count(*) AS nc
+    FROM (SELECT DISTINCT text, conv_id FROM turns) GROUP BY text
+  ) WHERE nc >= 3
+)
+SELECT t.conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN fl.text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+  round(CAST(sum(CASE WHEN fl.text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS boilerplate_frac
+FROM turns t LEFT JOIN fl ON t.text = fl.text
+GROUP BY t.conv_id ORDER BY t.conv_id
+"""
+)
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (curation.token_entropy) — the
+    low-diversity quality signal; -sum p ln p folds in token order so
+    the replay is hash-exact."""
+    from .operators.curation import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+O_TOKEN_ENTROPY = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_RTOKENS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    list(struct_pack(t := tok, c := c) ORDER BY tok, c) AS arr
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+  round(-list_sum(list_transform(arr,
+    s -> (CAST(s.c AS DOUBLE) / n_tokens) * ln(CAST(s.c AS DOUBLE) / n_tokens))), 6
+  ) AS entropy
+FROM per ORDER BY doc_id
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup group: the full
+    dedup pipeline's last step — MinHash pairs → connected components
+    → keep the highest-quality doc per group (tie-break min doc_id)
+    instead of blind min-id. Group frame is group-keyed; the quality
+    join is doc-keyed; the rank window partitions by group (group-
+    sized, never corpus-sized)."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score_col
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, jaccard_threshold=0.5, k=3
+    )
+    groups = dedup.dedup_groups(pairs, docs).select("doc_id", "group_id")
+    qual = docs.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+    w = Window.partitionBy("group_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        groups.join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "quality",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_DEDUP_CANONICAL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CTES
+    + f""",
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+),
+grp AS (SELECT id AS doc_id, min(root) AS group_id FROM reach GROUP BY id),
+qt AS (SELECT doc_id, text, {_DUCK_RTOKENS} AS toks FROM documents),
+qm AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+    CAST(len(list_filter(toks, t -> list_contains({_DUCK_EN_SW}, t))) AS DOUBLE) AS sw_hits,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM qt
+),
+qual AS (
+  SELECT doc_id,
+    round((least(n_chars / 500.0, 1.0)
+         + (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
+         + least(CASE WHEN n_tokens > 0 THEN sw_hits * 10.0 / n_tokens ELSE 0.0 END, 1.0)
+         + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+  FROM qm
+)
+SELECT g.doc_id, g.group_id, q.quality,
+  (row_number() OVER (PARTITION BY g.group_id ORDER BY q.quality DESC, g.doc_id) = 1) AS keep
+FROM grp g JOIN qual q ON g.doc_id = q.doc_id
+ORDER BY g.doc_id
+"""
+)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass: fingerprint dedup → repetition
     filter → benchmark decontamination → PII scrub, one declarative
@@ -2809,6 +2978,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "corpus_curate": q_corpus_curate,
     "conv_stats": q_conv_stats,
+    "turn_repetition": q_turn_repetition,
+    "boilerplate_turns": q_boilerplate_turns,
+    "token_entropy": q_token_entropy,
+    "dedup_canonical": q_dedup_canonical,
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
     "vocab_build": q_vocab_build,
@@ -2887,6 +3060,10 @@ ORACLES: dict[str, str] = {
     "repetition_signals": O_REPETITION,
     "corpus_curate": O_CORPUS_CURATE,
     "conv_stats": O_CONV_STATS,
+    "turn_repetition": O_TURN_REPETITION,
+    "boilerplate_turns": O_BOILERPLATE_TURNS,
+    "token_entropy": O_TOKEN_ENTROPY,
+    "dedup_canonical": O_DEDUP_CANONICAL,
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,
     "vocab_build": O_VOCAB_BUILD,

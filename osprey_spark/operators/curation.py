@@ -756,3 +756,52 @@ def lm_nll(
         )
         .orderBy(id_col)
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the classic
+    low-diversity / degenerate-text quality signal (a doc that is one
+    word repeated has H = 0; gibberish with a flat distribution maxes
+    out at ln(n_distinct)).
+
+    Determinism: every p = c/n is one integer/integer division and the
+    -sum p ln p fold runs in token order (array_sort over (tok, c)
+    structs), so float addition order is fixed — the DuckDB oracle is
+    hash-exact. Plan at 100 TB: one (doc, token) hash aggregate with
+    map-side partials, one doc-keyed rollup; the collected list is
+    doc-vocabulary-sized, never corpus-sized.
+    """
+    from ..functions.text import tokenize_col
+
+    tf = (
+        docs.select(id_col, F.explode(tokenize_col(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("tok").alias("t"), F.col("c").alias("c")))
+        ).alias("_arr"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            -F.aggregate(
+                F.col("_arr"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (x["c"].cast("double") / F.col("n_tokens").cast("double"))
+                * F.log(x["c"].cast("double") / F.col("n_tokens").cast("double")),
+            ),
+            6,
+        ).alias("entropy"),
+    ).orderBy(id_col)
