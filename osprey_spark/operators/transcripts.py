@@ -133,3 +133,139 @@ def boilerplate_turns(
         )
         .orderBy(conv_col)
     )
+
+
+def stream_turn_repetition(
+    turns: DataFrame,
+    threshold: float = 0.5,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming counterpart of :func:`turn_repetition`: the
+    degenerate-loop detector evaluated per micro-batch through
+    ``applyInPandasWithState``, so a repetitive agent is flagged while
+    the conversation is still running instead of in the nightly batch.
+
+    State per conversation: the PREVIOUS turn's distinct token set
+    plus the running (n_pairs, n_repetitive, sum_j) counters — bounded
+    by one turn's vocabulary, not conversation length. Emits one
+    changelog row per conversation per micro-batch that touched it
+    (conversations with no pairs yet are withheld, matching the batch
+    operator's output); the latest row per key equals the batch
+    operator's row for the same stream prefix (equivalence-tested
+    across multi-batch splits).
+
+    Float parity with the batch form: each pair's Jaccard is the same
+    single int/int division, and the running sum adds pairs in
+    turn_idx order — the identical IEEE addition order as the batch
+    operator's turn-ordered fold, so ``mean_jaccard`` is bit-equal.
+    Tokenization uses ``re.ASCII`` so Python's ``\\w`` matches the JVM
+    regex default the batch column expression compiles to.
+
+    Key coalescing as in ``streaming/state.py``: grouped by a hash
+    bucket of conv_id (OSPREY_WC_STATE_BUCKETS) with a per-bucket
+    {conv: state} map, per-conv segments of the (conv, turn_idx)-sorted
+    batch folding independently — per-key semantics at a fixed
+    per-group Arrow cost amortized across keys.
+    """
+    import json
+    import os
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    split_rx = _re.compile(r"[\W_]+", _re.ASCII)
+    _q = Decimal("0.000001")
+
+    def _round6(x: float) -> float:
+        # replicate Spark's F.round on doubles exactly:
+        # BigDecimal.valueOf(x) (shortest decimal repr, == Python repr)
+        # then setScale(6, HALF_UP) — Python's round() is half-even and
+        # would diverge on exact ties (means that are odd/128 etc.)
+        return float(Decimal(repr(x)).quantize(_q, rounding=ROUND_HALF_UP))
+
+    out_schema = StructType(
+        [
+            StructField(conv_col, StringType()),
+            StructField("n_pairs", LongType()),
+            StructField("n_repetitive", LongType()),
+            StructField("mean_jaccard", DoubleType()),
+        ]
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        smap = json.loads(state.get[0]) if state.exists else {}
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            state.update((json.dumps(smap),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values([conv_col, idx_col], kind="stable")
+        out_conv, out_np, out_nr, out_mean = [], [], [], []
+        for conv, grp in pdf.groupby(conv_col, sort=False):
+            mk = str(conv) if conv is not None else "\x00"
+            prev, n_pairs, n_rep, sum_j = smap.get(mk, ["\x00missing", 0, 0, 0.0])
+            for text in grp[text_col].to_numpy(dtype=object):
+                toks = (
+                    None
+                    if text is None
+                    else sorted({t for t in split_rx.split(text.lower()) if t})
+                )
+                if not isinstance(prev, str):  # a real previous turn (list or None)
+                    if toks is not None and prev is not None:
+                        a, b = set(toks), set(prev)
+                        uni = len(a | b)
+                        j = 1.0 if uni == 0 else len(a & b) / uni
+                        n_pairs += 1
+                        if j >= threshold:
+                            n_rep += 1
+                        sum_j += j
+                prev = toks
+            smap[mk] = [prev, n_pairs, n_rep, sum_j]
+            if n_pairs > 0:
+                out_conv.append(conv)
+                out_np.append(n_pairs)
+                out_nr.append(n_rep)
+                out_mean.append(_round6(sum_j / n_pairs))
+        state.update((json.dumps(smap),))
+        yield pd.DataFrame(
+            {
+                conv_col: out_conv,
+                "n_pairs": pd.array(out_np, dtype="int64"),
+                "n_repetitive": pd.array(out_nr, dtype="int64"),
+                "mean_jaccard": pd.array(out_mean, dtype="float64"),
+            }
+        )
+
+    src = (
+        turns.withWatermark(ts_col, watermark)
+        .select(
+            F.col(conv_col).cast("string").alias(conv_col),
+            F.col(idx_col),
+            F.col(ts_col),
+            F.col(text_col),
+            F.pmod(F.xxhash64(F.col(conv_col).cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("__rep_bkt"),
+        )
+        .groupBy("__rep_bkt")
+    )
+    return src.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=StructType([StructField("state_json", StringType())]),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

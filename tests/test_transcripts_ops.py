@@ -95,3 +95,112 @@ def test_token_entropy_known_values(spark):
     h3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert out[3].entropy == round(h3, 6)
     assert out[3].n_tokens == 4
+
+
+def _ts(i):
+    return f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}"
+
+
+def test_stream_turn_repetition_matches_batch(spark, tmp_path):
+    """Streaming repetition over a mid-conversation file split: the
+    latest emitted row per conversation is bit-equal to the batch
+    operator (including mean_jaccard), with the split pair spanning
+    micro-batches."""
+    from osprey_spark.operators.transcripts import stream_turn_repetition
+
+    convs = {
+        "a": ["loop loop loop", "loop loop loop", "loop loop loop", "loop loop loop"],
+        "b": ["alpha beta gamma", "beta gamma delta", "unrelated words here", "beta gamma delta"],
+        "c": ["single"],
+        "d": ["one two", "two three", "three four"],
+    }
+    rows = []
+    for ci, (conv, texts) in enumerate(sorted(convs.items())):
+        for i, t in enumerate(texts):
+            rows.append((conv, i, t, _ts(i * 60 + ci)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts_str string"
+    ).select("conv_id", "turn_idx", "text", F.to_timestamp("ts_str").alias("ts"))
+    src = str(tmp_path / "turns")
+    df.filter(F.col("turn_idx") < 2).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_turn_repetition(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rep_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from rep_stream").collect()
+    latest = {}
+    for r in emitted:
+        prev = latest.get(r.conv_id)
+        if prev is None or r.n_pairs > prev.n_pairs:
+            latest[r.conv_id] = r
+    got = {
+        k: (r.n_pairs, r.n_repetitive, r.mean_jaccard) for k, r in latest.items()
+    }
+    batch = turn_repetition(df).collect()
+    want = {r.conv_id: (r.n_pairs, r.n_repetitive, r.mean_jaccard) for r in batch}
+    assert got == want                      # bit-equal means included
+    assert "c" not in got                   # no pairs -> withheld, like batch
+    assert got["a"] == (3, 3, 1.0)
+
+
+def test_stream_turn_repetition_survives_restart(spark, tmp_path):
+    """The previous-turn token set and counters live in the state
+    store: stop after batch 1, start a NEW query on the same
+    checkpoint, and the spanning pair is still counted."""
+    from osprey_spark.operators.transcripts import stream_turn_repetition
+
+    rows1 = [("a", 0, "x y z", _ts(0)), ("a", 1, "x y q", _ts(60))]
+    rows2 = [("a", 2, "x y q", _ts(120))]
+    schema = "conv_id string, turn_idx int, text string, ts_str string"
+    src = str(tmp_path / "turns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, mode):
+        (
+            spark.createDataFrame(rows, schema)
+            .select("conv_id", "turn_idx", "text", F.to_timestamp("ts_str").alias("ts"))
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(src)
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, text string, ts timestamp"
+            ).parquet(src)
+        )
+        q = (
+            stream_turn_repetition(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(spark.read.parquet(out_dir).collect(), key=lambda r: r.n_pairs)
+
+    write(rows1, "overwrite")
+    first = run()
+    assert [(r.n_pairs, r.n_repetitive) for r in first] == [(1, 1)]  # j = 2/4 >= 0.5
+    write(rows2, "append")
+    second = run()  # fresh query, same checkpoint + state store
+    # turn 2 pairs with checkpointed turn 1: identical -> repetitive
+    assert [(r.n_pairs, r.n_repetitive) for r in second] == [(1, 1), (2, 2)]
+    assert second[-1].mean_jaccard == round((0.5 + 1.0) / 2, 6)
