@@ -1782,6 +1782,59 @@ GROUP BY t.conv_id ORDER BY t.conv_id
 )
 
 
+def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CONVERSATIONS: each conv concatenates to one
+    document (turn-ordered), then the standard MinHash/LSH pair
+    pipeline runs at k=1 (token-set Jaccard — turn order and phrasing
+    may differ between a re-run of the same dialogue, token mix
+    doesn't). One conv-keyed aggregate builds the docs; the pair
+    search is the same band equi-join as document near-dup — no cross
+    join at any scale."""
+    turns = turns_from_events(spark, sf_dir)
+    conv_docs = turns.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("turn_idx").alias("i"), F.col("text").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    return dedup.minhash_lsh_pairs(
+        conv_docs,
+        id_col="conv_id",
+        text_col="text",
+        n_hashes=8,
+        n_bands=4,
+        jaccard_threshold=0.55,
+        k=1,
+    )
+
+
+_DUCK_SHINGLES_K1 = (
+    "list_distinct(list_transform(range(1, greatest(len(w), 1) + 1),"
+    " i -> array_to_string(list_slice(w, i, i), ' ')))"
+)
+
+O_CONV_NEAR_DUP = (
+    TURNS_CTE
+    + f""",
+cd AS (
+  SELECT conv_id, array_to_string(list(text ORDER BY turn_idx), ' ') AS text
+  FROM turns GROUP BY conv_id
+),
+"""
+    + _MINHASH_CTES.replace("FROM documents", "FROM cd")
+    .replace("doc_id", "conv_id")
+    .replace(_DUCK_SHINGLES, _DUCK_SHINGLES_K1)
+    + "\nSELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.55 ORDER BY id_a, id_b"
+)
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram Shannon entropy (curation.token_entropy) — the
     low-diversity quality signal; -sum p ln p folds in token order so
@@ -2980,6 +3033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_stats": q_conv_stats,
     "turn_repetition": q_turn_repetition,
     "boilerplate_turns": q_boilerplate_turns,
+    "conv_near_dup": q_conv_near_dup,
     "token_entropy": q_token_entropy,
     "dedup_canonical": q_dedup_canonical,
     "sequence_packing": q_sequence_packing,
@@ -3062,6 +3116,7 @@ ORACLES: dict[str, str] = {
     "conv_stats": O_CONV_STATS,
     "turn_repetition": O_TURN_REPETITION,
     "boilerplate_turns": O_BOILERPLATE_TURNS,
+    "conv_near_dup": O_CONV_NEAR_DUP,
     "token_entropy": O_TOKEN_ENTROPY,
     "dedup_canonical": O_DEDUP_CANONICAL,
     "sequence_packing": O_SEQUENCE_PACKING,

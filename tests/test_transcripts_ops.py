@@ -204,3 +204,35 @@ def test_stream_turn_repetition_survives_restart(spark, tmp_path):
     # turn 2 pairs with checkpointed turn 1: identical -> repetitive
     assert [(r.n_pairs, r.n_repetitive) for r in second] == [(1, 1), (2, 2)]
     assert second[-1].mean_jaccard == round((0.5 + 1.0) / 2, 6)
+
+
+def test_conv_near_dup_finds_rephrased_conversation(spark):
+    """Two conversations with the same token mix in different turn
+    order/phrasing pair up at k=1; an unrelated one does not."""
+    from osprey_spark.operators import dedup
+
+    rows = [
+        ("c1", 0, "please book a flight to paris"),
+        ("c1", 1, "sure the flight to paris is booked"),
+        ("c2", 0, "sure the flight is booked"),
+        ("c2", 1, "please book a paris flight to paris"),
+        ("c3", 0, "completely unrelated topic about gardening"),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    conv_docs = turns.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("turn_idx").alias("i"), F.col("text").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    out = dedup.minhash_lsh_pairs(
+        conv_docs, id_col="conv_id", text_col="text",
+        n_hashes=8, n_bands=4, jaccard_threshold=0.55, k=1,
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [("c1", "c2")]
+    assert out[0].jaccard == 1.0  # identical token sets
