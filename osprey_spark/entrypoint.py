@@ -1862,6 +1862,25 @@ FROM per ORDER BY doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training in-engine (curation.bpe_merges,
+    Sennrich et al. 2016): one corpus-scale word-frequency aggregate,
+    then 6 merge rounds over the distinct-word table (dimension-class
+    work); each round's 1-row argmax winner re-enters as literals in
+    the greedy merge fold. All-integer + lexicographic tie-breaks —
+    no floats anywhere, replayed round-by-round by an unrolled-CTE
+    oracle with the identical list_reduce string fold."""
+    from .operators.curation import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), rounds=6)
+
+
+def _bpe_oracle() -> str:
+    from .operators.curation import bpe_oracle_sql
+
+    return bpe_oracle_sql(6, _DUCK_RTOKENS)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection per near-dup group: the full
     dedup pipeline's last step — MinHash pairs → connected components
@@ -3035,6 +3054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_turns": q_boilerplate_turns,
     "conv_near_dup": q_conv_near_dup,
     "token_entropy": q_token_entropy,
+    "bpe_merges": q_bpe_merges,
     "dedup_canonical": q_dedup_canonical,
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
@@ -3118,6 +3138,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_turns": O_BOILERPLATE_TURNS,
     "conv_near_dup": O_CONV_NEAR_DUP,
     "token_entropy": O_TOKEN_ENTROPY,
+    "bpe_merges": _bpe_oracle(),
     "dedup_canonical": O_DEDUP_CANONICAL,
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,

@@ -805,3 +805,155 @@ def token_entropy(
             6,
         ).alias("entropy"),
     ).orderBy(id_col)
+
+
+def bpe_merges(
+    docs: DataFrame,
+    rounds: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training in-engine (Sennrich et
+    al. 2016): learn the first ``rounds`` merge rules over the corpus.
+
+    This runs the way real BPE trainers do: ONE corpus-scale pass
+    builds the word-frequency table (hash aggregate, map-side
+    partials), and every merge round after that operates on the
+    DISTINCT-WORD table weighted by frequency — dimension-class work
+    (vocabulary-sized, never corpus-sized), so 100 TB of text costs
+    one aggregate plus ``rounds`` tiny jobs. The word table persists
+    across rounds (call ``result.unpersist_base()`` in long-lived
+    sessions).
+
+    Per round: adjacent symbol pairs explode per distinct word
+    (weighted by word count), one hash aggregate picks the most
+    frequent pair (ties broken lexicographically — fully
+    deterministic, no floats anywhere), the 1-row winner collects to
+    the driver (dimension-table class, like the k-means codebook) and
+    re-enters as literals in the merge fold: a left fold over each
+    word's symbol list that joins the winning pair greedily
+    left-to-right, exactly the BPE merge step. Symbols are kept as a
+    ``\\x01``-joined string so the fold is pure string surgery the
+    DuckDB oracle replays verbatim with ``list_reduce``.
+
+    Output: one row per learned merge —
+    ``(round, p1, p2, merged, pair_count)``.
+    """
+    from ..functions.text import tokenize_col
+
+    d = "\x01"
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokenize_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.col("w").substr(i, F.lit(1)),
+                ),
+                d,
+            ).alias("syms"),
+        )
+        .persist()
+    )
+    cur = words
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        arr = F.split(F.col("syms"), d)
+        n = F.size(arr)
+        pairs = (
+            cur.select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice(arr, F.lit(1), n - 1),
+                        F.slice(arr, F.lit(2), n - 1),
+                        lambda x, y: F.struct(x.alias("p1"), y.alias("p2")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "p1", "p2").limit(1).collect()
+        if not best:
+            break
+        p1, p2, cnt = best[0]["p1"], best[0]["p2"], int(best[0]["cnt"])
+        merges.append((r, p1, p2, p1 + p2, cnt))
+
+        def make_step(p1: str, p2: str):
+            # factory closure, NOT default params: Spark binds extra
+            # lambda params to the element index
+            def step(acc, x):
+                is_merge = (
+                    (acc == F.lit(p1)) | acc.endswith(F.lit(d + p1))
+                ) & (x == F.lit(p2))
+                return F.when(
+                    is_merge,
+                    F.concat(
+                        acc.substr(F.lit(1), F.length(acc) - F.lit(len(p1))),
+                        F.lit(p1 + p2),
+                    ),
+                ).otherwise(F.concat(acc, F.lit(d), x))
+
+            return step
+
+        step = make_step(p1, p2)
+        cur = cur.select(
+            "wc",
+            F.aggregate(
+                F.slice(arr, F.lit(2), n - 1), F.element_at(arr, 1), step
+            ).alias("syms"),
+        )
+    out = spark.createDataFrame(
+        merges, "round int, p1 string, p2 string, merged string, pair_count long"
+    ).orderBy("round")
+    out.unpersist_base = lambda: words.unpersist(blocking=True)
+    return out
+
+
+def bpe_oracle_sql(rounds: int, rtokens: str, table: str = "documents") -> str:
+    """DuckDB replay of :func:`bpe_merges`: the word-frequency table,
+    then each merge round unrolled into (pair-count, argmax-winner,
+    merge-fold) CTEs — the fold is ``list_reduce`` with the identical
+    greedy left-to-right string surgery. ``rtokens`` is the DuckDB
+    tokenizer expression over ``text``."""
+    parts = [
+        f"WITH toks AS (SELECT unnest({rtokens}) AS w FROM {table}),",
+        "wds AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),",
+        "s0 AS (SELECT wc, array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), chr(1))"
+        " AS syms FROM wds)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT sp[i] AS p1, sp[i + 1] AS p2, sum(wc) AS cnt FROM (
+    SELECT wc, string_split(syms, chr(1)) AS sp FROM s{r - 1}
+  ), LATERAL unnest(generate_series(1, len(sp) - 1)) AS u{r}(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT {r} AS round, p1, p2, cnt FROM p{r} ORDER BY cnt DESC, p1, p2 LIMIT 1)"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+s{r} AS (
+  SELECT wc,
+    list_reduce(string_split(syms, chr(1)), (acc, x) ->
+      CASE WHEN (acc = b.p1 OR ends_with(acc, chr(1) || b.p1)) AND x = b.p2
+           THEN substr(acc, 1, length(acc) - length(b.p1)) || b.p1 || b.p2
+           ELSE acc || chr(1) || x END) AS syms
+  FROM s{r - 1} CROSS JOIN b{r} b
+)"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, rounds + 1))
+    parts.append(
+        f"""
+SELECT round, p1, p2, p1 || p2 AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM ({union}) ORDER BY round"""
+    )
+    return "".join(parts)

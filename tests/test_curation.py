@@ -270,3 +270,39 @@ def test_lm_nll_bigram_model_known_answer(spark):
     assert out[2].nll == round(-math.log(p_ab), 6)
     assert out[4].n_bigrams == 2
     assert out[4].nll == round(-(math.log(p_ab) + math.log(p_bu)) / 2, 6)
+
+
+def test_bpe_merges_sennrich_corpus(spark):
+    """The classic BPE walkthrough corpus (Sennrich et al. 2016):
+    es -> est, lo -> low, and newest's ewest assemble in frequency
+    order with lexicographic tie-breaks."""
+    docs = spark.createDataFrame(
+        [(1, ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip())],
+        "doc_id long, text string",
+    )
+    out = curation.bpe_merges(docs, rounds=6)
+    got = [(r.round, r.p1, r.p2, r.merged, r.pair_count) for r in out.collect()]
+    out.unpersist_base()
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+        (6, "ew", "est", "ewest", 6),
+    ]
+
+
+def test_bpe_merge_fold_greedy_left_to_right(spark):
+    """Consecutive occurrences of the winning pair merge greedily and
+    non-overlapping ('a a a a' with pair (a,a) -> 'aa aa', and the
+    merged symbol never re-matches as its own left half)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa bb bb")], "doc_id long, text string"
+    )
+    out = curation.bpe_merges(docs, rounds=2)
+    got = [(r.round, r.p1, r.p2, r.pair_count) for r in out.collect()]
+    out.unpersist_base()
+    # round 1: (a,a) count 9 (3 per word, greedy pairs); round 2:
+    # each word is now 'aa aa' -> (aa,aa) count 3, beating (b,b) 2
+    assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
