@@ -1875,10 +1875,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir), rounds=6)
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle(encode: bool = False) -> str:
     from .operators.curation import bpe_oracle_sql
 
-    return bpe_oracle_sql(6, _DUCK_RTOKENS)
+    return bpe_oracle_sql(6, _DUCK_RTOKENS, encode=encode)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode (curation.bpe_encode): per-doc BPE token
+    count + chars-per-token compression ratio. Doc tokens equi-join
+    the distinct-word table's final segmentation (model-sized right
+    side), one doc-keyed rollup — text is scanned once for training
+    and once for encoding, never per merge round."""
+    from .operators.curation import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), rounds=6)
 
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3055,6 +3066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_near_dup": q_conv_near_dup,
     "token_entropy": q_token_entropy,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "dedup_canonical": q_dedup_canonical,
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
@@ -3139,6 +3151,7 @@ ORACLES: dict[str, str] = {
     "conv_near_dup": O_CONV_NEAR_DUP,
     "token_entropy": O_TOKEN_ENTROPY,
     "bpe_merges": _bpe_oracle(),
+    "bpe_encode": _bpe_oracle(encode=True),
     "dedup_canonical": O_DEDUP_CANONICAL,
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,

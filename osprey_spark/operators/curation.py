@@ -838,15 +838,29 @@ def bpe_merges(
     Output: one row per learned merge —
     ``(round, p1, p2, merged, pair_count)``.
     """
+    words, _cur, merges = _bpe_train(docs, rounds, text_col)
+    out = docs.sparkSession.createDataFrame(
+        merges, "round int, p1 string, p2 string, merged string, pair_count long"
+    ).orderBy("round")
+    out.unpersist_base = lambda: words.unpersist(blocking=True)
+    return out
+
+
+_BPE_DELIM = "\x01"
+
+
+def _bpe_train(docs: DataFrame, rounds: int, text_col: str):
+    """Shared BPE training loop: returns (persisted word table, the
+    per-word symbol frame after all merge rounds, merges list)."""
     from ..functions.text import tokenize_col
 
-    d = "\x01"
-    spark = docs.sparkSession
+    d = _BPE_DELIM
     words = (
         docs.select(F.explode(tokenize_col(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(
+            "w",
             "wc",
             F.array_join(
                 F.transform(
@@ -902,28 +916,76 @@ def bpe_merges(
 
         step = make_step(p1, p2)
         cur = cur.select(
+            "w",
             "wc",
             F.aggregate(
                 F.slice(arr, F.lit(2), n - 1), F.element_at(arr, 1), step
             ).alias("syms"),
         )
-    out = spark.createDataFrame(
-        merges, "round int, p1 string, p2 string, merged string, pair_count long"
-    ).orderBy("round")
+    return words, cur, merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rounds: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train BPE merges (:func:`bpe_merges`) and ENCODE the corpus with
+    them: per document, the BPE token count and the compression ratio
+    (chars per BPE token) — the number a tokenizer-budget pipeline
+    actually needs per doc.
+
+    Encoding never touches document text a second time: every doc
+    token joins the distinct-word table's final segmentation
+    (word-keyed equi-join; the word table is model-sized so AQE
+    broadcasts it), and the per-doc rollup is one hash aggregate.
+    ``chars_per_token`` is one integer/integer division —
+    bit-reproducible, oracle-hash-exact.
+    """
+    words, cur, _merges = _bpe_train(docs, rounds, text_col)
+    from ..functions.text import tokenize_col
+
+    seg = cur.select(
+        "w",
+        F.size(F.split(F.col("syms"), _BPE_DELIM)).alias("_nsym"),
+    )
+    toks = docs.select(
+        id_col, F.explode(tokenize_col(F.col(text_col))).alias("w")
+    )
+    out = (
+        toks.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_nsym").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ),
+        )
+        .orderBy(id_col)
+    )
     out.unpersist_base = lambda: words.unpersist(blocking=True)
     return out
 
 
-def bpe_oracle_sql(rounds: int, rtokens: str, table: str = "documents") -> str:
-    """DuckDB replay of :func:`bpe_merges`: the word-frequency table,
-    then each merge round unrolled into (pair-count, argmax-winner,
-    merge-fold) CTEs — the fold is ``list_reduce`` with the identical
-    greedy left-to-right string surgery. ``rtokens`` is the DuckDB
-    tokenizer expression over ``text``."""
+def bpe_oracle_sql(
+    rounds: int, rtokens: str, table: str = "documents", encode: bool = False
+) -> str:
+    """DuckDB replay of :func:`bpe_merges` (and, with ``encode=True``,
+    :func:`bpe_encode`): the word-frequency table, then each merge
+    round unrolled into (pair-count, argmax-winner, merge-fold) CTEs —
+    the fold is ``list_reduce`` with the identical greedy
+    left-to-right string surgery. ``rtokens`` is the DuckDB tokenizer
+    expression over ``text``."""
     parts = [
         f"WITH toks AS (SELECT unnest({rtokens}) AS w FROM {table}),",
         "wds AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),",
-        "s0 AS (SELECT wc, array_to_string(list_transform("
+        "s0 AS (SELECT w, wc, array_to_string(list_transform("
         "range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), chr(1))"
         " AS syms FROM wds)",
     ]
@@ -938,11 +1000,11 @@ p{r} AS (
 ),
 b{r} AS (SELECT {r} AS round, p1, p2, cnt FROM p{r} ORDER BY cnt DESC, p1, p2 LIMIT 1)"""
         )
-        if r < rounds:
+        if r < rounds or encode:
             parts.append(
                 f""",
 s{r} AS (
-  SELECT wc,
+  SELECT w, wc,
     list_reduce(string_split(syms, chr(1)), (acc, x) ->
       CASE WHEN (acc = b.p1 OR ends_with(acc, chr(1) || b.p1)) AND x = b.p2
            THEN substr(acc, 1, length(acc) - length(b.p1)) || b.p1 || b.p2
@@ -950,6 +1012,17 @@ s{r} AS (
   FROM s{r - 1} CROSS JOIN b{r} b
 )"""
             )
+    if encode:
+        parts.append(
+            f""",
+enc AS (SELECT doc_id, unnest({rtokens}) AS w FROM {table}),
+fin AS (SELECT w, len(string_split(syms, chr(1))) AS nsym FROM s{rounds})
+SELECT doc_id, CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+  round(CAST(sum(length(w)) AS DOUBLE) / sum(nsym), 6) AS chars_per_token
+FROM enc JOIN fin USING (w) GROUP BY doc_id ORDER BY doc_id"""
+        )
+        return "".join(parts)
     union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, rounds + 1))
     parts.append(
         f"""

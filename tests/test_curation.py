@@ -306,3 +306,25 @@ def test_bpe_merge_fold_greedy_left_to_right(spark):
     # round 1: (a,a) count 9 (3 per word, greedy pairs); round 2:
     # each word is now 'aa aa' -> (aa,aa) count 3, beating (b,b) 2
     assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_encode_token_counts(spark):
+    """Encoding with learned merges: 'low' (fully merged after 4
+    rounds) counts as ONE BPE token; unseen-structure words stay
+    character-split except where merges apply."""
+    docs = spark.createDataFrame(
+        [
+            (1, ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()),
+            (2, "low low"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curation.bpe_encode(docs, rounds=6)
+    rows = {r.doc_id: r for r in out.collect()}
+    out.unpersist_base()
+    # after 6 rounds: low=1 sym, lower=low+e+r=3, newest=n+ewest=2,
+    # widest=w+i+d+est=4
+    assert rows[2].n_bpe_tokens == 2
+    assert rows[2].n_chars == 6
+    assert rows[2].chars_per_token == 3.0
+    assert rows[1].n_bpe_tokens == 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4
