@@ -2477,6 +2477,23 @@ SELECT * FROM (
 _CMS_W, _CMS_D = 1024, 4
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (sketches.hll_distinct): per-event-type
+    distinct users, md5-derived registers, exact-rank via binary
+    string length, bucket-ordered harmonic fold — the oracle-replayable
+    counterpart of the rows-only approx_distinct (Spark-native HLL)."""
+    from .operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, "user_id", ["event_type"])
+
+
+def _hll_oracle() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("events", "user_id", "event_type")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters — operators.sketches: the
     deterministic md5-hash CMS makes even the sketch ESTIMATES
@@ -3082,6 +3099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_distinct": q_hll_distinct,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
     "rate_anomaly": q_rate_anomaly,
@@ -3167,6 +3185,7 @@ ORACLES: dict[str, str] = {
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+    "hll_distinct": _hll_oracle(),
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "rate_anomaly": O_RATE_ANOMALY,

@@ -48,3 +48,19 @@ def test_cms_unseen_key_zero_when_no_collision(spark):
         count_min_build(df, "k", width=4096, depth=4), keys, "k", width=4096, depth=4
     ).collect()
     assert est[0].cms_n == 0
+
+
+def test_hll_distinct_accuracy_and_small_range(spark):
+    """The from-scratch HLL lands within the expected ~1.04/sqrt(256)
+    error band on thousands of keys, and the linear-counting branch
+    handles tiny cardinalities exactly enough to round to them."""
+    from osprey_spark.operators.sketches import hll_distinct
+
+    rows = [("big", i) for i in range(5000)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r.g: r for r in hll_distinct(df, "k", ["g"]).collect()}
+    assert out["big"].n_exact == 5000
+    assert abs(out["big"].hll_estimate - 5000) / 5000 < 0.15  # ~2 sigma
+    assert out["small"].n_exact == 10
+    # linear counting: m * ln(m / empty) is near-exact at 10/256 load
+    assert abs(out["small"].hll_estimate - 10) < 1.5
