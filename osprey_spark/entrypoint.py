@@ -2477,6 +2477,48 @@ SELECT * FROM (
 _CMS_W, _CMS_D = 1024, 4
 
 
+def q_windowed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending entities: top-3 event types per 1-hour tumbling
+    window — the windowed-rank shape (one time-bucketed hash aggregate
+    with map-side partials, then a rank window over window-sized
+    partitions; at 100 TB the rank partitions are (window, type)
+    cardinality, never row cardinality)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("window_start", "rank")
+    )
+
+
+O_WINDOWED_TOPN = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, event_type, n,
+    CAST(row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type)
+         AS INT) AS rank
+  FROM c
+)
+SELECT window_start, rank, event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 3 ORDER BY window_start, rank
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch HyperLogLog (sketches.hll_distinct): per-event-type
     distinct users, md5-derived registers, exact-rank via binary
@@ -3100,6 +3142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_distinct": q_hll_distinct,
+    "windowed_topn": q_windowed_topn,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
     "rate_anomaly": q_rate_anomaly,
@@ -3186,6 +3229,7 @@ ORACLES: dict[str, str] = {
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "hll_distinct": _hll_oracle(),
+    "windowed_topn": O_WINDOWED_TOPN,
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "rate_anomaly": O_RATE_ANOMALY,
