@@ -1,0 +1,226 @@
+"""Streaming sketch operators: mergeable sketch state per window.
+
+The batch HLL (`operators/sketches.hll_distinct`) answers "how many
+distinct conversations per hour/role" in the nightly scan; a safety
+pipeline wants the same number WHILE the hour is still open — e.g. a
+raid detector watching distinct-actor counts climb inside the current
+window. HyperLogLog is the canonical streaming answer because its
+state is a register-max: merging a micro-batch into the carried
+registers is order-independent, so the running estimate after the
+last batch is EXACTLY the batch estimate over the same prefix —
+provable bit-for-bit on the registers, which the equivalence test
+does.
+
+Scale shape (100 TB stream): register assignment (md5 bucket + exact
+binary-length rank) runs JVM-side per row; the stateful group key is
+(window, dims...) — cardinality = windows x dim-values, NOT the key
+cardinality being counted, so state is 256 small ints per open
+window/dim slot and the shuffle is one exchange on the window/dim
+key with no per-conversation state at all. A hot window/dim slot
+serializes its register fold (inherent to any per-group sketch) but
+carries only counts, never conversation payloads.
+
+Lifecycle: watermark-driven. Open slots emit a changelog row per
+touching micro-batch (`is_final=false`, monotone `upd_seq`); when the
+event-time watermark passes window_end + the configured delay, the
+slot times out, emits its closing row (`is_final=true`) and frees its
+state — the state store never accumulates closed windows.
+
+No counterpart in the reference engine (its approx distinct counts
+are Druid/ClickHouse-side, e.g. the TopN/timeseries paths the batch
+analytics plans mirror); this is §2.6 streaming-extension territory.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import _HLL_ALPHA_M2, _HLL_M
+
+_Q6 = Decimal("0.000001")
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def parse_delay_seconds(delay: str) -> int:
+    """'30 minutes' -> 1800. Mirrors the subset of Spark's interval
+    grammar the pipeline uses; rejects anything else loudly."""
+    m = re.fullmatch(r"\s*(\d+)\s+(\w+)\s*", delay)
+    if not m or m.group(2) not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported delay spec: {delay!r}")
+    return int(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+
+
+def _round6(x: float) -> float:
+    # replicate Spark F.round(col, 6) on doubles: shortest-repr
+    # BigDecimal then HALF_UP (Python round() is half-even)
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def hll_estimate_from_registers(regs: dict) -> float:
+    """Estimate from a {bucket: rank} register map, replicating the
+    batch plan's float semantics exactly: the harmonic sum folds in
+    ascending bucket order (each term an exact dyadic 2^-r), the
+    empty-register count enters as (m - n) * 1.0, and the small-range
+    linear-counting branch matches `operators/sketches.hll_distinct`
+    term for term."""
+    n_present = len(regs)
+    sp = 0.0
+    for b in sorted(int(k) for k in regs):
+        sp += 1.0 / (2.0 ** regs[str(b)])
+    vz = _HLL_M - n_present
+    s = vz * 1.0 + sp
+    eraw = _HLL_ALPHA_M2 / s
+    if eraw <= 2.5 * _HLL_M and vz > 0:
+        est = float(_HLL_M) * math.log(float(_HLL_M) / float(vz))
+    else:
+        est = eraw
+    return _round6(est)
+
+
+def stream_window_hll(
+    turns: DataFrame,
+    key_col: str = "conv_id",
+    dim_cols: tuple[str, ...] = ("role",),
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    watermark: str = "30 minutes",
+    seed: str = "hll",
+) -> DataFrame:
+    """Running distinct-`key_col` HLL estimate per (tumbling window,
+    dims...) over a stream, registers merged in the state store.
+
+    Emits one changelog row per open slot per touching micro-batch:
+    ``win_start (long epoch sec), dims..., n_regs, hll_estimate,
+    upd_seq, is_final``. `upd_seq` is a per-slot monotone update
+    counter (latest row per slot = current estimate; memory-sink row
+    order is not a contract). When the watermark passes
+    window_end + delay the slot emits `is_final=true` and evicts.
+
+    Equivalence contract (tested): after all input is consumed, the
+    latest row per slot carries registers — and therefore an
+    estimate — identical to `operators/sketches.hll_distinct` run in
+    batch over the same rows grouped by the same derived window/dim
+    columns. Register assignment uses the IDENTICAL md5 expressions
+    JVM-side, so the state fold is a max-merge of the same integers
+    in any arrival order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    delay_sec = parse_delay_seconds(watermark)
+    dims = list(dim_cols)
+    key = F.col(key_col)
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")).cast("binary"))
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.conv(F.substring(h, 3, 13), 16, 2)))
+        .cast("int")
+    )
+    ts_sec = F.col(ts_col).cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(int(window_seconds)))).alias("win_start")
+
+    src = turns.withWatermark(ts_col, watermark).select(
+        win,
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("_bkt"),
+        rho.alias("_rho"),
+        # the watermark-bearing event-time column must survive the
+        # projection for EventTimeTimeout to resolve; fn ignores it
+        F.col(ts_col),
+    )
+
+    out_schema = StructType(
+        [StructField("win_start", LongType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("n_regs", LongType()),
+            StructField("hll_estimate", DoubleType()),
+            StructField("upd_seq", LongType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("regs_json", StringType())])
+    win_s = int(window_seconds)
+
+    def fn(key_tuple, pdf_iter, state):
+        # key tuple arrives as numpy scalars; GroupState round-trips
+        # its properties (incl. the timeout timestamp) through
+        # json.dumps, which rejects np.int64 — coerce once here
+        win_start = int(key_tuple[0])
+        dim_vals = list(key_tuple[1:])
+
+        def _row(regs, seq, final):
+            return pd.DataFrame(
+                {
+                    "win_start": pd.array([win_start], dtype="int64"),
+                    **{d: [dv] for d, dv in zip(dims, dim_vals)},
+                    "n_regs": pd.array([len(regs)], dtype="int64"),
+                    "hll_estimate": pd.array(
+                        [hll_estimate_from_registers(regs)], dtype="float64"
+                    ),
+                    "upd_seq": pd.array([seq], dtype="int64"),
+                    "is_final": pd.array([final], dtype="bool"),
+                }
+            )
+
+        if state.hasTimedOut:
+            regs, seq = (
+                json.loads(state.get[0]) if state.exists else ({}, 0)
+            )
+            state.remove()
+            yield _row(regs, seq + 1, True)
+            return
+
+        regs, seq = json.loads(state.get[0]) if state.exists else ({}, 0)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # per-batch max-merge: groupby bucket max then fold into
+            # the carried registers — order-independent by construction
+            mx = pdf.groupby("_bkt")["_rho"].max()
+            for b, r in mx.items():
+                k = str(int(b))
+                if r > regs.get(k, 0):
+                    regs[k] = int(r)
+        seq += 1
+        state.update((json.dumps([regs, seq]),))
+        # close the slot once the event-time watermark clears
+        # window_end + delay (timeout needs a timestamp strictly
+        # beyond the current watermark to register)
+        timeout_ms = (win_start + win_s + delay_sec) * 1000
+        cur_wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, cur_wm + 1))
+        yield _row(regs, seq, False)
+
+    return src.groupBy("win_start", *dims).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,147 @@
+"""Streaming windowed HLL: register merge in the state store.
+
+Equivalence contract: after the stream consumes all input (split
+mid-window across micro-batches), the latest changelog row per
+(window, dim) slot equals the batch `hll_distinct` run over the same
+rows grouped by the same derived window column — registers are a
+max-merge of identical md5-derived integers, so the running estimate
+converges to the batch estimate exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from osprey_spark.operators.sketches import hll_distinct
+from osprey_spark.streaming.sketches import (
+    parse_delay_seconds,
+    stream_window_hll,
+)
+
+
+def _turn_rows():
+    # two 1-hour windows x two roles; conv ids overlap across windows
+    # (distinct is per-slot) and repeat within a slot (HLL de-dups)
+    rows = []
+    for i in range(120):
+        conv = f"c{i % 37}"
+        role = "user" if i % 3 else "assistant"
+        hour = 10 + (i // 60)
+        ts = f"2024-01-01 {hour:02d}:{i % 60:02d}:00"
+        rows.append((conv, i, role, f"text {i}", ts))
+    return rows
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        _turn_rows(),
+        "conv_id string, turn_idx int, role string, text string, ts_str string",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", F.to_timestamp("ts_str").alias("ts")
+    )
+
+
+def test_parse_delay_seconds():
+    assert parse_delay_seconds("30 minutes") == 1800
+    assert parse_delay_seconds("2 hours") == 7200
+    with pytest.raises(ValueError):
+        parse_delay_seconds("soon")
+
+
+def test_stream_window_hll_matches_batch(spark, tmp_path):
+    df = _df(spark)
+    src = str(tmp_path / "turns")
+    # split mid-window so registers must merge across micro-batches
+    df.filter(F.col("turn_idx") < 45).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 45).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_window_hll(stream, window_seconds=3600, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hll_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from hll_stream").collect()
+    assert emitted, "stream emitted nothing"
+    latest = {}
+    for r in emitted:
+        k = (r.win_start, r.role)
+        if k not in latest or r.upd_seq > latest[k].upd_seq:
+            latest[k] = r
+
+    ts_sec = F.col("ts").cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(3600))).alias("win_start")
+    batch = hll_distinct(
+        df.select(win, "role", "conv_id"), "conv_id", ["win_start", "role"]
+    ).collect()
+    want = {(r.win_start, r.role): (r.n_exact, r.hll_estimate) for r in batch}
+    assert set(latest) == set(want)
+    for k, r in latest.items():
+        n_exact, est = want[k]
+        assert r.hll_estimate == est, (k, r.hll_estimate, est)
+        # sketch sanity: within the coarse error of m=256 registers
+        assert abs(r.hll_estimate - n_exact) / max(n_exact, 1) < 0.35
+
+
+def test_stream_window_hll_evicts_on_watermark(spark, tmp_path):
+    """A much-later event pushes the watermark past window_end +
+    delay: the old slots emit is_final=true and their state is gone
+    (a third, later-still batch does not re-emit them)."""
+    df = _df(spark)
+    src = str(tmp_path / "turns")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    df.coalesce(1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            stream_window_hll(stream, window_seconds=3600, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    run()
+    late = spark.createDataFrame(
+        [("zz", 999, "user", "late", "2024-01-01 14:00:00")],
+        "conv_id string, turn_idx int, role string, text string, ts_str string",
+    ).select("conv_id", "turn_idx", "role", "text", F.to_timestamp("ts_str").alias("ts"))
+    late.coalesce(1).write.mode("append").parquet(src)
+    rows2 = run()
+    late_win = (
+        late.select((F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600))).alias("w"))
+        .collect()[0]
+        .w
+    )
+    finals = [r for r in rows2 if r.is_final and r.win_start < late_win]
+    # both original windows x roles closed out
+    assert len({(r.win_start, r.role) for r in finals}) == 4
+    # closing rows carry the converged estimate (same as the last
+    # open-slot update for that key)
+    latest_open = {}
+    for r in rows2:
+        if not r.is_final:
+            k = (r.win_start, r.role)
+            if k not in latest_open or r.upd_seq > latest_open[k].upd_seq:
+                latest_open[k] = r
+    for r in finals:
+        assert r.hll_estimate == latest_open[(r.win_start, r.role)].hll_estimate
