@@ -77,11 +77,24 @@ def join_verdicts_to_turns(
     verdicts: DataFrame,
     watermark: str = "10 minutes",
     join_window_seconds: int = 600,
+    how: str = "inner",
 ) -> DataFrame:
     """Stateful stream-stream join of verdicts back to the turn stream
     on (conv_id, turn_idx) within watermark bounds (north rule). The
     time-range condition lets Spark evict join state; output preserves
-    the turn's text for the per-turn equality invariant."""
+    the turn's text for the per-turn equality invariant.
+
+    ``how='left_outer'`` keeps every turn: a turn no verdict matched
+    is held in join state until the event-time watermark clears its
+    join window, then emitted with NULL verdicts — the audit-trail
+    shape ("every turn landed, evaluated or not") that an inner join
+    silently drops. Spark requires the outer side to be
+    watermark-bounded for state eviction, which the time-range
+    condition already provides; completeness of the null rows is
+    therefore watermark-delayed, not instant (tested by advancing the
+    watermark with a later batch)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     t = turns.select(
         F.col("conv_id"),
         F.col("turn_idx"),
@@ -100,6 +113,6 @@ def join_verdicts_to_turns(
         & (F.col("v_ts") >= F.col("ts"))
         & (F.col("v_ts") <= F.col("ts") + F.expr(f"INTERVAL {join_window_seconds} SECONDS"))
     )
-    return t.join(v, cond, "inner").select(
+    return t.join(v, cond, how).select(
         "conv_id", "turn_idx", "text", "ts", "verdicts"
     )

@@ -1323,3 +1323,84 @@ N = IncrementWindow(key=K, window_seconds=600.0)
     want = {(r["conv_id"], r["turn_idx"]): r["N"] for r in batch.collect()}
     assert len(got) == t.count()
     assert got == want
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """left_outer keeps unmatched turns: once the watermark clears a
+    turn's join window, it emits with NULL verdicts — the audit-trail
+    shape. Matched rows are identical to the inner join's."""
+    from osprey_spark.streaming.windows import join_verdicts_to_turns
+
+    t_dir = str(tmp_path / "t")
+    v_dir = str(tmp_path / "v")
+
+    def _write(rows, schema, path, mode):
+        spark.createDataFrame(rows, schema).selectExpr(
+            *[c.split(" ")[0] for c in schema.split(", ") if not c.startswith("ts_str")],
+            "to_timestamp(ts_str) as " + ("ts" if path == t_dir else "v_ts"),
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    t_schema = "conv_id string, turn_idx int, text string, ts_str string"
+    v_schema = "conv_id string, turn_idx int, verdicts array<string>, ts_str string"
+    _write(
+        [
+            ("a", 0, "hello there", "2024-01-01 10:00:00"),
+            ("a", 1, "no verdict for me", "2024-01-01 10:00:30"),
+            ("b", 0, "hello again", "2024-01-01 10:01:00"),
+        ],
+        t_schema,
+        t_dir,
+        "overwrite",
+    )
+    _write(
+        [
+            ("a", 0, ["hello"], "2024-01-01 10:00:05"),
+            ("b", 0, ["hello"], "2024-01-01 10:01:05"),
+        ],
+        v_schema,
+        v_dir,
+        "overwrite",
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        ts = spark.readStream.schema(
+            "conv_id string, turn_idx int, text string, ts timestamp"
+        ).parquet(t_dir)
+        vs = spark.readStream.schema(
+            "conv_id string, turn_idx int, verdicts array<string>, v_ts timestamp"
+        ).parquet(v_dir)
+        q = (
+            join_verdicts_to_turns(
+                ts, vs, watermark="1 minutes", join_window_seconds=60, how="left_outer"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = run()
+    matched = {(r.conv_id, r.turn_idx) for r in first if r.verdicts is not None}
+    assert matched == {("a", 0), ("b", 0)}
+    # the unmatched turn is still held in join state (watermark has
+    # not cleared its window), so no null row yet
+    assert all(r.verdicts is not None for r in first)
+
+    # advance BOTH streams' watermarks past 10:00:30 + 60s + 1m delay
+    _write([("z", 0, "late turn", "2024-01-01 10:30:00")], t_schema, t_dir, "append")
+    _write([("z", 9, ["x"], "2024-01-01 10:30:00")], v_schema, v_dir, "append")
+    second = run()
+    nulls = {(r.conv_id, r.turn_idx) for r in second if r.verdicts is None}
+    assert ("a", 1) in nulls
+    a1 = [r for r in second if (r.conv_id, r.turn_idx) == ("a", 1)][0]
+    assert a1.text == "no verdict for me"  # per-turn text preserved
+
+    with pytest.raises(ValueError):
+        join_verdicts_to_turns(None, None, how="full_outer")
