@@ -149,6 +149,20 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
         "\nBurstConv = TurnRate >= 20\n"
     )
+    # fused variant: THREE stateful mechanisms on the same key (two
+    # window counters + a tool-sequence CEP pattern) — compiled into a
+    # single applyInPandasWithState pass by state-op fusion (the only
+    # way Spark can stream a multi-mechanism rule at all); measures
+    # the marginal cost of extra mechanisms once the shuffle + state
+    # round-trip is shared
+    fused_sml = BENCH_SML + (
+        "\nWcKey: str = JsonData(path='$.conv_id')"
+        "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
+        "\nHourRate = IncrementWindow(key=WcKey, window_seconds=3600.0)"
+        "\nRoleSym: str = JsonData(path='$.role')"
+        "\nToolLoop = SequenceMatches(key=WcKey, symbol=RoleSym, pattern='tooltool', last_k=24)"
+        "\nBurstConv = TurnRate >= 20\n"
+    )
     # stream-stream join mode (north rule): verdict rows join back to
     # the turn stream on (conv_id, turn_idx) within watermark bounds.
     # The verdict side is materialized once (batch, cached by size) so
@@ -210,7 +224,7 @@ def _bench_streaming(spark, work_dir: str) -> dict:
     # of each mode also warms JIT/codegen for run 2 (first JVM pass of
     # a 40-feature ruleset costs ~10 s of compilation, which is not
     # engine throughput)
-    walls: dict[str, list] = {"stateless": [], "stateful": [], "join": []}
+    walls: dict[str, list] = {"stateless": [], "stateful": [], "fused": [], "join": []}
     commits_best: list = []
     for _ in range(2):
         w, commits = run(BENCH_SML, "stateless")
@@ -218,9 +232,11 @@ def _bench_streaming(spark, work_dir: str) -> dict:
             commits_best = commits
         walls["stateless"].append(w)
         walls["stateful"].append(run(stateful_sml, "stateful")[0])
+        walls["fused"].append(run(fused_sml, "fused")[0])
         walls["join"].append(run_join())
     wall = min(walls["stateless"])
     wall2 = min(walls["stateful"])
+    wall4 = min(walls["fused"])
     wall3 = min(walls["join"])
     lat = sorted(c["duration_s"] for c in commits_best) or [0.0]
 
@@ -233,6 +249,8 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "batch_latency_max_s": lat[-1],
         "stateful_turns_per_sec": round(n_rows / wall2, 1),
         "stateful_wall_s": round(wall2, 3),
+        "fused3_turns_per_sec": round(n_rows / wall4, 1),
+        "fused3_wall_s": round(wall4, 3),
         "join_turns_per_sec": round(n_rows / wall3, 1),
         "join_wall_s": round(wall3, 3),
         "join_verdict_rows": n_verdicts,

@@ -1207,6 +1207,202 @@ class CompiledRuleset:
             timeoutConf="NoTimeout",
         )
 
+    def _join_fused_state(
+        self, df: DataFrame, fspecs: list[tuple[str, dict]]
+    ) -> DataFrame:
+        """Resolve a RUN of streaming state ops that share one key
+        expression in a SINGLE applyInPandasWithState pass — N
+        stateful mechanisms, ONE shuffle and ONE state-store
+        round-trip per micro-batch instead of N of each.
+
+        This is not merely an optimization: Spark permits exactly ONE
+        applyInPandasWithState per streaming query
+        (UnsupportedOperationChecker rejects chains), so a rule with
+        a 1-minute counter, a 1-hour counter and a tool-sequence CEP
+        pattern — all keyed by the same conversation entity, the
+        common transcript shape — could not stream at all as
+        sequential passes. Fusion folds all per-key mechanisms
+        against one composite state (``[state_op0, state_op1, ...]``
+        per bucket) inside one sorted pass over the group, making
+        multi-mechanism stateful rules streamable AND paying one
+        exchange + one store pass where a hypothetical chain would
+        pay N. Groups fusion cannot merge (different keys, inter-op
+        dependencies, cache ops) fail compile with an actionable
+        split, not a deep Spark error.
+
+        Semantics are pinned to the standalone resolvers: the fused
+        sort key (key, sec, ord) refines the window counter's
+        (key, sec) only among equal-timestamp rows, which cannot
+        change a range-window count (counts compare ``sec`` values,
+        not row positions); the sequence suffix fold sees the exact
+        standalone order. Equivalence is regression-tested against
+        the sequential (unfused) outputs AND the batch plans.
+
+        Callers guarantee: every spec's key has the same column-node
+        string, all seq specs share one order expression, and no
+        spec's inputs reference another fused op's output (the run
+        detector in apply() flushes otherwise).
+        """
+        import json as _json
+        import os as _os
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        key_col = fspecs[0][1]["key_col"]
+
+        ord_expr = F.lit(0.0)
+        for fam, sp in fspecs:
+            if fam == "seq" and sp["order_col"] is not None:
+                ord_expr = sp["order_col"].cast("double")
+                break
+
+        proj: list = [
+            "*",
+            key_col.cast("string").alias("__fs_key"),
+            sec.alias("__fs_sec"),
+            ord_expr.alias("__fs_ord"),
+            F.pmod(F.xxhash64(key_col.cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("__fs_bkt"),
+        ]
+        metas: list[dict] = []
+        out_fields: list = []
+        for i, (fam, sp) in enumerate(fspecs):
+            if fam == "window":
+                gate = sp["gate"]
+                proj.append(
+                    F.coalesce(sp["incremented"], F.lit(False)).alias(f"__fs{i}_inc")
+                )
+                proj.append(
+                    (
+                        F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
+                    ).alias(f"__fs{i}_gate")
+                )
+                metas.append(
+                    {
+                        "fam": "window",
+                        "name": sp["name"],
+                        "win": int(sp["window_seconds"]),
+                        "cap": int(sp["cap"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
+            else:
+                proj.append(sp["symbol_col"].alias(f"__fs{i}_sym"))
+                metas.append(
+                    {
+                        "fam": "seq",
+                        "name": sp["name"],
+                        "k": int(sp["last_k"]),
+                        "rx": _re.compile(sp["pattern"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.BooleanType()))
+
+        aug = df.select(*proj)
+        passthrough_cols = [
+            f.name for f in aug.schema.fields if not f.name.startswith("__fs")
+        ]
+        out_schema = T.StructType(
+            [f for f in aug.schema.fields if not f.name.startswith("__fs")] + out_fields
+        )
+        _NULL_KEY = "\x00"
+        n_ops = len(metas)
+
+        def fn(key, pdf_iter, state):
+            import numpy as np
+
+            states = _json.loads(state.get[0]) if state.exists else [{} for _ in range(n_ops)]
+            chunks = [c for c in pdf_iter if len(c)]
+            if not chunks:
+                state.update((_json.dumps(states),))
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(
+                ["__fs_key", "__fs_sec", "__fs_ord"], kind="stable", na_position="last"
+            )
+            n = len(pdf)
+            keys = pdf["__fs_key"].to_numpy(dtype=object)
+            sec_a = pdf["__fs_sec"].to_numpy(dtype="int64")
+            op_in: list[dict] = []
+            outs: list = []
+            for m in metas:
+                if m["fam"] == "window":
+                    op_in.append(
+                        {
+                            "inc": pdf[f"__fs{m['i']}_inc"].to_numpy(dtype=bool),
+                            "gate": pdf[f"__fs{m['i']}_gate"].to_numpy(dtype=bool),
+                        }
+                    )
+                    outs.append(np.empty(n, dtype="int64"))
+                else:
+                    op_in.append({"sym": pdf[f"__fs{m['i']}_sym"].to_numpy(dtype=object)})
+                    outs.append(np.zeros(n, dtype=bool))
+            change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            for s, e in zip(starts, ends):
+                mk = keys[s] if keys[s] is not None else _NULL_KEY
+                seg_sec = sec_a[s:e]
+                for m, inp, out_a, smap in zip(metas, op_in, outs, states):
+                    if m["fam"] == "window":
+                        win = m["win"]
+                        entries = smap.get(mk, ())
+                        inc_ts = np.sort(
+                            np.concatenate(
+                                [
+                                    np.asarray(entries, dtype="int64"),
+                                    seg_sec[inp["inc"][s:e]],
+                                ]
+                            )
+                        )
+                        hi = np.searchsorted(inc_ts, seg_sec, side="right")
+                        lo = np.searchsorted(inc_ts, seg_sec - win + 1, side="left")
+                        counts = hi - lo
+                        if m["cap"]:
+                            counts = np.minimum(counts, m["cap"])
+                        out_a[s:e] = np.where(inp["gate"][s:e], counts, 0)
+                        keep = int(seg_sec.max()) - win + 1
+                        kept = inc_ts[np.searchsorted(inc_ts, keep, side="left"):]
+                        if len(kept):
+                            smap[mk] = [int(x) for x in kept]
+                        elif mk in smap:
+                            del smap[mk]
+                    else:
+                        k_len = m["k"]
+                        rx = m["rx"]
+                        suffix = smap.get(mk, "")
+                        syms = inp["sym"][s:e]
+                        seg_out = out_a[s:e]
+                        for j, ch in enumerate(syms):
+                            suffix = (suffix + ch)[-k_len:]
+                            seg_out[j] = rx.search(suffix) is not None
+                        if suffix:
+                            smap[mk] = suffix
+                        elif mk in smap:
+                            del smap[mk]
+            out = pdf[passthrough_cols].copy()
+            for m, out_a in zip(metas, outs):
+                out[m["name"]] = out_a
+            state.update((_json.dumps(states),))
+            yield out
+
+        return aug.groupBy("__fs_bkt").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=T.StructType(
+                [T.StructField("states_json", T.StringType())]
+            ),
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+
     def _join_cache_streaming(self, df: DataFrame, spec: dict, sec: Column) -> DataFrame:
         """Streaming strategy for a CacheGet: each event row explodes
         into its Set-write pieces (narrow: key, ts, stmt idx, value,
@@ -1521,11 +1717,114 @@ class CompiledRuleset:
         cache_specs = {s["name"]: s for s in getattr(self.ctx, "cache_lookups", [])}
         window_specs = {s["name"]: s for s in getattr(self.ctx, "window_lookups", [])}
         seq_specs = {s["name"]: s for s in getattr(self.ctx, "seq_lookups", [])}
+        # STATE-OP FUSION (streaming only): a maximal run of
+        # consecutive window/seq state ops sharing one key expression
+        # resolves through a single applyInPandasWithState — one
+        # exchange + one state-store pass for N mechanisms. Runs break
+        # on: a non-window/seq entry, a different key node, a second
+        # seq order expression, or an op whose inputs reference a
+        # fused op's output (it must see that column materialized).
+        streaming = df.isStreaming
+
+        def _node(col) -> str:
+            try:
+                return col._jc.node().toString()
+            except Exception:  # pragma: no cover - defensive
+                return repr(col)
+
+        pending: list[tuple[str, dict]] = []
+        state_passes: list[list[str]] = []
+
+        def _register_pass(names: list[str]) -> None:
+            # Spark allows ONE applyInPandasWithState per streaming
+            # query; fusion collapses same-key window/seq runs into
+            # one, but groups split by key changes, inter-op
+            # dependencies, or cache ops cannot share a pass. Fail
+            # here with the split, not deep inside Spark's
+            # UnsupportedOperationChecker (or a scratch-column
+            # resolution error) when the second pass builds.
+            if streaming and state_passes:
+                groups = "; ".join(
+                    "{" + ", ".join(g) + "}" for g in state_passes + [names]
+                )
+                raise ValueError(
+                    "streaming ruleset needs "
+                    f"{len(state_passes) + 1} stateful passes ({groups}) but "
+                    "Spark supports a single applyInPandasWithState per "
+                    "query. Stateful features stream together only when they "
+                    "share one key expression, do not read each other's "
+                    "outputs, and do not mix with Cache* ops; split the "
+                    "ruleset or evaluate the extra features in batch."
+                )
+            state_passes.append(names)
+
+        def _flush(frame: DataFrame) -> DataFrame:
+            if not pending:
+                return frame
+            _register_pass([sp["name"] for _, sp in pending])
+            if len(pending) == 1:
+                fam, sp = pending[0]
+                frame = (
+                    self._join_window_count(frame, sp)
+                    if fam == "window"
+                    else self._join_seq_match(frame, sp)
+                )
+            else:
+                frame = self._join_fused_state(frame, list(pending))
+            pending.clear()
+            return frame
+
+        def _spec_refs(fam: str, sp: dict) -> set:
+            cols = [sp["key_col"]]
+            if fam == "window":
+                cols.append(sp["incremented"])
+                if sp["gate"] is not None:
+                    cols.append(sp["gate"])
+            else:
+                cols.append(sp["symbol_col"])
+                if sp["order_col"] is not None:
+                    cols.append(sp["order_col"])
+            refs: set = set()
+            for c in cols:
+                refs |= _column_refs(c)
+            return refs
+
+        def _fusable(fam: str, sp: dict) -> bool:
+            if not pending:
+                return True
+            if _node(sp["key_col"]) != _node(pending[0][1]["key_col"]):
+                return False
+            if fam == "seq" and sp["order_col"] is not None:
+                for pf, psp in pending:
+                    if (
+                        pf == "seq"
+                        and psp["order_col"] is not None
+                        and _node(psp["order_col"]) != _node(sp["order_col"])
+                    ):
+                        return False
+            emitted = {psp["name"] for _, psp in pending}
+            return not (_spec_refs(fam, sp) & emitted)
+
         for mangled, defn in self._hoisted_feature_order(
             window_specs, cache_specs, seq_specs
         ):
             if defn is None:
+                if streaming and mangled in window_specs:
+                    sp = window_specs[mangled]
+                    if not _fusable("window", sp):
+                        df = _flush(df)
+                    pending.append(("window", sp))
+                    continue
+                if streaming and mangled in seq_specs:
+                    sp = seq_specs[mangled]
+                    if not _fusable("seq", sp):
+                        df = _flush(df)
+                    pending.append(("seq", sp))
+                    continue
+                df = _flush(df)
                 if mangled in cache_specs:
+                    if streaming:
+                        _register_pass([mangled])
                     df = self._join_cache(df, cache_specs[mangled])
                 elif mangled in window_specs:
                     df = self._join_window_count(df, window_specs[mangled])
@@ -1534,7 +1833,9 @@ class CompiledRuleset:
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:
+                df = _flush(df)
                 df = df.select("*", defn.alias(mangled))
+        df = _flush(df)
         # Output-name collision guard: the result frame must be usable
         # under Spark's DEFAULT case-insensitive resolution, not just
         # under this engine's caseSensitive=true sessions. A ruleset

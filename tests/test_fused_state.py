@@ -1,0 +1,177 @@
+"""State-op fusion: consecutive streaming window/seq state ops that
+share one key expression resolve through a SINGLE
+applyInPandasWithState pass (one exchange + one state-store
+round-trip for N mechanisms).
+
+Contract: fused output is identical to both the sequential unfused
+streaming path and the batch plans; fusion must NOT engage across a
+key change or a dependency on a fused op's output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from osprey_spark.compiler import compile_ruleset
+from osprey_spark.streaming.pipeline import StreamingRuleEngine
+from osprey_spark.turns import TURN_BINDINGS, generate_turns, with_envelope
+
+
+def _n_state_nodes(df) -> int:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return plan.count("FlatMapGroupsInPandasWithState")
+
+
+def _stream_vs_batch(spark, tmp_path, sml, feature_cols):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=8, turns_per_conv=10, hot_convs=0, late_fraction=0.0)
+    t.filter(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(in_dir)
+    t.filter(F.col("turn_idx") >= 5).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"), max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    assert len(eng.sink.committed_batches()) >= 2
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in feature_cols)
+        for r in eng.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in feature_cols)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 80
+    return rs, in_dir
+
+
+FUSED_SML = """
+K: str = JsonData(path='$.conv_id')
+Role: str = JsonData(path='$.role')
+Ti: int = JsonData(path='$.turn_idx')
+IsUser = Role == 'user'
+NShort = IncrementWindow(key=K, window_seconds=120.0, when_all=[IsUser])
+NLong = IncrementWindow(key=K, window_seconds=3600.0)
+ToolSeq = SequenceMatches(key=K, symbol=Role, pattern='at', last_k=4, order=Ti)
+Bursty = NShort >= 2
+"""
+
+
+def test_fused_run_single_state_pass(spark, tmp_path):
+    """Two window counters + one CEP pattern on the same key: ONE
+    FlatMapGroupsInPandasWithState in the streaming plan, outputs
+    equal to batch for every mechanism."""
+    rs, in_dir = _stream_vs_batch(
+        spark, tmp_path, FUSED_SML, ["NShort", "NLong", "ToolSeq", "Bursty"]
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    out = rs().apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+    assert _n_state_nodes(out) == 1
+
+
+DEP_SML = """
+K: str = JsonData(path='$.conv_id')
+Role: str = JsonData(path='$.role')
+N1 = IncrementWindow(key=K, window_seconds=3600.0)
+N2 = IncrementWindow(key=K, window_seconds=3600.0, when_all=[N1 >= 2])
+"""
+
+
+def test_fusion_breaks_on_dependency(spark, tmp_path):
+    """The second counter's gate reads the first counter's output, so
+    the ops cannot share a pass — and Spark supports only ONE
+    applyInPandasWithState per streaming query: apply() must raise
+    the engine's actionable error (naming both groups) instead of
+    failing deep inside Spark at query start. Batch is unaffected."""
+    import pytest
+
+    rs = compile_ruleset({"main.sml": DEP_SML}, bindings=TURN_BINDINGS)
+    t = generate_turns(spark, n_convs=2, turns_per_conv=6, hot_convs=0)
+    batch = rs.apply(with_envelope(t), passthrough=["conv_id", "turn_idx"])
+    rows = batch.select("N1", "N2").collect()
+    assert len(rows) == 12 and all(r.N1 >= r.N2 for r in rows)
+
+    in_dir = str(tmp_path / "in")
+    t.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    with pytest.raises(ValueError, match="N1.*N2|2 stateful passes"):
+        rs.apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+
+
+KEYS_SML = """
+K: str = JsonData(path='$.conv_id')
+R: str = JsonData(path='$.role')
+NConv = IncrementWindow(key=K, window_seconds=3600.0)
+NRole = IncrementWindow(key=R, window_seconds=3600.0)
+"""
+
+
+def test_fusion_breaks_on_key_change(spark, tmp_path):
+    """Different key expressions cannot share a grouping, which in
+    streaming means an unrunnable 2-pass plan: apply() raises the
+    engine error up front. Batch evaluates both counters fine."""
+    import pytest
+
+    rs = compile_ruleset({"main.sml": KEYS_SML}, bindings=TURN_BINDINGS)
+    t = generate_turns(spark, n_convs=2, turns_per_conv=6, hot_convs=0)
+    batch = rs.apply(with_envelope(t), passthrough=["conv_id", "turn_idx"])
+    rows = batch.select("NConv", "NRole").collect()
+    assert len(rows) == 12 and all(r.NRole >= 1 and r.NConv >= 1 for r in rows)
+
+    in_dir = str(tmp_path / "in")
+    t.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    with pytest.raises(ValueError, match="stateful passes"):
+        rs.apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+
+
+def test_fused_state_survives_restart(spark, tmp_path):
+    """Kill after batch 1, restart on the same checkpoint: the fused
+    composite state (both counters + the suffix) resumes and the
+    final outputs still match batch."""
+    sml = FUSED_SML
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=4, turns_per_conv=8, hot_convs=0, late_fraction=0.0)
+
+    def rs():
+        return compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+
+    t.filter(F.col("turn_idx") < 4).coalesce(1).write.mode("append").parquet(in_dir)
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+    )
+    eng.run_to_completion()
+    t.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode("append").parquet(in_dir)
+    eng2 = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+    )
+    eng2.run_to_completion()
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["NShort"], r["NLong"], r["ToolSeq"])
+        for r in eng2.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["NShort"], r["NLong"], r["ToolSeq"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 32
