@@ -315,6 +315,33 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity analytics rollup in ONE scan — per-type-per-
+    day, per-type, and grand-total counts + distinct users via
+    GROUPING SETS (analytics.rollup_timeseries), where the reference
+    issues one ClickHouse query per level (ref: clickhouse.py:
+    154-205). gid tags the level (0 = finest, 3 = total)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return analytics.rollup_timeseries(
+        ev, "ts", ["event_type"], granularity="day", user_col="user_id"
+    )
+
+
+O_ROLLUP_TIMESERIES = """
+WITH e AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         user_id
+  FROM events
+)
+SELECT event_type, bucket, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(GROUPING(event_type, bucket) AS BIGINT) AS gid
+FROM e GROUP BY ROLLUP(event_type, bucket)
+ORDER BY gid, event_type NULLS FIRST, bucket NULLS FIRST
+"""
+
+
 def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return analytics.paginated_scan(
@@ -3077,6 +3104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topn": q_topn,
     "topn_pop": q_topn_pop,
     "timeseries": q_timeseries,
+    "rollup_timeseries": q_rollup_timeseries,
     "paginated_scan": q_scan,
     "count_distinct": q_count_distinct,
     "approx_distinct": q_approx_distinct,
@@ -3165,6 +3193,7 @@ ORACLES: dict[str, str] = {
     "topn": O_TOPN,
     "topn_pop": O_TOPN_POP,
     "timeseries": O_TIMESERIES,
+    "rollup_timeseries": O_ROLLUP_TIMESERIES,
     "paginated_scan": O_SCAN,
     "count_distinct": O_COUNT_DISTINCT,
     "entity_filter": O_ENTITY_FILTER,

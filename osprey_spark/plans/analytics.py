@@ -293,3 +293,42 @@ def funnel(
     ).select(
         "stage", F.col("stage_idx").cast("int").alias("stage_idx"), F.col("n_users").cast("long").alias("n_users")
     )
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    dims: Sequence[str],
+    granularity: str = "day",
+    user_col: Optional[str] = None,
+) -> DataFrame:
+    """Multi-granularity rollup in ONE scan: counts (and optional
+    distinct users) at every prefix level of ``dims + [bucket]`` via
+    GROUPING SETS — the hypertable-rollup shape (per-dim-per-day,
+    per-dim, grand total from a single pass instead of one scan per
+    level, the way the reference issues one ClickHouse query per
+    granularity; ref: clickhouse.py:154-205).
+
+    Plan at 100 TB: Catalyst's Expand replicates each input row once
+    per grouping set BEFORE the hash aggregate, so map-side partials
+    still collapse per set and the shuffle carries only group rows
+    (levels x groups), never the corpus. ``grouping_id()`` tags each
+    level; aggregates are exact integers so the output is
+    oracle-hash-exact with no float-order concerns.
+    """
+    trunc = _GRANULARITY_TRUNC[granularity]
+    bucket = F.date_format(
+        F.date_trunc(trunc, F.col(ts_col).cast("timestamp")), "yyyy-MM-dd HH:mm:ss"
+    ).alias("bucket")
+    aggs = [F.count(F.lit(1)).alias("n_events"), F.grouping_id().alias("gid")]
+    if user_col:
+        aggs.insert(1, F.countDistinct(F.col(user_col)).alias("n_users"))
+    out = (
+        df.select(*[F.col(d) for d in dims], bucket, *( [F.col(user_col)] if user_col else [] ))
+        .rollup(*dims, "bucket")
+        .agg(*aggs)
+    )
+    order = [F.col("gid")] + [F.asc_nulls_first(c) for c in (*dims, "bucket")]
+    return out.orderBy(*order).select(*dims, "bucket", *(
+        ["n_events", "n_users"] if user_col else ["n_events"]
+    ), F.col("gid").cast("long").alias("gid"))
