@@ -116,3 +116,54 @@ def join_verdicts_to_turns(
     return t.join(v, cond, how).select(
         "conv_id", "turn_idx", "text", "ts", "verdicts"
     )
+
+
+def stream_windowed_topn(
+    stream: DataFrame,
+    dim_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Finalized tumbling-window counts per dim value, append mode:
+    a (window, dim) group emits exactly once, when the event-time
+    watermark passes its window end. Pair with :func:`rank_topn` in
+    a foreachBatch sink for streaming trending top-N: because the
+    watermark is a global per-trigger frontier, EVERY group of a
+    closing window finalizes in the same micro-batch, so ranking
+    within the batch sees each window complete — the per-window
+    top-k equals the batch `windowed_topn` over the same rows
+    (equivalence-tested).
+
+    Scale shape: identical to the batch plan — one time-bucketed
+    hash aggregate with map-side partials; streaming adds only the
+    (window, dim)-cardinality state store, never row-cardinality."""
+    # no cast on the window's time column: a cast builds a fresh
+    # expression that loses the watermark tag and Spark then rejects
+    # append mode as "aggregation without watermark"
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(dim_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), dim_col, "n")
+    )
+
+
+def rank_topn(counts: DataFrame, dim_col: str, k: int = 3) -> DataFrame:
+    """Rank finalized window counts to per-window top-k (shared by
+    the streaming foreachBatch sink and the batch oracle): rank
+    partitions are (window, dim) cardinality, never row
+    cardinality."""
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("window_start").orderBy(F.desc("n"), dim_col)
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "window_start", "rank", dim_col, F.col("n").cast("long").alias("n")
+        )
+    )

@@ -145,3 +145,68 @@ def test_stream_window_hll_evicts_on_watermark(spark, tmp_path):
                 latest_open[k] = r
     for r in finals:
         assert r.hll_estimate == latest_open[(r.win_start, r.role)].hll_estimate
+
+
+def test_stream_windowed_topn_matches_batch(spark, tmp_path):
+    """Streaming trending top-N: finalized windows (append-mode agg,
+    all groups of a closing window land in one micro-batch) ranked in
+    foreachBatch equal the batch windowed top-k for those windows."""
+    from pyspark.sql import Window as W
+
+    from osprey_spark.streaming.windows import rank_topn, stream_windowed_topn
+
+    rows = []
+    for i in range(180):
+        hour = 10 + (i // 60)
+        rows.append((f"c{i}", i, ["user", "assistant", "tool"][i % 3 if i % 7 else 2],
+                     f"t{i}", f"2024-01-01 {hour:02d}:{i % 60:02d}:00"))
+    # a much-later row pushes the watermark past all three hours
+    rows.append(("zz", 999, "user", "late", "2024-01-01 18:00:00"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts_str string"
+    ).select("conv_id", "turn_idx", "role", "text", F.to_timestamp("ts_str").alias("ts"))
+    src = str(tmp_path / "turns")
+    df.filter(F.col("turn_idx") < 90).coalesce(1).write.parquet(src)
+    df.filter((F.col("turn_idx") >= 90) & (F.col("turn_idx") < 999)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("turn_idx") == 999).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "topn_out")
+
+    def sink(batch_df, batch_id):
+        ranked = rank_topn(batch_df, "role", k=2)
+        ranked.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_windowed_topn(stream, "role", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.rank): (r.role, r.n)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch reference over the three CLOSED hours (the late row's own
+    # window never finalizes — watermark stops at its event time)
+    closed = df.filter(F.col("turn_idx") < 999)
+    counts = (
+        closed.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "role", "n")
+    )
+    want = {
+        (r.window_start, r.rank): (r.role, r.n)
+        for r in rank_topn(counts, "role", k=2).collect()
+    }
+    assert got == want and len({w for w, _ in got}) == 3
