@@ -315,6 +315,39 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_response_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation — absence detection (cep.response_absence): for
+    every user turn, was an assistant turn seen later in the same
+    conversation within 240 s? The SLA/abandonment signal positive
+    patterns cannot express; one reversed running-min window over
+    conv-sized partitions. Streaming form emits unanswered triggers
+    on event-time timeout (tests/test_absence.py)."""
+    from .operators.cep import response_absence
+
+    return response_absence(turns_from_events(spark, sf_dir), timeout_seconds=240)
+
+
+O_RESPONSE_ABSENCE = (
+    TURNS_CTE
+    + """
+SELECT conv_id, turn_idx,
+  CAST(floor(epoch(ts)) AS BIGINT) AS trigger_sec,
+  coalesce(resp - CAST(floor(epoch(ts)) AS BIGINT) <= 240, FALSE) AS responded,
+  CASE WHEN coalesce(resp - CAST(floor(epoch(ts)) AS BIGINT) <= 240, FALSE)
+       THEN resp END AS response_sec
+FROM (
+  SELECT conv_id, turn_idx, role, ts,
+    min(CASE WHEN role = 'assistant' THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS resp
+  FROM turns
+)
+WHERE role = 'user'
+ORDER BY conv_id, turn_idx
+"""
+)
+
+
 def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity analytics rollup in ONE scan — per-type-per-
     day, per-type, and grand-total counts + distinct users via
@@ -3105,6 +3138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topn_pop": q_topn_pop,
     "timeseries": q_timeseries,
     "rollup_timeseries": q_rollup_timeseries,
+    "response_absence": q_response_absence,
     "paginated_scan": q_scan,
     "count_distinct": q_count_distinct,
     "approx_distinct": q_approx_distinct,
@@ -3194,6 +3228,7 @@ ORACLES: dict[str, str] = {
     "topn_pop": O_TOPN_POP,
     "timeseries": O_TIMESERIES,
     "rollup_timeseries": O_ROLLUP_TIMESERIES,
+    "response_absence": O_RESPONSE_ABSENCE,
     "paginated_scan": O_SCAN,
     "count_distinct": O_COUNT_DISTINCT,
     "entity_filter": O_ENTITY_FILTER,

@@ -447,3 +447,276 @@ FROM seqs
 WHERE len(regexp_extract_all(seq, '{esc}')) >= {min_matches}
 ORDER BY {key_col}
 """
+
+
+def response_absence(
+    turns: DataFrame,
+    timeout_seconds: int = 300,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """CEP NEGATION — absence detection: for every ``trigger_role``
+    turn, was there a ``response_role`` turn LATER in the same
+    conversation within ``timeout_seconds``? Positive patterns
+    (sequence_match) cannot express "X *not* followed by Y within T";
+    this is the complement — the SLA/abandonment signal (Flink CEP
+    ``notFollowedBy`` + ``within``).
+
+    Batch plan: one window over conv-sized partitions ordered by
+    DESCENDING ``idx_col`` computes the running min event time of
+    response turns at-or-after each row (a backwards-looking min over
+    the reversed order — no self-join); ``responded`` compares it to
+    the trigger's time. Per-key cost is conversation-bounded, the
+    shuffle key is the conversation — the same contract as every
+    transcript op. Output: one row per trigger turn with
+    ``response_ts`` (epoch sec, NULL if none) and ``responded``.
+
+    Streaming form: :func:`stream_response_absence` — pending
+    triggers wait in the state store and unanswered ones emit on
+    event-time TIMEOUT, the online shape of the same semantics.
+    """
+    from pyspark.sql import Window as W
+
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("_role"),
+        sec.alias("_sec"),
+    )
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nxt = F.min(
+        F.when(F.col("_role") == response_role, F.col("_sec"))
+    ).over(w)
+    return (
+        base.select("*", nxt.alias("_resp_sec"))
+        .filter(F.col("_role") == trigger_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("_sec").alias("trigger_sec"),
+            F.coalesce(
+                (F.col("_resp_sec") - F.col("_sec")) <= timeout_seconds,
+                F.lit(False),
+            ).alias("responded"),
+            # response_sec only when the SLA was met: keeps batch and
+            # streaming identical (the streaming form cannot know the
+            # eventual beyond-timeout response time at expiry)
+            F.when(
+                F.coalesce(
+                    (F.col("_resp_sec") - F.col("_sec")) <= timeout_seconds,
+                    F.lit(False),
+                ),
+                F.col("_resp_sec"),
+            ).alias("response_sec"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def response_absence_oracle_sql(
+    table: str = "turns", timeout_seconds: int = 300
+) -> str:
+    """DuckDB replay of :func:`response_absence`: identical reversed
+    running-min window and timeout comparison."""
+    return f"""
+SELECT conv_id, turn_idx,
+  CAST(floor(epoch(ts)) AS BIGINT) AS trigger_sec,
+  coalesce(resp - CAST(floor(epoch(ts)) AS BIGINT) <= {timeout_seconds}, FALSE) AS responded,
+  CASE WHEN coalesce(resp - CAST(floor(epoch(ts)) AS BIGINT) <= {timeout_seconds}, FALSE)
+       THEN resp END AS response_sec
+FROM (
+  SELECT conv_id, turn_idx, role, ts,
+    min(CASE WHEN role = 'assistant' THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS resp
+  FROM {table}
+)
+WHERE role = 'user'
+ORDER BY conv_id, turn_idx
+"""
+
+
+def stream_response_absence(
+    turns: DataFrame,
+    timeout_seconds: int = 300,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming absence detection with event-time TIMEOUT emission —
+    the online form of :func:`response_absence`. Trigger turns wait
+    in the state store; a later response turn resolves every pending
+    trigger of its conversation (``responded`` = within
+    ``timeout_seconds``); a trigger still pending when the watermark
+    passes ``trigger + timeout`` can never be answered in time, so
+    the slot emits ``responded=false`` and frees — nothing waits
+    forever and state is bounded by OPEN triggers, not history.
+
+    Same key-coalescing as the other state ops: buckets of the conv
+    key; the bucket's timeout timestamp is the EARLIEST pending
+    deadline across its conversations, re-armed after every batch.
+    Late-beyond-watermark responses count as absent — the standard
+    watermark contract (batch equivalence holds for streams whose
+    responses respect the watermark; equivalence-tested).
+
+    Output: one row per trigger turn (conv_id, turn_idx,
+    trigger_sec, responded, response_sec) — identical schema and
+    values to the batch operator.
+    """
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.sketches import parse_delay_seconds
+
+    delay_sec = parse_delay_seconds(watermark)
+    n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    src = turns.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.col(conv_col).cast("string").alias("__ra_key"),
+        F.col(idx_col).cast("long").alias("__ra_idx"),
+        sec.alias("__ra_sec"),
+        (F.col(role_col) == trigger_role).alias("__ra_trig"),
+        (F.col(role_col) == response_role).alias("__ra_resp"),
+        F.pmod(F.xxhash64(F.col(conv_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("__ra_bkt"),
+    )
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("trigger_sec", LongType()),
+            StructField("responded", BooleanType()),
+            StructField("response_sec", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("pending_json", StringType())])
+    _NULL_KEY = "\x00"
+    tmo = int(timeout_seconds)
+
+    def fn(key, pdf_iter, state):
+        smap = _json.loads(state.get[0]) if state.exists else {}
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        rows: list[tuple] = []
+
+        def _expire(now_wm: int) -> None:
+            # a pending trigger is definitively unanswered once the
+            # watermark (already event-time minus delay) passes its
+            # deadline: no in-contract response can still arrive
+            for conv in list(smap):
+                kept = []
+                for idx, tsec in smap[conv]:
+                    if tsec + tmo < now_wm:
+                        rows.append((conv if conv != _NULL_KEY else None, idx, tsec, False, None))
+                    else:
+                        kept.append([idx, tsec])
+                if kept:
+                    smap[conv] = kept
+                else:
+                    del smap[conv]
+
+        def _rearm() -> None:
+            deadlines = [
+                tsec + tmo for p in smap.values() for _, tsec in p
+            ]
+            if deadlines:
+                state.setTimeoutTimestamp(
+                    max((min(deadlines) + 1) * 1000, state.getCurrentWatermarkMs() + 1)
+                )
+
+        def _emit():
+            if not rows:
+                return
+            yield pd.DataFrame(
+                {
+                    "conv_id": [r[0] for r in rows],
+                    "turn_idx": pd.array([r[1] for r in rows], dtype="int64"),
+                    "trigger_sec": pd.array([r[2] for r in rows], dtype="int64"),
+                    "responded": pd.array([r[3] for r in rows], dtype="bool"),
+                    "response_sec": pd.array(
+                        [r[4] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+        if state.hasTimedOut:
+            _expire(wm_sec)
+            if smap:
+                state.update((_json.dumps(smap),))
+                _rearm()
+            else:
+                state.remove()
+            yield from _emit()
+            return
+
+        _expire(wm_sec)
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["__ra_key", "__ra_idx"], kind="stable")
+            for conv_raw, grp in pdf.groupby("__ra_key", sort=False, dropna=False):
+                conv = conv_raw if isinstance(conv_raw, str) else _NULL_KEY
+                pending = smap.get(conv, [])
+                for idx, tsec, trig, resp in zip(
+                    grp["__ra_idx"].to_numpy(dtype="int64"),
+                    grp["__ra_sec"].to_numpy(dtype="int64"),
+                    grp["__ra_trig"].to_numpy(dtype=bool),
+                    grp["__ra_resp"].to_numpy(dtype=bool),
+                ):
+                    if resp:
+                        for pidx, psec in pending:
+                            ok = (int(tsec) - psec) <= tmo
+                            rows.append(
+                                (
+                                    conv if conv != _NULL_KEY else None,
+                                    pidx,
+                                    psec,
+                                    ok,
+                                    int(tsec) if ok else None,
+                                )
+                            )
+                        pending = []
+                    if trig:
+                        pending.append([int(idx), int(tsec)])
+                if pending:
+                    smap[conv] = pending
+                elif conv in smap:
+                    del smap[conv]
+        if smap:
+            state.update((_json.dumps(smap),))
+            _rearm()
+        elif state.exists:
+            state.remove()
+        yield from _emit()
+
+    return src.groupBy("__ra_bkt").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
