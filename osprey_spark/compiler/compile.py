@@ -1292,7 +1292,7 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
-            else:
+            elif fam == "seq":
                 proj.append(sp["symbol_col"].alias(f"__fs{i}_sym"))
                 metas.append(
                     {
@@ -1304,6 +1304,29 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.BooleanType()))
+            else:  # cache — emits a RAW lookup column "__fcv_{i}";
+                # default/gate post-processing happens JVM-side in the
+                # caller (mirrors _join_cache_streaming's tail)
+                sets_meta = []
+                for j, s in enumerate(sp["sets"]):
+                    set_gate = (
+                        F.coalesce(s["gate"], F.lit(False))
+                        if s["gate"] is not None
+                        else F.lit(True)
+                    )
+                    proj.append(set_gate.alias(f"__fs{i}s{j}_g"))
+                    proj.append(
+                        s["value_col"].cast(sp["cast"]).alias(f"__fs{i}s{j}_v")
+                    )
+                    sets_meta.append(
+                        {"j": j, "idx": int(s["idx"]), "ttl": round(s["ttl"])}
+                    )
+                metas.append(
+                    {"fam": "cache", "name": sp["name"], "sets": sets_meta, "i": i}
+                )
+                out_fields.append(
+                    T.StructField(f"__fcv_{i}", T._parse_datatype_string(sp["cast"]))
+                )
 
         aug = df.select(*proj)
         passthrough_cols = [
@@ -1341,9 +1364,23 @@ class CompiledRuleset:
                         }
                     )
                     outs.append(np.empty(n, dtype="int64"))
-                else:
+                elif m["fam"] == "seq":
                     op_in.append({"sym": pdf[f"__fs{m['i']}_sym"].to_numpy(dtype=object)})
                     outs.append(np.zeros(n, dtype=bool))
+                else:  # cache
+                    op_in.append(
+                        {
+                            "g": [
+                                pdf[f"__fs{m['i']}s{s['j']}_g"].to_numpy(dtype=bool)
+                                for s in m["sets"]
+                            ],
+                            "v": [
+                                pdf[f"__fs{m['i']}s{s['j']}_v"].to_numpy(dtype=object)
+                                for s in m["sets"]
+                            ],
+                        }
+                    )
+                    outs.append(np.full(n, None, dtype=object))
             change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [n]))
@@ -1374,7 +1411,7 @@ class CompiledRuleset:
                             smap[mk] = [int(x) for x in kept]
                         elif mk in smap:
                             del smap[mk]
-                    else:
+                    elif m["fam"] == "seq":
                         k_len = m["k"]
                         rx = m["rx"]
                         suffix = smap.get(mk, "")
@@ -1387,9 +1424,53 @@ class CompiledRuleset:
                             smap[mk] = suffix
                         elif mk in smap:
                             del smap[mk]
+                    else:
+                        # cache: rebuild the standalone resolver's
+                        # event stream for this segment — per row, its
+                        # gated Set writes then its probe, globally
+                        # sorted (sec, writes-first, stmt idx) — and
+                        # fold the Redis overwrite state through it.
+                        # events: (sec, kind 0=write/1=probe, idx, payload)
+                        key_is_null = keys[s] is None
+                        events = []
+                        for r in range(s, e):
+                            if not key_is_null:
+                                for sm, g_a, v_a in zip(
+                                    m["sets"], inp["g"], inp["v"]
+                                ):
+                                    if g_a[r]:
+                                        v = v_a[r]
+                                        events.append(
+                                            (
+                                                int(sec_a[r]),
+                                                0,
+                                                sm["idx"],
+                                                None if pd.isna(v) else (
+                                                    v.item() if hasattr(v, "item") else v
+                                                ),
+                                                int(sec_a[r]) + sm["ttl"] - 1,
+                                            )
+                                        )
+                            events.append((int(sec_a[r]), 1, 0, r, 0))
+                        events.sort(key=lambda ev: (ev[0], ev[1], ev[2]))
+                        latest = smap.get(mk)  # [ts, idx, exp, val]
+                        for ev in events:
+                            if ev[1] == 0:
+                                ts_w, _, idx_w, val_w, exp_w = ev
+                                if latest is None or [ts_w, idx_w] >= latest[:2]:
+                                    latest = [ts_w, idx_w, exp_w, val_w]
+                            else:
+                                r = ev[3]
+                                if latest is not None and latest[2] >= ev[0]:
+                                    out_a[r] = latest[3]
+                        if latest is not None:
+                            smap[mk] = latest
+                        elif mk in smap:
+                            del smap[mk]
             out = pdf[passthrough_cols].copy()
             for m, out_a in zip(metas, outs):
-                out[m["name"]] = out_a
+                col = f"__fcv_{m['i']}" if m["fam"] == "cache" else m["name"]
+                out[col] = out_a
             state.update((_json.dumps(states),))
             yield out
 
@@ -1764,13 +1845,29 @@ class CompiledRuleset:
             _register_pass([sp["name"] for _, sp in pending])
             if len(pending) == 1:
                 fam, sp = pending[0]
-                frame = (
-                    self._join_window_count(frame, sp)
-                    if fam == "window"
-                    else self._join_seq_match(frame, sp)
-                )
+                if fam == "window":
+                    frame = self._join_window_count(frame, sp)
+                elif fam == "seq":
+                    frame = self._join_seq_match(frame, sp)
+                else:
+                    frame = self._join_cache(frame, sp)
             else:
-                frame = self._join_fused_state(frame, list(pending))
+                group = list(pending)
+                frame = self._join_fused_state(frame, group)
+                # cache entries come back as raw "__fcv_{i}" lookup
+                # columns; apply default/gate JVM-side exactly like
+                # the standalone resolver's tail
+                for i, (fam, sp) in enumerate(group):
+                    if fam != "cache":
+                        continue
+                    result = F.coalesce(F.col(f"__fcv_{i}"), sp["default_col"])
+                    if sp["gate"] is not None:
+                        result = F.when(
+                            F.coalesce(sp["gate"], F.lit(False)), result
+                        ).otherwise(sp["default_col"])
+                    frame = frame.select("*", result.alias(sp["name"])).drop(
+                        f"__fcv_{i}"
+                    )
             pending.clear()
             return frame
 
@@ -1780,10 +1877,19 @@ class CompiledRuleset:
                 cols.append(sp["incremented"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
-            else:
+            elif fam == "seq":
                 cols.append(sp["symbol_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
+            else:  # cache
+                if sp["gate"] is not None:
+                    cols.append(sp["gate"])
+                cols.append(sp["default_col"])
+                for s in sp["sets"]:
+                    cols.append(s["key_col"])
+                    cols.append(s["value_col"])
+                    if s["gate"] is not None:
+                        cols.append(s["gate"])
             refs: set = set()
             for c in cols:
                 refs |= _column_refs(c)
@@ -1792,8 +1898,16 @@ class CompiledRuleset:
         def _fusable(fam: str, sp: dict) -> bool:
             if not pending:
                 return True
-            if _node(sp["key_col"]) != _node(pending[0][1]["key_col"]):
+            key_node = _node(pending[0][1]["key_col"])
+            if _node(sp["key_col"]) != key_node:
                 return False
+            if fam == "cache":
+                # every Set statement must write through the SAME key
+                # the fused pass groups by, or its writes would land
+                # in the wrong bucket
+                for s in sp["sets"]:
+                    if _node(s["key_col"]) != key_node:
+                        return False
             if fam == "seq" and sp["order_col"] is not None:
                 for pf, psp in pending:
                     if (
@@ -1821,10 +1935,26 @@ class CompiledRuleset:
                         df = _flush(df)
                     pending.append(("seq", sp))
                     continue
+                if streaming and mangled in cache_specs:
+                    sp = cache_specs[mangled]
+                    key_node = _node(sp["key_col"])
+                    internal_ok = all(
+                        _node(s["key_col"]) == key_node for s in sp["sets"]
+                    )
+                    if not internal_ok:
+                        # writes keyed differently from the reads:
+                        # only the standalone union resolver can
+                        # route them — force a singleton pass
+                        df = _flush(df)
+                        pending.append(("cache", sp))
+                        df = _flush(df)
+                        continue
+                    if not _fusable("cache", sp):
+                        df = _flush(df)
+                    pending.append(("cache", sp))
+                    continue
                 df = _flush(df)
                 if mangled in cache_specs:
-                    if streaming:
-                        _register_pass([mangled])
                     df = self._join_cache(df, cache_specs[mangled])
                 elif mangled in window_specs:
                     df = self._join_window_count(df, window_specs[mangled])

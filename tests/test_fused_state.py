@@ -175,3 +175,76 @@ def test_fused_state_survives_restart(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) == 32
+
+
+CACHE_FUSED_SML = """
+K: str = JsonData(path='$.conv_id')
+Role: str = JsonData(path='$.role')
+Text: str = JsonData(path='$.text')
+Ti: int = JsonData(path='$.turn_idx')
+IsUser = Role == 'user'
+N = IncrementWindow(key=K, window_seconds=600.0, when_all=[IsUser])
+CacheSetStr(key=K, value=Text, when_all=[IsUser], ttl_seconds=3600.0)
+LastUserText = CacheGetStr(key=K, default='none')
+ToolSeq = SequenceMatches(key=K, symbol=Role, pattern='at', last_k=4, order=Ti)
+"""
+
+
+def test_cache_fuses_with_other_state_ops(spark, tmp_path):
+    """All THREE state-op families on one key — counter, Redis-style
+    cache pairing, CEP suffix — stream through a single
+    applyInPandasWithState and match batch exactly (incl. the cache's
+    zadd-then-read write/probe ordering across micro-batches)."""
+    rs, in_dir = _stream_vs_batch(
+        spark, tmp_path, CACHE_FUSED_SML, ["N", "LastUserText", "ToolSeq"]
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    out = rs().apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+    assert _n_state_nodes(out) == 1
+
+
+CACHE_ALONE_SML = """
+K: str = JsonData(path='$.conv_id')
+Text: str = JsonData(path='$.text')
+IsUser = JsonData(path='$.role') == 'user'
+CacheSetStr(key=K, value=Text, when_all=[IsUser], ttl_seconds=3600.0)
+LastUserText = CacheGetStr(key=K, default='none')
+"""
+
+
+def test_single_cache_still_uses_standalone_resolver(spark, tmp_path):
+    """A lone cache op keeps the vectorized union resolver (no fused
+    wrapper) and still matches batch."""
+    rs, in_dir = _stream_vs_batch(spark, tmp_path, CACHE_ALONE_SML, ["LastUserText"])
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    out = rs().apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+    assert _n_state_nodes(out) == 1
+
+
+CACHE_CROSS_KEY_SML = """
+K: str = JsonData(path='$.conv_id')
+R: str = JsonData(path='$.role')
+Text: str = JsonData(path='$.text')
+CacheSetStr(key=R, value=Text, ttl_seconds=3600.0)
+LastByRole = CacheGetStr(key=K, default='none')
+N = IncrementWindow(key=K, window_seconds=600.0)
+"""
+
+
+def test_cross_key_cache_cannot_fuse(spark, tmp_path):
+    """A cache whose writes key differently from its reads can only
+    use the union resolver; combined with another state op that makes
+    two passes -> the engine's actionable error."""
+    import pytest
+
+    rs = compile_ruleset({"main.sml": CACHE_CROSS_KEY_SML}, bindings=TURN_BINDINGS)
+    t = generate_turns(spark, n_convs=2, turns_per_conv=6, hot_convs=0)
+    in_dir = str(tmp_path / "in")
+    t.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    with pytest.raises(ValueError, match="stateful passes"):
+        rs.apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
