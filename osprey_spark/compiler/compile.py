@@ -1103,6 +1103,26 @@ class CompiledRuleset:
             timeoutConf="NoTimeout",
         )
 
+    def _join_window_distinct(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetWindowDistinct on a BATCH frame: distinct
+        registered values per key in the trailing event-time window =
+        size(collect_set) over a range window — one shuffle on the
+        key, set state bounded by in-window distinct values. Gated-off
+        and NULL values never enter the set (collect_set drops
+        nulls). Streaming frames route through the fused state pass
+        (apply() pending machinery) — there is deliberately no
+        standalone streaming resolver to maintain."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        win = int(spec["window_seconds"])
+        val = spec["value_col"]
+        if spec["gate"] is not None:
+            val = F.when(F.coalesce(spec["gate"], F.lit(False)), val)
+        w = W.partitionBy(spec["key_col"]).orderBy(sec).rangeBetween(-(win - 1), 0)
+        count = F.size(F.collect_set(val).over(w))
+        return df.select("*", count.cast("long").alias(spec["name"]))
+
     def _join_seq_match(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one SequenceMatches. Batch frames: collect the
         rolling last-K symbol window with a rows-between window (one
@@ -1304,6 +1324,23 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.BooleanType()))
+            elif fam == "wdistinct":
+                gate = sp["gate"]
+                proj.append(sp["value_col"].alias(f"__fs{i}_val"))
+                proj.append(
+                    (
+                        F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
+                    ).alias(f"__fs{i}_vg")
+                )
+                metas.append(
+                    {
+                        "fam": "wdistinct",
+                        "name": sp["name"],
+                        "win": int(sp["window_seconds"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             else:  # cache — emits a RAW lookup column "__fcv_{i}";
                 # default/gate post-processing happens JVM-side in the
                 # caller (mirrors _join_cache_streaming's tail)
@@ -1367,6 +1404,14 @@ class CompiledRuleset:
                 elif m["fam"] == "seq":
                     op_in.append({"sym": pdf[f"__fs{m['i']}_sym"].to_numpy(dtype=object)})
                     outs.append(np.zeros(n, dtype=bool))
+                elif m["fam"] == "wdistinct":
+                    op_in.append(
+                        {
+                            "val": pdf[f"__fs{m['i']}_val"].to_numpy(dtype=object),
+                            "vg": pdf[f"__fs{m['i']}_vg"].to_numpy(dtype=bool),
+                        }
+                    )
+                    outs.append(np.empty(n, dtype="int64"))
                 else:  # cache
                     op_in.append(
                         {
@@ -1409,6 +1454,51 @@ class CompiledRuleset:
                         kept = inc_ts[np.searchsorted(inc_ts, keep, side="left"):]
                         if len(kept):
                             smap[mk] = [int(x) for x in kept]
+                        elif mk in smap:
+                            del smap[mk]
+                    elif m["fam"] == "wdistinct":
+                        # distinct registered values in the trailing
+                        # window, judged like the batch range window:
+                        # ALL visible same-key occurrences (carried
+                        # deque + this whole segment) with ts in
+                        # [sec_r - win + 1, sec_r] — including
+                        # equal-timestamp occurrences from later rows,
+                        # exactly what collect_set over RANGE sees.
+                        win = m["win"]
+                        occ = [tuple(o) for o in smap.get(mk, ())]
+                        seg_sec = sec_a[s:e]
+                        vals = inp["val"][s:e]
+                        vgs = inp["vg"][s:e]
+                        for j in range(e - s):
+                            v = vals[j]
+                            if vgs[j] and v is not None and not pd.isna(v):
+                                occ.append((int(seg_sec[j]), v))
+                        occ.sort(key=lambda o: o[0])
+                        counts: dict = {}
+                        distinct = 0
+                        lo = hi = 0
+                        seg_out = out_a[s:e]
+                        for j in range(e - s):
+                            t = int(seg_sec[j])
+                            while hi < len(occ) and occ[hi][0] <= t:
+                                v = occ[hi][1]
+                                c = counts.get(v, 0)
+                                if c == 0:
+                                    distinct += 1
+                                counts[v] = c + 1
+                                hi += 1
+                            floor_t = t - win + 1
+                            while lo < hi and occ[lo][0] < floor_t:
+                                v = occ[lo][1]
+                                counts[v] -= 1
+                                if counts[v] == 0:
+                                    distinct -= 1
+                                lo += 1
+                            seg_out[j] = distinct
+                        keep = int(seg_sec.max()) - win + 1
+                        kept = [[t, v] for t, v in occ if t >= keep]
+                        if kept:
+                            smap[mk] = kept
                         elif mk in smap:
                             del smap[mk]
                     elif m["fam"] == "seq":
@@ -1655,7 +1745,11 @@ class CompiledRuleset:
         self._cache_persists = []
 
     def _hoisted_feature_order(
-        self, window_specs: dict, cache_specs: dict, seq_specs: dict | None = None
+        self,
+        window_specs: dict,
+        cache_specs: dict,
+        seq_specs: dict | None = None,
+        distinct_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -1691,11 +1785,18 @@ class CompiledRuleset:
         if cached is not None:
             return cached
         seq_specs = seq_specs or {}
+        distinct_specs = distinct_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
 
         def spec_cols(mangled: str) -> list[Column]:
+            if mangled in distinct_specs:
+                s = distinct_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["gate"] is not None:
+                    cols.append(s["gate"])
+                return cols
             if mangled in seq_specs:
                 s = seq_specs[mangled]
                 cols = [s["key_col"], s["symbol_col"]]
@@ -1726,7 +1827,12 @@ class CompiledRuleset:
         for name, defn in entries:
             if defn is None:
                 cols = spec_cols(name)
-                if name in window_specs or name in cache_specs or name in seq_specs:
+                if (
+                    name in window_specs
+                    or name in cache_specs
+                    or name in seq_specs
+                    or name in distinct_specs
+                ):
                     state_ops.append(name)
             else:
                 cols = [defn]
@@ -1798,6 +1904,9 @@ class CompiledRuleset:
         cache_specs = {s["name"]: s for s in getattr(self.ctx, "cache_lookups", [])}
         window_specs = {s["name"]: s for s in getattr(self.ctx, "window_lookups", [])}
         seq_specs = {s["name"]: s for s in getattr(self.ctx, "seq_lookups", [])}
+        distinct_specs = {
+            s["name"]: s for s in getattr(self.ctx, "distinct_lookups", [])
+        }
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -1843,7 +1952,7 @@ class CompiledRuleset:
             if not pending:
                 return frame
             _register_pass([sp["name"] for _, sp in pending])
-            if len(pending) == 1:
+            if len(pending) == 1 and pending[0][0] != "wdistinct":
                 fam, sp = pending[0]
                 if fam == "window":
                     frame = self._join_window_count(frame, sp)
@@ -1881,6 +1990,10 @@ class CompiledRuleset:
                 cols.append(sp["symbol_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
+            elif fam == "wdistinct":
+                cols.append(sp["value_col"])
+                if sp["gate"] is not None:
+                    cols.append(sp["gate"])
             else:  # cache
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -1920,9 +2033,15 @@ class CompiledRuleset:
             return not (_spec_refs(fam, sp) & emitted)
 
         for mangled, defn in self._hoisted_feature_order(
-            window_specs, cache_specs, seq_specs
+            window_specs, cache_specs, seq_specs, distinct_specs
         ):
             if defn is None:
+                if streaming and mangled in distinct_specs:
+                    sp = distinct_specs[mangled]
+                    if not _fusable("wdistinct", sp):
+                        df = _flush(df)
+                    pending.append(("wdistinct", sp))
+                    continue
                 if streaming and mangled in window_specs:
                     sp = window_specs[mangled]
                     if not _fusable("window", sp):
@@ -1960,6 +2079,8 @@ class CompiledRuleset:
                     df = self._join_window_count(df, window_specs[mangled])
                 elif mangled in seq_specs:
                     df = self._join_seq_match(df, seq_specs[mangled])
+                elif mangled in distinct_specs:
+                    df = self._join_window_distinct(df, distinct_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -1551,6 +1551,40 @@ FROM turns
 )
 
 
+def q_window_distinct_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level distinct-value window counter (GetWindowDistinct,
+    the raid/brigading signal the reference's zset counters cannot
+    express — zcard counts events, this counts DISTINCT tools per
+    conversation in the trailing hour). Batch = collect_set over a
+    range window; the streaming form fuses with the other state
+    families (tests/test_window_distinct.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+Tool: str = JsonData(path='$.tool')
+NTools = GetWindowDistinct(key=K, value=Tool, window_seconds=3600.0)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select("conv_id", "turn_idx", F.col("NTools").alias("n_tools"))
+
+
+O_WINDOW_DISTINCT = (
+    TURNS_CTE
+    + """
+SELECT conv_id, turn_idx,
+  CAST(coalesce(length(list_distinct(
+    list(tool) FILTER (WHERE tool IS NOT NULL) OVER
+      (PARTITION BY conv_id ORDER BY floor(epoch(ts))
+       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))), 0) AS BIGINT) AS n_tools
+FROM turns
+"""
+)
+
+
 def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level CEP (SequenceMatches): per turn, does the rolling
     last-6 role-symbol suffix of the conversation contain
@@ -3174,6 +3208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bulk_label": q_bulk_label,
     "has_label_roundtrip": q_has_label_roundtrip,
     "increment_window_rule": q_increment_window_rule,
+    "window_distinct_rule": q_window_distinct_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -3263,6 +3298,7 @@ ORACLES: dict[str, str] = {
     "bulk_label": O_BULK_LABEL,
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,
     "increment_window_rule": O_INCREMENT_WINDOW,
+    "window_distinct_rule": O_WINDOW_DISTINCT,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,

@@ -331,6 +331,59 @@ def get_window_count(ctx, call, args):
     return _window_count(ctx, call, args, increments=False)
 
 
+@register("GetWindowDistinct")
+def get_window_distinct(ctx, call, args):
+    """Distinct-value window counter — the raid/brigading signal the
+    reference's zset counters cannot express (zcard counts EVENTS;
+    this counts DISTINCT ``value``s per key in the trailing window,
+    e.g. distinct authors posting one URL in 10 minutes). Fourth
+    stateful family beside window counters, cache pairs and CEP
+    suffixes; same deferred resolution: batch = collect_set over an
+    event-time range window, streaming = the fused state pass with a
+    per-key occurrence deque + two-pointer distinct fold.
+
+    ``when_all`` gates which events REGISTER their value (like
+    IncrementWindow's zadd gate); every event reads the count. NULL
+    values never register. Values compare as strings (the state
+    round-trips through JSON).
+    """
+    from ..compiler import nullsafe
+    from ..sml.nodes import ListLiteral
+
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value")
+    window_s = const_arg(ctx, call, args, "window_seconds")
+    if float(window_s) < 1.0:
+        raise ctx.error(
+            f"{call.func}: window_seconds must be >= 1 (event-time windows have "
+            f"whole-second resolution), got {window_s}",
+            call.span,
+        )
+    gate = None
+    when_all = raw_arg(ctx, call, args, "when_all")
+    if when_all is not None:
+        if not isinstance(when_all, ListLiteral):
+            raise ctx.error(f"{call.func} when_all= must be a list", call.span)
+        conds = [ctx.compile_expr(e) for e in when_all.items]
+        if conds:
+            gate = nullsafe.strict_all(conds)
+
+    if not hasattr(ctx, "distinct_lookups"):
+        ctx.distinct_lookups = []
+    name = f"__wd_{len(ctx.distinct_lookups)}"
+    ctx.distinct_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": value_v.col.cast("string"),
+            "window_seconds": round(float(window_s)),
+            "gate": gate,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
 @register("SequenceMatches")
 def sequence_matches(ctx, call, args):
     """CEP in the rule language (north_star: "tool-usage sequences …
