@@ -1123,6 +1123,46 @@ class CompiledRuleset:
         count = F.size(F.collect_set(val).over(w))
         return df.select("*", count.cast("long").alias(spec["name"]))
 
+    def _join_session_count(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetSessionCount on a BATCH frame: lag-gap
+        session break → running-sum session id → RANGE count within
+        (key, session id). Both window stages cluster by the key (the
+        second's (key, session) requirement is satisfied by the
+        key-hash exchange), so the whole resolver is ONE shuffle +
+        one sort. Tie rows (equal sec) always land in one session and
+        RANGE counts the full tie group, so the result is independent
+        of Spark's tie order. Streaming frames route through the
+        fused state pass — no standalone streaming resolver."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        gap = int(spec["gap_seconds"])
+        tmp = df.select(
+            "*",
+            spec["key_col"].cast("string").alias("__ss_key"),
+            sec.alias("__ss_sec"),
+        )
+        w_ord = W.partitionBy("__ss_key").orderBy("__ss_sec")
+        prev = F.lag("__ss_sec").over(w_ord)
+        brk = F.when(
+            prev.isNull() | ((F.col("__ss_sec") - prev) > F.lit(gap)), F.lit(1)
+        ).otherwise(F.lit(0))
+        tmp = tmp.select("*", brk.alias("__ss_brk"))
+        tmp = tmp.select(
+            "*",
+            F.sum("__ss_brk")
+            .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("__ss_id"),
+        )
+        w_cnt = (
+            W.partitionBy("__ss_key", "__ss_id")
+            .orderBy("__ss_sec")
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return tmp.select(
+            "*", F.count(F.lit(1)).over(w_cnt).cast("long").alias(spec["name"])
+        ).drop("__ss_key", "__ss_sec", "__ss_brk", "__ss_id")
+
     def _join_seq_match(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one SequenceMatches. Batch frames: collect the
         rolling last-K symbol window with a rows-between window (one
@@ -1341,6 +1381,16 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "sess":
+                metas.append(
+                    {
+                        "fam": "sess",
+                        "name": sp["name"],
+                        "gap": int(sp["gap_seconds"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             else:  # cache — emits a RAW lookup column "__fcv_{i}";
                 # default/gate post-processing happens JVM-side in the
                 # caller (mirrors _join_cache_streaming's tail)
@@ -1411,6 +1461,9 @@ class CompiledRuleset:
                             "vg": pdf[f"__fs{m['i']}_vg"].to_numpy(dtype=bool),
                         }
                     )
+                    outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "sess":
+                    op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
                 else:  # cache
                     op_in.append(
@@ -1501,6 +1554,47 @@ class CompiledRuleset:
                             smap[mk] = kept
                         elif mk in smap:
                             del smap[mk]
+                    elif m["fam"] == "sess":
+                        # events in the current session, judged like
+                        # the batch (key, session) RANGE count: a tie
+                        # group (equal sec) shares a session and each
+                        # tie row counts the whole group. Carried
+                        # state [last_sec, open_count] continues the
+                        # session when the segment's first event is
+                        # within the gap.
+                        gap = m["gap"]
+                        st = smap.get(mk)  # [last_sec, open_count]
+                        n_seg = e - s
+                        seg_out = out_a[s:e]
+                        starts_ses = [0]
+                        bases = [
+                            st[1]
+                            if st is not None and int(seg_sec[0]) - st[0] <= gap
+                            else 0
+                        ]
+                        for j in range(1, n_seg):
+                            if int(seg_sec[j]) - int(seg_sec[j - 1]) > gap:
+                                starts_ses.append(j)
+                                bases.append(0)
+                        si = 0
+                        j = 0
+                        while j < n_seg:
+                            # advance to this row's session
+                            while (
+                                si + 1 < len(starts_ses)
+                                and starts_ses[si + 1] <= j
+                            ):
+                                si += 1
+                            hi = j
+                            while hi + 1 < n_seg and seg_sec[hi + 1] == seg_sec[j]:
+                                hi += 1
+                            cnt = bases[si] + (hi - starts_ses[si] + 1)
+                            seg_out[j : hi + 1] = cnt
+                            j = hi + 1
+                        smap[mk] = [
+                            int(seg_sec[-1]),
+                            int(bases[-1] + (n_seg - starts_ses[-1])),
+                        ]
                     elif m["fam"] == "seq":
                         k_len = m["k"]
                         rx = m["rx"]
@@ -1750,6 +1844,7 @@ class CompiledRuleset:
         cache_specs: dict,
         seq_specs: dict | None = None,
         distinct_specs: dict | None = None,
+        session_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -1786,11 +1881,14 @@ class CompiledRuleset:
             return cached
         seq_specs = seq_specs or {}
         distinct_specs = distinct_specs or {}
+        session_specs = session_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
 
         def spec_cols(mangled: str) -> list[Column]:
+            if mangled in session_specs:
+                return [session_specs[mangled]["key_col"]]
             if mangled in distinct_specs:
                 s = distinct_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
@@ -1832,6 +1930,7 @@ class CompiledRuleset:
                     or name in cache_specs
                     or name in seq_specs
                     or name in distinct_specs
+                    or name in session_specs
                 ):
                     state_ops.append(name)
             else:
@@ -1907,6 +2006,9 @@ class CompiledRuleset:
         distinct_specs = {
             s["name"]: s for s in getattr(self.ctx, "distinct_lookups", [])
         }
+        session_specs = {
+            s["name"]: s for s in getattr(self.ctx, "session_lookups", [])
+        }
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -1952,7 +2054,7 @@ class CompiledRuleset:
             if not pending:
                 return frame
             _register_pass([sp["name"] for _, sp in pending])
-            if len(pending) == 1 and pending[0][0] != "wdistinct":
+            if len(pending) == 1 and pending[0][0] not in ("wdistinct", "sess"):
                 fam, sp = pending[0]
                 if fam == "window":
                     frame = self._join_window_count(frame, sp)
@@ -1994,6 +2096,8 @@ class CompiledRuleset:
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
+            elif fam == "sess":
+                pass  # only the key
             else:  # cache
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2033,9 +2137,15 @@ class CompiledRuleset:
             return not (_spec_refs(fam, sp) & emitted)
 
         for mangled, defn in self._hoisted_feature_order(
-            window_specs, cache_specs, seq_specs, distinct_specs
+            window_specs, cache_specs, seq_specs, distinct_specs, session_specs
         ):
             if defn is None:
+                if streaming and mangled in session_specs:
+                    sp = session_specs[mangled]
+                    if not _fusable("sess", sp):
+                        df = _flush(df)
+                    pending.append(("sess", sp))
+                    continue
                 if streaming and mangled in distinct_specs:
                     sp = distinct_specs[mangled]
                     if not _fusable("wdistinct", sp):
@@ -2081,6 +2191,8 @@ class CompiledRuleset:
                     df = self._join_seq_match(df, seq_specs[mangled])
                 elif mangled in distinct_specs:
                     df = self._join_window_distinct(df, distinct_specs[mangled])
+                elif mangled in session_specs:
+                    df = self._join_session_count(df, session_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -1585,6 +1585,49 @@ FROM turns
 )
 
 
+def q_session_count_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level session-window dialogue counter (GetSessionCount,
+    the north star's "session windows keyed by conv_id"): per turn,
+    how deep into the current 1-hour-gap-bounded conversation burst
+    we are. One key shuffle for both window stages (the session-id
+    partition refines the key partition); streaming form fuses into
+    the shared state pass (tests/test_session_count.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+Depth = GetSessionCount(key=K, gap_seconds=3600.0)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select("conv_id", "turn_idx", F.col("Depth").alias("sess_depth"))
+
+
+O_SESSION_COUNT = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM turns),
+b AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 3600
+                 THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY sec, turn_idx)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY sec, turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM b
+)
+SELECT conv_id, turn_idx,
+  CAST(count(*) OVER (PARTITION BY conv_id, sess ORDER BY sec
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS sess_depth
+FROM s
+"""
+)
+
+
 def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level CEP (SequenceMatches): per turn, does the rolling
     last-6 role-symbol suffix of the conversation contain
@@ -3209,6 +3252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "has_label_roundtrip": q_has_label_roundtrip,
     "increment_window_rule": q_increment_window_rule,
     "window_distinct_rule": q_window_distinct_rule,
+    "session_count_rule": q_session_count_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -3299,6 +3343,7 @@ ORACLES: dict[str, str] = {
     "has_label_roundtrip": O_HAS_LABEL_ROUNDTRIP,
     "increment_window_rule": O_INCREMENT_WINDOW,
     "window_distinct_rule": O_WINDOW_DISTINCT,
+    "session_count_rule": O_SESSION_COUNT,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,

@@ -384,6 +384,51 @@ def get_window_distinct(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetSessionCount")
+def get_session_count(ctx, call, args):
+    """Session-window dialogue counter (north_star: "session windows
+    keyed by conv_id with event-time watermarks on ts for
+    dialogue-level rules"): events in the CURRENT session for this
+    key, where a session breaks when the event-time gap from the
+    previous same-key event exceeds ``gap_seconds``. Unlike the
+    trailing-window counter (which forgets events older than the
+    window even mid-burst), this counts the whole active dialogue —
+    the "how deep into this conversation burst are we" signal.
+
+    Fifth stateful family beside window counters, distinct-value
+    windows, cache pairs and CEP suffixes. Batch = lag-gap session
+    break → running-sum session id → RANGE count within (key,
+    session); streaming = the fused state pass carrying (last event
+    sec, events in the open session). Same-second events are ties:
+    they always share a session and each counts the full tie group
+    (RANGE semantics), so the count is independent of tie order.
+    Every event registers — there is deliberately no when_all gate
+    (a gated session would be ill-defined: reads would reference a
+    session that gated-off events neither extend nor break).
+    """
+    key_v = arg(ctx, call, args, "key")
+    gap_s = const_arg(ctx, call, args, "gap_seconds")
+    if float(gap_s) < 1.0:
+        raise ctx.error(
+            f"{call.func}: gap_seconds must be >= 1 (event-time sessions have "
+            f"whole-second resolution), got {gap_s}",
+            call.span,
+        )
+
+    if not hasattr(ctx, "session_lookups"):
+        ctx.session_lookups = []
+    name = f"__sc_{len(ctx.session_lookups)}"
+    ctx.session_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "gap_seconds": round(float(gap_s)),
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
 @register("SequenceMatches")
 def sequence_matches(ctx, call, args):
     """CEP in the rule language (north_star: "tool-usage sequences …
