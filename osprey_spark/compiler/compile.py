@@ -1163,6 +1163,23 @@ class CompiledRuleset:
             "*", F.count(F.lit(1)).over(w_cnt).cast("long").alias(spec["name"])
         ).drop("__ss_key", "__ss_sec", "__ss_brk", "__ss_id")
 
+    def _join_last_value(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetLastValue on a BATCH frame: ``lag(value)``
+        over the key partitioned by (event time, order) — one key
+        shuffle, whole-stage codegen, no self-join. Streaming frames
+        route through the fused state pass carrying one string per
+        key."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        order_cols = [sec] + (
+            [spec["order_col"]] if spec["order_col"] is not None else []
+        )
+        w = W.partitionBy(spec["key_col"]).orderBy(*order_cols)
+        return df.select(
+            "*", F.lag(spec["value_col"]).over(w).alias(spec["name"])
+        )
+
     def _join_seq_match(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one SequenceMatches. Batch frames: collect the
         rolling last-K symbol window with a rows-between window (one
@@ -1316,7 +1333,7 @@ class CompiledRuleset:
 
         ord_expr = F.lit(0.0)
         for fam, sp in fspecs:
-            if fam == "seq" and sp["order_col"] is not None:
+            if fam in ("seq", "last") and sp["order_col"] is not None:
                 ord_expr = sp["order_col"].cast("double")
                 break
 
@@ -1391,6 +1408,10 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "last":
+                proj.append(sp["value_col"].alias(f"__fs{i}_lv"))
+                metas.append({"fam": "last", "name": sp["name"], "i": i})
+                out_fields.append(T.StructField(sp["name"], T.StringType()))
             else:  # cache — emits a RAW lookup column "__fcv_{i}";
                 # default/gate post-processing happens JVM-side in the
                 # caller (mirrors _join_cache_streaming's tail)
@@ -1465,6 +1486,11 @@ class CompiledRuleset:
                 elif m["fam"] == "sess":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "last":
+                    op_in.append(
+                        {"val": pdf[f"__fs{m['i']}_lv"].to_numpy(dtype=object)}
+                    )
+                    outs.append(np.full(n, None, dtype=object))
                 else:  # cache
                     op_in.append(
                         {
@@ -1595,6 +1621,26 @@ class CompiledRuleset:
                             int(seg_sec[-1]),
                             int(bases[-1] + (n_seg - starts_ses[-1])),
                         ]
+                    elif m["fam"] == "last":
+                        # lag(value): first row of the segment sees
+                        # the carried value (or None if the key is
+                        # new), later rows the prior row's value;
+                        # carry the final value forward. State is ONE
+                        # JSON-safe string (or None) per key.
+                        vals = inp["val"][s:e]
+                        seg_out = out_a[s:e]
+                        st = smap.get(mk)
+                        seg_out[0] = st[0] if st is not None else None
+                        if e - s > 1:
+                            seg_out[1:] = vals[:-1]
+                        v_last = vals[-1]
+                        if v_last is not None and not (
+                            isinstance(v_last, float) and pd.isna(v_last)
+                        ):
+                            v_last = str(v_last)
+                        else:
+                            v_last = None
+                        smap[mk] = [v_last]
                     elif m["fam"] == "seq":
                         k_len = m["k"]
                         rx = m["rx"]
@@ -1845,6 +1891,7 @@ class CompiledRuleset:
         seq_specs: dict | None = None,
         distinct_specs: dict | None = None,
         session_specs: dict | None = None,
+        last_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -1882,6 +1929,7 @@ class CompiledRuleset:
         seq_specs = seq_specs or {}
         distinct_specs = distinct_specs or {}
         session_specs = session_specs or {}
+        last_specs = last_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -1889,6 +1937,12 @@ class CompiledRuleset:
         def spec_cols(mangled: str) -> list[Column]:
             if mangled in session_specs:
                 return [session_specs[mangled]["key_col"]]
+            if mangled in last_specs:
+                s = last_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["order_col"] is not None:
+                    cols.append(s["order_col"])
+                return cols
             if mangled in distinct_specs:
                 s = distinct_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
@@ -1931,6 +1985,7 @@ class CompiledRuleset:
                     or name in seq_specs
                     or name in distinct_specs
                     or name in session_specs
+                    or name in last_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2009,6 +2064,7 @@ class CompiledRuleset:
         session_specs = {
             s["name"]: s for s in getattr(self.ctx, "session_lookups", [])
         }
+        last_specs = {s["name"]: s for s in getattr(self.ctx, "last_lookups", [])}
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2054,7 +2110,11 @@ class CompiledRuleset:
             if not pending:
                 return frame
             _register_pass([sp["name"] for _, sp in pending])
-            if len(pending) == 1 and pending[0][0] not in ("wdistinct", "sess"):
+            if len(pending) == 1 and pending[0][0] not in (
+                "wdistinct",
+                "sess",
+                "last",
+            ):
                 fam, sp = pending[0]
                 if fam == "window":
                     frame = self._join_window_count(frame, sp)
@@ -2098,6 +2158,10 @@ class CompiledRuleset:
                     cols.append(sp["gate"])
             elif fam == "sess":
                 pass  # only the key
+            elif fam == "last":
+                cols.append(sp["value_col"])
+                if sp["order_col"] is not None:
+                    cols.append(sp["order_col"])
             else:  # cache
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2125,10 +2189,10 @@ class CompiledRuleset:
                 for s in sp["sets"]:
                     if _node(s["key_col"]) != key_node:
                         return False
-            if fam == "seq" and sp["order_col"] is not None:
+            if fam in ("seq", "last") and sp["order_col"] is not None:
                 for pf, psp in pending:
                     if (
-                        pf == "seq"
+                        pf in ("seq", "last")
                         and psp["order_col"] is not None
                         and _node(psp["order_col"]) != _node(sp["order_col"])
                     ):
@@ -2137,9 +2201,20 @@ class CompiledRuleset:
             return not (_spec_refs(fam, sp) & emitted)
 
         for mangled, defn in self._hoisted_feature_order(
-            window_specs, cache_specs, seq_specs, distinct_specs, session_specs
+            window_specs,
+            cache_specs,
+            seq_specs,
+            distinct_specs,
+            session_specs,
+            last_specs,
         ):
             if defn is None:
+                if streaming and mangled in last_specs:
+                    sp = last_specs[mangled]
+                    if not _fusable("last", sp):
+                        df = _flush(df)
+                    pending.append(("last", sp))
+                    continue
                 if streaming and mangled in session_specs:
                     sp = session_specs[mangled]
                     if not _fusable("sess", sp):
@@ -2193,6 +2268,8 @@ class CompiledRuleset:
                     df = self._join_window_distinct(df, distinct_specs[mangled])
                 elif mangled in session_specs:
                     df = self._join_session_count(df, session_specs[mangled])
+                elif mangled in last_specs:
+                    df = self._join_last_value(df, last_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -1628,6 +1628,39 @@ FROM s
 )
 
 
+def q_last_value_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level prior-event carry (GetLastValue, the north star's
+    "prior verdicts … in the state store"): per turn, the PREVIOUS
+    turn's role in the same conversation (NULL on the first). Batch =
+    lag over one key shuffle; streaming = fused state pass carrying
+    one string per conversation (tests/test_last_value.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+R: str = JsonData(path='$.role')
+TI: int = JsonData(path='$.turn_idx')
+Prev = GetLastValue(key=K, value=R, order=TI)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select("conv_id", "turn_idx", F.col("Prev").alias("prev_role"))
+
+
+O_LAST_VALUE = (
+    TURNS_CTE
+    + """
+SELECT conv_id, turn_idx,
+  lag(role) OVER (PARTITION BY conv_id
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT), turn_idx)
+    AS prev_role
+FROM turns
+"""
+)
+
+
 def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level CEP (SequenceMatches): per turn, does the rolling
     last-6 role-symbol suffix of the conversation contain
@@ -3253,6 +3286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "increment_window_rule": q_increment_window_rule,
     "window_distinct_rule": q_window_distinct_rule,
     "session_count_rule": q_session_count_rule,
+    "last_value_rule": q_last_value_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -3344,6 +3378,7 @@ ORACLES: dict[str, str] = {
     "increment_window_rule": O_INCREMENT_WINDOW,
     "window_distinct_rule": O_WINDOW_DISTINCT,
     "session_count_rule": O_SESSION_COUNT,
+    "last_value_rule": O_LAST_VALUE,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,

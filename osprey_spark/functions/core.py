@@ -429,6 +429,45 @@ def get_session_count(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetLastValue")
+def get_last_value(ctx, call, args):
+    """Previous-event value carry (north_star: "keeping
+    per-conversation state (prior verdicts, label counters,
+    tool-usage sequences) in the state store for stateful rule
+    escalation"): the string ``value`` registered by the PREVIOUS
+    same-key event in (event time, ``order``) order — NULL for the
+    key's first event. The escalation primitive: ``PrevVerdict =
+    GetLastValue(key=ConvId, value=Verdict, order=TurnIdx)`` lets a
+    rule compare this turn against the conversation's prior verdict
+    without a self-join. A NULL result means "first event OR the
+    previous event registered NULL" (lag semantics — coalesce a
+    sentinel into ``value`` to distinguish).
+
+    Sixth stateful family. Batch = ``lag(value)`` over a key window
+    (one key shuffle); streaming = the fused state pass carrying ONE
+    string per key — the cheapest possible per-conversation state.
+    ``order`` is the within-key tiebreak after event time (pass the
+    turn index); without it equal-timestamp events order
+    nondeterministically, exactly as in SequenceMatches.
+    """
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value")
+    order_v = arg(ctx, call, args, "order", required=False)
+    if not hasattr(ctx, "last_lookups"):
+        ctx.last_lookups = []
+    name = f"__lv_{len(ctx.last_lookups)}"
+    ctx.last_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": value_v.col.cast("string"),
+            "order_col": order_v.col if order_v is not None else None,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="str")
+
+
 @register("SequenceMatches")
 def sequence_matches(ctx, call, args):
     """CEP in the rule language (north_star: "tool-usage sequences …
