@@ -828,6 +828,132 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-0
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item report (TPC-H q10 adapted to the driver schema):
+    customers ranked by revenue lost to returns in one quarter.
+    Fact-side plan: lineitem filtered to returns joins the
+    quarter-filtered orders (both shuffle on the order key — the only
+    big exchange), then customer and nation broadcast. Top-20 ranks
+    by the ROUNDED revenue + custkey so the boundary is float-order
+    independent (same tie rule in the oracle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H q13 adapted): LEFT
+    OUTER customer⋈orders keeps order-less customers as count 0, then
+    a second aggregate folds per-customer counts into a distribution.
+    The outer join shuffles on custkey; the distribution re-aggregate
+    is tiny (distinct count values). Exercises the
+    outer-join-then-reaggregate shape none of the other relational
+    queries cover."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+O_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under a DISJUNCTION of conjunctive clauses
+    (TPC-H q19 adapted): three (brand, size-range, quantity-range)
+    alternatives OR-ed together. Catalyst pushes the part-side
+    disjunction's common-term union to the broadcast build side and
+    keeps the lineitem scan's quantity bound; one broadcast join +
+    1-row aggregate, no shuffle on the fact table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(clause).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+O_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------------
@@ -3266,6 +3392,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "tpch_q4": q_tpch_q4,
     "tpch_q14": q_tpch_q14,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q19": q_tpch_q19,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -3358,6 +3487,9 @@ ORACLES: dict[str, str] = {
     "tpch_q6": O_TPCH_Q6,
     "tpch_q4": O_TPCH_Q4,
     "tpch_q14": O_TPCH_Q14,
+    "tpch_q10": O_TPCH_Q10,
+    "tpch_q13": O_TPCH_Q13,
+    "tpch_q19": O_TPCH_Q19,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,

@@ -41,6 +41,8 @@ _EXPECT_BROADCAST = {
     "tpch_q3",
     "tpch_q5",
     "tpch_q18",
+    "tpch_q10",
+    "tpch_q19",
     "has_label_roundtrip",
     "decontaminate",
     "corpus_curate",
