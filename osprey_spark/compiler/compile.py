@@ -1123,6 +1123,26 @@ class CompiledRuleset:
         count = F.size(F.collect_set(val).over(w))
         return df.select("*", count.cast("long").alias(spec["name"]))
 
+    def _join_window_sum(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetWindowSum on a BATCH frame: sum of the
+        registered long amounts per key in the trailing event-time
+        window = sum over a range window — one shuffle on the key.
+        Gated-off events contribute 0; the empty window coalesces to
+        0. Streaming frames route through the fused state pass — no
+        standalone streaming resolver."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        win = int(spec["window_seconds"])
+        val = spec["value_col"]
+        if spec["gate"] is not None:
+            val = F.when(F.coalesce(spec["gate"], F.lit(False)), val).otherwise(
+                F.lit(0)
+            )
+        w = W.partitionBy(spec["key_col"]).orderBy(sec).rangeBetween(-(win - 1), 0)
+        total = F.coalesce(F.sum(val).over(w), F.lit(0))
+        return df.select("*", total.cast("long").alias(spec["name"]))
+
     def _join_session_count(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one GetSessionCount on a BATCH frame: lag-gap
         session break → running-sum session id → RANGE count within
@@ -1412,6 +1432,23 @@ class CompiledRuleset:
                 proj.append(sp["value_col"].alias(f"__fs{i}_lv"))
                 metas.append({"fam": "last", "name": sp["name"], "i": i})
                 out_fields.append(T.StructField(sp["name"], T.StringType()))
+            elif fam == "wsum":
+                gate = sp["gate"]
+                amt = sp["value_col"]
+                if gate is not None:
+                    amt = F.when(F.coalesce(gate, F.lit(False)), amt).otherwise(
+                        F.lit(0)
+                    )
+                proj.append(amt.cast("long").alias(f"__fs{i}_amt"))
+                metas.append(
+                    {
+                        "fam": "wsum",
+                        "name": sp["name"],
+                        "win": int(sp["window_seconds"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             else:  # cache — emits a RAW lookup column "__fcv_{i}";
                 # default/gate post-processing happens JVM-side in the
                 # caller (mirrors _join_cache_streaming's tail)
@@ -1491,6 +1528,11 @@ class CompiledRuleset:
                         {"val": pdf[f"__fs{m['i']}_lv"].to_numpy(dtype=object)}
                     )
                     outs.append(np.full(n, None, dtype=object))
+                elif m["fam"] == "wsum":
+                    op_in.append(
+                        {"amt": pdf[f"__fs{m['i']}_amt"].to_numpy(dtype="int64")}
+                    )
+                    outs.append(np.empty(n, dtype="int64"))
                 else:  # cache
                     op_in.append(
                         {
@@ -1641,6 +1683,38 @@ class CompiledRuleset:
                         else:
                             v_last = None
                         smap[mk] = [v_last]
+                    elif m["fam"] == "wsum":
+                        # trailing-window SUM, judged like the batch
+                        # RANGE window: all visible same-key amounts
+                        # (carried entries + this whole segment) with
+                        # ts in [sec_r - win + 1, sec_r] — equal-ts
+                        # amounts from later rows included. Carried
+                        # state is the in-window non-zero (sec, amt)
+                        # entries, re-sorted because late data may
+                        # put carried entries after segment rows.
+                        win = m["win"]
+                        entries = smap.get(mk, ())
+                        prev = np.asarray(entries, dtype="int64").reshape(-1, 2)
+                        all_sec = np.concatenate([prev[:, 0], seg_sec])
+                        all_amt = np.concatenate([prev[:, 1], inp["amt"][s:e]])
+                        order = np.argsort(all_sec, kind="stable")
+                        all_sec = all_sec[order]
+                        all_amt = all_amt[order]
+                        csum = np.concatenate(([0], np.cumsum(all_amt)))
+                        hi = np.searchsorted(all_sec, seg_sec, side="right")
+                        lo = np.searchsorted(all_sec, seg_sec - win + 1, side="left")
+                        out_a[s:e] = csum[hi] - csum[lo]
+                        keep = int(seg_sec.max()) - win + 1
+                        kidx = np.searchsorted(all_sec, keep, side="left")
+                        kept = [
+                            [int(t), int(a)]
+                            for t, a in zip(all_sec[kidx:], all_amt[kidx:])
+                            if a != 0
+                        ]
+                        if kept:
+                            smap[mk] = kept
+                        elif mk in smap:
+                            del smap[mk]
                     elif m["fam"] == "seq":
                         k_len = m["k"]
                         rx = m["rx"]
@@ -1892,6 +1966,7 @@ class CompiledRuleset:
         distinct_specs: dict | None = None,
         session_specs: dict | None = None,
         last_specs: dict | None = None,
+        wsum_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -1930,6 +2005,7 @@ class CompiledRuleset:
         distinct_specs = distinct_specs or {}
         session_specs = session_specs or {}
         last_specs = last_specs or {}
+        wsum_specs = wsum_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -1942,6 +2018,12 @@ class CompiledRuleset:
                 cols = [s["key_col"], s["value_col"]]
                 if s["order_col"] is not None:
                     cols.append(s["order_col"])
+                return cols
+            if mangled in wsum_specs:
+                s = wsum_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["gate"] is not None:
+                    cols.append(s["gate"])
                 return cols
             if mangled in distinct_specs:
                 s = distinct_specs[mangled]
@@ -1986,6 +2068,7 @@ class CompiledRuleset:
                     or name in distinct_specs
                     or name in session_specs
                     or name in last_specs
+                    or name in wsum_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2065,6 +2148,7 @@ class CompiledRuleset:
             s["name"]: s for s in getattr(self.ctx, "session_lookups", [])
         }
         last_specs = {s["name"]: s for s in getattr(self.ctx, "last_lookups", [])}
+        wsum_specs = {s["name"]: s for s in getattr(self.ctx, "wsum_lookups", [])}
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2114,6 +2198,7 @@ class CompiledRuleset:
                 "wdistinct",
                 "sess",
                 "last",
+                "wsum",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2162,6 +2247,10 @@ class CompiledRuleset:
                 cols.append(sp["value_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
+            elif fam == "wsum":
+                cols.append(sp["value_col"])
+                if sp["gate"] is not None:
+                    cols.append(sp["gate"])
             else:  # cache
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2207,8 +2296,15 @@ class CompiledRuleset:
             distinct_specs,
             session_specs,
             last_specs,
+            wsum_specs,
         ):
             if defn is None:
+                if streaming and mangled in wsum_specs:
+                    sp = wsum_specs[mangled]
+                    if not _fusable("wsum", sp):
+                        df = _flush(df)
+                    pending.append(("wsum", sp))
+                    continue
                 if streaming and mangled in last_specs:
                     sp = last_specs[mangled]
                     if not _fusable("last", sp):
@@ -2270,6 +2366,8 @@ class CompiledRuleset:
                     df = self._join_session_count(df, session_specs[mangled])
                 elif mangled in last_specs:
                     df = self._join_last_value(df, last_specs[mangled])
+                elif mangled in wsum_specs:
+                    df = self._join_window_sum(df, wsum_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

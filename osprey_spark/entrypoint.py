@@ -1787,6 +1787,46 @@ FROM turns
 )
 
 
+def q_window_sum_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level weighted rate rule (GetWindowSum): tokens emitted per
+    conversation in the trailing 10-minute event-time window — the
+    token-budget form of the north star's turns-per-conv-per-minute
+    rate rules. Batch = sum over a key RANGE window (one shuffle);
+    streaming = fused state pass carrying in-window (sec, amount)
+    entries (tests/test_window_sum.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+Text: str = JsonData(path='$.text')
+NTok: int = ListLength(list=StringSplit(s=Text, sep=' '))
+WinTokens = GetWindowSum(key=K, value=NTok, window_seconds=600.0)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx", F.col("WinTokens").alias("win_tokens")
+    )
+
+
+O_WINDOW_SUM = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM turns)
+SELECT conv_id, turn_idx,
+  CAST(sum(ntok) OVER (PARTITION BY conv_id ORDER BY sec
+                       RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS win_tokens
+FROM t
+"""
+)
+
+
 def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level CEP (SequenceMatches): per turn, does the rolling
     last-6 role-symbol suffix of the conversation contain
@@ -3416,6 +3456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_distinct_rule": q_window_distinct_rule,
     "session_count_rule": q_session_count_rule,
     "last_value_rule": q_last_value_rule,
+    "window_sum_rule": q_window_sum_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -3511,6 +3552,7 @@ ORACLES: dict[str, str] = {
     "window_distinct_rule": O_WINDOW_DISTINCT,
     "session_count_rule": O_SESSION_COUNT,
     "last_value_rule": O_LAST_VALUE,
+    "window_sum_rule": O_WINDOW_SUM,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,

@@ -429,6 +429,56 @@ def get_session_count(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetWindowSum")
+def get_window_sum(ctx, call, args):
+    """Windowed-SUM rate counter (north_star: "tumbling/sliding
+    windows for rate-style rules (e.g. turns-per-conv-per-minute)"
+    extended to weighted rates): the sum of the integer ``value``
+    registered by same-key events in the trailing
+    ``window_seconds`` event-time window, current event included —
+    tokens-per-conversation-per-minute, tool-cost budgets, any
+    rate rule where events carry a weight. NULL values register 0.
+    ``gate`` (optional bool) masks which events register, like
+    IncrementWindow's gated increments.
+
+    Seventh stateful family. Batch = ``sum(value)`` over a
+    key-partitioned RANGE window (one key shuffle; ties share the
+    full tie-group sum, so results are tie-order independent);
+    streaming = the fused state pass carrying the in-window
+    (sec, amount) entries per key — the same deque shape as the
+    distinct-value window. Integer-only by design: a float windowed
+    sum would make results depend on partition fold order.
+    """
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value")
+    gate_v = arg(ctx, call, args, "gate", required=False)
+    win_s = const_arg(ctx, call, args, "window_seconds")
+    if float(win_s) < 1.0:
+        raise ctx.error(
+            f"{call.func}: window_seconds must be >= 1, got {win_s}", call.span
+        )
+    if value_v.dtype not in ("int", None, "any"):
+        raise ctx.error(
+            f"{call.func}: value must be an integer feature (float windowed "
+            f"sums are partition-order dependent), got {value_v.dtype}",
+            call.span,
+        )
+    if not hasattr(ctx, "wsum_lookups"):
+        ctx.wsum_lookups = []
+    name = f"__ws_{len(ctx.wsum_lookups)}"
+    ctx.wsum_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": F.coalesce(value_v.col.cast("long"), F.lit(0)),
+            "gate": gate_v.col if gate_v is not None else None,
+            "window_seconds": round(float(win_s)),
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
 @register("GetLastValue")
 def get_last_value(ctx, call, args):
     """Previous-event value carry (north_star: "keeping

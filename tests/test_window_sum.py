@@ -1,0 +1,149 @@
+"""GetWindowSum — seventh stateful family: trailing-window SUM of
+per-event integer amounts (token budgets, weighted rate rules). Batch
+= sum over a key RANGE window; streaming = fused state pass carrying
+in-window non-zero (sec, amount) entries."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from osprey_spark.compiler import compile_ruleset
+from osprey_spark.compiler.compile import InputBindings, compile_sml
+from osprey_spark.streaming.pipeline import StreamingRuleEngine
+from osprey_spark.turns import TURN_BINDINGS, generate_turns, with_envelope
+
+WS_SML = """
+K: str = JsonData(path='$.k')
+A: int = JsonData(path='$.a')
+S = GetWindowSum(key=K, value=A, window_seconds=60.0)
+"""
+
+
+def _apply(spark, sml, rows):
+    import json
+
+    data = [
+        (i + 1, "a", json.dumps({k: v for k, v in r.items() if k != "_ts"}),
+         r.get("_ts", datetime(2024, 1, 1)))
+        for i, r in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "action_id long, action_name string, data string, ts timestamp"
+    )
+    rs = compile_sml(sml, bindings=InputBindings())
+    return [r.asDict() for r in rs.apply(df).orderBy("__action_id").collect()]
+
+
+def test_window_sum_batch(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {"k": "a", "a": 5, "_ts": t0},
+        {"k": "a", "a": 7, "_ts": t0.replace(second=30)},     # in window
+        {"k": "b", "a": 100, "_ts": t0.replace(second=30)},   # other key
+        {"k": "a", "a": 1, "_ts": t0.replace(minute=1, second=10)},  # first expired
+    ]
+    out = _apply(spark, WS_SML, rows)
+    assert [r["S"] for r in out] == [5, 12, 100, 8]
+
+
+def test_window_sum_ties_and_nulls(spark):
+    """Equal-sec events see the whole tie group (RANGE semantics);
+    NULL amounts register 0."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {"k": "a", "a": 3, "_ts": t0},
+        {"k": "a", "a": 4, "_ts": t0},          # tie: both see 7
+        {"k": "a", "a": None, "_ts": t0.replace(second=5)},  # NULL -> 0
+    ]
+    out = _apply(spark, WS_SML, rows)
+    assert [r["S"] for r in out] == [7, 7, 7]
+
+
+GATED_SML = """
+K: str = JsonData(path='$.k')
+A: int = JsonData(path='$.a')
+Role: str = JsonData(path='$.role')
+S = GetWindowSum(key=K, value=A, window_seconds=60.0, gate=Role == 'assistant')
+"""
+
+
+def test_window_sum_gate(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {"k": "a", "a": 5, "role": "assistant", "_ts": t0},
+        {"k": "a", "a": 9, "role": "user", "_ts": t0.replace(second=10)},
+        {"k": "a", "a": 2, "role": "assistant", "_ts": t0.replace(second=20)},
+    ]
+    out = _apply(spark, GATED_SML, rows)
+    assert [r["S"] for r in out] == [5, 5, 7]
+
+
+def test_window_sum_rejects_float_value(spark):
+    import pytest
+
+    from osprey_spark.sml.errors import SmlValidationError
+
+    bad = """
+K: str = JsonData(path='$.k')
+A: float = JsonData(path='$.a')
+S = GetWindowSum(key=K, value=A, window_seconds=60.0)
+"""
+    with pytest.raises(SmlValidationError, match="integer"):
+        compile_sml(bad, bindings=InputBindings())
+
+
+STREAM_SML = """
+K: str = JsonData(path='$.conv_id')
+Text: str = JsonData(path='$.text')
+NTok: int = ListLength(list=StringSplit(s=Text, sep=' '))
+WinTokens = GetWindowSum(key=K, value=NTok, window_seconds=600.0)
+Depth = GetSessionCount(key=K, gap_seconds=3600.0)
+"""
+
+
+def test_window_sum_streams_fused(spark, tmp_path):
+    """Token-budget window + session depth on one key: ONE fused
+    state pass; streaming == batch across a micro-batch split (the
+    in-window amounts cross the batch boundary)."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(spark, n_convs=8, turns_per_conv=10, hot_convs=0, late_fraction=0.0)
+    t.filter(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(in_dir)
+    t.filter(F.col("turn_idx") >= 5).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": STREAM_SML}, bindings=TURN_BINDINGS)
+
+    stream = spark.readStream.schema(spark.read.parquet(in_dir).schema).parquet(in_dir)
+    plan = (
+        rs()
+        .apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir,
+        passthrough=("conv_id", "turn_idx"), max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["WinTokens"], r["Depth"])
+        for r in eng.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["WinTokens"], r["Depth"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 80
+    assert any(v[0] > 0 for v in want.values())
