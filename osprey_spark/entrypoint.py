@@ -954,6 +954,305 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H q7): the same
+    dimension table (nation) joins TWICE under different roles —
+    supplier nation and customer nation — each a broadcast alias, so
+    the fact path still shuffles only once (lineitem⋈orders on the
+    order key). The pair filter ((n1,n2) or (n2,n1)) lands after both
+    broadcasts as a cheap projection-level predicate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H q15): the scalar-subquery-over-an-aggregate
+    shape. Per-supplier revenue aggregates once (one shuffle on the
+    supplier key), its 1-row max broadcasts back as an equi-filter —
+    no window over the whole aggregate, no second scan of the fact
+    table. Ranking on the ROUNDED revenue keeps the max float-order
+    independent (the oracle applies the same rule)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+O_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H q17): the CORRELATED scalar
+    subquery (per-part avg quantity) decorrelates into a per-partkey
+    aggregate joined back on the part key. Both the brand-filtered
+    fact slice and its per-part averages are part-cardinality-bounded,
+    so both sides of the re-join broadcast. The 20%-of-average
+    threshold compares in INTEGER space (5·qty·cnt < sum_qty — exact,
+    since l_quantity is integer-valued), so no float-division bit can
+    flip a row at any partitioning."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    per_part = branded.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        branded.join(F.broadcast(per_part), branded.l_partkey == F.col("pp_key"))
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+O_TPCH_Q17 = """
+WITH branded AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), per_part AS (
+  SELECT l_partkey AS pp_key, sum(qty) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM branded GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM branded JOIN per_part ON l_partkey = pp_key
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H q21, adapted: no
+    l_commitdate/l_receiptdate in TESTDATA, so 'late' = shipped more
+    than 60 days after the order date). The classic EXISTS /
+    NOT-EXISTS pair compiles to a LEFT SEMI then LEFT ANTI hash join,
+    both keyed on the order key with the supplier inequality riding
+    as a join-condition residual — no self-cartesian anywhere. Fact
+    shuffles: li⋈orders on the order key, then the distinct
+    (order, supplier) frames reuse that key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+        # feeds THREE consumers (late probe + semi/anti build sides);
+        # without the persist the li⋈orders fact join recomputes 3×
+        .persist()
+    )
+    late = flagged.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = flagged.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    out = (
+        late.join(
+            others,
+            (late.l_orderkey == F.col("o_key"))
+            & (late.l_suppkey != F.col("o_supp")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (late.l_orderkey == F.col("lo_key"))
+            & (late.l_suppkey != F.col("lo_supp")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+    out.unpersist_base = lambda: flagged.unpersist(blocking=True)
+    return out
+
+
+O_TPCH_Q21 = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         max(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), late AS (
+  SELECT l_orderkey, l_suppkey FROM flagged WHERE late
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM flagged l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H q22, adapted: nation keys stand
+    in for phone country codes, and — since this synthetic dataset
+    gives every customer at least one order — the NOT EXISTS probes
+    for no RECENT order, the dormant-account reading of the same
+    shape). Two classic forms in one query: the UNCORRELATED scalar
+    subquery (average positive balance of the cohort — a 1-row
+    broadcast) and the NOT-EXISTS anti-join against the date-filtered
+    orders (LEFT ANTI on the customer key; the date filter is pushed
+    to the orders scan, shrinking the anti-join build side). The
+    above-average test compares in integer-cents space
+    (cents·cnt > sum_cents — exact), so the threshold cannot flip
+    with float summation order."""
+    nations = [10, 11, 12, 13, 14, 15, 16]
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey").isin(nations))
+        .withColumn(
+            "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+        )
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0.0)
+    thresh = positive.agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("cents") * F.col("cnt") > F.col("sum_cents"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+O_TPCH_Q22 = """
+WITH cohort AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_nationkey IN (10, 11, 12, 13, 14, 15, 16)
+), thresh AS (
+  SELECT sum(cents) AS sum_cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM cohort WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM cohort, thresh
+WHERE cents * cnt > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------------
@@ -3435,6 +3734,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q13": q_tpch_q13,
     "tpch_q19": q_tpch_q19,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -3531,6 +3835,11 @@ ORACLES: dict[str, str] = {
     "tpch_q10": O_TPCH_Q10,
     "tpch_q13": O_TPCH_Q13,
     "tpch_q19": O_TPCH_Q19,
+    "tpch_q7": O_TPCH_Q7,
+    "tpch_q15": O_TPCH_Q15,
+    "tpch_q17": O_TPCH_Q17,
+    "tpch_q21": O_TPCH_Q21,
+    "tpch_q22": O_TPCH_Q22,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,

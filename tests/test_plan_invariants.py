@@ -32,6 +32,7 @@ _CROSS_OK = {
     "bm25",
     "dsir_weights",
     "lm_nll",  # 1-row vocab-size frame broadcast into the scorer
+    "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
 }
 
 # Queries expected to broadcast at least one join side (small dim /
@@ -43,6 +44,10 @@ _EXPECT_BROADCAST = {
     "tpch_q18",
     "tpch_q10",
     "tpch_q19",
+    "tpch_q7",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
     "has_label_roundtrip",
     "decontaminate",
     "corpus_curate",
