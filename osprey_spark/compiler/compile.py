@@ -1143,6 +1143,24 @@ class CompiledRuleset:
         total = F.coalesce(F.sum(val).over(w), F.lit(0))
         return df.select("*", total.cast("long").alias(spec["name"]))
 
+    def _join_key_age(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetKeyAge on a BATCH frame: seconds since the
+        key's first event = ``sec - min(sec)`` over a RANGE window to
+        the current second — one shuffle on the key, whole-stage
+        codegen. The min depends only on event times, so equal-second
+        ties cannot reorder the result. Streaming frames route
+        through the fused state pass carrying one long per key."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        w = (
+            W.partitionBy(spec["key_col"])
+            .orderBy(sec)
+            .rangeBetween(W.unboundedPreceding, 0)
+        )
+        age = sec - F.min(sec).over(w)
+        return df.select("*", age.cast("long").alias(spec["name"]))
+
     def _join_session_count(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one GetSessionCount on a BATCH frame: lag-gap
         session break → running-sum session id → RANGE count within
@@ -1432,6 +1450,9 @@ class CompiledRuleset:
                 proj.append(sp["value_col"].alias(f"__fs{i}_lv"))
                 metas.append({"fam": "last", "name": sp["name"], "i": i})
                 out_fields.append(T.StructField(sp["name"], T.StringType()))
+            elif fam == "age":
+                metas.append({"fam": "age", "name": sp["name"], "i": i})
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             elif fam == "wsum":
                 gate = sp["gate"]
                 amt = sp["value_col"]
@@ -1528,6 +1549,9 @@ class CompiledRuleset:
                         {"val": pdf[f"__fs{m['i']}_lv"].to_numpy(dtype=object)}
                     )
                     outs.append(np.full(n, None, dtype=object))
+                elif m["fam"] == "age":
+                    op_in.append({})  # only needs (key, sec), already shared
+                    outs.append(np.empty(n, dtype="int64"))
                 elif m["fam"] == "wsum":
                     op_in.append(
                         {"amt": pdf[f"__fs{m['i']}_amt"].to_numpy(dtype="int64")}
@@ -1683,6 +1707,18 @@ class CompiledRuleset:
                         else:
                             v_last = None
                         smap[mk] = [v_last]
+                    elif m["fam"] == "age":
+                        # seconds since the key's first-seen second.
+                        # State is ONE long; min-fold makes a late
+                        # out-of-order first event lower the carried
+                        # floor (it reports age 0 itself because the
+                        # segment is sec-sorted: seg_sec[0] <= all).
+                        st = smap.get(mk)  # [first_sec]
+                        first = int(seg_sec[0]) if st is None else min(
+                            int(st[0]), int(seg_sec[0])
+                        )
+                        out_a[s:e] = seg_sec - first
+                        smap[mk] = [first]
                     elif m["fam"] == "wsum":
                         # trailing-window SUM, judged like the batch
                         # RANGE window: all visible same-key amounts
@@ -1967,6 +2003,7 @@ class CompiledRuleset:
         session_specs: dict | None = None,
         last_specs: dict | None = None,
         wsum_specs: dict | None = None,
+        age_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2006,6 +2043,7 @@ class CompiledRuleset:
         session_specs = session_specs or {}
         last_specs = last_specs or {}
         wsum_specs = wsum_specs or {}
+        age_specs = age_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2025,6 +2063,8 @@ class CompiledRuleset:
                 if s["gate"] is not None:
                     cols.append(s["gate"])
                 return cols
+            if mangled in age_specs:
+                return [age_specs[mangled]["key_col"]]
             if mangled in distinct_specs:
                 s = distinct_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
@@ -2069,6 +2109,7 @@ class CompiledRuleset:
                     or name in session_specs
                     or name in last_specs
                     or name in wsum_specs
+                    or name in age_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2149,6 +2190,7 @@ class CompiledRuleset:
         }
         last_specs = {s["name"]: s for s in getattr(self.ctx, "last_lookups", [])}
         wsum_specs = {s["name"]: s for s in getattr(self.ctx, "wsum_lookups", [])}
+        age_specs = {s["name"]: s for s in getattr(self.ctx, "age_lookups", [])}
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2199,6 +2241,7 @@ class CompiledRuleset:
                 "sess",
                 "last",
                 "wsum",
+                "age",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2241,7 +2284,7 @@ class CompiledRuleset:
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
-            elif fam == "sess":
+            elif fam in ("sess", "age"):
                 pass  # only the key
             elif fam == "last":
                 cols.append(sp["value_col"])
@@ -2297,8 +2340,15 @@ class CompiledRuleset:
             session_specs,
             last_specs,
             wsum_specs,
+            age_specs,
         ):
             if defn is None:
+                if streaming and mangled in age_specs:
+                    sp = age_specs[mangled]
+                    if not _fusable("age", sp):
+                        df = _flush(df)
+                    pending.append(("age", sp))
+                    continue
                 if streaming and mangled in wsum_specs:
                     sp = wsum_specs[mangled]
                     if not _fusable("wsum", sp):
@@ -2368,6 +2418,8 @@ class CompiledRuleset:
                     df = self._join_last_value(df, last_specs[mangled])
                 elif mangled in wsum_specs:
                     df = self._join_window_sum(df, wsum_specs[mangled])
+                elif mangled in age_specs:
+                    df = self._join_key_age(df, age_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -2126,6 +2126,50 @@ FROM t
 )
 
 
+def q_key_age_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level key age (GetKeyAge): seconds since the conversation's
+    first observed turn — the new-entity gate of the north star's
+    escalation rules (young conversations get stricter thresholds).
+    Batch = sec - min(sec) over a key RANGE window (one shuffle);
+    streaming = fused state pass carrying one long per key
+    (tests/test_key_age.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+ConvAge = GetKeyAge(key=K)
+Young: bool = ConvAge < 300
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ConvAge").alias("conv_age"),
+        F.col("Young").alias("young"),
+    )
+
+
+O_KEY_AGE = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM turns)
+SELECT conv_id, turn_idx,
+  CAST(sec - min(sec) OVER (PARTITION BY conv_id ORDER BY sec
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS conv_age,
+  (sec - min(sec) OVER (PARTITION BY conv_id ORDER BY sec
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 300
+    AS young
+FROM t
+"""
+)
+
+
 def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level CEP (SequenceMatches): per turn, does the rolling
     last-6 role-symbol suffix of the conversation contain
@@ -3761,6 +3805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_count_rule": q_session_count_rule,
     "last_value_rule": q_last_value_rule,
     "window_sum_rule": q_window_sum_rule,
+    "key_age_rule": q_key_age_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -3862,6 +3907,7 @@ ORACLES: dict[str, str] = {
     "session_count_rule": O_SESSION_COUNT,
     "last_value_rule": O_LAST_VALUE,
     "window_sum_rule": O_WINDOW_SUM,
+    "key_age_rule": O_KEY_AGE,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,

@@ -479,6 +479,35 @@ def get_window_sum(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetKeyAge")
+def get_key_age(ctx, call, args):
+    """Observed key age (north_star: per-conversation state for
+    stateful rule escalation; ref: the GetSnowflakeBucket /
+    TimeSince age-bucket rules, `stdlib/udfs/time.py`, which derive
+    entity age from ID timestamps): seconds between the FIRST
+    same-key event ever observed and the current event — 0 for the
+    key's first event. The new-account / young-conversation
+    primitive: ``ConvAge = GetKeyAge(key=ConvId)`` gates rules that
+    only apply to fresh conversations (burst detection, new-entity
+    throttles) without a self-join against a first-seen table.
+
+    Eighth stateful family. Batch = ``sec - min(sec)`` over a
+    key-partitioned RANGE window (one key shuffle; min depends only
+    on event times, so results are tie-order independent);
+    streaming = the fused state pass carrying ONE long per key (the
+    first-seen second) — late arrivals fold through ``min``, so an
+    out-of-order first event still reports age 0 and lowers the
+    carried floor for everything after it.
+    """
+    key_v = arg(ctx, call, args, "key")
+    if not hasattr(ctx, "age_lookups"):
+        ctx.age_lookups = []
+    name = f"__ka_{len(ctx.age_lookups)}"
+    ctx.age_lookups.append({"name": name, "key_col": key_v.col})
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
 @register("GetLastValue")
 def get_last_value(ctx, call, args):
     """Previous-event value carry (north_star: "keeping
