@@ -1574,6 +1574,75 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine-trained quality classifier (GPT-3/CCNet
+    Wikipedia-vs-CommonCrawl filter class, Brown et al. 2020 §A):
+    add-one-smoothed multinomial Naive Bayes log-odds, trained on the
+    src0-vs-src1 subsets and scored over every doc —
+    curation.nb_classifier. Training is two token-keyed hash
+    aggregates (no SGD, no RNG); scoring is one model-table equi-join
+    with a position-ordered fold, so the DuckDB replay is
+    hash-exact."""
+    from .operators.curation import nb_classifier
+
+    return nb_classifier(
+        _docs(spark, sf_dir),
+        class_a_pred=(F.col("source") == "src0"),
+        class_b_pred=(F.col("source") == "src1"),
+    )
+
+
+O_NB_CLASSIFIER = f"""
+WITH base AS (
+  SELECT doc_id, (source = 'src0') AS a, (source = 'src1') AS b,
+         {_DUCK_RTOKENS} AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, a, b, i AS pos, arr[i] AS tok
+  FROM base, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks WHERE a OR b GROUP BY tok)
+  WHERE c >= 2
+),
+mapped AS (
+  SELECT toks.doc_id, toks.a, toks.b, toks.pos,
+         CASE WHEN vocab.tok IS NOT NULL THEN toks.tok ELSE '<unk>' END AS mt
+  FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+),
+model AS (
+  SELECT mt, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+  FROM mapped WHERE a OR b GROUP BY mt
+),
+scal AS (
+  SELECT (SELECT CAST(sum(ca) AS DOUBLE) FROM model) AS na,
+         (SELECT CAST(sum(cb) AS DOUBLE) FROM model) AS nb,
+         (SELECT CAST(count(*) + 1 AS DOUBLE) FROM vocab) AS v,
+         ln((SELECT CAST(count(*) FILTER (source = 'src0') AS DOUBLE)
+             FROM documents)
+            / (SELECT CAST(count(*) FILTER (source = 'src1') AS DOUBLE)
+               FROM documents)) AS prior
+),
+scored AS (
+  SELECT mapped.doc_id, mapped.pos, scal.prior,
+         ln((coalesce(model.ca, 0) + 1) / (scal.na + scal.v))
+       - ln((coalesce(model.cb, 0) + 1) / (scal.nb + scal.v)) AS l
+  FROM mapped LEFT JOIN model ON mapped.mt = model.mt CROSS JOIN scal
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    round(any_value(prior) + list_sum(list_transform(
+       list(struct_pack(p := pos, l := l) ORDER BY pos, l), s -> s.l)), 6
+    ) AS log_odds
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred_a
+FROM per ORDER BY doc_id
+"""
+
+
 _DUCK_QI = """
 WITH t AS (
   SELECT doc_id, lang, text, {rtoks} AS toks FROM documents
@@ -3832,6 +3901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "quality_normalize": q_quality_normalize,
     "lm_nll": q_lm_nll,
+    "nb_classifier": q_nb_classifier,
     "percentiles": q_percentiles,
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3934,6 +4004,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": O_DSIR_WEIGHTS,
     "quality_normalize": O_QUALITY_NORMALIZE,
     "lm_nll": O_LM_NLL,
+    "nb_classifier": O_NB_CLASSIFIER,
     "percentiles": O_PERCENTILES,
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,

@@ -1030,3 +1030,118 @@ SELECT round, p1, p2, p1 || p2 AS merged, CAST(cnt AS BIGINT) AS pair_count
 FROM ({union}) ORDER BY round"""
     )
     return "".join(parts)
+
+
+def nb_classifier(
+    docs: DataFrame,
+    class_a_pred: Column,
+    class_b_pred: Column,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quality-classifier log-odds — the GPT-3 / CCNet
+    "Wikipedia-vs-CommonCrawl" filter class (Brown et al. 2020 §A
+    train a linear classifier on good-vs-raw text and keep docs the
+    classifier favors; fastText is the usual engine). This is the
+    same pipeline with an add-one-smoothed multinomial Naive Bayes —
+    the counts-based member of the linear-classifier family, so
+    training is TWO hash aggregates instead of SGD and every model
+    weight is ln of a ratio of integers: fully deterministic under
+    any partitioning, no iterative fitting, no RNG.
+
+    Model: vocab = tokens seen >= ``min_count`` in the union of both
+    training classes (others -> ``<unk>``, which cannot collide —
+    tokens are \\w+ only); per-token weight
+    ``l(t) = ln((ca+1)/(Na+V)) - ln((cb+1)/(Nb+V))`` with Na/Nb the
+    mapped class token totals and V = |vocab|+1; the doc score is
+    ``prior + sum l(t_i)`` with ``prior = ln(da/db)`` over training
+    doc counts. ``pred_a`` compares the ROUNDED score so a libm ulp
+    can never flip the label across engines.
+
+    Plan shape at 100 TB: the model is one token-keyed conditional
+    hash aggregate (vocab-sized, map-side partials); scoring is one
+    equi-join of doc tokens against that model table (AQE broadcasts
+    model-sized sides) plus a 1-row scalar broadcast; the per-doc sum
+    folds position-ordered so float addition order is fixed —
+    bit-reproducible and oracle-hash-exact, same contract as
+    :func:`lm_nll`. Docs with zero tokens drop out (no token rows),
+    same as the SQL replay.
+    """
+    from ..functions.text import tokenize_col
+
+    toks = docs.select(
+        F.col(id_col),
+        class_a_pred.alias("_a"),
+        class_b_pred.alias("_b"),
+        F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    rawc = (
+        toks.filter(F.col("_a") | F.col("_b"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = rawc.filter(F.col("c") >= min_count).select("tok")
+    mapped = toks.join(vocab.withColumn("_known", F.lit(True)), "tok", "left").select(
+        id_col,
+        "_a",
+        "_b",
+        "pos",
+        F.when(F.col("_known"), F.col("tok")).otherwise(F.lit("<unk>")).alias("mt"),
+    )
+    model = (
+        mapped.filter(F.col("_a") | F.col("_b"))
+        .groupBy("mt")
+        .agg(
+            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = model.agg(
+        F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
+    )
+    vn = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("v"))
+    prior = docs.agg(
+        F.log(
+            F.sum(class_a_pred.cast("int")).cast("double")
+            / F.sum(class_b_pred.cast("int")).cast("double")
+        ).alias("prior")
+    )
+    scal = F.broadcast(totals.crossJoin(vn).crossJoin(prior))
+    scored = (
+        mapped.join(model, "mt", "left")
+        .crossJoin(scal)
+        .select(
+            F.col(id_col),
+            "prior",
+            F.struct(
+                F.col("pos").alias("p"),
+                (
+                    F.log(
+                        (F.coalesce(F.col("ca"), F.lit(0)) + 1).cast("double")
+                        / (F.col("na") + F.col("v"))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nb") + F.col("v"))
+                    )
+                ).alias("l"),
+            ).alias("s"),
+        )
+    )
+    log_odds = F.round(
+        F.first("prior")
+        + F.aggregate(
+            F.array_sort(F.collect_list("s")), F.lit(0.0), lambda acc, x: acc + x["l"]
+        ),
+        6,
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            log_odds.alias("log_odds"),
+        )
+        .select(id_col, "n_tokens", "log_odds", (F.col("log_odds") > 0).alias("pred_a"))
+        .orderBy(id_col)
+    )

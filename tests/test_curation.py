@@ -328,3 +328,38 @@ def test_bpe_encode_token_counts(spark):
     assert rows[2].n_chars == 6
     assert rows[2].chars_per_token == 3.0
     assert rows[1].n_bpe_tokens == 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4
+
+
+def test_nb_classifier_known_answer(spark):
+    """Hand-checked add-one multinomial NB: vocab from the union of
+    both training classes, <unk> weight 0, prior ln(da/db), pred from
+    the rounded score."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "src0", "good good fine"),
+            (2, "src1", "bad bad fine"),
+            (3, "src2", "good bad zzz"),  # score-only; zzz -> <unk>
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.nb_classifier(
+            docs,
+            class_a_pred=(F.col("source") == "src0"),
+            class_b_pred=(F.col("source") == "src1"),
+        ).collect()
+    }
+    # vocab {good, bad, fine} (each seen 2x in training), V=4, Na=Nb=3
+    # l(good)=ln((2+1)/(0+1))=ln 3, l(bad)=ln(1/3), l(fine)=0, l(<unk>)=0
+    # prior = ln(1/1) = 0
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens == 3
+    assert out[1].log_odds == round(2 * math.log(3.0), 6)
+    assert out[1].pred_a is True
+    assert out[2].log_odds == round(2 * math.log(1 / 3), 6)
+    assert out[2].pred_a is False
+    assert out[3].log_odds == 0.0
+    assert out[3].pred_a is False

@@ -32,6 +32,7 @@ _CROSS_OK = {
     "bm25",
     "dsir_weights",
     "lm_nll",  # 1-row vocab-size frame broadcast into the scorer
+    "nb_classifier",  # 1-row (totals, V, prior) scalar frame broadcast
     "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
 }
 
