@@ -1143,6 +1143,89 @@ class CompiledRuleset:
         total = F.coalesce(F.sum(val).over(w), F.lit(0))
         return df.select("*", total.cast("long").alias(spec["name"]))
 
+    def _join_rate_limit(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one RateLimit on a BATCH frame. The token bucket's
+        recurrence (consumption depends on prior ALLOW decisions) has
+        no window-function form, so: project a NARROW (rid, key, sec,
+        order) relation, group it by a 1024-way hash bucket of the
+        key (the state ops' coalescing discipline — per-group Arrow
+        overhead amortizes across keys), fold each key's rows in
+        (sec, order) order inside one applyInPandas pass, and join
+        the boolean back by row id. Only 4 small columns ever cross
+        the Arrow boundary — the wide feature frame stays JVM-side.
+        Streaming frames route through the fused state pass carrying
+        [tokens_units, last_sec] per key."""
+        import os as _os
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        if df.isStreaming:  # pragma: no cover — apply() routes to fused
+            raise SmlValidationError(
+                "RateLimit on a streaming frame must resolve through the "
+                "fused state pass"
+            )
+        rid = "__rl_rid"
+        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        # same rid discipline as _join_cache: pin one materialization
+        df = df.withColumn(rid, F.monotonically_increasing_id()).persist()
+        if not hasattr(self, "_cache_persists"):
+            self._cache_persists = []
+        self._cache_persists.append(df)
+        ord_col = (
+            spec["order_col"].cast("double")
+            if spec["order_col"] is not None
+            else F.lit(0.0)
+        )
+        narrow = df.select(
+            F.col(rid).alias("_rlid"),
+            spec["key_col"].cast("string").alias("_rlk"),
+            sec.alias("_rls"),
+            ord_col.alias("_rlo"),
+            F.pmod(F.xxhash64(spec["key_col"].cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("_rlb"),
+        )
+        rate, cap, cost = spec["rate"], spec["cap"], spec["cost"]
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values(
+                ["_rlk", "_rls", "_rlo"], kind="stable", na_position="last"
+            )
+            keys = pdf["_rlk"].to_numpy(dtype=object)
+            secs = pdf["_rls"].to_numpy(dtype="int64")
+            out = np.zeros(len(pdf), dtype=bool)
+            tokens = last = None
+            prev_key = object()
+            for i in range(len(pdf)):
+                k = keys[i]
+                if k != prev_key:
+                    tokens, last, prev_key = cap, secs[i], k
+                tokens = min(cap, tokens + rate * (secs[i] - last))
+                last = secs[i]
+                if tokens >= cost:
+                    tokens -= cost
+                    out[i] = True
+            return pd.DataFrame({"_rlid": pdf["_rlid"], "_rlv": out})
+
+        res = narrow.groupBy("_rlb").applyInPandas(
+            fold,
+            T.StructType(
+                [
+                    T.StructField("_rlid", T.LongType()),
+                    T.StructField("_rlv", T.BooleanType()),
+                ]
+            ),
+        )
+        return (
+            df.join(res, F.col(rid) == F.col("_rlid"), "left")
+            .drop("_rlid", rid)
+            .withColumnRenamed("_rlv", spec["name"])
+        )
+
     def _join_key_age(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one GetKeyAge on a BATCH frame: seconds since the
         key's first event = ``sec - min(sec)`` over a RANGE window to
@@ -1371,7 +1454,7 @@ class CompiledRuleset:
 
         ord_expr = F.lit(0.0)
         for fam, sp in fspecs:
-            if fam in ("seq", "last") and sp["order_col"] is not None:
+            if fam in ("seq", "last", "rl") and sp["order_col"] is not None:
                 ord_expr = sp["order_col"].cast("double")
                 break
 
@@ -1453,6 +1536,18 @@ class CompiledRuleset:
             elif fam == "age":
                 metas.append({"fam": "age", "name": sp["name"], "i": i})
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "rl":
+                metas.append(
+                    {
+                        "fam": "rl",
+                        "name": sp["name"],
+                        "rate": int(sp["rate"]),
+                        "cap": int(sp["cap"]),
+                        "cost": int(sp["cost"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.BooleanType()))
             elif fam == "wsum":
                 gate = sp["gate"]
                 amt = sp["value_col"]
@@ -1552,6 +1647,9 @@ class CompiledRuleset:
                 elif m["fam"] == "age":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "rl":
+                    op_in.append({})  # only needs (key, sec), already shared
+                    outs.append(np.zeros(n, dtype=bool))
                 elif m["fam"] == "wsum":
                     op_in.append(
                         {"amt": pdf[f"__fs{m['i']}_amt"].to_numpy(dtype="int64")}
@@ -1707,6 +1805,26 @@ class CompiledRuleset:
                         else:
                             v_last = None
                         smap[mk] = [v_last]
+                    elif m["fam"] == "rl":
+                        # token bucket: state [tokens_units, last_sec];
+                        # a NEW key starts FULL. The fold is the exact
+                        # recurrence the batch resolver runs — integer
+                        # units throughout, denials consume nothing.
+                        rate, cap, cost = m["rate"], m["cap"], m["cost"]
+                        st = smap.get(mk)
+                        tokens, last = (
+                            (cap, int(seg_sec[0])) if st is None else st
+                        )
+                        seg_out = out_a[s:e]
+                        for j in range(e - s):
+                            t = int(seg_sec[j])
+                            if t > last:  # cross-batch late rows refill 0
+                                tokens = min(cap, tokens + rate * (t - last))
+                                last = t
+                            if tokens >= cost:
+                                tokens -= cost
+                                seg_out[j] = True
+                        smap[mk] = [tokens, last]
                     elif m["fam"] == "age":
                         # seconds since the key's first-seen second.
                         # State is ONE long; min-fold makes a late
@@ -2004,6 +2122,7 @@ class CompiledRuleset:
         last_specs: dict | None = None,
         wsum_specs: dict | None = None,
         age_specs: dict | None = None,
+        rl_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2044,6 +2163,7 @@ class CompiledRuleset:
         last_specs = last_specs or {}
         wsum_specs = wsum_specs or {}
         age_specs = age_specs or {}
+        rl_specs = rl_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2065,6 +2185,12 @@ class CompiledRuleset:
                 return cols
             if mangled in age_specs:
                 return [age_specs[mangled]["key_col"]]
+            if mangled in rl_specs:
+                s = rl_specs[mangled]
+                cols = [s["key_col"]]
+                if s["order_col"] is not None:
+                    cols.append(s["order_col"])
+                return cols
             if mangled in distinct_specs:
                 s = distinct_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
@@ -2110,6 +2236,7 @@ class CompiledRuleset:
                     or name in last_specs
                     or name in wsum_specs
                     or name in age_specs
+                    or name in rl_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2191,6 +2318,9 @@ class CompiledRuleset:
         last_specs = {s["name"]: s for s in getattr(self.ctx, "last_lookups", [])}
         wsum_specs = {s["name"]: s for s in getattr(self.ctx, "wsum_lookups", [])}
         age_specs = {s["name"]: s for s in getattr(self.ctx, "age_lookups", [])}
+        rl_specs = {
+            s["name"]: s for s in getattr(self.ctx, "ratelimit_lookups", [])
+        }
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2242,6 +2372,7 @@ class CompiledRuleset:
                 "last",
                 "wsum",
                 "age",
+                "rl",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2286,6 +2417,9 @@ class CompiledRuleset:
                     cols.append(sp["gate"])
             elif fam in ("sess", "age"):
                 pass  # only the key
+            elif fam == "rl":
+                if sp["order_col"] is not None:
+                    cols.append(sp["order_col"])
             elif fam == "last":
                 cols.append(sp["value_col"])
                 if sp["order_col"] is not None:
@@ -2321,10 +2455,10 @@ class CompiledRuleset:
                 for s in sp["sets"]:
                     if _node(s["key_col"]) != key_node:
                         return False
-            if fam in ("seq", "last") and sp["order_col"] is not None:
+            if fam in ("seq", "last", "rl") and sp["order_col"] is not None:
                 for pf, psp in pending:
                     if (
-                        pf in ("seq", "last")
+                        pf in ("seq", "last", "rl")
                         and psp["order_col"] is not None
                         and _node(psp["order_col"]) != _node(sp["order_col"])
                     ):
@@ -2341,8 +2475,15 @@ class CompiledRuleset:
             last_specs,
             wsum_specs,
             age_specs,
+            rl_specs,
         ):
             if defn is None:
+                if streaming and mangled in rl_specs:
+                    sp = rl_specs[mangled]
+                    if not _fusable("rl", sp):
+                        df = _flush(df)
+                    pending.append(("rl", sp))
+                    continue
                 if streaming and mangled in age_specs:
                     sp = age_specs[mangled]
                     if not _fusable("age", sp):
@@ -2420,6 +2561,8 @@ class CompiledRuleset:
                     df = self._join_window_sum(df, wsum_specs[mangled])
                 elif mangled in age_specs:
                     df = self._join_key_age(df, age_specs[mangled])
+                elif mangled in rl_specs:
+                    df = self._join_rate_limit(df, rl_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

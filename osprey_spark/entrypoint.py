@@ -2239,6 +2239,69 @@ FROM t
 )
 
 
+def q_rate_limit_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level token-bucket throttle (RateLimit): allow at most 1
+    turn per 10 hours per conversation with a burst of 2 — the
+    abuse-throttling primitive of the north star's escalation rules.
+    Batch = narrow (rid, key, sec, order) applyInPandas fold joined
+    back by row id; streaming = fused state pass carrying
+    [tokens, last_sec] per key (tests/test_rate_limit.py). Oracle =
+    the identical integer-unit fold as a DuckDB list_reduce."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+TI: int = JsonData(path='$.turn_idx')
+Allowed = RateLimit(key=K, limit=1, per_seconds=36000, burst=2, order=TI)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx", F.col("Allowed").alias("allowed")
+    )
+
+
+# token bucket in integer units of 1/per_seconds token:
+# rate = limit = 1 unit/sec, cap = burst*per = 72000, cost = 1*per = 36000
+_RL_REFILL = (
+    "least(acc[-1].tok + 1 * (x[1].last - coalesce(acc[-1].last, x[1].last)),"
+    " 72000)"
+)
+O_RATE_LIMIT = (
+    TURNS_CTE
+    + f""",
+t AS (SELECT conv_id, turn_idx,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM turns),
+g AS (SELECT conv_id,
+             list(struct_pack(sec := sec, ti := turn_idx)
+                  ORDER BY sec, turn_idx) AS evs
+      FROM t GROUP BY conv_id),
+folded AS (
+  SELECT conv_id, list_reduce(
+    list_prepend(
+      [struct_pack(ti := -1, allowed := false,
+                   tok := CAST(72000 AS BIGINT),
+                   last := CAST(NULL AS BIGINT))],
+      list_transform(evs, e -> [struct_pack(ti := CAST(e.ti AS INT),
+                                            allowed := false,
+                                            tok := CAST(0 AS BIGINT),
+                                            last := e.sec)])),
+    (acc, x) -> list_append(acc, struct_pack(
+        ti := x[1].ti,
+        allowed := {_RL_REFILL} >= 36000,
+        tok := CASE WHEN {_RL_REFILL} >= 36000
+                    THEN {_RL_REFILL} - 36000 ELSE {_RL_REFILL} END,
+        last := x[1].last))) AS res
+  FROM g)
+SELECT conv_id, u.r.ti AS turn_idx, u.r.allowed AS allowed
+FROM folded, LATERAL unnest(res) AS u(r) WHERE u.r.ti >= 0
+"""
+)
+
+
 def q_seq_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level CEP (SequenceMatches): per turn, does the rolling
     last-6 role-symbol suffix of the conversation contain
@@ -3875,6 +3938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_value_rule": q_last_value_rule,
     "window_sum_rule": q_window_sum_rule,
     "key_age_rule": q_key_age_rule,
+    "rate_limit_rule": q_rate_limit_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -3978,6 +4042,7 @@ ORACLES: dict[str, str] = {
     "last_value_rule": O_LAST_VALUE,
     "window_sum_rule": O_WINDOW_SUM,
     "key_age_rule": O_KEY_AGE,
+    "rate_limit_rule": O_RATE_LIMIT,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_decode": O_MULTIMODAL_DECODE,

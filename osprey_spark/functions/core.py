@@ -479,6 +479,64 @@ def get_window_sum(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("RateLimit")
+def rate_limit(ctx, call, args):
+    """Token-bucket rate limiter (north_star: stateful rule
+    escalation / abuse throttling; the primitive behind every
+    "N actions per window with burst" rule): True when the key's
+    bucket has at least ``cost`` tokens at this event's time, in
+    which case they are consumed; False otherwise (denials consume
+    nothing — the classic bucket). The bucket starts FULL at
+    ``burst`` tokens and refills continuously at ``limit`` tokens
+    per ``per_seconds``.
+
+    All arithmetic is INTEGER, in units of 1/per_seconds token
+    (cap = burst·per, refill = limit units/sec, cost = cost·per), so
+    allow/deny decisions are bit-exact under any partitioning and
+    the DuckDB oracle replays the fold verbatim. ``order`` is the
+    within-key tiebreak after event time (equal-second events
+    consume in (sec, order) order — pass the turn index; without it
+    ties are nondeterministic, same contract as SequenceMatches).
+
+    Ninth stateful family — and the first whose recurrence has no
+    window-function form (consumption depends on prior ALLOW
+    decisions, a min-clamped conditional fold): batch resolves via a
+    narrow (rid, key, sec, order) applyInPandas pass joined back by
+    row id (the cache resolver's shape); streaming rides the fused
+    state pass carrying [tokens_units, last_sec] per key.
+    """
+    key_v = arg(ctx, call, args, "key")
+    order_v = arg(ctx, call, args, "order", required=False)
+    limit = const_arg(ctx, call, args, "limit")
+    per_s = const_arg(ctx, call, args, "per_seconds")
+    burst = const_arg(ctx, call, args, "burst", required=False, default=None)
+    cost = const_arg(ctx, call, args, "cost", required=False, default=1)
+    burst = limit if burst is None else burst
+    for nm, v in (("limit", limit), ("per_seconds", per_s), ("burst", burst),
+                  ("cost", cost)):
+        if float(v) < 1.0 or float(v) != int(v):
+            raise ctx.error(
+                f"{call.func}: {nm} must be a positive integer (got {v}) — "
+                f"fractional rates would break the integer-exact bucket",
+                call.span,
+            )
+    if not hasattr(ctx, "ratelimit_lookups"):
+        ctx.ratelimit_lookups = []
+    name = f"__rl_{len(ctx.ratelimit_lookups)}"
+    ctx.ratelimit_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "order_col": order_v.col if order_v is not None else None,
+            "rate": int(limit),  # units (1/per token) refilled per second
+            "cap": int(burst) * int(per_s),
+            "cost": int(cost) * int(per_s),
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="bool")
+
+
 @register("GetKeyAge")
 def get_key_age(ctx, call, args):
     """Observed key age (north_star: per-conversation state for
