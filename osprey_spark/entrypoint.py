@@ -1253,6 +1253,444 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H q2, adapted: TESTDATA has no
+    partsupp, so per-(part, supplier) supply cost derives from
+    lineitem — the minimum observed line price in INTEGER cents). The
+    signature q2 shape survives intact: a correlated min-over-group
+    subquery decorrelates into a per-part aggregate broadcast back as
+    an argmin equi-filter (same decorrelation family as q15/q17), fed
+    by a region-restricted supplier dimension chain
+    (supplier⋈nation⋈region) that broadcasts end to end. The lineitem
+    scan shuffles once on the (part, supplier) pair; everything else
+    is part/supplier-cardinality bounded."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp_eu = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_eu), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cost_cents"
+            )
+        )
+    )
+    min_pp = ps.groupBy(F.col("l_partkey").alias("mp_key")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_pp),
+            (ps.l_partkey == F.col("mp_key"))
+            & (ps.cost_cents == F.col("min_cents")),
+        )
+        .join(F.broadcast(supp_eu), ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_key"),
+            "p_name",
+            F.round(F.col("cost_cents") / 100.0, 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_key")
+        .limit(100)
+    )
+
+
+O_TPCH_Q2 = """
+WITH supp_eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pf AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'STANDARD' AND p_size <= 25
+), ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  JOIN pf ON l_partkey = p_partkey
+  JOIN supp_eu ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_key, p_name,
+       round(cost_cents / 100.0, 2) AS supply_cost
+FROM ps
+JOIN (SELECT l_partkey AS mp_key, min(cost_cents) AS min_cents
+      FROM ps GROUP BY 1) m
+  ON l_partkey = mp_key AND cost_cents = min_cents
+JOIN supp_eu ON l_suppkey = s_suppkey
+JOIN pf ON l_partkey = p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_key
+LIMIT 100
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H q8): NATION_2's share of ECONOMY-
+    part revenue sold into ASIA, per order year. The two-role nation
+    dimension from q7 returns (customer nation restricts the market
+    region, supplier nation feeds the conditional numerator) plus the
+    q14-style conditional-aggregate ratio. Volumes round to INTEGER
+    cents per row BEFORE summing, so both aggregate operands are
+    order-independent exact longs and the final share is one
+    deterministic long/long double division — no float sum ordering
+    can move the 4th decimal."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", vol_cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nat_cents"),
+            F.sum(vol_cents).alias("tot_cents"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nat_cents") / F.col("tot_cents"), 4).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+O_TPCH_Q8 = """
+SELECT o_year,
+       round(CAST(nat_cents AS DOUBLE) / tot_cents, 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         sum(CASE WHEN n2.n_name = 'NATION_2'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             ELSE 0 END) AS nat_cents,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS tot_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+ORDER BY o_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H q9, adapted: p_retailprice stands in
+    for the missing ps_supplycost). Profit per line computes entirely
+    in INTEGER arithmetic — revenue cents minus retail-cents × integer
+    quantity — then sums per (supplier nation, order year), so the
+    aggregate is bit-exact under any partitioning and only the final
+    cents→currency division touches floats. The fact path shuffles
+    once (li⋈orders on the order key); part / supplier / nation all
+    broadcast. The LIKE '%widget%' part filter is a non-anchored
+    substring the scan cannot push, which is the point of q9's plan:
+    the broadcast build side applies it."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long") - F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(profit_cents).alias("profit_cents"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("profit_cents") / 100.0, 2).alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+O_TPCH_Q9 = """
+SELECT nation, o_year, round(profit_cents / 100.0, 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             - CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS profit_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY 1, 2
+)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H q11, adapted: part value = summed
+    lineitem revenue cents of NATION_3's suppliers instead of
+    partsupp cost×qty). The signature shape is the HAVING-against-a-
+    global-scalar: per-part values aggregate once, the corpus total is
+    a 1-row broadcast, and the 0.1% importance threshold compares as
+    pure integers (value_cents × 1000 > total_cents) so no float
+    division can flip a part across the cut. Supplier+nation broadcast
+    into the fact scan; the only wide shuffle is the per-part
+    aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_key")
+    )
+
+
+O_TPCH_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_key, round(value_cents / 100.0, 2) AS part_value
+FROM per_part
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+ORDER BY part_value DESC, p_key
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority distribution (TPC-H q12, adapted: TESTDATA
+    has no l_shipmode/l_receiptdate, so the return flag groups the
+    lines and 'late' = shipped more than 30 days after the order
+    date). The q12 essence — a fact⋈fact join feeding two CASE-WHEN
+    conditional counts per group — is intact: one shuffle on the order
+    key, pure integer counters, the 1997 ship-year bound pushed to the
+    lineitem scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_group")
+    )
+
+
+O_TPCH_Q12 = """
+SELECT l_returnflag AS ship_group,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier relationship count (TPC-H q16, adapted: supplier-
+    part relationships come from lineitem, and 'customer complaints'
+    = suppliers with a negative account balance). The q16 plan
+    signature survives: a NOT-IN subquery compiles to a broadcast LEFT
+    ANTI join, then a count-distinct per (brand, type, size) — done as
+    distinct-then-count so the wide fact frame collapses to unique
+    (attrs, supplier) rows map-side before the counting aggregate."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    complaints = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            li.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+O_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surge suppliers (TPC-H q20, adapted: no partsupp.availqty, so
+    the 50% threshold reads 'shipped more than half of this
+    supplier-part pair's lifetime volume during 1997'). The nested
+    semi-join chain that defines q20 is intact: part-name filter →
+    per-(supplier, part) conditional quantity aggregate → integer
+    threshold (2·q97 > q_total — l_quantity is integer-valued, so the
+    halving is exact) → LEFT SEMI into the region-restricted supplier
+    dimension. Quantities aggregate on one (supplier, part) shuffle;
+    suppliers/nation/region broadcast."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("red%")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("long")
+    surge = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1997, qty).otherwise(F.lit(0))
+            ).alias("q97"),
+            F.sum(qty).alias("q_total"),
+        )
+        .filter((F.lit(2) * F.col("q97") > F.col("q_total")) & (F.col("q97") > 0))
+        .select("l_suppkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(surge, supp.s_suppkey == surge.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+O_TPCH_Q20 = """
+WITH surge AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING 2 * sum(CASE WHEN year(l_shipdate) = 1997
+                 THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+         > sum(CAST(l_quantity AS BIGINT))
+     AND sum(CASE WHEN year(l_shipdate) = 1997
+             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) > 0
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM surge)
+ORDER BY s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup / text / similarity (training-data ops)
 # --------------------------------------------------------------------------
@@ -3915,6 +4353,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -4019,6 +4464,13 @@ ORACLES: dict[str, str] = {
     "tpch_q17": O_TPCH_Q17,
     "tpch_q21": O_TPCH_Q21,
     "tpch_q22": O_TPCH_Q22,
+    "tpch_q2": O_TPCH_Q2,
+    "tpch_q8": O_TPCH_Q8,
+    "tpch_q9": O_TPCH_Q9,
+    "tpch_q11": O_TPCH_Q11,
+    "tpch_q12": O_TPCH_Q12,
+    "tpch_q16": O_TPCH_Q16,
+    "tpch_q20": O_TPCH_Q20,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,

@@ -34,6 +34,7 @@ _CROSS_OK = {
     "lm_nll",  # 1-row vocab-size frame broadcast into the scorer
     "nb_classifier",  # 1-row (totals, V, prior) scalar frame broadcast
     "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
+    "tpch_q11",  # 1-row corpus-total threshold broadcast (no join key)
 }
 
 # Queries expected to broadcast at least one join side (small dim /
@@ -49,6 +50,11 @@ _EXPECT_BROADCAST = {
     "tpch_q15",
     "tpch_q17",
     "tpch_q21",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q16",
+    "tpch_q20",
     "has_label_roundtrip",
     "decontaminate",
     "corpus_curate",
