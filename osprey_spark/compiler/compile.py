@@ -1123,6 +1123,29 @@ class CompiledRuleset:
         count = F.size(F.collect_set(val).over(w))
         return df.select("*", count.cast("long").alias(spec["name"]))
 
+    def _join_unique_count(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetUniqueCount on a BATCH frame: lifetime
+        distinct registered values per key = size(collect_set) over
+        an UNBOUNDED-preceding range window — one shuffle on the key,
+        set state bounded by the key's distinct values. A positive
+        ``cap`` clamps with least() AFTER the exact count (the
+        streaming fold stops tracking at cap, which yields the
+        identical clamped value — see the fused fold). Streaming
+        frames route through the fused state pass."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        val = spec["value_col"]
+        if spec["gate"] is not None:
+            val = F.when(F.coalesce(spec["gate"], F.lit(False)), val)
+        w = W.partitionBy(spec["key_col"]).orderBy(sec).rangeBetween(
+            W.unboundedPreceding, 0
+        )
+        count = F.size(F.collect_set(val).over(w)).cast("long")
+        if spec["cap"]:
+            count = F.least(count, F.lit(int(spec["cap"])).cast("long"))
+        return df.select("*", count.alias(spec["name"]))
+
     def _join_window_sum(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one GetWindowSum on a BATCH frame: sum of the
         registered long amounts per key in the trailing event-time
@@ -1519,6 +1542,23 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "unique":
+                gate = sp["gate"]
+                proj.append(sp["value_col"].alias(f"__fs{i}_uv"))
+                proj.append(
+                    (
+                        F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
+                    ).alias(f"__fs{i}_ug")
+                )
+                metas.append(
+                    {
+                        "fam": "unique",
+                        "name": sp["name"],
+                        "cap": int(sp["cap"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             elif fam == "sess":
                 metas.append(
                     {
@@ -1636,6 +1676,14 @@ class CompiledRuleset:
                         }
                     )
                     outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "unique":
+                    op_in.append(
+                        {
+                            "val": pdf[f"__fs{m['i']}_uv"].to_numpy(dtype=object),
+                            "vg": pdf[f"__fs{m['i']}_ug"].to_numpy(dtype=bool),
+                        }
+                    )
+                    outs.append(np.empty(n, dtype="int64"))
                 elif m["fam"] == "sess":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
@@ -1742,6 +1790,46 @@ class CompiledRuleset:
                         kept = [[t, v] for t, v in occ if t >= keep]
                         if kept:
                             smap[mk] = kept
+                        elif mk in smap:
+                            del smap[mk]
+                    elif m["fam"] == "unique":
+                        # lifetime distinct registered values, judged
+                        # like the batch UNBOUNDED range window: every
+                        # visible same-key registration with ts <= this
+                        # row's second counts, INCLUDING equal-second
+                        # later rows (tie-group inclusive, so the fold
+                        # is tie-order independent). cap>0 stops
+                        # TRACKING once reached — exact for the clamped
+                        # output: past cap both engines report cap
+                        # forever (the count is monotone).
+                        cap = m["cap"]
+                        seen = set(smap.get(mk, ()))
+                        vals = inp["val"][s:e]
+                        vgs = inp["vg"][s:e]
+                        seg_out = out_a[s:e]
+                        n_seg = e - s
+                        hi = 0
+                        j = 0
+                        while j < n_seg:
+                            t = seg_sec[j]
+                            while hi < n_seg and seg_sec[hi] <= t:
+                                v = vals[hi]
+                                if (
+                                    vgs[hi]
+                                    and v is not None
+                                    and not pd.isna(v)
+                                    and (cap == 0 or len(seen) < cap)
+                                ):
+                                    seen.add(str(v))
+                                hi += 1
+                            # whole tie group shares the count
+                            g = j
+                            while g + 1 < n_seg and seg_sec[g + 1] == t:
+                                g += 1
+                            seg_out[j : g + 1] = len(seen)
+                            j = g + 1
+                        if seen:
+                            smap[mk] = sorted(seen)
                         elif mk in smap:
                             del smap[mk]
                     elif m["fam"] == "sess":
@@ -2123,6 +2211,7 @@ class CompiledRuleset:
         wsum_specs: dict | None = None,
         age_specs: dict | None = None,
         rl_specs: dict | None = None,
+        unique_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2164,6 +2253,7 @@ class CompiledRuleset:
         wsum_specs = wsum_specs or {}
         age_specs = age_specs or {}
         rl_specs = rl_specs or {}
+        unique_specs = unique_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2193,6 +2283,12 @@ class CompiledRuleset:
                 return cols
             if mangled in distinct_specs:
                 s = distinct_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["gate"] is not None:
+                    cols.append(s["gate"])
+                return cols
+            if mangled in unique_specs:
+                s = unique_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
                 if s["gate"] is not None:
                     cols.append(s["gate"])
@@ -2237,6 +2333,7 @@ class CompiledRuleset:
                     or name in wsum_specs
                     or name in age_specs
                     or name in rl_specs
+                    or name in unique_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2321,6 +2418,9 @@ class CompiledRuleset:
         rl_specs = {
             s["name"]: s for s in getattr(self.ctx, "ratelimit_lookups", [])
         }
+        unique_specs = {
+            s["name"]: s for s in getattr(self.ctx, "unique_lookups", [])
+        }
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2373,6 +2473,7 @@ class CompiledRuleset:
                 "wsum",
                 "age",
                 "rl",
+                "unique",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2411,7 +2512,7 @@ class CompiledRuleset:
                 cols.append(sp["symbol_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
-            elif fam == "wdistinct":
+            elif fam in ("wdistinct", "unique"):
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2476,6 +2577,7 @@ class CompiledRuleset:
             wsum_specs,
             age_specs,
             rl_specs,
+            unique_specs,
         ):
             if defn is None:
                 if streaming and mangled in rl_specs:
@@ -2483,6 +2585,12 @@ class CompiledRuleset:
                     if not _fusable("rl", sp):
                         df = _flush(df)
                     pending.append(("rl", sp))
+                    continue
+                if streaming and mangled in unique_specs:
+                    sp = unique_specs[mangled]
+                    if not _fusable("unique", sp):
+                        df = _flush(df)
+                    pending.append(("unique", sp))
                     continue
                 if streaming and mangled in age_specs:
                     sp = age_specs[mangled]
@@ -2563,6 +2671,8 @@ class CompiledRuleset:
                     df = self._join_key_age(df, age_specs[mangled])
                 elif mangled in rl_specs:
                     df = self._join_rate_limit(df, rl_specs[mangled])
+                elif mangled in unique_specs:
+                    df = self._join_unique_count(df, unique_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -2677,6 +2677,58 @@ FROM t
 )
 
 
+def q_unique_count_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level lifetime distinct-value counter (GetUniqueCount,
+    tenth stateful family): distinct tools a conversation has EVER
+    invoked — monotone, never expires (vs GetWindowDistinct's
+    trailing window). Three forms in one rule: uncapped, capped at 3
+    (the exact-clamp contract that bounds streaming state), and gated
+    to assistant turns only. Batch = collect_set over an UNBOUNDED
+    range window (one key shuffle); streaming = fused state pass
+    carrying the seen-value set, <= cap values when capped
+    (tests/test_unique_count.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+Tool: str = JsonData(path='$.tool')
+R: str = JsonData(path='$.role')
+IsAsst: bool = R == 'assistant'
+NTools = GetUniqueCount(key=K, value=Tool)
+NToolsC = GetUniqueCount(key=K, value=Tool, cap=3)
+NAsst = GetUniqueCount(key=K, value=Tool, when_all=[IsAsst])
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("NTools").alias("n_tools"),
+        F.col("NToolsC").alias("n_tools_c"),
+        F.col("NAsst").alias("n_asst_tools"),
+    )
+
+
+O_UNIQUE_COUNT = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx, role, tool,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM turns)
+SELECT conv_id, turn_idx,
+  CAST(count(DISTINCT tool) OVER w AS BIGINT) AS n_tools,
+  CAST(least(count(DISTINCT tool) OVER w, 3) AS BIGINT) AS n_tools_c,
+  CAST(count(DISTINCT CASE WHEN role = 'assistant' THEN tool END) OVER w
+       AS BIGINT) AS n_asst_tools
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY sec
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+
 def q_rate_limit_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level token-bucket throttle (RateLimit): allow at most 1
     turn per 10 hours per conversation with a burst of 2 — the
@@ -4383,6 +4435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_value_rule": q_last_value_rule,
     "window_sum_rule": q_window_sum_rule,
     "key_age_rule": q_key_age_rule,
+    "unique_count_rule": q_unique_count_rule,
     "rate_limit_rule": q_rate_limit_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
@@ -4494,6 +4547,7 @@ ORACLES: dict[str, str] = {
     "last_value_rule": O_LAST_VALUE,
     "window_sum_rule": O_WINDOW_SUM,
     "key_age_rule": O_KEY_AGE,
+    "unique_count_rule": O_UNIQUE_COUNT,
     "rate_limit_rule": O_RATE_LIMIT,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,

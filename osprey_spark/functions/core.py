@@ -384,6 +384,67 @@ def get_window_distinct(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetUniqueCount")
+def get_unique_count(ctx, call, args):
+    """LIFETIME distinct-value counter — distinct ``value``s ever
+    registered by this key, e.g. distinct IPs an account has logged
+    in from or distinct tools a conversation has invoked (north_star:
+    per-conversation state for stateful rule escalation; ref: the
+    zset window counters in `udfs.py` count in-window EVENTS — the
+    unbounded "how many different Xs has this entity ever used"
+    signal has no reference counter and needs a self-join there).
+    Unlike GetWindowDistinct nothing ever expires: the count is
+    monotone per key.
+
+    Tenth stateful family. Batch = size(collect_set) over an
+    UNBOUNDED-preceding range window (one key shuffle, tie-order
+    independent: equal-second rows all see the whole tie group);
+    streaming = the fused state pass carrying the seen-value set per
+    key. ``cap`` bounds that state EXACTLY: counts clamp at cap and
+    values stop being tracked once cap is reached, so a clamped
+    streaming count always equals the clamped batch count while state
+    stays <= cap values per key (cap=0 = unbounded — prefer a cap in
+    long-running streams). ``when_all`` gates which events REGISTER
+    (every event reads); NULL values never register; values compare
+    as strings.
+    """
+    from ..compiler import nullsafe
+    from ..sml.nodes import ListLiteral
+
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value")
+    cap = const_arg(ctx, call, args, "cap", required=False, default=0)
+    if float(cap) < 0 or float(cap) != int(cap):
+        raise ctx.error(
+            f"{call.func}: cap must be a non-negative integer "
+            f"(0 = unbounded), got {cap}",
+            call.span,
+        )
+    gate = None
+    when_all = raw_arg(ctx, call, args, "when_all")
+    if when_all is not None:
+        if not isinstance(when_all, ListLiteral):
+            raise ctx.error(f"{call.func} when_all= must be a list", call.span)
+        conds = [ctx.compile_expr(e) for e in when_all.items]
+        if conds:
+            gate = nullsafe.strict_all(conds)
+
+    if not hasattr(ctx, "unique_lookups"):
+        ctx.unique_lookups = []
+    name = f"__uc_{len(ctx.unique_lookups)}"
+    ctx.unique_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": value_v.col.cast("string"),
+            "cap": int(cap),
+            "gate": gate,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
 @register("GetSessionCount")
 def get_session_count(ctx, call, args):
     """Session-window dialogue counter (north_star: "session windows
