@@ -1166,6 +1166,25 @@ class CompiledRuleset:
         total = F.coalesce(F.sum(val).over(w), F.lit(0))
         return df.select("*", total.cast("long").alias(spec["name"]))
 
+    def _join_window_minmax(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetWindowMax/Min on a BATCH frame: max (or
+        min) of the registered long values per key in the trailing
+        event-time window = max/min over a range window — one shuffle
+        on the key. Gated-off and NULL values never register; an
+        empty window yields NULL (not 0 — a real 0 must stay
+        distinguishable). Streaming frames route through the fused
+        state pass — no standalone streaming resolver."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        win = int(spec["window_seconds"])
+        val = spec["value_col"]
+        if spec["gate"] is not None:
+            val = F.when(F.coalesce(spec["gate"], F.lit(False)), val)
+        w = W.partitionBy(spec["key_col"]).orderBy(sec).rangeBetween(-(win - 1), 0)
+        agg = F.max(val) if spec["mode"] > 0 else F.min(val)
+        return df.select("*", agg.over(w).cast("long").alias(spec["name"]))
+
     def _join_rate_limit(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one RateLimit on a BATCH frame. The token bucket's
         recurrence (consumption depends on prior ALLOW decisions) has
@@ -1542,6 +1561,24 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "wminmax":
+                gate = sp["gate"]
+                proj.append(sp["value_col"].alias(f"__fs{i}_mv"))
+                proj.append(
+                    (
+                        F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
+                    ).alias(f"__fs{i}_mg")
+                )
+                metas.append(
+                    {
+                        "fam": "wminmax",
+                        "name": sp["name"],
+                        "win": int(sp["window_seconds"]),
+                        "mode": int(sp["mode"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             elif fam == "unique":
                 gate = sp["gate"]
                 proj.append(sp["value_col"].alias(f"__fs{i}_uv"))
@@ -1684,6 +1721,15 @@ class CompiledRuleset:
                         }
                     )
                     outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "wminmax":
+                    op_in.append(
+                        {
+                            # object dtype keeps NULL values visible
+                            "val": pdf[f"__fs{m['i']}_mv"].to_numpy(dtype=object),
+                            "vg": pdf[f"__fs{m['i']}_mg"].to_numpy(dtype=bool),
+                        }
+                    )
+                    outs.append(np.full(n, None, dtype=object))
                 elif m["fam"] == "sess":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
@@ -1788,6 +1834,53 @@ class CompiledRuleset:
                             seg_out[j] = distinct
                         keep = int(seg_sec.max()) - win + 1
                         kept = [[t, v] for t, v in occ if t >= keep]
+                        if kept:
+                            smap[mk] = kept
+                        elif mk in smap:
+                            del smap[mk]
+                    elif m["fam"] == "wminmax":
+                        # trailing-window MAX/MIN, judged like the
+                        # batch RANGE window: all visible same-key
+                        # registrations with ts in [sec - win + 1,
+                        # sec], equal-ts registrations from later rows
+                        # included. Carried state is ALL in-window
+                        # (sec, val) entries — an envelope prune is
+                        # unsafe across batches (a late row's window
+                        # may exclude the dominating later entry), so
+                        # the monotonic deque is rebuilt per segment
+                        # (O(n) amortized: each entry enters/leaves
+                        # once) and only the time-expired entries drop
+                        # from state, exactly like wsum.
+                        win = m["win"]
+                        mode = m["mode"]
+                        entries = [tuple(o) for o in smap.get(mk, ())]
+                        vals = inp["val"][s:e]
+                        vgs = inp["vg"][s:e]
+                        for j in range(e - s):
+                            v = vals[j]
+                            if vgs[j] and v is not None and not pd.isna(v):
+                                entries.append((int(seg_sec[j]), int(v)))
+                        entries.sort(key=lambda o: o[0])
+                        dq: list = []  # (sec, mode*val), vals decreasing
+                        head = 0
+                        hi = 0
+                        seg_out = out_a[s:e]
+                        for j in range(e - s):
+                            t = int(seg_sec[j])
+                            while hi < len(entries) and entries[hi][0] <= t:
+                                sv = mode * entries[hi][1]
+                                while len(dq) > head and dq[-1][1] <= sv:
+                                    dq.pop()
+                                dq.append((entries[hi][0], sv))
+                                hi += 1
+                            floor_t = t - win + 1
+                            while len(dq) > head and dq[head][0] < floor_t:
+                                head += 1
+                            seg_out[j] = (
+                                mode * dq[head][1] if len(dq) > head else None
+                            )
+                        keep = int(seg_sec.max()) - win + 1
+                        kept = [[t, v] for t, v in entries if t >= keep]
                         if kept:
                             smap[mk] = kept
                         elif mk in smap:
@@ -2212,6 +2305,7 @@ class CompiledRuleset:
         age_specs: dict | None = None,
         rl_specs: dict | None = None,
         unique_specs: dict | None = None,
+        wminmax_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2254,6 +2348,7 @@ class CompiledRuleset:
         age_specs = age_specs or {}
         rl_specs = rl_specs or {}
         unique_specs = unique_specs or {}
+        wminmax_specs = wminmax_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2289,6 +2384,12 @@ class CompiledRuleset:
                 return cols
             if mangled in unique_specs:
                 s = unique_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["gate"] is not None:
+                    cols.append(s["gate"])
+                return cols
+            if mangled in wminmax_specs:
+                s = wminmax_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
                 if s["gate"] is not None:
                     cols.append(s["gate"])
@@ -2334,6 +2435,7 @@ class CompiledRuleset:
                     or name in age_specs
                     or name in rl_specs
                     or name in unique_specs
+                    or name in wminmax_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2421,6 +2523,9 @@ class CompiledRuleset:
         unique_specs = {
             s["name"]: s for s in getattr(self.ctx, "unique_lookups", [])
         }
+        wminmax_specs = {
+            s["name"]: s for s in getattr(self.ctx, "wminmax_lookups", [])
+        }
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2474,6 +2579,7 @@ class CompiledRuleset:
                 "age",
                 "rl",
                 "unique",
+                "wminmax",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2512,7 +2618,7 @@ class CompiledRuleset:
                 cols.append(sp["symbol_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
-            elif fam in ("wdistinct", "unique"):
+            elif fam in ("wdistinct", "unique", "wminmax"):
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2578,6 +2684,7 @@ class CompiledRuleset:
             age_specs,
             rl_specs,
             unique_specs,
+            wminmax_specs,
         ):
             if defn is None:
                 if streaming and mangled in rl_specs:
@@ -2591,6 +2698,12 @@ class CompiledRuleset:
                     if not _fusable("unique", sp):
                         df = _flush(df)
                     pending.append(("unique", sp))
+                    continue
+                if streaming and mangled in wminmax_specs:
+                    sp = wminmax_specs[mangled]
+                    if not _fusable("wminmax", sp):
+                        df = _flush(df)
+                    pending.append(("wminmax", sp))
                     continue
                 if streaming and mangled in age_specs:
                     sp = age_specs[mangled]
@@ -2673,6 +2786,8 @@ class CompiledRuleset:
                     df = self._join_rate_limit(df, rl_specs[mangled])
                 elif mangled in unique_specs:
                     df = self._join_unique_count(df, unique_specs[mangled])
+                elif mangled in wminmax_specs:
+                    df = self._join_window_minmax(df, wminmax_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

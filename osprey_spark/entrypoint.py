@@ -2729,6 +2729,55 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY sec
 )
 
 
+def q_window_minmax_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level trailing-window extremes (GetWindowMax/GetWindowMin,
+    eleventh stateful family): longest turn text in the conversation's
+    trailing 10 minutes, and the shortest USER turn in the same window
+    (gated registration) — the burst-size / bot-cadence signals a
+    count-only zset window cannot express. Batch = max/min over a key
+    RANGE window (one shuffle, both ride the same key exchange);
+    streaming = fused state pass with a per-segment monotonic deque
+    over the carried in-window entries (tests/test_window_minmax.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+T: str = JsonData(path='$.text')
+R: str = JsonData(path='$.role')
+L: int = StringLength(s=T)
+IsUser: bool = R == 'user'
+WMax = GetWindowMax(key=K, value=L, window_seconds=600.0)
+WMinU = GetWindowMin(key=K, value=L, window_seconds=600.0, when_all=[IsUser])
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("WMax").alias("max_len"),
+        F.col("WMinU").alias("min_user_len"),
+    )
+
+
+O_WINDOW_MINMAX = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx, role, length(text) AS len,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM turns)
+SELECT conv_id, turn_idx,
+  CAST(max(len) OVER w AS BIGINT) AS max_len,
+  CAST(min(CASE WHEN role = 'user' THEN len END) OVER w AS BIGINT)
+    AS min_user_len
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY sec
+             RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
 def q_rate_limit_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level token-bucket throttle (RateLimit): allow at most 1
     turn per 10 hours per conversation with a burst of 2 — the
@@ -4436,6 +4485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_sum_rule": q_window_sum_rule,
     "key_age_rule": q_key_age_rule,
     "unique_count_rule": q_unique_count_rule,
+    "window_minmax_rule": q_window_minmax_rule,
     "rate_limit_rule": q_rate_limit_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
@@ -4548,6 +4598,7 @@ ORACLES: dict[str, str] = {
     "window_sum_rule": O_WINDOW_SUM,
     "key_age_rule": O_KEY_AGE,
     "unique_count_rule": O_UNIQUE_COUNT,
+    "window_minmax_rule": O_WINDOW_MINMAX,
     "rate_limit_rule": O_RATE_LIMIT,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,

@@ -384,6 +384,81 @@ def get_window_distinct(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+def _window_extreme(ctx, call, args, mode: int):
+    """Shared registration for GetWindowMax / GetWindowMin."""
+    from ..compiler import nullsafe
+    from ..sml.nodes import ListLiteral
+
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value")
+    window_s = const_arg(ctx, call, args, "window_seconds")
+    if float(window_s) < 1.0:
+        raise ctx.error(
+            f"{call.func}: window_seconds must be >= 1 (event-time windows have "
+            f"whole-second resolution), got {window_s}",
+            call.span,
+        )
+    gate = None
+    when_all = raw_arg(ctx, call, args, "when_all")
+    if when_all is not None:
+        if not isinstance(when_all, ListLiteral):
+            raise ctx.error(f"{call.func} when_all= must be a list", call.span)
+        conds = [ctx.compile_expr(e) for e in when_all.items]
+        if conds:
+            gate = nullsafe.strict_all(conds)
+    if not hasattr(ctx, "wminmax_lookups"):
+        ctx.wminmax_lookups = []
+    name = f"__wm_{len(ctx.wminmax_lookups)}"
+    ctx.wminmax_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": value_v.col.cast("long"),
+            "window_seconds": round(float(window_s)),
+            "mode": mode,
+            "gate": gate,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
+@register("GetWindowMax")
+def get_window_max(ctx, call, args):
+    """Trailing-window MAX of the registered integer ``value``s per
+    key — the "largest transfer / highest risk score in the last
+    hour" escalation signal (north_star: rate-style rules; the
+    reference's zset counters can only COUNT in a window, so a
+    max-style threshold there needs a table scan). NULL when no value
+    registered in the window — the empty window is "no signal", not
+    0 (a real 0 value must stay distinguishable).
+
+    Eleventh stateful family. INTEGER values only, like GetWindowSum
+    (max itself is fold-order-free, but the integer contract keeps
+    the state JSON-exact and the oracle bit-identical). Batch =
+    ``max(value)`` over a key-partitioned RANGE window (one key
+    shuffle, tie-group inclusive); streaming = the fused state pass
+    keeping the in-window (sec, value) entries per key with a
+    monotonic-deque sweep per micro-batch — entries cannot be
+    envelope-pruned across batches (a late row's window may exclude
+    the dominating later entry), so state is bounded by window
+    occupancy exactly like GetWindowSum. ``when_all`` gates which
+    events register; every event reads.
+    """
+    return _window_extreme(ctx, call, args, mode=1)
+
+
+@register("GetWindowMin")
+def get_window_min(ctx, call, args):
+    """Trailing-window MIN of the registered integer ``value``s per
+    key (e.g. fastest inter-action latency in the window — the
+    automation/bot cadence signal). Same contract, state shape and
+    fusion behavior as GetWindowMax with the comparison flipped; see
+    GetWindowMax for the full semantics.
+    """
+    return _window_extreme(ctx, call, args, mode=-1)
+
+
 @register("GetUniqueCount")
 def get_unique_count(ctx, call, args):
     """LIFETIME distinct-value counter — distinct ``value``s ever
