@@ -3505,6 +3505,140 @@ WHERE copies >= 1 ORDER BY doc_id, copy
 
 O_DATASET_MIXING = _mixing_oracle_sql(MIX_WEIGHTS)
 
+# UniMax budget/epoch-cap constants: at sf0.01 (the CORRECTNESS SF)
+# the four smaller languages cap at 3 epochs and en takes the uniform
+# remainder — the mixed regime that exercises both branches; at
+# sf0.001/sf0.1 the budget is small relative to E·cᵢ so the split is
+# purely uniform (no caps).
+_UNIMAX_BUDGET = 60_000
+_UNIMAX_EPOCH_CAP = 3
+
+
+def q_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023): split
+    a token budget B across languages, capping every language at E
+    epochs of its data and sharing the rest uniformly. The paper's
+    sequential greedy (ascending by size; cap or take the uniform
+    share) has a closed form because once one language is uncapped
+    the per-language share stays CONSTANT — so the whole allocator is
+    window functions over the per-language aggregate, no driver-side
+    loop and no collect: (1) corpus-scale token counting is one hash
+    aggregate with map-side partials; (2) the k-row language frame
+    computes capped flags in EXACT INTEGER arithmetic
+    (E·c_i·(n-i+1) < B - E·prefix_i — no float can flip a language
+    across the cap), finds the first uncapped index, and derives the
+    uniform share as one long/long double division. The language
+    window is a single-partition exchange over a dimension-class
+    frame (#languages rows), the same bounded-small-side class as
+    the IVF codebook."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokenize_col
+
+    B, E = _UNIMAX_BUDGET, _UNIMAX_EPOCH_CAP
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(tokenize_col(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    w_ord = W.orderBy("n_tokens", "lang")
+    w_all = W.orderBy("n_tokens", "lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_pfx = W.orderBy("n_tokens", "lang").rowsBetween(W.unboundedPreceding, -1)
+    staged = per_lang.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w_ord).alias("idx"),
+        F.count(F.lit(1)).over(w_all).alias("n_langs"),
+        F.coalesce(F.sum("n_tokens").over(w_pfx), F.lit(0)).alias("pfx"),
+    ).select(
+        "*",
+        (
+            F.lit(E) * F.col("n_tokens") * (F.col("n_langs") - F.col("idx") + 1)
+            < F.lit(B) - F.lit(E) * F.col("pfx")
+        ).alias("cap_flag"),
+    )
+    staged = staged.select(
+        "*",
+        F.min(F.when(~F.col("cap_flag"), F.col("idx"))).over(w_all).alias("k_first"),
+    ).select(
+        "*",
+        (
+            F.col("idx") < F.coalesce(F.col("k_first"), F.col("n_langs") + 1)
+        ).alias("is_capped"),
+    )
+    staged = staged.select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("n_tokens"))).over(w_all),
+            F.lit(0),
+        ).alias("capped_tokens"),
+        (F.coalesce(F.col("k_first"), F.col("n_langs") + 1) - 1).alias("k"),
+    )
+    share = (F.lit(B) - F.lit(E) * F.col("capped_tokens")) / (
+        F.col("n_langs") - F.col("k")
+    )
+    alloc = F.when(
+        F.col("is_capped"), (F.lit(E) * F.col("n_tokens")).cast("double")
+    ).otherwise(share)
+    return staged.select(
+        "lang",
+        "n_tokens",
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(alloc / F.lit(float(B)), 6).alias("weight"),
+        F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
+    ).orderBy("lang")
+
+
+O_UNIMAX = f"""
+WITH per_lang AS (
+  SELECT lang, sum(len({_DUCK_RTOKENS})) AS n_tokens
+  FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT lang, n_tokens,
+    row_number() OVER (ORDER BY n_tokens, lang) AS idx,
+    count(*) OVER () AS n_langs,
+    coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM per_lang
+),
+flagged AS (
+  SELECT *, ({_UNIMAX_EPOCH_CAP} * n_tokens * (n_langs - idx + 1)
+             < {_UNIMAX_BUDGET} - {_UNIMAX_EPOCH_CAP} * pfx) AS cap_flag
+  FROM staged
+),
+kf AS (
+  SELECT *, min(CASE WHEN NOT cap_flag THEN idx END) OVER () AS k_first
+  FROM flagged
+),
+capped AS (
+  SELECT *, (idx < coalesce(k_first, n_langs + 1)) AS is_capped
+  FROM kf
+),
+tot AS (
+  SELECT *,
+    coalesce(sum(CASE WHEN is_capped THEN n_tokens END) OVER (), 0)
+      AS capped_tokens,
+    coalesce(k_first, n_langs + 1) - 1 AS k
+  FROM capped
+)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(CASE WHEN is_capped
+        THEN CAST({_UNIMAX_EPOCH_CAP} * n_tokens AS DOUBLE)
+        ELSE CAST({_UNIMAX_BUDGET} - {_UNIMAX_EPOCH_CAP} * capped_tokens AS DOUBLE)
+             / (n_langs - k) END, 2) AS alloc_tokens,
+  round(CASE WHEN is_capped
+        THEN CAST({_UNIMAX_EPOCH_CAP} * n_tokens AS DOUBLE)
+        ELSE CAST({_UNIMAX_BUDGET} - {_UNIMAX_EPOCH_CAP} * capped_tokens AS DOUBLE)
+             / (n_langs - k) END / {_UNIMAX_BUDGET}.0, 6) AS weight,
+  round(CASE WHEN is_capped
+        THEN CAST({_UNIMAX_EPOCH_CAP} * n_tokens AS DOUBLE)
+        ELSE CAST({_UNIMAX_BUDGET} - {_UNIMAX_EPOCH_CAP} * capped_tokens AS DOUBLE)
+             / (n_langs - k) END / n_tokens, 4) AS epochs
+FROM tot ORDER BY lang
+"""
+
 
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram vocabulary over the corpus: top-500 tokens by frequency
@@ -4504,6 +4638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": q_dedup_canonical,
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
+    "unimax_mixing": q_unimax_mixing,
     "vocab_build": q_vocab_build,
     "shuffle_order": q_shuffle_order,
     "asof_join": q_asof_join,
@@ -4617,6 +4752,7 @@ ORACLES: dict[str, str] = {
     "dedup_canonical": O_DEDUP_CANONICAL,
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,
+    "unimax_mixing": O_UNIMAX,
     "vocab_build": O_VOCAB_BUILD,
     "shuffle_order": O_SHUFFLE_ORDER,
     "asof_join": O_ASOF_JOIN,
