@@ -3640,6 +3640,69 @@ FROM tot ORDER BY lang
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank centrality over the user↔resource
+    interaction graph (fraud rings share resources — a
+    high-centrality resource node ties accounts together; the
+    reference has no graph operator). Bipartite edges come from one
+    distinct aggregate over events (user_id ↔ props.$.k), symmetric
+    both ways; 5 rounds of join+aggregate with every contribution an
+    integer floor division, so ranks are bit-reproducible under any
+    partitioning and the oracle unrolls the rounds as CTEs (the
+    kmeans discipline). Output ranks are exact LONGS — no float
+    anywhere."""
+    from .operators.graph import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, rounds=5)
+    out = ranks.orderBy(F.desc("rank"), "node").limit(50)
+    out.unpersist_base = ranks.unpersist_base
+    return out
+
+
+def _pagerank_oracle_sql(rounds: int = 5) -> str:
+    prev = "r0"
+    round_ctes = []
+    for i in range(1, rounds + 1):
+        round_ctes.append(
+            f"""r{i} AS (
+  SELECT dst AS node,
+         CAST(150000000000 + sum((rank * 85) // (100 * deg)) AS BIGINT) AS rank
+  FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY 1
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
+                  concat('r', json_extract_string(props, '$.k')) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+e AS (SELECT edges.src, dst, deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+"""
+        + ",\n".join(round_ctes)
+        + f"""
+SELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT 50
+"""
+    )
+
+
+O_PAGERANK = _pagerank_oracle_sql(5)
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram vocabulary over the corpus: top-500 tokens by frequency
     with deterministic (count desc, token) ranking — the vocab-build
@@ -4639,6 +4702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
     "unimax_mixing": q_unimax_mixing,
+    "pagerank_centrality": q_pagerank,
     "vocab_build": q_vocab_build,
     "shuffle_order": q_shuffle_order,
     "asof_join": q_asof_join,
@@ -4753,6 +4817,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,
     "unimax_mixing": O_UNIMAX,
+    "pagerank_centrality": O_PAGERANK,
     "vocab_build": O_VOCAB_BUILD,
     "shuffle_order": O_SHUFFLE_ORDER,
     "asof_join": O_ASOF_JOIN,
