@@ -3667,6 +3667,71 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-ring expansion (guilt by association): every graph node
+    within 2 hops of a seeded bad account, with its exact hop
+    distance — the list a bulk-label pipeline would ingest. Seeds are
+    the deterministic 'bad' users (user_id % 17 == 0); the graph is
+    the same user↔resource bipartite edge list as
+    pagerank_centrality, so 1 hop = a resource a bad user touched and
+    2 hops = every account sharing that resource. k fixed rounds of
+    join + min-aggregate (integer hops — bit-reproducible), one lazy
+    action."""
+    from .operators.graph import khop_distance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"))
+        .distinct()
+    )
+    reached = khop_distance(edges, seeds, k=2)
+    out = reached.orderBy("hops", "node")
+    out.unpersist_base = reached.unpersist_base
+    return out
+
+
+O_RING_EXPANSION = """
+WITH pairs AS (
+  SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
+                  concat('r', json_extract_string(props, '$.k')) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+d0 AS (
+  SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS node,
+         CAST(0 AS INT) AS hops
+  FROM events WHERE user_id % 17 = 0
+),
+d1 AS (
+  SELECT node, CAST(min(hops) AS INT) AS hops FROM (
+    SELECT node, hops FROM d0
+    UNION ALL
+    SELECT dst AS node, hops + 1 FROM edges JOIN d0 ON edges.src = d0.node
+  ) GROUP BY 1
+),
+d2 AS (
+  SELECT node, CAST(min(hops) AS INT) AS hops FROM (
+    SELECT node, hops FROM d1
+    UNION ALL
+    SELECT dst AS node, hops + 1 FROM edges JOIN d1 ON edges.src = d1.node
+  ) GROUP BY 1
+)
+SELECT node, hops FROM d2 ORDER BY hops, node
+"""
+
+
 def _pagerank_oracle_sql(rounds: int = 5) -> str:
     prev = "r0"
     round_ctes = []
@@ -4703,6 +4768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixing": q_dataset_mixing,
     "unimax_mixing": q_unimax_mixing,
     "pagerank_centrality": q_pagerank,
+    "ring_expansion": q_ring_expansion,
     "vocab_build": q_vocab_build,
     "shuffle_order": q_shuffle_order,
     "asof_join": q_asof_join,
@@ -4818,6 +4884,7 @@ ORACLES: dict[str, str] = {
     "dataset_mixing": O_DATASET_MIXING,
     "unimax_mixing": O_UNIMAX,
     "pagerank_centrality": O_PAGERANK,
+    "ring_expansion": O_RING_EXPANSION,
     "vocab_build": O_VOCAB_BUILD,
     "shuffle_order": O_SHUFFLE_ORDER,
     "asof_join": O_ASOF_JOIN,

@@ -70,3 +70,37 @@ def pagerank(
         )
     ranks.unpersist_base = lambda: e.unpersist(blocking=True)
     return ranks
+
+
+def khop_distance(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Guilt-by-association expansion: minimum hop distance (≤ k) from
+    a SEED set over a directed edge list — the fraud-ring member list
+    a bulk-label pipeline would feed (ref: the reference labels only
+    the entities a query returns, bulk_label_sink.py; ring expansion
+    there requires manual re-query per hop).
+
+    ``edges``: (src, dst) strings (symmetric for undirected);
+    ``seeds``: (node) strings. Returns (node, hops) for every node
+    within k hops, hops = exact shortest distance (0 for seeds).
+
+    Scale shape: k rounds of ONE equi-join (reached ⋈ edges) + ONE
+    min-aggregate — the connected-components discipline with a fixed
+    round count, so the whole expansion is a single lazy action over
+    an edges-only working set; no driver-side frontier, no collect.
+    All-integer hops → bit-reproducible under any partitioning."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.persist()
+    dist = seeds.select("node", F.lit(0).cast("int").alias("hops"))
+    for _ in range(k):
+        step = (
+            e.join(dist, e.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+    dist.unpersist_base = lambda: e.unpersist(blocking=True)
+    return dist

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from osprey_spark.operators.graph import RANK_SCALE, pagerank
+from osprey_spark.operators.graph import RANK_SCALE, khop_distance, pagerank
 
 
 def _star_edges(spark, leaves=4):
@@ -50,6 +50,37 @@ def test_pagerank_partition_independent(spark):
 def test_pagerank_rejects_bad_damping(spark):
     with pytest.raises(ValueError):
         pagerank(_star_edges(spark), damping_pct=100)
+
+
+def test_khop_distance_chain(spark):
+    """Chain a-b-c-d (undirected), seed {a}: hops are exact shortest
+    distances and nodes beyond k are absent."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["hops"] for r in khop_distance(edges, seeds, k=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d is 3 hops away -> absent
+
+
+def test_khop_distance_min_over_multiple_seeds(spark):
+    """Two seeds, shared neighbor: min distance wins; a seed stays 0
+    even if another seed can reach it."""
+    pairs = [("a", "m"), ("z", "m"), ("a", "z")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+    out = {r["node"]: r["hops"] for r in khop_distance(edges, seeds, k=2).collect()}
+    assert out == {"a": 0, "z": 0, "m": 1}
+
+
+def test_khop_rejects_bad_k(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        khop_distance(edges, seeds, k=0)
 
 
 def test_pagerank_releases_edge_persist(spark):
