@@ -4276,6 +4276,55 @@ ORDER BY s.doc_id
 """
 
 
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022 §4 removes the
+    duplicated substrings, not the documents): tokens covered by a
+    corpus-duplicated k=8 window are cut and the survivors rejoin —
+    dedup.scrub_duplicate_spans. Same fingerprint machinery as
+    duplicate_spans with window positions kept; coverage resolves
+    per-row with array HOFs (no cross join, nothing driver-side)."""
+    from .operators.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(_docs(spark, sf_dir), k=8).orderBy("doc_id")
+
+
+O_SCRUB_SPANS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+  FROM sized, LATERAL unnest(generate_series(1, n - 7)) AS u(i)
+  WHERE n >= 8
+),
+dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h)
+  WHERE nd >= 2
+),
+starts AS (
+  SELECT w.doc_id, list(DISTINCT w.pos) AS starts
+  FROM wins w JOIN dup USING (h) GROUP BY 1
+),
+kept AS (
+  SELECT s.doc_id, s.toks, s.n,
+    list_filter(generate_series(1, s.n),
+      j -> len(list_filter(coalesce(st.starts, []),
+                           x -> j >= x AND j <= x + 7)) = 0) AS kidx
+  FROM sized s LEFT JOIN starts st USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(kidx) AS BIGINT) AS kept_tokens,
+       coalesce(array_to_string(list_transform(kidx, j -> toks[j]), ' '), '')
+         AS scrubbed_text
+FROM kept ORDER BY doc_id
+"""
+
+
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly-rate anomaly detection: hours where a user's
     event count is >= 2 sample standard deviations above their own
@@ -4769,6 +4818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_mixing": q_unimax_mixing,
     "pagerank_centrality": q_pagerank,
     "ring_expansion": q_ring_expansion,
+    "scrub_spans": q_scrub_spans,
     "vocab_build": q_vocab_build,
     "shuffle_order": q_shuffle_order,
     "asof_join": q_asof_join,
@@ -4885,6 +4935,7 @@ ORACLES: dict[str, str] = {
     "unimax_mixing": O_UNIMAX,
     "pagerank_centrality": O_PAGERANK,
     "ring_expansion": O_RING_EXPANSION,
+    "scrub_spans": O_SCRUB_SPANS,
     "vocab_build": O_VOCAB_BUILD,
     "shuffle_order": O_SHUFFLE_ORDER,
     "asof_join": O_ASOF_JOIN,

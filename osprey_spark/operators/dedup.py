@@ -557,3 +557,74 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022
+    §4 removes the duplicated substrings, not the documents):
+    every token covered by a k-token window whose fingerprint appears
+    in >= 2 distinct documents is cut, and the survivors rejoin into
+    the scrubbed token stream (whitespace-normalized — the same
+    contract as tokenize-based PII scrubbing).
+
+    Plan: ``duplicate_spans``' fingerprint machinery with window START
+    POSITIONS kept through the explode, the corpus-duplicated
+    fingerprints equi-join back to (doc, start) pairs, one per-doc
+    collect_set gathers the starts (bounded by the doc's window
+    count), and coverage resolves PER ROW with array HOFs — token j is
+    cut iff some start s ∈ [j-k+1, j] is flagged. The exists() probe
+    is O(|starts|) per token; a boilerplate-saturated doc degrades to
+    O(n·n/k) inside its own row only — no cross-row blowup, nothing
+    driver-side, no cross join.
+
+    Output per doc: original token count, kept token count, and the
+    scrubbed text. Docs shorter than k tokens pass through untouched.
+    """
+    w = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("_id"), w.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    eligible = base.filter(F.col("_n") >= k)
+    wins = eligible.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, _n - {k} + 1), "
+                f"i -> struct(i as pos, "
+                f"md5(cast(concat_ws(' ', slice(_t, i, {k})) as binary)) as h))"
+            )
+        ).alias("_w"),
+    ).select("_id", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    starts = (
+        wins.join(dup, "_h")
+        .groupBy("_id")
+        .agg(F.collect_set("_pos").alias("_starts"))
+    )
+    joined = base.join(starts, "_id", "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array())
+    )
+    kept_idx = F.expr(
+        f"filter(sequence(1, _n), j -> "
+        f"NOT exists(_starts, s -> j >= s AND j <= s + {k} - 1))"
+    )
+    return joined.select(
+        "_id", "_t", "_n", kept_idx.alias("_kept")
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_kept").cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ", F.expr("transform(_kept, j -> element_at(_t, j))")
+        ).alias("scrubbed_text"),
+    )

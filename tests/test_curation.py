@@ -363,3 +363,33 @@ def test_nb_classifier_known_answer(spark):
     assert out[2].pred_a is False
     assert out[3].log_odds == 0.0
     assert out[3].pred_a is False
+
+
+def test_scrub_duplicate_spans_removes_shared_span_only(spark):
+    """Lee et al. §4 removal semantics: the 8-token span shared by two
+    docs is cut from BOTH; unique surroundings survive; a doc shorter
+    than k passes through untouched."""
+    from osprey_spark.operators.dedup import scrub_duplicate_spans
+
+    span = "the quick brown fox jumps over the lazy"  # 8 tokens
+    rows = [
+        (1, f"intro one {span} outro alpha"),
+        (2, f"different lead {span} tail beta gamma"),
+        (3, "totally unique text with no duplication at all here"),
+        (4, "short doc"),  # n < k: untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_spans(docs, k=8).collect()
+    }
+    # the shared span (8 tokens) is gone from both docs
+    for d in (1, 2):
+        assert "quick" not in out[d]["scrubbed_text"]
+        assert out[d]["kept_tokens"] == out[d]["n_tokens"] - 8
+    assert out[1]["scrubbed_text"] == "intro one outro alpha"
+    assert out[2]["scrubbed_text"] == "different lead tail beta gamma"
+    # unique doc intact
+    assert out[3]["kept_tokens"] == out[3]["n_tokens"]
+    # short doc untouched
+    assert out[4]["scrubbed_text"] == "short doc"
