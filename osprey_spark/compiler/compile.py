@@ -1891,38 +1891,61 @@ class CompiledRuleset:
                         # visible same-key registration with ts <= this
                         # row's second counts, INCLUDING equal-second
                         # later rows (tie-group inclusive, so the fold
-                        # is tie-order independent). cap>0 stops
-                        # TRACKING once reached — exact for the clamped
-                        # output: past cap both engines report cap
-                        # forever (the count is monotone).
+                        # is tie-order independent). State carries each
+                        # value's FIRST-SEEN second — a bare value set
+                        # would overcount for LATE rows whose sec
+                        # precedes a carried value's registration.
+                        # cap>0 stops TRACKING once reached — exact for
+                        # the clamped output: past cap both engines
+                        # report cap forever (the count is monotone).
                         cap = m["cap"]
-                        seen = set(smap.get(mk, ()))
+                        first = {v: int(t0) for v, t0 in smap.get(mk, ())}
                         vals = inp["val"][s:e]
                         vgs = inp["vg"][s:e]
-                        seg_out = out_a[s:e]
                         n_seg = e - s
+                        # merge carried first-seens with this segment's
+                        # registrations into one sec-ordered event list
+                        events_u = [(t0, v) for v, t0 in first.items()]
+                        for j in range(n_seg):
+                            v = vals[j]
+                            if vgs[j] and v is not None and not pd.isna(v):
+                                sv = str(v)
+                                t_j = int(seg_sec[j])
+                                if sv not in first or t_j < first[sv]:
+                                    first[sv] = t_j
+                                    events_u.append((t_j, sv))
+                        events_u.sort()  # (sec, value): tie-deterministic
+                        seen: set = set()
+                        seg_out = out_a[s:e]
                         hi = 0
                         j = 0
                         while j < n_seg:
-                            t = seg_sec[j]
-                            while hi < n_seg and seg_sec[hi] <= t:
-                                v = vals[hi]
-                                if (
-                                    vgs[hi]
-                                    and v is not None
-                                    and not pd.isna(v)
-                                    and (cap == 0 or len(seen) < cap)
+                            t = int(seg_sec[j])
+                            while hi < len(events_u) and events_u[hi][0] <= t:
+                                v = events_u[hi][1]
+                                # count only the value's FIRST event
+                                # (duplicates from a lowered first-seen
+                                # are filtered by the dict check above)
+                                if first.get(v) == events_u[hi][0] and (
+                                    cap == 0 or len(seen) < cap
                                 ):
-                                    seen.add(str(v))
+                                    seen.add(v)
                                 hi += 1
-                            # whole tie group shares the count
                             g = j
                             while g + 1 < n_seg and seg_sec[g + 1] == t:
                                 g += 1
                             seg_out[j : g + 1] = len(seen)
                             j = g + 1
-                        if seen:
-                            smap[mk] = sorted(seen)
+                        if cap:
+                            # keep only the tracked (counted) values —
+                            # the clamp makes extras irrelevant forever
+                            kept_first = sorted(
+                                first.items(), key=lambda kv: (kv[1], kv[0])
+                            )[:cap]
+                        else:
+                            kept_first = sorted(first.items())
+                        if kept_first:
+                            smap[mk] = [[v, t0] for v, t0 in kept_first]
                         elif mk in smap:
                             del smap[mk]
                     elif m["fam"] == "sess":

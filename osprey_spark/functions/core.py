@@ -474,8 +474,10 @@ def get_unique_count(ctx, call, args):
     Tenth stateful family. Batch = size(collect_set) over an
     UNBOUNDED-preceding range window (one key shuffle, tie-order
     independent: equal-second rows all see the whole tie group);
-    streaming = the fused state pass carrying the seen-value set per
-    key. ``cap`` bounds that state EXACTLY: counts clamp at cap and
+    streaming = the fused state pass carrying each value's FIRST-SEEN
+    second per key (not a bare value set — a LATE row must exclude
+    values first registered after its own second to match batch).
+    ``cap`` bounds that state EXACTLY: counts clamp at cap and
     values stop being tracked once cap is reached, so a clamped
     streaming count always equals the clamped batch count while state
     stays <= cap values per key (cap=0 = unbounded — prefer a cap in

@@ -107,6 +107,73 @@ N = IncrementWindow(key=K, window_seconds=600.0)
 """
 
 
+def test_unique_count_late_row_is_exact(spark, tmp_path):
+    """A LATE ROW (event-time earlier than already-carried
+    registrations) must report the BATCH value: the state carries
+    each value's FIRST-SEEN second, so the late row excludes values
+    registered after its own second. A bare value-set state would
+    report 3 here. (Rows already emitted in earlier micro-batches
+    cannot be revised by later-arriving registrations — inherent to
+    streaming emission — so the assertion targets the final batch's
+    rows, whose inputs are complete.)"""
+    import json as _json
+    from datetime import datetime
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    def turn(idx, sec, tool):
+        return (
+            "c1",
+            idx,
+            "user",
+            "m",
+            tool,
+            datetime(2024, 1, 1, 0, 0, 0).replace(
+                minute=sec // 60, second=sec % 60
+            ),
+        )
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    # batch 1: registrations at sec 100 (x) and 200 (y)
+    spark.createDataFrame(
+        [turn(0, 100, "x"), turn(1, 200, "y")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 2: a LATE row at sec 150 registering z
+    spark.createDataFrame([turn(2, 150, "z")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def rs():
+        return compile_ruleset({"main.sml": STREAM_SML}, bindings=TURN_BINDINGS)
+
+    eng = StreamingRuleEngine(
+        spark,
+        rs(),
+        in_dir,
+        out_dir,
+        passthrough=("conv_id", "turn_idx"),
+        max_files_per_trigger=1,
+    )
+    eng.run_to_completion()
+    got = {r["turn_idx"]: r["NTools"] for r in eng.results().collect()}
+    # the late row sees x (sec 100) and itself (z, 150) but NOT y (200)
+    assert got[2] == 2
+    # batch recompute agrees on the late row
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {r["turn_idx"]: r["NTools"] for r in batch.collect()}
+    assert want[2] == got[2]
+    # emitted-before-late-arrival rows are never ABOVE batch
+    assert got[0] <= want[0] and got[1] <= want[1]
+
+
 def test_unique_count_streams_fused(spark, tmp_path):
     """Lifetime distinct + capped variant + event counter on one key:
     a single fused state pass, streaming == batch across a
