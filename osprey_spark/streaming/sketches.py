@@ -224,3 +224,160 @@ def stream_window_hll(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def py_cms_bucket(key: str, d: int, width: int = 1024, seed: str = "cms") -> int:
+    """Python replay of operators/sketches._bucket — identical md5
+    prefix, identical modulus (the driver-side mirror the watch-list
+    lookups use; the row-side buckets stay JVM expressions)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{d}:{key}".encode()).hexdigest()
+    return int(h[:8], 16) % width
+
+
+def stream_window_cms(
+    turns: DataFrame,
+    key_col: str = "conv_id",
+    watch_keys: tuple[str, ...] = (),
+    dim_cols: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    watermark: str = "30 minutes",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms",
+) -> DataFrame:
+    """Running count-min estimates for a WATCH LIST of keys per
+    (tumbling window, dims...) — the sum-merge sibling of
+    `stream_window_hll` (registers max-merge; CMS counters ADD, the
+    other canonical mergeable-sketch fold). The moderation use: watch
+    known-hot entities' frequencies climb inside the open window
+    without keeping per-entity state — state is the width×depth
+    counter table per open slot regardless of key cardinality.
+
+    Emits one changelog row per watched key per touching micro-batch:
+    ``win_start, dims..., key, cms_n, upd_seq, is_final``; timeout
+    behavior and `upd_seq` contract identical to `stream_window_hll`.
+
+    Equivalence contract (tested): after all input is consumed, the
+    latest `cms_n` per (slot, key) equals
+    `count_min_build` + `count_min_estimate` run in batch over the
+    same rows grouped by the same derived window column — the counter
+    fold is integer addition of identical md5-derived buckets, exact
+    in any arrival order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.sketches import _bucket
+
+    if not watch_keys:
+        raise ValueError("stream_window_cms needs a non-empty watch_keys list")
+    delay_sec = parse_delay_seconds(watermark)
+    dims = list(dim_cols)
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _bucket(key, d, width, seed).alias("bucket")
+            )
+            for d in range(depth)
+        ]
+    )
+    ts_sec = F.col(ts_col).cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(int(window_seconds)))).alias("win_start")
+    src = (
+        turns.withWatermark(ts_col, watermark)
+        .select(
+            win,
+            *[F.col(d).cast("string").alias(d) for d in dims],
+            F.explode(pairs).alias("_p"),
+            F.col(ts_col),
+        )
+        .select(
+            "win_start",
+            *dims,
+            F.col("_p.d").alias("_d"),
+            F.col("_p.bucket").alias("_bucket"),
+            F.col(ts_col),
+        )
+    )
+    watch = {
+        k: [py_cms_bucket(k, d, width, seed) for d in range(depth)]
+        for k in watch_keys
+    }
+    out_schema = StructType(
+        [StructField("win_start", LongType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("key", StringType()),
+            StructField("cms_n", LongType()),
+            StructField("upd_seq", LongType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("counters_json", StringType())])
+    win_s = int(window_seconds)
+
+    def fn(key_tuple, pdf_iter, state):
+        win_start = int(key_tuple[0])
+        dim_vals = list(key_tuple[1:])
+
+        def _rows(counters, seq, final):
+            ks, ns = [], []
+            for k, buckets in watch.items():
+                ks.append(k)
+                ns.append(
+                    min(counters.get(f"{d}:{b}", 0) for d, b in enumerate(buckets))
+                )
+            return pd.DataFrame(
+                {
+                    "win_start": pd.array([win_start] * len(ks), dtype="int64"),
+                    **{d: [dv] * len(ks) for d, dv in zip(dims, dim_vals)},
+                    "key": ks,
+                    "cms_n": pd.array(ns, dtype="int64"),
+                    "upd_seq": pd.array([seq] * len(ks), dtype="int64"),
+                    "is_final": pd.array([final] * len(ks), dtype="bool"),
+                }
+            )
+
+        if state.hasTimedOut:
+            counters, seq = (
+                json.loads(state.get[0]) if state.exists else ({}, 0)
+            )
+            state.remove()
+            yield _rows(counters, seq + 1, True)
+            return
+
+        counters, seq = json.loads(state.get[0]) if state.exists else ({}, 0)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # sum-merge: per-batch (d, bucket) partial counts fold by
+            # integer addition — exact in any arrival order
+            part = pdf.groupby(["_d", "_bucket"]).size()
+            for (d, b), n in part.items():
+                ck = f"{int(d)}:{int(b)}"
+                counters[ck] = counters.get(ck, 0) + int(n)
+        seq += 1
+        state.update((json.dumps([counters, seq]),))
+        timeout_ms = (win_start + win_s + delay_sec) * 1000
+        cur_wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, cur_wm + 1))
+        yield _rows(counters, seq, False)
+
+    return src.groupBy("win_start", *dims).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -210,3 +210,78 @@ def test_stream_windowed_topn_matches_batch(spark, tmp_path):
         for r in rank_topn(counts, "role", k=2).collect()
     }
     assert got == want and len({w for w, _ in got}) == 3
+
+
+def test_stream_window_cms_matches_batch(spark, tmp_path):
+    """Sum-merge sibling of the HLL test: after the stream consumes
+    all input (split mid-window), the latest cms_n per (window, key)
+    equals batch count_min_build + count_min_estimate over the same
+    rows grouped by the same derived window — integer counter
+    addition is exact in any arrival order."""
+    from osprey_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from osprey_spark.streaming.sketches import stream_window_cms
+
+    df = _df(spark)
+    src = str(tmp_path / "turns_cms")
+    df.filter(F.col("turn_idx") < 45).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 45).coalesce(1).write.mode("append").parquet(src)
+
+    watch = ("c0", "c1", "c7", "c36", "nope")
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_window_cms(
+            stream,
+            watch_keys=watch,
+            window_seconds=3600,
+            watermark="10 minutes",
+            width=64,
+            depth=4,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from cms_stream").collect()
+    assert emitted, "stream emitted nothing"
+    latest = {}
+    for r in emitted:
+        k = (r.win_start, r.key)
+        if k not in latest or r.upd_seq > latest[k].upd_seq:
+            latest[k] = r
+    # batch replay: same derived window, same sketch params
+    batch = df.withColumn(
+        "win_start",
+        (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600))),
+    )
+    keys_df = spark.createDataFrame([(k,) for k in watch], "conv_id string")
+    for win_start in {k[0] for k in latest}:
+        rows = batch.filter(F.col("win_start") == win_start)
+        sk = count_min_build(rows, "conv_id", width=64, depth=4)
+        est = {
+            r["conv_id"]: r["cms_n"]
+            for r in count_min_estimate(
+                sk, keys_df, "conv_id", width=64, depth=4
+            ).collect()
+        }
+        for k in watch:
+            assert latest[(win_start, k)].cms_n == est[k], (win_start, k)
+    # the absent key reads 0 unless colliding; with width=64 collisions
+    # may lift it — CMS never under-estimates, check the bound instead
+    true_counts = {
+        (r["win_start"], r["conv_id"]): r["n"]
+        for r in batch.groupBy("win_start", "conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    for (w, k), r in latest.items():
+        assert r.cms_n >= true_counts.get((w, k), 0)
