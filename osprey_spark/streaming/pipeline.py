@@ -120,10 +120,19 @@ class StreamingRuleEngine:
             from .kafka import kafka_reader
 
             return kafka_reader(self.spark, self.schema, self.source_options)
-        reader = self.spark.readStream.schema(self.schema)
+        from ..sources import read_turns
+
+        opts = dict(self.source_options)
         if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return reader.options(**self.source_options).parquet(self.input_dir)
+            opts["maxFilesPerTrigger"] = str(self.max_files_per_trigger)
+        return read_turns(
+            self.spark,
+            self.input_dir,
+            fmt=self.source_format,
+            streaming=True,
+            schema=self.schema,
+            **opts,
+        )
 
     def transform(self, stream: DataFrame) -> DataFrame:
         if self.dedup_ids:

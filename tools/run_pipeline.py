@@ -62,7 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
         help='"availableNow" (drain + exit) or a processing-time interval like "10 seconds"',
     )
     ap.add_argument(
-        "--source-format", default="parquet", choices=["parquet", "kafka"], dest="source_format"
+        "--source-format",
+        default="parquet",
+        choices=["parquet", "json", "csv", "kafka"],
+        dest="source_format",
     )
     ap.add_argument(
         "--source-option",
