@@ -1166,6 +1166,32 @@ class CompiledRuleset:
         total = F.coalesce(F.sum(val).over(w), F.lit(0))
         return df.select("*", total.cast("long").alias(spec["name"]))
 
+    def _join_seen_before(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one SeenBefore on a BATCH frame: a conditional
+        registration count over a (key, value)-partitioned RANGE
+        window to the current second; a registering row needs >= 2
+        (itself included), a non-registering reader >= 1 — both
+        tie-order independent. One shuffle on (key, value); NULL
+        values read False (their window partition is the NULL-value
+        group, but the threshold comparison is nulled out below).
+        Streaming frames route through the fused state pass."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        val = spec["value_col"]
+        registers = val.isNotNull()
+        if spec["gate"] is not None:
+            registers = registers & F.coalesce(spec["gate"], F.lit(False))
+        w = (
+            W.partitionBy(spec["key_col"], val)
+            .orderBy(sec)
+            .rangeBetween(W.unboundedPreceding, 0)
+        )
+        cnt = F.count(F.when(registers, F.lit(1))).over(w)
+        thresh = F.when(registers, F.lit(2)).otherwise(F.lit(1))
+        seen = F.when(val.isNull(), F.lit(False)).otherwise(cnt >= thresh)
+        return df.select("*", seen.alias(spec["name"]))
+
     def _join_window_minmax(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one GetWindowMax/Min on a BATCH frame: max (or
         min) of the registered long values per key in the trailing
@@ -1561,6 +1587,16 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "seen":
+                gate = sp["gate"]
+                proj.append(sp["value_col"].alias(f"__fs{i}_sv"))
+                proj.append(
+                    (
+                        F.coalesce(gate, F.lit(False)) if gate is not None else F.lit(True)
+                    ).alias(f"__fs{i}_sg")
+                )
+                metas.append({"fam": "seen", "name": sp["name"], "i": i})
+                out_fields.append(T.StructField(sp["name"], T.BooleanType()))
             elif fam == "wminmax":
                 gate = sp["gate"]
                 proj.append(sp["value_col"].alias(f"__fs{i}_mv"))
@@ -1730,6 +1766,14 @@ class CompiledRuleset:
                         }
                     )
                     outs.append(np.full(n, None, dtype=object))
+                elif m["fam"] == "seen":
+                    op_in.append(
+                        {
+                            "val": pdf[f"__fs{m['i']}_sv"].to_numpy(dtype=object),
+                            "vg": pdf[f"__fs{m['i']}_sg"].to_numpy(dtype=bool),
+                        }
+                    )
+                    outs.append(np.zeros(n, dtype=bool))
                 elif m["fam"] == "sess":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
@@ -1836,6 +1880,73 @@ class CompiledRuleset:
                         kept = [[t, v] for t, v in occ if t >= keep]
                         if kept:
                             smap[mk] = kept
+                        elif mk in smap:
+                            del smap[mk]
+                    elif m["fam"] == "seen":
+                        # repeated-content membership: per value, the
+                        # TWO SMALLEST registration seconds (carried +
+                        # this segment, min-merged — exact under late
+                        # data). Row at t with value v: registrations
+                        # of v with sec <= t, capped at 2; a
+                        # registering row needs 2 (itself included), a
+                        # reader 1 — tie-group inclusive either way.
+                        pair = {
+                            v: list(ss) for v, ss in smap.get(mk, ())
+                        }  # value -> [s1] or [s1, s2], ascending
+                        vals = inp["val"][s:e]
+                        vgs = inp["vg"][s:e]
+                        n_seg = e - s
+                        events_s = []
+                        for v, ss in pair.items():
+                            for t0 in ss:
+                                events_s.append((int(t0), v))
+                        for j in range(n_seg):
+                            v = vals[j]
+                            if vgs[j] and v is not None and not pd.isna(v):
+                                events_s.append((int(seg_sec[j]), str(v)))
+                        events_s.sort()
+                        # rebuild the two-smallest pairs from ALL events
+                        merged: dict = {}
+                        for t0, v in events_s:
+                            lst = merged.setdefault(v, [])
+                            if len(lst) < 2:
+                                lst.append(t0)
+                        counts_at: dict = {}
+                        seg_out = out_a[s:e]
+                        hi = 0
+                        for j in range(n_seg):
+                            t = int(seg_sec[j])
+                            while hi < len(events_s) and events_s[hi][0] <= t:
+                                v = events_s[hi][1]
+                                c = counts_at.get(v, 0)
+                                if c < 2:
+                                    # only the two smallest count; later
+                                    # duplicates of carried secs double-
+                                    # count a registration, so consume
+                                    # events from the MERGED pairs only
+                                    if events_s[hi][0] in merged.get(v, ()):
+                                        counts_at[v] = c + 1
+                                        merged[v].remove(events_s[hi][0])
+                                hi += 1
+                            v = vals[j]
+                            if v is None or pd.isna(v):
+                                seg_out[j] = False
+                            else:
+                                sv = str(v)
+                                reg = bool(vgs[j])
+                                need = 2 if reg else 1
+                                seg_out[j] = counts_at.get(sv, 0) >= need
+                        # state: two smallest secs per value across
+                        # carried + segment registrations
+                        final_pairs: dict = {}
+                        for t0, v in events_s:
+                            lst = final_pairs.setdefault(v, [])
+                            if len(lst) < 2:
+                                lst.append(t0)
+                        if final_pairs:
+                            smap[mk] = sorted(
+                                [v, ss] for v, ss in final_pairs.items()
+                            )
                         elif mk in smap:
                             del smap[mk]
                     elif m["fam"] == "wminmax":
@@ -2329,6 +2440,7 @@ class CompiledRuleset:
         rl_specs: dict | None = None,
         unique_specs: dict | None = None,
         wminmax_specs: dict | None = None,
+        seen_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2372,6 +2484,7 @@ class CompiledRuleset:
         rl_specs = rl_specs or {}
         unique_specs = unique_specs or {}
         wminmax_specs = wminmax_specs or {}
+        seen_specs = seen_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2413,6 +2526,12 @@ class CompiledRuleset:
                 return cols
             if mangled in wminmax_specs:
                 s = wminmax_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["gate"] is not None:
+                    cols.append(s["gate"])
+                return cols
+            if mangled in seen_specs:
+                s = seen_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
                 if s["gate"] is not None:
                     cols.append(s["gate"])
@@ -2459,6 +2578,7 @@ class CompiledRuleset:
                     or name in rl_specs
                     or name in unique_specs
                     or name in wminmax_specs
+                    or name in seen_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2549,6 +2669,7 @@ class CompiledRuleset:
         wminmax_specs = {
             s["name"]: s for s in getattr(self.ctx, "wminmax_lookups", [])
         }
+        seen_specs = {s["name"]: s for s in getattr(self.ctx, "seen_lookups", [])}
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2603,6 +2724,7 @@ class CompiledRuleset:
                 "rl",
                 "unique",
                 "wminmax",
+                "seen",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2641,7 +2763,7 @@ class CompiledRuleset:
                 cols.append(sp["symbol_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
-            elif fam in ("wdistinct", "unique", "wminmax"):
+            elif fam in ("wdistinct", "unique", "wminmax", "seen"):
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2708,6 +2830,7 @@ class CompiledRuleset:
             rl_specs,
             unique_specs,
             wminmax_specs,
+            seen_specs,
         ):
             if defn is None:
                 if streaming and mangled in rl_specs:
@@ -2727,6 +2850,12 @@ class CompiledRuleset:
                     if not _fusable("wminmax", sp):
                         df = _flush(df)
                     pending.append(("wminmax", sp))
+                    continue
+                if streaming and mangled in seen_specs:
+                    sp = seen_specs[mangled]
+                    if not _fusable("seen", sp):
+                        df = _flush(df)
+                    pending.append(("seen", sp))
                     continue
                 if streaming and mangled in age_specs:
                     sp = age_specs[mangled]
@@ -2811,6 +2940,8 @@ class CompiledRuleset:
                     df = self._join_unique_count(df, unique_specs[mangled])
                 elif mangled in wminmax_specs:
                     df = self._join_window_minmax(df, wminmax_specs[mangled])
+                elif mangled in seen_specs:
+                    df = self._join_seen_before(df, seen_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -2778,6 +2778,45 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY sec
 )
 
 
+def q_seen_before_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level repeated-content detector (SeenBefore, twelfth
+    stateful family): has this exact text been posted before in this
+    conversation — the lifetime-exact spam-repetition primitive the
+    reference's forgetting zset counters cannot express. Batch = a
+    conditional count over a (key, value) RANGE window; streaming =
+    fused state pass carrying the two smallest registration seconds
+    per (conv, text) (tests/test_seen_before.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+T: str = JsonData(path='$.text')
+Repeat = SeenBefore(key=K, value=T)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx", F.col("Repeat").alias("is_repeat")
+    )
+
+
+O_SEEN_BEFORE = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx, text,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM turns)
+SELECT conv_id, turn_idx,
+  count(*) OVER (PARTITION BY conv_id, text ORDER BY sec
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= 2
+    AS is_repeat
+FROM t
+"""
+)
+
+
 def q_rate_limit_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level token-bucket throttle (RateLimit): allow at most 1
     turn per 10 hours per conversation with a burst of 2 — the
@@ -4797,6 +4836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_age_rule": q_key_age_rule,
     "unique_count_rule": q_unique_count_rule,
     "window_minmax_rule": q_window_minmax_rule,
+    "seen_before_rule": q_seen_before_rule,
     "rate_limit_rule": q_rate_limit_rule,
     "seq_rule": q_seq_rule,
     "multimodal_meta": q_multimodal_meta,
@@ -4914,6 +4954,7 @@ ORACLES: dict[str, str] = {
     "key_age_rule": O_KEY_AGE,
     "unique_count_rule": O_UNIQUE_COUNT,
     "window_minmax_rule": O_WINDOW_MINMAX,
+    "seen_before_rule": O_SEEN_BEFORE,
     "rate_limit_rule": O_RATE_LIMIT,
     "seq_rule": O_SEQ_RULE,
     "multimodal_meta": O_MULTIMODAL_META,

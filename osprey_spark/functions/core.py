@@ -459,6 +459,55 @@ def get_window_min(ctx, call, args):
     return _window_extreme(ctx, call, args, mode=-1)
 
 
+@register("SeenBefore")
+def seen_before(ctx, call, args):
+    """Exact repeated-content detector — has this ``value`` been
+    registered for this key AT OR BEFORE this event's second by
+    another event (self excluded)? The "same text posted again in
+    this conversation" / "same payment instrument reused" primitive
+    (ref: the reference approximates this with Redis zset counters
+    keyed by content hash, `udfs.py` window counters — which count
+    events in a window and forget; this is lifetime-exact).
+
+    Twelfth stateful family. Semantics are tie-order independent:
+    a registering event reads True iff its value has ≥ 2
+    registrations with sec ≤ its own (itself included), a
+    non-registering reader True iff ≥ 1. Batch = a conditional count
+    over a (key, value)-partitioned RANGE window; streaming = the
+    fused state pass carrying the TWO SMALLEST registration seconds
+    per (key, value) — min-merged, so late data stays exact and state
+    is 2 longs per distinct value regardless of repetition volume.
+    NULL values never register and always read False. ``when_all``
+    gates registration; every event reads.
+    """
+    from ..compiler import nullsafe
+    from ..sml.nodes import ListLiteral
+
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value")
+    gate = None
+    when_all = raw_arg(ctx, call, args, "when_all")
+    if when_all is not None:
+        if not isinstance(when_all, ListLiteral):
+            raise ctx.error(f"{call.func} when_all= must be a list", call.span)
+        conds = [ctx.compile_expr(e) for e in when_all.items]
+        if conds:
+            gate = nullsafe.strict_all(conds)
+    if not hasattr(ctx, "seen_lookups"):
+        ctx.seen_lookups = []
+    name = f"__sb_{len(ctx.seen_lookups)}"
+    ctx.seen_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": value_v.col.cast("string"),
+            "gate": gate,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="bool")
+
+
 @register("GetUniqueCount")
 def get_unique_count(ctx, call, args):
     """LIFETIME distinct-value counter — distinct ``value``s ever
