@@ -4364,6 +4364,43 @@ FROM kept ORDER BY doc_id
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (c=64, stride 48 → 16-token
+    overlap) — the context-window prep step of retrieval/embedding
+    pipelines. packing.chunk_documents: chunk count in exact integer
+    arithmetic, starts/slices as per-row array HOFs — zero joins,
+    zero shuffles."""
+    from .operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+O_DOC_CHUNKS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+cnt AS (
+  SELECT *, CASE WHEN n <= 0 THEN 0 WHEN n <= 64 THEN 1
+                 ELSE CAST((n - 64 + 48 - 1) // 48 AS INT) + 1 END AS n_chunks
+  FROM sized
+)
+SELECT doc_id,
+  CAST(i AS INT) AS chunk_idx,
+  CAST(1 + i * 48 AS BIGINT) AS chunk_start,
+  CAST(least(64, n - (1 + i * 48) + 1) AS BIGINT) AS chunk_len,
+  coalesce(array_to_string(
+    list_slice(toks, 1 + i * 48, least(i * 48 + 64, n)), ' '), '') AS chunk_text
+FROM cnt, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(i)
+WHERE n_chunks > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly-rate anomaly detection: hours where a user's
     event count is >= 2 sample standard deviations above their own
@@ -4859,6 +4896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_centrality": q_pagerank,
     "ring_expansion": q_ring_expansion,
     "scrub_spans": q_scrub_spans,
+    "doc_chunks": q_doc_chunks,
     "vocab_build": q_vocab_build,
     "shuffle_order": q_shuffle_order,
     "asof_join": q_asof_join,
@@ -4977,6 +5015,7 @@ ORACLES: dict[str, str] = {
     "pagerank_centrality": O_PAGERANK,
     "ring_expansion": O_RING_EXPANSION,
     "scrub_spans": O_SCRUB_SPANS,
+    "doc_chunks": O_DOC_CHUNKS,
     "vocab_build": O_VOCAB_BUILD,
     "shuffle_order": O_SHUFFLE_ORDER,
     "asof_join": O_ASOF_JOIN,

@@ -196,3 +196,61 @@ def global_shuffle_order(
         )
         .select(id_col, "shuffle_key", "position")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into OVERLAPPING token-window chunks —
+    the context-window preparation step of retrieval/embedding
+    pipelines (chunk size c, stride s < c gives c−s tokens of overlap
+    so no boundary sentence is lost to either side).
+
+    Chunk i starts at token 1 + i·s; the chunk count is the standard
+    closed form — one chunk when n ≤ c, else ceil((n−c)/s) + 1, so
+    the final chunk always reaches the last token and is never
+    shorter than c−s+1 (no degenerate slivers); empty docs yield no
+    chunks. The count computes in exact INTEGER arithmetic
+    ((n−c+s−1) DIV s + 1). Everything is per-row array HOFs over the
+    tokenized column — zero joins, zero shuffles, output cardinality
+    ≈ n_tokens/stride per doc.
+
+    Columns: (id, chunk_idx, chunk_start, chunk_len, chunk_text).
+    """
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    c, s = int(chunk_tokens), int(stride)
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    n_chunks = (
+        F.when(F.col("_n") <= 0, F.lit(0))
+        .when(F.col("_n") <= c, F.lit(1))
+        .otherwise(F.expr(f"CAST((_n - {c} + {s} - 1) DIV {s} AS INT) + 1"))
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1), lambda i: (F.lit(1) + i * s).cast("int")
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select(
+        id_col,
+        "_t",
+        "_n",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk_len = F.least(F.lit(c), F.col("_n") - F.col("_start") + 1)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("chunk_start"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.concat_ws(" ", F.slice(F.col("_t"), F.col("_start"), chunk_len)).alias(
+            "chunk_text"
+        ),
+    )

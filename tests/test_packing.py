@@ -134,3 +134,48 @@ def test_global_shuffle_order_is_permutation_and_prefix_invariant(spark):
     # a different seed is a different permutation
     out3 = global_shuffle_order(docs, seed="epoch1").collect()
     assert {r.doc_id: r.position for r in out3} != by_key
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """c=8, s=6: a 20-token doc chunks at starts 1/7/13 (the last
+    chunk ends exactly at token 20, full size); a 21-token doc gets
+    ceil((21-8)/6)+1 = 4 chunks at starts 1/7/13/19 with lengths
+    8/8/8/3. Short docs yield one whole-doc chunk; empty docs none."""
+    from osprey_spark.operators.packing import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(1, n + 1))
+
+    docs = spark.createDataFrame(
+        [(1, words(20)), (2, words(21)), (3, words(5)), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=8, stride=6).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for rows in out.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+
+    assert [(r["chunk_start"], r["chunk_len"]) for r in out[1]] == [
+        (1, 8), (7, 8), (13, 8)
+    ]
+    assert [(r["chunk_start"], r["chunk_len"]) for r in out[2]] == [
+        (1, 8), (7, 8), (13, 8), (19, 3)
+    ]
+    # overlap: chunk 1 of doc 1 repeats tokens w7,w8 from chunk 0
+    assert out[1][0]["chunk_text"].split()[-2:] == ["w7", "w8"]
+    assert out[1][1]["chunk_text"].split()[:2] == ["w7", "w8"]
+    # the final chunk always reaches the last token
+    assert out[1][-1]["chunk_text"].split()[-1] == "w20"
+    assert out[2][-1]["chunk_text"].split()[-1] == "w21"
+    # short doc: one whole-doc chunk; empty doc: absent
+    assert [(r["chunk_start"], r["chunk_len"]) for r in out[3]] == [(1, 5)]
+    assert 4 not in out
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    from osprey_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, stride=9)
