@@ -248,3 +248,71 @@ def test_cross_key_cache_cannot_fuse(spark, tmp_path):
     stream = spark.readStream.schema(t.schema).parquet(in_dir)
     with pytest.raises(ValueError, match="stateful passes"):
         rs.apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+
+
+NEW_FAMILIES_SML = """
+K: str = JsonData(path='$.conv_id')
+Tool: str = JsonData(path='$.tool')
+T: str = JsonData(path='$.text')
+L: int = StringLength(s=T)
+NTools = GetUniqueCount(key=K, value=Tool, cap=3)
+MaxLen = GetWindowMax(key=K, value=L, window_seconds=600.0)
+MinLen = GetWindowMin(key=K, value=L, window_seconds=600.0)
+Rpt = SeenBefore(key=K, value=Tool)
+N = IncrementWindow(key=K, window_seconds=600.0)
+"""
+
+_NEW_COLS = ["NTools", "MaxLen", "MinLen", "Rpt", "N"]
+
+
+def test_new_families_fuse_into_one_pass(spark, tmp_path):
+    """unique + max + min + seen-before + counter on one key: FIVE
+    mechanisms, ONE FlatMapGroupsInPandasWithState, outputs equal to
+    batch for every mechanism."""
+    rs, in_dir = _stream_vs_batch(spark, tmp_path, NEW_FAMILIES_SML, _NEW_COLS)
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    out = rs().apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+    assert _n_state_nodes(out) == 1
+
+
+def test_new_families_survive_restart(spark, tmp_path):
+    """Kill after batch 1, restart on the same checkpoint: the
+    composite state (first-seen map, in-window entries, two-smallest
+    pairs, counter deque) resumes and final outputs match batch."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(
+        spark, n_convs=4, turns_per_conv=8, hot_convs=0, late_fraction=0.0
+    )
+
+    def rs():
+        return compile_ruleset(
+            {"main.sml": NEW_FAMILIES_SML}, bindings=TURN_BINDINGS
+        )
+
+    t.filter(F.col("turn_idx") < 4).coalesce(1).write.mode("append").parquet(in_dir)
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+    )
+    eng.run_to_completion()
+    t.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode("append").parquet(in_dir)
+    eng2 = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+    )
+    eng2.run_to_completion()
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in _NEW_COLS)
+        for r in eng2.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in _NEW_COLS)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 32
