@@ -3987,6 +3987,65 @@ def _train_split_oracle_sql() -> str:
 O_TRAIN_SPLIT = _train_split_oracle_sql()
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential race over a seeded md5 uniform) —
+    packing.weighted_sample: 64 docs drawn with probability
+    proportional to length (n_chars). Global top-k compiles to
+    TakeOrderedAndProject (per-partition k, driver merges p*k scored
+    ids, never documents)."""
+    from .operators.packing import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, k=64, keep=("lang",)).orderBy(
+        "sample_key", "doc_id"
+    )
+
+
+_WS_KEY_SQL = (
+    "-ln((CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) + 1) / 1152921504606846976.0) / greatest(n_chars, 1)"
+)
+
+O_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, lang, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+         {_WS_KEY_SQL} AS skey
+  FROM documents
+  ORDER BY {_WS_KEY_SQL}, doc_id
+  LIMIT 64
+)
+SELECT doc_id, lang, weight, round(skey, 6) AS sample_key
+FROM s ORDER BY sample_key, doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sampling without replacement — the same
+    A-ES race stratified with ``by='lang'``: 16 docs per language, one
+    shuffle on the stratum key (only (id, key, weight) triples move;
+    group skew is irrelevant to the window because rows per group stay
+    group-sized, not corpus-sized)."""
+    from .operators.packing import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, k=16, by="lang").orderBy(
+        "lang", "sample_key", "doc_id"
+    )
+
+
+O_STRATIFIED_SAMPLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+         {_WS_KEY_SQL} AS skey,
+         row_number() OVER (PARTITION BY lang ORDER BY {_WS_KEY_SQL}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, weight, round(skey, 6) AS sample_key
+FROM r WHERE rn <= 16 ORDER BY lang, round(skey, 6), doc_id
+"""
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf) —
     curation.tfidf_top_terms; tf/df aggregates shuffle (doc, term)
@@ -4923,6 +4982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "cep_sequence": q_cep_sequence,
     "cep_session": q_cep_session,
+    "weighted_sample": q_weighted_sample,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -5042,6 +5103,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "cep_sequence": O_CEP_SEQUENCE,
     "cep_session": O_CEP_SESSION,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
 }
 
 

@@ -254,3 +254,66 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+    keep: tuple = (),
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, the standard for distributed weighted
+    reservoir sampling): every row draws a seeded uniform
+    u = (md5_60(seed:id) + 1) / 2^60 in (0, 1] and gets sort key
+    -ln(u) / w — the exponential race. Taking the k SMALLEST keys is
+    exactly weighted sampling without replacement: the first pick
+    lands on row i with probability w_i / sum(w), the second on j with
+    w_j / (sum(w) - w_i), and so on. Seeded md5 instead of an RNG
+    makes the draw replayable in any engine (same u, same key, same
+    sample — DuckDB oracle is hash-exact modulo the documented float
+    caveat below).
+
+    ``by=None``: global top-k — ``orderBy(key).limit(k)`` compiles to
+    TakeOrderedAndProject: each partition keeps its own k, the driver
+    merges p*k scored ids (never documents). The right shape for small
+    k at any corpus size; for huge k, rank with the prefix-group
+    pattern of ``global_shuffle_order`` instead. ``by=<col>``:
+    stratified variant — k per group via row_number over a
+    (group)-partitioned window, ONE shuffle on the group key; group
+    skew is irrelevant because only (id, key) pairs shuffle.
+
+    Weights clamp to >= 1 (rows with NULL/zero weight still have a
+    defined draw). Float caveat: ln() may differ by 1 ulp between
+    JVM Math.log and DuckDB libm — membership at the k-th boundary
+    would flip only if two keys collide within ~1e-16 relative, which
+    the (key, id) tie-break makes measure-zero in practice; the
+    emitted ``sample_key`` is rounded to 6 decimals like every float
+    output in this repo.
+    """
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = -F.log(u) / w.cast("double")
+    cols = [id_col, *keep] + ([by] if by and by not in keep else [])
+    scored = docs.select(*cols, w.alias("weight"), key.alias("_skey"))
+    if by is None:
+        picked = scored.orderBy("_skey", id_col).limit(int(k))
+    else:
+        w_grp = Window.partitionBy(by).orderBy("_skey", id_col)
+        picked = scored.withColumn("_rn", F.row_number().over(w_grp)).filter(
+            F.col("_rn") <= int(k)
+        )
+    return picked.select(
+        id_col, *keep, *([by] if by and by not in keep else []),
+        "weight", F.round("_skey", 6).alias("sample_key"),
+    )

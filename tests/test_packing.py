@@ -179,3 +179,78 @@ def test_chunk_documents_rejects_bad_stride(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, stride=9)
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    """The engine's k-smallest of -ln(u)/w equals a verbatim Python
+    A-ES replay of the same seeded md5 uniforms (exact ids, exact
+    order), and repartitioning does not change the sample."""
+    import hashlib
+    import math
+
+    from osprey_spark.operators.packing import weighted_sample
+
+    rows = [(i, (i % 7) * 13 + 1) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample(docs, k=25).collect()
+    got = [(r.doc_id, r.weight) for r in out]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws1:{i}".encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / float(1 << 60)) / max(w, 1)
+
+    exp = sorted(rows, key=lambda t: (key(t[0], t[1]), t[0]))[:25]
+    assert got == [(i, max(w, 1)) for i, w in exp]
+    out13 = weighted_sample(docs.repartition(13), k=25).collect()
+    assert [(r.doc_id, r.weight) for r in out13] == got
+
+
+def test_weighted_sample_weight_monotone_and_uniform_degenerate(spark):
+    """Heavy rows dominate the draw (weight 100 vs 1), and with all
+    weights equal the race degenerates to the plain seeded-uniform
+    top-k by hash (-ln(u) smallest where u is largest)."""
+    from pyspark.sql import functions as F
+
+    from osprey_spark.operators.packing import weighted_sample
+
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    picked = [r.doc_id for r in weighted_sample(docs, k=60).collect()]
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    assert heavy >= 50  # deterministic draw; ~99:1 odds per pair
+
+    flat = spark.createDataFrame([(i, 7) for i in range(100)], "doc_id long, n_chars long")
+    got = [r.doc_id for r in weighted_sample(flat, k=10).collect()]
+    base = (
+        flat.select(
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ws1:"), F.col("doc_id").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+        .orderBy(F.desc("h"), "doc_id")
+        .limit(10)
+        .collect()
+    )
+    assert got == [r.doc_id for r in base]
+
+
+def test_weighted_sample_stratified_k_per_group(spark):
+    """by='lang' takes exactly min(k, group size) per group and the
+    per-group picks equal the global race restricted to that group."""
+    from osprey_spark.operators.packing import weighted_sample
+
+    rows = [(i, 5 + (i % 3), "en" if i < 30 else ("de" if i < 40 else "fr"))
+            for i in range(44)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long, lang string")
+    out = weighted_sample(docs, k=8, by="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 8 and len(by_lang["de"]) == 8
+    assert len(by_lang["fr"]) == 4  # group smaller than k: take all
+    for lang in ("en", "de"):
+        solo = weighted_sample(docs.filter(f"lang = '{lang}'"), k=8).collect()
+        assert sorted(r.doc_id for r in solo) == sorted(by_lang[lang])
