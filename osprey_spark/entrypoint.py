@@ -3739,6 +3739,98 @@ def q_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key skew diagnostics over events.user_id —
+    analytics.skew_profile: heavy keys + distinct-key count,
+    mean/p99/max rows per key and the max/mean skew ratio. One hash
+    aggregate over the key, then key-cardinality frames only (1-row
+    stats broadcast onto a TakeOrdered(10) heavy list) — the
+    measurement that picks salting factors before a 100 TB join."""
+    from .plans.analytics import skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_profile(ev, ["user_id"], p=0.99, top=10).orderBy(
+        F.desc("n"), "user_id"
+    )
+
+
+O_SKEW_PROFILE = """
+WITH keyed AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         count(*) AS distinct_keys,
+         max(n) AS max_per_key,
+         quantile_cont(n, 0.99) AS pq
+  FROM keyed
+),
+h AS (
+  SELECT user_id, n FROM keyed ORDER BY n DESC, user_id LIMIT 10
+)
+SELECT h.user_id, h.n,
+       round(h.n * 100.0 / s.total_rows, 4) AS share_pct,
+       s.total_rows, s.distinct_keys, s.max_per_key,
+       round(CAST(s.total_rows AS DOUBLE) / s.distinct_keys, 2) AS mean_per_key,
+       round(s.pq, 2) AS pq_per_key,
+       round(s.max_per_key / (CAST(s.total_rows AS DOUBLE) / s.distinct_keys), 2)
+         AS skew_ratio
+FROM h CROSS JOIN s ORDER BY h.n DESC, h.user_id
+"""
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence mining (shared-resource association)
+    over the user↔resource observations — graph.cooccurrence with
+    per-user fan-out CAPPED at 20 items via the cap smallest seeded
+    md5 draws (the unbiased replayable subsample), so a power user
+    can never emit more than C(20,2) pairs: the trick that keeps the
+    bipartite projection linear in users at 100 TB. Top-50 pairs by
+    co-user count."""
+    from .operators.graph import cooccurrence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (
+        ev.select(
+            F.col("user_id").cast("string").alias("user"),
+            F.get_json_object(F.col("props"), "$.k").alias("item"),
+        )
+        # NULL items would sort differently across engines (Spark
+        # NULLS FIRST vs DuckDB NULLS LAST) inside the cap window
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    out = cooccurrence(pairs, cap=20, min_count=2)
+    return out.orderBy(F.desc("n_users"), "item_a", "item_b").limit(50)
+
+
+O_COOCCURRENCE = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+         json_extract_string(props, '$.k') AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+  SELECT u, item FROM (
+    SELECT u, item,
+      row_number() OVER (
+        PARTITION BY u ORDER BY md5('co1:' || u || ':' || item), item
+      ) AS rn
+    FROM pairs
+  ) WHERE rn <= 20
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+  FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT item_a, item_b, n_users
+FROM co ORDER BY n_users DESC, item_a, item_b LIMIT 50
+"""
+
+
 O_RING_EXPANSION = """
 WITH pairs AS (
   SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
@@ -4984,6 +5076,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cep_session": q_cep_session,
     "weighted_sample": q_weighted_sample,
     "stratified_sample": q_stratified_sample,
+    "skew_profile": q_skew_profile,
+    "cooccurrence": q_cooccurrence,
 }
 
 ORACLES: dict[str, str] = {
@@ -5105,6 +5199,8 @@ ORACLES: dict[str, str] = {
     "cep_session": O_CEP_SESSION,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "stratified_sample": O_STRATIFIED_SAMPLE,
+    "skew_profile": O_SKEW_PROFILE,
+    "cooccurrence": O_COOCCURRENCE,
 }
 
 

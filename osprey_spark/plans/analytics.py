@@ -237,6 +237,54 @@ def group_percentiles(
     return df.groupBy(*group_by).agg(*aggs)
 
 
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    p: float = 0.99,
+    top: int = 10,
+) -> DataFrame:
+    """Per-key distribution diagnostics — the measurement you run
+    BEFORE choosing shuffle-partition counts, salting factors
+    (``operators.joins.salted_join``) or AQE skew thresholds: heavy
+    keys with their row share, plus corpus-level distinct-key count,
+    mean/p-quantile/max rows per key and the max/mean ``skew_ratio``
+    (1.0 = perfectly uniform; a 1000-executor job whose skew_ratio is
+    40 has a straggler task 40x the average).
+
+    Plan shape: ONE hash aggregate over the key (map-side partials),
+    then everything operates on the key-cardinality frame — a 1-row
+    global aggregate broadcast onto a TakeOrdered(top) heavy-key
+    list. Rows never move twice; no driver collect.
+    """
+    keyed = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = keyed.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("n").alias("max_per_key"),
+        F.percentile(F.col("n"), F.lit(float(p))).alias("_pq"),
+    )
+    heavy = keyed.orderBy(F.desc("n"), *key_cols).limit(int(top))
+    return heavy.crossJoin(F.broadcast(stats)).select(
+        *key_cols,
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("total_rows"), 4).alias("share_pct"),
+        "total_rows",
+        "distinct_keys",
+        "max_per_key",
+        F.round(
+            F.col("total_rows").cast("double") / F.col("distinct_keys"), 2
+        ).alias("mean_per_key"),
+        F.round("_pq", 2).alias("pq_per_key"),
+        # max / (total/distinct) rather than max*distinct/total: no
+        # long*long product to overflow at 10^12-row keys
+        F.round(
+            F.col("max_per_key")
+            / (F.col("total_rows").cast("double") / F.col("distinct_keys")),
+            2,
+        ).alias("skew_ratio"),
+    )
+
+
 def funnel(
     df: DataFrame,
     user_col: str,

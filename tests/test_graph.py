@@ -92,3 +92,59 @@ def test_pagerank_releases_edge_persist(spark):
     # back to the pre-call level (the session fixture may carry other
     # tests' persists; blocking unpersist makes this race-free)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_cooccurrence_counts_and_canonical_order(spark):
+    """Known-answer: 3 users over 4 items — pair counts are exact,
+    pairs are canonical (a < b), min_count prunes singletons."""
+    from osprey_spark.operators.graph import cooccurrence
+
+    rows = [
+        ("u1", "a"), ("u1", "b"), ("u1", "c"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "b"), ("u3", "d"),
+    ]
+    pairs = spark.createDataFrame(rows, "user string, item string")
+    out = {(r.item_a, r.item_b): r.n_users
+           for r in cooccurrence(pairs, cap=20, min_count=2).collect()}
+    assert out == {("a", "b"): 2}  # (a,c),(b,c),(b,d) have 1 user each
+    all_pairs = {(r.item_a, r.item_b): r.n_users
+                 for r in cooccurrence(pairs, cap=20, min_count=1).collect()}
+    assert all_pairs == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1, ("b", "d"): 1}
+    assert all(a < b for a, b in all_pairs)
+
+
+def test_cooccurrence_cap_bounds_power_user_fanout(spark):
+    """A power user with 40 items contributes exactly C(cap,2) pairs,
+    the cap subsample is deterministic, and validation rejects cap<2."""
+    import pytest
+
+    from osprey_spark.operators.graph import cooccurrence
+
+    rows = [("power", f"i{j:02d}") for j in range(40)]
+    pairs = spark.createDataFrame(rows, "user string, item string")
+    out = cooccurrence(pairs, cap=5, min_count=1).collect()
+    assert len(out) == 10  # C(5,2)
+    again = cooccurrence(pairs.repartition(7), cap=5, min_count=1).collect()
+    assert sorted((r.item_a, r.item_b) for r in again) == sorted(
+        (r.item_a, r.item_b) for r in out
+    )
+    with pytest.raises(ValueError):
+        cooccurrence(pairs, cap=1)
+
+
+def test_skew_profile_known_answer(spark):
+    """10+5+1 rows over 3 keys: shares, mean, max and skew ratio are
+    the hand-computed values; heavy list respects top."""
+    from osprey_spark.plans.analytics import skew_profile
+
+    rows = [("hot",)] * 10 + [("warm",)] * 5 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, ["k"], p=0.5, top=2).orderBy("n", ascending=False).collect()
+    assert [(r.k, r.n) for r in out] == [("hot", 10), ("warm", 5)]
+    r = out[0]
+    assert r.total_rows == 16 and r.distinct_keys == 3 and r.max_per_key == 10
+    assert r.share_pct == 62.5
+    assert abs(r.mean_per_key - 5.33) < 1e-9
+    assert r.pq_per_key == 5.0  # median of (1, 5, 10)
+    assert abs(r.skew_ratio - 1.88) < 1e-9  # 10 / (16/3)
