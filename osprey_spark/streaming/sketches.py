@@ -381,3 +381,152 @@ def stream_window_cms(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_window_weighted_sample(
+    turns: DataFrame,
+    k: int = 8,
+    weight_col: str | None = None,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    dim_cols: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    watermark: str = "30 minutes",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Streaming weighted reservoir sample per (tumbling window,
+    dims...) — the A-ES race of ``operators/packing.weighted_sample``
+    run incrementally: each row's sort key -ln(u)/w (u a seeded md5
+    uniform, computed JVM-SIDE with the batch operator's exact
+    expressions) arrives at the state store, which keeps only the k
+    smallest (key, id, weight) entries per open slot. min-k is
+    associative and commutative, so the carried reservoir after any
+    prefix equals the batch top-k over that prefix in ANY arrival
+    order — late rows displace exactly as they would in batch. State
+    is k entries per open slot regardless of traffic ("sample 8 turns
+    of this hour proportional to length" costs the same at 10^12
+    turns/hour).
+
+    Emits the full current reservoir per touching micro-batch:
+    ``win_start, dims..., rank, sample_id, weight, sample_key
+    (round-6, the batch operator's output convention), upd_seq,
+    is_final``; timeout/eviction contract identical to
+    `stream_window_hll`.
+
+    Equivalence contract (tested): after all input is consumed, the
+    latest reservoir per slot is row-for-row identical (ids, weights,
+    round-6 keys, ranks) to ``weighted_sample(..., by=win)`` run in
+    batch over the same rows — both sort the SAME JVM-computed
+    doubles, and json state round-trips floats exactly (shortest-repr
+    decoding), so no re-derivation ever happens Python-side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    delay_sec = parse_delay_seconds(watermark)
+    dims = list(dim_cols)
+    sid = F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+    w = (
+        F.greatest(F.length("text").cast("long"), F.lit(1))
+        if weight_col is None
+        else F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), sid)), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    skey = -F.log(u) / w.cast("double")
+    ts_sec = F.col(ts_col).cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(int(window_seconds)))).alias("win_start")
+    src = turns.withWatermark(ts_col, watermark).select(
+        win,
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        sid.alias("_id"),
+        w.alias("_w"),
+        skey.alias("_skey"),
+        F.col(ts_col),
+    )
+    out_schema = StructType(
+        [StructField("win_start", LongType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("rank", IntegerType()),
+            StructField("sample_id", StringType()),
+            StructField("weight", LongType()),
+            StructField("sample_key", DoubleType()),
+            StructField("upd_seq", LongType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("reservoir_json", StringType())])
+    win_s = int(window_seconds)
+    kk = int(k)
+
+    def fn(key_tuple, pdf_iter, state):
+        win_start = int(key_tuple[0])
+        dim_vals = list(key_tuple[1:])
+
+        def _rows(res, seq, final):
+            n = len(res)
+            return pd.DataFrame(
+                {
+                    "win_start": pd.array([win_start] * n, dtype="int64"),
+                    **{d: [dv] * n for d, dv in zip(dims, dim_vals)},
+                    "rank": pd.array(range(1, n + 1), dtype="int32"),
+                    "sample_id": [e[1] for e in res],
+                    "weight": pd.array([e[2] for e in res], dtype="int64"),
+                    "sample_key": pd.array(
+                        [_round6(e[0]) for e in res], dtype="float64"
+                    ),
+                    "upd_seq": pd.array([seq] * n, dtype="int64"),
+                    "is_final": pd.array([final] * n, dtype="bool"),
+                }
+            )
+
+        if state.hasTimedOut:
+            res, seq = json.loads(state.get[0]) if state.exists else ([], 0)
+            state.remove()
+            yield _rows(res, seq + 1, True)
+            return
+
+        res, seq = json.loads(state.get[0]) if state.exists else ([], 0)
+        entries = [tuple(e) for e in res]
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            entries.extend(
+                zip(
+                    (float(x) for x in pdf["_skey"]),
+                    (str(x) for x in pdf["_id"]),
+                    (int(x) for x in pdf["_w"]),
+                )
+            )
+        # min-k merge: k smallest (key, id) of carried ∪ batch — the
+        # same total order the batch TakeOrdered uses on these doubles
+        entries.sort(key=lambda e: (e[0], e[1]))
+        entries = entries[:kk]
+        seq += 1
+        state.update((json.dumps([[list(e) for e in entries], seq]),))
+        timeout_ms = (win_start + win_s + delay_sec) * 1000
+        cur_wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, cur_wm + 1))
+        yield _rows(entries, seq, False)
+
+    return src.groupBy("win_start", *dims).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

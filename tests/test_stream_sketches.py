@@ -285,3 +285,70 @@ def test_stream_window_cms_matches_batch(spark, tmp_path):
     }
     for (w, k), r in latest.items():
         assert r.cms_n >= true_counts.get((w, k), 0)
+
+
+def test_stream_weighted_sample_matches_batch(spark, tmp_path):
+    """Windowed streaming A-ES reservoir: after the stream consumes
+    all input (split mid-window so the reservoir must min-k-merge
+    across micro-batches, including displacement by later-arriving
+    smaller keys), the latest reservoir per window is row-for-row
+    identical — ids, weights, round-6 keys, rank order — to the batch
+    weighted_sample stratified by the same derived window column."""
+    from osprey_spark.operators.packing import weighted_sample
+    from osprey_spark.streaming.sketches import stream_window_weighted_sample
+
+    df = _df(spark)
+    src = str(tmp_path / "turns_ws")
+    df.filter(F.col("turn_idx") < 45).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 45).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_window_weighted_sample(
+            stream, k=5, window_seconds=3600, watermark="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ws_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from ws_stream").collect()
+    assert emitted, "stream emitted nothing"
+    latest_seq = {}
+    for r in emitted:
+        latest_seq[r.win_start] = max(latest_seq.get(r.win_start, 0), r.upd_seq)
+    got = {}
+    for r in emitted:
+        if r.upd_seq == latest_seq[r.win_start]:
+            got.setdefault(r.win_start, []).append(r)
+    for rows in got.values():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= 5
+
+    win = F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600))
+    batch_docs = df.select(
+        win.alias("win_start"),
+        F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")).alias("sid"),
+        F.length("text").alias("wchars"),
+    )
+    expected = weighted_sample(
+        batch_docs, k=5, weight_col="wchars", id_col="sid", seed="ws1", by="win_start"
+    ).collect()
+    exp = {}
+    for r in expected:
+        exp.setdefault(r.win_start, []).append(r)
+    assert set(exp) == set(got)
+    for ws, exp_rows in exp.items():
+        exp_rows.sort(key=lambda r: (r.sample_key, r.sid))
+        got_rows = got[ws]
+        assert [(g.sample_id, g.weight, g.sample_key) for g in got_rows] == [
+            (e.sid, e.weight, e.sample_key) for e in exp_rows
+        ]
