@@ -3679,6 +3679,39 @@ FROM tot ORDER BY lang
 """
 
 
+def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (mT5/XLM-R
+    p_l ∝ c_l^0.3) — packing.temperature_weights: one corpus-scale
+    token-count hash aggregate, then pow/normalize as window sums
+    over the dimension-class language frame (the UniMax discipline);
+    soft-exponent sibling of the hard-cap unimax_mixing allocator."""
+    from .operators.packing import temperature_weights
+
+    return temperature_weights(_docs(spark, sf_dir), alpha=0.3).orderBy("lang")
+
+
+O_TEMPERATURE_MIXING = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(sum(len({_DUCK_RTOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT lang, n_tokens,
+    pow(CAST(n_tokens AS DOUBLE), 0.3)
+      / sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) OVER (
+          ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+          AND UNBOUNDED FOLLOWING) AS p,
+    CAST(n_tokens AS DOUBLE)
+      / sum(n_tokens) OVER (
+          ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+          AND UNBOUNDED FOLLOWING) AS share
+  FROM per_lang
+)
+SELECT lang, n_tokens, round(p, 6) AS p_temp, round(p / share, 4) AS boost
+FROM staged ORDER BY lang
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank centrality over the user↔resource
     interaction graph (fraud rings share resources — a
@@ -5078,6 +5111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "skew_profile": q_skew_profile,
     "cooccurrence": q_cooccurrence,
+    "temperature_mixing": q_temperature_mixing,
 }
 
 ORACLES: dict[str, str] = {
@@ -5201,6 +5235,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "skew_profile": O_SKEW_PROFILE,
     "cooccurrence": O_COOCCURRENCE,
+    "temperature_mixing": O_TEMPERATURE_MIXING,
 }
 
 

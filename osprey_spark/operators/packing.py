@@ -159,6 +159,62 @@ def dataset_mixing(
     )
 
 
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled language sampling (the mT5/XLM-R standard,
+    Xue et al. 2021 / Conneau et al. 2020): sampling probability
+    p_l ∝ c_l^alpha where c_l is the language's token count. alpha=1
+    is proportional (big languages dominate), alpha→0 is uniform;
+    alpha≈0.3 is the published sweet spot that upweights low-resource
+    languages without drowning the head. Complements ``unimax``
+    (hard epoch caps) with the soft-exponent family.
+
+    Output per stratum: n_tokens, p_temp (round-6 probability),
+    boost (round-4 p_temp / natural-share ratio — >1 means the
+    stratum is upweighted vs proportional sampling).
+
+    Plan shape: corpus-scale token counting is ONE hash aggregate
+    with map-side partials; the pow/normalize runs as window sums
+    over the dimension-class language frame (#languages rows — the
+    same bounded single-partition exchange as the UniMax allocator
+    and the IVF codebook). Float pow enters only the rounded outputs.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if size_col is None:
+        # the \W+ tokenizer (functions.text), matching the UniMax
+        # allocator's token counting — NOT dedup's whitespace tokens
+        from ..functions.text import tokenize_col
+
+        size_col = F.size(tokenize_col(F.col("text")))
+    size = size_col
+    per = docs.groupBy(stratum_col).agg(
+        F.sum(size.cast("long")).alias("n_tokens")
+    )
+    w_all = Window.orderBy(stratum_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wpow = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    staged = per.select(
+        stratum_col,
+        "n_tokens",
+        (wpow / F.sum(wpow).over(w_all)).alias("_p"),
+        (
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+        ).alias("_share"),
+    )
+    return staged.select(
+        stratum_col,
+        "n_tokens",
+        F.round("_p", 6).alias("p_temp"),
+        F.round(F.col("_p") / F.col("_share"), 4).alias("boost"),
+    )
+
+
 def global_shuffle_order(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -254,3 +254,34 @@ def test_weighted_sample_stratified_k_per_group(spark):
     for lang in ("en", "de"):
         solo = weighted_sample(docs.filter(f"lang = '{lang}'"), k=8).collect()
         assert sorted(r.doc_id for r in solo) == sorted(by_lang[lang])
+
+
+def test_temperature_weights_known_answer_and_limits(spark):
+    """alpha=0.5 over token counts 100/400: p ∝ (10, 20) → 1/3, 2/3;
+    boost >1 for the low-resource stratum; alpha=1 degenerates to
+    natural shares (boost 1.0); alpha out of range rejects."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osprey_spark.operators.packing import temperature_weights
+
+    rows = [("a", "en", 100), ("b", "de", 400)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, n long")
+    out = {
+        r.lang: r
+        for r in temperature_weights(
+            docs, alpha=0.5, size_col=F.col("n")
+        ).collect()
+    }
+    assert out["en"].n_tokens == 100 and out["de"].n_tokens == 400
+    assert abs(out["en"].p_temp - round(1 / 3, 6)) < 1e-12
+    assert abs(out["de"].p_temp - round(2 / 3, 6)) < 1e-12
+    assert out["en"].boost == round((1 / 3) / 0.2, 4)  # upweighted
+    assert out["de"].boost < 1.0
+    flat = {
+        r.lang: r
+        for r in temperature_weights(docs, alpha=1.0, size_col=F.col("n")).collect()
+    }
+    assert flat["en"].p_temp == 0.2 and flat["en"].boost == 1.0
+    with pytest.raises(ValueError):
+        temperature_weights(docs, alpha=0.0)
