@@ -4371,6 +4371,32 @@ def _hll_oracle() -> str:
     return hll_oracle_sql("events", "user_id", "event_type")
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned histogram quantile sketch (sketches.hist_quantiles)
+    — the third canonical mergeable sketch next to HLL (max-merge) and
+    CMS (sum-merge): p50/p90/p99 turn length per role from a base-2
+    histogram with 4 linear sub-bins per octave. One map-side-combined
+    hash aggregate to <=252 bins per group; the quantile read is
+    window arithmetic over the BIN frame only, and integer/power-of-2
+    exact arithmetic makes the estimates hash-exact in DuckDB."""
+    from .operators.sketches import hist_quantiles
+
+    t = turns_from_events(spark, sf_dir)
+    return hist_quantiles(
+        t.select("role", F.length("text").alias("text_len")),
+        "text_len",
+        ["role"],
+    )
+
+
+def _hist_oracle() -> str:
+    from .operators.sketches import hist_quantiles_sql
+
+    return hist_quantiles_sql(
+        "turns", "length(text)", "role", cte_prefix=TURNS_CTE
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters — operators.sketches: the
     deterministic md5-hash CMS makes even the sketch ESTIMATES
@@ -5095,6 +5121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_distinct": q_hll_distinct,
+    "hist_quantiles": q_hist_quantiles,
     "windowed_topn": q_windowed_topn,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
@@ -5219,6 +5246,7 @@ ORACLES: dict[str, str] = {
     "funnel": O_FUNNEL,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "hll_distinct": _hll_oracle(),
+    "hist_quantiles": _hist_oracle(),
     "windowed_topn": O_WINDOWED_TOPN,
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,

@@ -241,3 +241,190 @@ SELECT e.{group_col}, CAST(ex.n_exact AS BIGINT) AS n_exact,
              THEN 256.0 * ln(256.0 / vz) ELSE eraw END, 6) AS hll_estimate
 FROM e JOIN ex USING ({group_col}) ORDER BY {group_col}
 """
+
+
+# --------------------------------------------------------------------------
+# log-binned histogram quantile sketch (HDR-histogram / DDSketch class)
+# --------------------------------------------------------------------------
+#
+# The third canonical mergeable sketch next to HLL (max-merge) and CMS
+# (sum-merge): a base-2 histogram with 4 linear sub-bins per octave.
+# Merging histograms is integer vector addition, so partial aggregation
+# caps per-partition state at <= 4*63 = 252 counters per group however
+# many rows flow through — the property that lets p50/p95/p99 run over
+# 100 TB as ONE map-side-combined aggregate, and lets the streaming
+# form keep per-(window, dims) state independent of traffic.
+#
+# Everything is integer / power-of-two-exact arithmetic (the octave is
+# the binary-string length of the value — no floating log2 at bin
+# boundaries; divisions are by powers of two, exact in IEEE doubles for
+# values < 2^49), so a SQL engine replays estimates bit-for-bit: the
+# quantile read is hash-exact against the DuckDB oracle, not rows-only.
+# Relative error of an estimate is bounded by the sub-bin width: the
+# returned value is the LOWER EDGE of the bin holding the q-th value,
+# within 25% of octave start at worst (values 1..3 are exact).
+# NULL / non-positive values land in a dedicated underflow bin whose
+# estimate is 0.
+
+
+def hist_bin(v: Column) -> Column:
+    """Bin id of a non-negative integer value: octave ``e-1`` from the
+    binary-string length ``e`` (highest set bit, exact), linear sub-bin
+    ``(v*4) / 2^(e-1) - 4`` in {0..3}; ``bin = (e-1)*4 + sub``.
+    NULL / ``v <= 0`` map to the underflow bin -1."""
+    e = F.length(F.bin(v))
+    sub = (
+        F.floor(
+            (v * 4).cast("double") / F.pow(F.lit(2.0), (e - F.lit(1)).cast("double"))
+        ).cast("long")
+        - 4
+    )
+    return (
+        F.when(v.isNull() | (v <= 0), F.lit(-1))
+        .otherwise((e.cast("long") - 1) * 4 + sub)
+        .cast("long")
+    )
+
+
+def hist_bin_lower(b: Column) -> Column:
+    """Lower edge of bin ``b`` — the quantile estimate read from the
+    sketch: ``(4 + sub) * 2^(e-1) / 4`` floored (exact power-of-two
+    arithmetic); the underflow bin reads 0."""
+    sub = F.pmod(b, F.lit(4))
+    e1 = ((b - sub) / F.lit(4)).cast("long")
+    raw = (sub + 4).cast("double") * F.pow(F.lit(2.0), e1.cast("double"))
+    return (
+        F.when(b < 0, F.lit(0)).otherwise(F.floor(raw / F.lit(4.0))).cast("long")
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group quantile estimates from the log-binned histogram.
+
+    Plan: one scan -> hash aggregate to (group, bin) counts (map-side
+    partials, <=252 bins per group), then window cumsum + threshold
+    pick over the BIN frame only — the windows never touch row-scale
+    data. Threshold is the integer ``ceil(q% * n / 100)`` computed as
+    ``(q*n + 99) DIV 100`` so both engines agree without float rounding.
+
+    Output: ``group_cols..., q_pct, est, n_rows`` (est = bin lower
+    edge, a deterministic integer).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("long")
+    hist = (
+        df.select(*group_cols, hist_bin(v).alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "_bin",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_total"),
+    )
+    x = cum.select(
+        *group_cols,
+        "_bin",
+        "_cum",
+        "_total",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_pcts])).alias("q_pct"),
+    ).filter(F.col("_cum") >= F.expr("(q_pct * _total + 99) DIV 100"))
+    sel = x.groupBy(*group_cols, "q_pct").agg(
+        F.min("_bin").alias("_qbin"), F.max("_total").alias("n_rows")
+    )
+    return sel.select(
+        *group_cols,
+        F.col("q_pct").cast("long").alias("q_pct"),
+        hist_bin_lower(F.col("_qbin")).alias("est"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).orderBy(*group_cols, "q_pct")
+
+
+def py_hist_bin(v) -> int:
+    """Python replay of :func:`hist_bin` (streaming state fold +
+    tests)."""
+    if v is None or v <= 0:
+        return -1
+    e = int(v).bit_length()
+    sub = (int(v) * 4) // (1 << (e - 1)) - 4
+    return (e - 1) * 4 + sub
+
+
+def py_hist_quantiles(counters: dict, q_pcts) -> list:
+    """Python replay of the quantile read: ``[(q_pct, est, n)]`` from a
+    {bin_id: count} table — identical threshold and lower-edge
+    arithmetic to :func:`hist_quantiles` / the DuckDB oracle."""
+    bins = sorted(counters)
+    total = sum(counters.values())
+    out = []
+    for q in q_pcts:
+        thr = (int(q) * total + 99) // 100
+        cum = 0
+        qbin = bins[-1] if bins else -1
+        for b in bins:
+            cum += counters[b]
+            if cum >= thr:
+                qbin = b
+                break
+        est = 0 if qbin < 0 else ((4 + (qbin % 4)) << (qbin // 4)) // 4
+        out.append((int(q), est, total))
+    return out
+
+
+def hist_quantiles_sql(
+    table: str,
+    value_expr: str,
+    group_col: str,
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+    cte_prefix: str = "",
+) -> str:
+    """DuckDB replay of :func:`hist_quantiles` — identical bin ids
+    (binary-string octave, integer sub-bin), identical integer ceil
+    threshold, identical lower-edge estimates. Pass an existing
+    ``WITH x AS (...)`` clause as ``cte_prefix`` to chain onto it."""
+    qvals = ",".join(f"({int(q)})" for q in q_pcts)
+    head = f"{cte_prefix}," if cte_prefix else "WITH"
+    return f"""
+{head} vals AS (SELECT {group_col} AS grp, CAST({value_expr} AS BIGINT) AS v FROM {table}),
+b AS (
+  SELECT grp,
+    CASE WHEN v IS NULL OR v <= 0 THEN -1
+         ELSE (length(bin(v)) - 1) * 4
+            + CAST(floor((v * 4) / power(2, length(bin(v)) - 1)) AS BIGINT) - 4
+    END AS bin_id
+  FROM vals
+),
+hist AS (SELECT grp, bin_id, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bin_id,
+    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin_id) AS cum,
+    SUM(cnt) OVER (PARTITION BY grp) AS total
+  FROM hist
+),
+q AS (SELECT * FROM (VALUES {qvals}) AS t(q_pct)),
+sel AS (
+  SELECT c.grp, q.q_pct, min(c.bin_id) AS qbin, max(c.total) AS n_rows
+  FROM cum c CROSS JOIN q
+  WHERE c.cum >= (q.q_pct * c.total + 99) // 100
+  GROUP BY 1, 2
+)
+SELECT grp AS {group_col}, CAST(q_pct AS BIGINT) AS q_pct,
+  CAST(CASE WHEN qbin < 0 THEN 0
+       ELSE CAST(floor((qbin % 4 + 4) * power(2, (qbin - (qbin % 4)) / 4) / 4) AS BIGINT)
+       END AS BIGINT) AS est,
+  CAST(n_rows AS BIGINT) AS n_rows
+FROM sel ORDER BY 1, 2
+"""

@@ -383,6 +383,126 @@ def stream_window_cms(
     )
 
 
+def stream_window_hist(
+    turns: DataFrame,
+    value_col: str,
+    dim_cols: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    watermark: str = "30 minutes",
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Running quantile estimates per (tumbling window, dims...) from
+    the log-binned histogram sketch — the third mergeable-sketch fold
+    next to `stream_window_hll` (max-merge) and `stream_window_cms`
+    (sum-merge of hashed buckets): histogram merge is integer vector
+    addition over <=252 EXACT bins, so the running p50/p95/p99 inside
+    the open window (micro-batch latency, turn lengths, tool run
+    times) equals the batch `hist_quantiles` over the same prefix in
+    any arrival order, bit-for-bit. State per open slot is the bin
+    table — independent of traffic volume AND of value cardinality.
+
+    Emits one changelog row per q_pct per touching micro-batch:
+    ``win_start, dims..., q_pct, est, n_rows, upd_seq, is_final``;
+    timeout/`upd_seq` contract identical to `stream_window_hll`.
+
+    Equivalence contract (tested): after all input is consumed, the
+    latest (est, n_rows) per (slot, q_pct) equals
+    `operators.sketches.hist_quantiles` run in batch over the same
+    rows grouped by the same derived window column.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.sketches import hist_bin, py_hist_quantiles
+
+    delay_sec = parse_delay_seconds(watermark)
+    dims = list(dim_cols)
+    qs = [int(q) for q in q_pcts]
+    ts_sec = F.col(ts_col).cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(int(window_seconds)))).alias("win_start")
+    src = turns.withWatermark(ts_col, watermark).select(
+        win,
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        hist_bin(F.col(value_col).cast("long")).alias("_bin"),
+        F.col(ts_col),
+    )
+    out_schema = StructType(
+        [StructField("win_start", LongType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("q_pct", LongType()),
+            StructField("est", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("upd_seq", LongType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("bins_json", StringType())])
+    win_s = int(window_seconds)
+
+    def fn(key_tuple, pdf_iter, state):
+        win_start = int(key_tuple[0])
+        dim_vals = list(key_tuple[1:])
+
+        def _rows(counters, seq, final):
+            reads = py_hist_quantiles(counters, qs)
+            return pd.DataFrame(
+                {
+                    "win_start": pd.array(
+                        [win_start] * len(reads), dtype="int64"
+                    ),
+                    **{d: [dv] * len(reads) for d, dv in zip(dims, dim_vals)},
+                    "q_pct": pd.array([r[0] for r in reads], dtype="int64"),
+                    "est": pd.array([r[1] for r in reads], dtype="int64"),
+                    "n_rows": pd.array([r[2] for r in reads], dtype="int64"),
+                    "upd_seq": pd.array([seq] * len(reads), dtype="int64"),
+                    "is_final": pd.array([final] * len(reads), dtype="bool"),
+                }
+            )
+
+        if state.hasTimedOut:
+            counters, seq = (
+                json.loads(state.get[0]) if state.exists else ({}, 0)
+            )
+            counters = {int(k): v for k, v in counters.items()}
+            state.remove()
+            yield _rows(counters, seq + 1, True)
+            return
+
+        counters, seq = json.loads(state.get[0]) if state.exists else ({}, 0)
+        counters = {int(k): v for k, v in counters.items()}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # histogram merge = integer vector addition of per-batch
+            # partial bin counts — exact in any arrival order
+            part = pdf.groupby("_bin").size()
+            for b, n in part.items():
+                counters[int(b)] = counters.get(int(b), 0) + int(n)
+        seq += 1
+        state.update((json.dumps([{str(k): v for k, v in counters.items()}, seq]),))
+        timeout_ms = (win_start + win_s + delay_sec) * 1000
+        cur_wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, cur_wm + 1))
+        yield _rows(counters, seq, False)
+
+    return src.groupBy("win_start", *dims).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_window_weighted_sample(
     turns: DataFrame,
     k: int = 8,

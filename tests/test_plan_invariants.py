@@ -35,6 +35,7 @@ _CROSS_OK = {
     "nb_classifier",  # 1-row (totals, V, prior) scalar frame broadcast
     "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
     "tpch_q11",  # 1-row corpus-total threshold broadcast (no join key)
+    "skew_profile",  # 1-row global-stats frame broadcast onto the heavy list
 }
 
 # Queries expected to broadcast at least one join side (small dim /

@@ -64,3 +64,59 @@ def test_hll_distinct_accuracy_and_small_range(spark):
     assert out["small"].n_exact == 10
     # linear counting: m * ln(m / empty) is near-exact at 10/256 load
     assert abs(out["small"].hll_estimate - 10) < 1.5
+
+
+# --------------------------------------------------------------------------
+# log-binned histogram quantile sketch
+# --------------------------------------------------------------------------
+
+
+def test_hist_bin_known_answers(spark):
+    """Exact bin ids / lower edges for hand-computed values, Python
+    replay == JVM expression."""
+    from osprey_spark.operators.sketches import (
+        hist_bin,
+        hist_bin_lower,
+        py_hist_bin,
+    )
+
+    vals = [None, 0, -5, 1, 2, 3, 4, 5, 7, 8, 15, 16, 1000, 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v",
+        hist_bin(F.col("v")).alias("b"),
+        hist_bin_lower(hist_bin(F.col("v"))).alias("lo"),
+    )
+    for r in df.collect():
+        assert r.b == py_hist_bin(r.v), (r.v, r.b)
+        if r.v is None or r.v <= 0:
+            assert r.b == -1 and r.lo == 0
+        else:
+            # lower edge <= v, and v < next bin's lower edge width away:
+            # sub-bin width is 2^(e-1)/4 -> relative error <= 25%
+            assert r.lo <= r.v, (r.v, r.lo)
+            assert r.v - r.lo <= max(1, r.lo // 4), (r.v, r.lo)
+    # values 1..3 are exact (sub-bin width < 1)
+    exact = {r.v: r.lo for r in df.collect() if r.v in (1, 2, 3)}
+    assert exact == {1: 1, 2: 2, 3: 3}
+
+
+def test_hist_quantiles_vs_exact(spark):
+    """Estimates never exceed the true quantile and stay within the
+    25% sub-bin relative-error bound below it."""
+    from osprey_spark.operators.sketches import hist_quantiles
+
+    rows = [("g", (i * i) % 997 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r.q_pct: (r.est, r.n_rows)
+        for r in hist_quantiles(df, "v", ["grp"], (50, 90, 99)).collect()
+    }
+    import math
+
+    vs = sorted(v for _, v in rows)
+    for q in (50, 90, 99):
+        exact = vs[math.ceil(q * len(vs) / 100) - 1]
+        est, n = got[q]
+        assert n == len(vs)
+        assert est <= exact
+        assert exact - est <= max(1, exact // 4 + 1), (q, exact, est)

@@ -352,3 +352,65 @@ def test_stream_weighted_sample_matches_batch(spark, tmp_path):
         assert [(g.sample_id, g.weight, g.sample_key) for g in got_rows] == [
             (e.sid, e.weight, e.sample_key) for e in exp_rows
         ]
+
+
+def test_stream_window_hist_matches_batch(spark, tmp_path):
+    """Vector-addition sibling of the HLL/CMS tests: after the stream
+    consumes all input (split mid-window), the latest (est, n_rows)
+    per (window, role, q_pct) equals batch hist_quantiles over the
+    same rows grouped by the same derived window — histogram merge is
+    integer bin addition, exact in any arrival order."""
+    from osprey_spark.operators.sketches import hist_quantiles
+    from osprey_spark.streaming.sketches import stream_window_hist
+
+    df = _df(spark).withColumn("text_len", F.length("text"))
+    src = str(tmp_path / "turns_hist")
+    df.filter(F.col("turn_idx") < 45).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 45).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " ts timestamp, text_len int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_window_hist(
+            stream,
+            "text_len",
+            dim_cols=("role",),
+            window_seconds=3600,
+            watermark="10 minutes",
+            q_pcts=(50, 95, 99),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hist_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from hist_stream").collect()
+    assert emitted, "stream emitted nothing"
+    latest = {}
+    finals = 0
+    for r in emitted:
+        k = (r.win_start, r.role, r.q_pct)
+        if k not in latest or r.upd_seq > latest[k].upd_seq:
+            latest[k] = r
+        finals += int(r.is_final)
+    batch = df.withColumn(
+        "win_start",
+        (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600))),
+    )
+    expect = {
+        (r["win_start"], r["role"], r["q_pct"]): (r["est"], r["n_rows"])
+        for r in hist_quantiles(
+            batch, "text_len", ["win_start", "role"], (50, 95, 99)
+        ).collect()
+    }
+    assert set(latest) == set(expect)
+    for k, r in latest.items():
+        assert (r.est, r.n_rows) == expect[k], k
