@@ -4371,6 +4371,31 @@ def _hll_oracle() -> str:
     return hll_oracle_sql("events", "user_id", "event_type")
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit — operators.layout: interleave
+    (user_id, event-time) bits so each written file covers a tight
+    rectangle of both dims (the `OPTIMIZE ZORDER BY` layout that lets
+    file-level min/max stats prune 100 TB scans on EITHER predicate).
+    The key is compile-time-unrolled shift/and integer arithmetic, so
+    the per-bucket bounding rectangles are hash-exact in DuckDB."""
+    from .operators.layout import zorder_stats
+    from .operators.timeutil import epoch_long
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", epoch_long(F.col("ts")).alias("sec")
+    )
+    return zorder_stats(ev, ["user_id", "sec"])
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_stats_sql
+
+    return zorder_stats_sql(
+        "events",
+        {"user_id": "user_id", "sec": "CAST(floor(epoch(ts)) AS BIGINT)"},
+    )
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-binned histogram quantile sketch (sketches.hist_quantiles)
     — the third canonical mergeable sketch next to HLL (max-merge) and
@@ -5122,6 +5147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_distinct": q_hll_distinct,
     "hist_quantiles": q_hist_quantiles,
+    "zorder_stats": q_zorder_stats,
     "windowed_topn": q_windowed_topn,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
@@ -5247,6 +5273,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "hll_distinct": _hll_oracle(),
     "hist_quantiles": _hist_oracle(),
+    "zorder_stats": _zorder_oracle(),
     "windowed_topn": O_WINDOWED_TOPN,
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,

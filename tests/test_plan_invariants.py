@@ -36,6 +36,7 @@ _CROSS_OK = {
     "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
     "tpch_q11",  # 1-row corpus-total threshold broadcast (no join key)
     "skew_profile",  # 1-row global-stats frame broadcast onto the heavy list
+    "zorder_stats",  # 1-row min/max-ranges frame broadcast onto the scan
 }
 
 # Queries expected to broadcast at least one join side (small dim /
