@@ -1806,6 +1806,53 @@ O_MINHASH_PAIRS = (
 )
 
 
+def q_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins near-dup flags over the turn stream
+    (dedup.near_dup_flags): the INGEST dedup decision — row flagged
+    iff any MinHash LSH band was emitted by a strictly earlier row
+    (canonical order key: padded epoch sec | conv | turn). One band
+    shuffle for the per-band min window + one row-id shuffle for the
+    any-band fold; the exact batch contract the streaming
+    stream_near_dup_bands operator replays incrementally."""
+    t = turns_from_events(spark, sf_dir)
+    return dedup.near_dup_flags(t)
+
+
+_ND_OKEY = (
+    "concat_ws('|', lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),"
+    " 12, '0'), conv_id, CAST(turn_idx AS VARCHAR))"
+)
+
+O_NEAR_DUP_FLAGS = (
+    TURNS_CTE
+    + f""",
+nd_w AS (
+  SELECT conv_id, turn_idx, {_ND_OKEY} AS okey, {_DUCK_TOKENS} AS w
+  FROM turns WHERE text IS NOT NULL
+),
+nd_d AS (SELECT conv_id, turn_idx, okey, {_DUCK_SHINGLES} AS sh FROM nd_w),
+nd_g AS (SELECT conv_id, turn_idx, okey,
+         list_transform(sh, s -> md5('0|' || s) || md5('1|' || s)) AS digs FROM nd_d),
+nd_s AS (SELECT conv_id, turn_idx, okey, {_DUCK_SIG} AS sig FROM nd_g),
+nd_b AS (
+  SELECT conv_id, turn_idx, okey,
+         concat_ws('_', CAST(b AS VARCHAR), sig[2 * b + 1], sig[2 * b + 2]) AS band
+  FROM nd_s, (SELECT unnest([0, 1, 2, 3]) AS b) bb
+),
+nd_f AS (
+  SELECT conv_id, turn_idx,
+         okey > min(okey) OVER (PARTITION BY band) AS flag
+  FROM nd_b
+)
+SELECT conv_id, turn_idx, bool_or(flag) AS is_near_dup
+FROM nd_f GROUP BY 1, 2
+UNION ALL
+SELECT conv_id, turn_idx, FALSE AS is_near_dup FROM turns WHERE text IS NULL
+ORDER BY conv_id, turn_idx
+"""
+)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical keeper per
     group (the step that turns pairwise similarity into an actually
@@ -5086,6 +5133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "near_dup_flags": q_near_dup_flags,
     "dedup_groups": q_dedup_groups,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
@@ -5212,6 +5260,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "minhash_lsh_pairs": O_MINHASH_PAIRS,
+    "near_dup_flags": O_NEAR_DUP_FLAGS,
     "dedup_groups": O_DEDUP_GROUPS,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "simhash_pairs": O_SIMHASH_PAIRS,

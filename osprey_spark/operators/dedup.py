@@ -14,6 +14,7 @@ so results are oracle-checkable and stable across runs/engines.
 from __future__ import annotations
 
 from functools import reduce
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -628,3 +629,75 @@ def scrub_duplicate_spans(
             " ", F.expr("transform(_kept, j -> element_at(_t, j))")
         ).alias("scrubbed_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# first-seen near-dup flagging (the streaming-dedup batch twin)
+# --------------------------------------------------------------------------
+
+
+def near_dup_order_key(ts: Column, ids: Sequence[Column]) -> Column:
+    """Canonical event-order key: zero-padded epoch seconds, then the
+    id parts, '|'-joined — ONE lexically sortable string both engines
+    (and the streaming state fold) build identically. Within-second
+    ties break by the STRING order of the id parts (arbitrary but
+    total, deterministic, engine-independent)."""
+    sec = F.floor(ts.cast("timestamp").cast("double")).cast("long")
+    parts = [F.lpad(sec.cast("string"), 12, "0")]
+    parts += [c.cast("string") for c in ids]
+    return F.concat_ws("|", *parts)
+
+
+def near_dup_flags(
+    df: DataFrame,
+    id_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """First-seen-wins near-dup flags: a row is ``is_near_dup`` iff
+    ANY of its MinHash LSH bands was emitted by a STRICTLY EARLIER row
+    (earlier = smaller :func:`near_dup_order_key`). This is the dedup
+    decision an INGEST pipeline makes — keep the first copy, flag the
+    rest — as opposed to `minhash_lsh_pairs`' symmetric pair mining;
+    it is also the exact batch contract the streaming
+    `stream_near_dup_bands` operator replays incrementally.
+
+    Plan shape: one projection computes the signature, bands explode
+    (xN_bands), ONE shuffle on the band key for the per-band min
+    window, one shuffle back on the row id for the any-band fold.
+    No joins, no cross products; hot bands (boilerplate) are the skew
+    risk, same as the pair miner.
+
+    NULL texts carry no content: they are excluded from banding and
+    emitted with ``is_near_dup = false``.
+    """
+    from pyspark.sql.window import Window
+
+    rows_per_band = n_hashes // n_bands
+    okey = near_dup_order_key(F.col(ts_col), [F.col(c) for c in id_cols])
+    nonnull = df.filter(F.col(text_col).isNotNull())
+    digs = shingle_digests(
+        shingles(F.col(text_col), k), (n_hashes + 3) // 4
+    )
+    sig = minhash_signature_from_digests(digs, n_hashes)
+    base = nonnull.select(
+        *id_cols,
+        okey.alias("_okey"),
+        F.explode(
+            F.array(*minhash_bands(sig, n_bands, rows_per_band))
+        ).alias("_band"),
+    )
+    w = Window.partitionBy("_band")
+    flagged = base.withColumn(
+        "_flag", F.col("_okey") > F.min("_okey").over(w)
+    )
+    out = flagged.groupBy(*id_cols).agg(
+        F.max("_flag").alias("is_near_dup")
+    )
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        *id_cols, F.lit(False).alias("is_near_dup")
+    )
+    return out.unionByName(nulls).orderBy(*id_cols)
