@@ -4418,6 +4418,38 @@ def _hll_oracle() -> str:
     return hll_oracle_sql("events", "user_id", "event_type")
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set operations (sketches.kmv_set_ops) — the
+    fourth mergeable sketch and the one HLL cannot replace: distinct
+    (user, day) estimates for two segments PLUS their union,
+    intersection and Jaccard ('users active in BOTH segments') from
+    k-smallest-hash sketches built in two bounded hash aggregates;
+    exact counts ride along as self-validating columns."""
+    from .operators.sketches import kmv_set_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd"),
+        ).alias("user_day"),
+    )
+    return kmv_set_ops(ev, "user_day", "event_type", "click", "purchase")
+
+
+def _kmv_oracle() -> str:
+    from .operators.sketches import kmv_set_ops_sql
+
+    return kmv_set_ops_sql(
+        "events",
+        "user_id || ':' || strftime(date_trunc('day', ts), '%Y-%m-%d')",
+        "event_type",
+        "click",
+        "purchase",
+    )
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout audit — operators.layout: interleave
     (user_id, event-time) bits so each written file covers a tight
@@ -5196,6 +5228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "hist_quantiles": q_hist_quantiles,
     "zorder_stats": q_zorder_stats,
+    "kmv_set_ops": q_kmv_set_ops,
     "windowed_topn": q_windowed_topn,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
@@ -5323,6 +5356,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _hll_oracle(),
     "hist_quantiles": _hist_oracle(),
     "zorder_stats": _zorder_oracle(),
+    "kmv_set_ops": _kmv_oracle(),
     "windowed_topn": O_WINDOWED_TOPN,
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,

@@ -428,3 +428,210 @@ SELECT grp AS {group_col}, CAST(q_pct AS BIGINT) AS q_pct,
   CAST(n_rows AS BIGINT) AS n_rows
 FROM sel ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch: distinct counting WITH set operations
+# --------------------------------------------------------------------------
+#
+# The fourth mergeable sketch, and the one HLL cannot replace: K minimum
+# values supports UNION and INTERSECTION estimates ("users active in
+# BOTH windows / segments") because the k smallest hashes of A ∪ B are
+# exactly the k smallest of (sketch_A ∪ sketch_B) — min-k merge, the
+# same associative+commutative fold the weighted reservoir uses. All
+# hashes are md5-derived 32-bit integers, every estimate is one
+# explicitly-parenthesized double expression, so the DuckDB oracle is
+# hash-exact.
+#
+# Scale shape: the sketch build is TWO hash aggregates — per
+# (group, salt-bucket) min-k with bounded per-bucket state, then a
+# merge of salt-bucket partials (<= n_salt * k values per group) —
+# never a row-scale window or collect. That is the DataSketches theta
+# UDAF fold expressed in DataFrame ops.
+
+_KMV_DOM = 4294967296.0  # 2^32, the hash domain as a double
+
+
+def _kmv_hash(key: Column, seed: str = "kmv") -> Column:
+    """32-bit md5-derived hash of the key (first 8 hex digits)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+    seed: str = "kmv",
+    n_salt: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest DISTINCT hash values,
+    as one sorted array column ``kmv`` (size < k means the group's
+    full distinct hash set — the exact regime).
+
+    Two-level fold: (group, hash-salt-bucket) partial min-k bounds
+    per-aggregate state at bucket-distinct cardinality (size
+    ``n_salt`` to taste, same knob class as the state-op buckets),
+    then the group-level merge sorts <= n_salt*k values. Both levels
+    are ordinary hash aggregates with map-side partials.
+    """
+    h = _kmv_hash(F.col(key_col), seed)
+    part = (
+        df.select(*group_cols, h.alias("_h"))
+        .withColumn("_salt", F.pmod(F.col("_h"), F.lit(int(n_salt))))
+        .groupBy(*group_cols, "_salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_part")
+        )
+    )
+    return part.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_part"))), 1, k
+        ).alias("kmv")
+    )
+
+
+def kmv_estimate_col(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV array: exact size below
+    saturation, else ``(k-1) / (kth_hash / 2^32)`` — one fixed
+    parenthesization shared with the oracle."""
+    kth = F.element_at(kmv, k).cast("double")
+    return F.round(
+        F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
+            F.lit(k - 1.0) / (kth / F.lit(_KMV_DOM))
+        ),
+        6,
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Distinct / union / intersection estimates for two segments from
+    their KMV sketches, with the exact counts riding along as
+    self-validating columns (drop them at 100 TB; the sketches need
+    one pass, the exacts need a count-distinct).
+
+    Union sketch = k smallest of (kmv_a ∪ kmv_b) — exact by the KMV
+    property. Intersection via the standard estimator: the fraction of
+    union-sketch hashes present in BOTH sketches times the union
+    estimate. Below saturation every number degrades to exact.
+    """
+    typed = df.filter(F.col(type_col).isin([type_a, type_b]))
+    sk = kmv_sketch(typed, key_col, [type_col], k=k, seed=seed)
+    one = sk.groupBy().agg(
+        F.max(F.when(F.col(type_col) == type_a, F.col("kmv"))).alias("a"),
+        F.max(F.when(F.col(type_col) == type_b, F.col("kmv"))).alias("b"),
+    )
+    u_all = F.array_sort(F.array_union(F.col("a"), F.col("b")))
+    u_sk = F.slice(u_all, 1, k)
+    both = F.array_intersect(F.col("a"), F.col("b"))
+    matches = F.size(F.array_intersect(u_sk, both))
+    est_u = kmv_estimate_col(u_all, k)
+    jacc = F.when(
+        F.size(u_all) < k,
+        F.size(both).cast("double") / F.size(u_all).cast("double"),
+    ).otherwise(matches.cast("double") / F.lit(float(k)))
+    est = one.select(
+        kmv_estimate_col(F.col("a"), k).alias("est_a"),
+        kmv_estimate_col(F.col("b"), k).alias("est_b"),
+        est_u.alias("est_union"),
+        F.round(jacc, 6).alias("est_jaccard"),
+        F.round(jacc * est_u, 6).alias("est_intersect"),
+    )
+    exact = typed.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col(type_col) == type_a, F.col(key_col))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col(type_col) == type_b, F.col(key_col))
+        ).alias("exact_b"),
+        F.countDistinct(F.col(key_col)).alias("exact_union"),
+    )
+    return est.crossJoin(F.broadcast(exact)).withColumn(
+        "exact_intersect",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).cast(
+            "long"
+        ),
+    )
+
+
+def kmv_set_ops_sql(
+    table: str,
+    key_expr: str,
+    type_expr: str,
+    type_a: str,
+    type_b: str,
+    k: int = 256,
+    seed: str = "kmv",
+    cte_prefix: str = "",
+) -> str:
+    """DuckDB replay of :func:`kmv_set_ops` — identical 32-bit md5
+    hashes, identical k-smallest sets, identical estimate
+    parenthesization."""
+    head = f"{cte_prefix}," if cte_prefix else "WITH"
+    hx = (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT)"
+    )
+    est = (
+        "CASE WHEN len({a}) < {k} THEN CAST(len({a}) AS DOUBLE) "
+        "ELSE ({k} - 1.0) / (CAST({a}[{k}] AS DOUBLE) / 4294967296.0) END"
+    )
+    return f"""
+{head} typed AS (
+  SELECT {type_expr} AS t, {hx} AS h FROM {table}
+  WHERE {type_expr} IN ('{type_a}', '{type_b}')
+),
+sk AS (
+  SELECT t, list_slice(list_sort(list(DISTINCT h)), 1, {k}) AS kmv
+  FROM typed GROUP BY t
+),
+one AS (
+  SELECT
+    max(CASE WHEN t = '{type_a}' THEN kmv END) AS a,
+    max(CASE WHEN t = '{type_b}' THEN kmv END) AS b
+  FROM sk
+),
+c AS (
+  SELECT a, b,
+    list_sort(list_distinct(list_concat(a, b))) AS u_all,
+    list_filter(a, x -> list_contains(b, x)) AS inboth
+  FROM one
+),
+e AS (
+  SELECT
+    round({est.format(a='a', k=k)}, 6) AS est_a,
+    round({est.format(a='b', k=k)}, 6) AS est_b,
+    round({est.format(a='u_all', k=k)}, 6) AS est_union,
+    CASE WHEN len(u_all) < {k}
+         THEN CAST(len(inboth) AS DOUBLE) / CAST(len(u_all) AS DOUBLE)
+         ELSE CAST(len(list_filter(list_slice(u_all, 1, {k}),
+                                   x -> list_contains(inboth, x))) AS DOUBLE)
+              / CAST({k} AS DOUBLE)
+    END AS jacc
+  FROM c
+),
+ex AS (
+  SELECT
+    count(DISTINCT CASE WHEN t = '{type_a}' THEN h END) AS exact_a,
+    count(DISTINCT CASE WHEN t = '{type_b}' THEN h END) AS exact_b,
+    count(DISTINCT h) AS exact_union
+  FROM typed
+)
+SELECT est_a, est_b, est_union,
+  round(jacc, 6) AS est_jaccard,
+  round(jacc * est_union, 6) AS est_intersect,
+  CAST(exact_a AS BIGINT) AS exact_a,
+  CAST(exact_b AS BIGINT) AS exact_b,
+  CAST(exact_union AS BIGINT) AS exact_union,
+  CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersect
+FROM e CROSS JOIN ex
+"""

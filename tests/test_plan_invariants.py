@@ -37,6 +37,7 @@ _CROSS_OK = {
     "tpch_q11",  # 1-row corpus-total threshold broadcast (no join key)
     "skew_profile",  # 1-row global-stats frame broadcast onto the heavy list
     "zorder_stats",  # 1-row min/max-ranges frame broadcast onto the scan
+    "kmv_set_ops",  # 1-row sketch frame x 1-row exact frame broadcast
 }
 
 # Queries expected to broadcast at least one join side (small dim /

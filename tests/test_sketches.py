@@ -120,3 +120,70 @@ def test_hist_quantiles_vs_exact(spark):
         assert n == len(vs)
         assert est <= exact
         assert exact - est <= max(1, exact // 4 + 1), (q, exact, est)
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch
+# --------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_saturation(spark):
+    """Fewer distinct keys than k: every estimate and the Jaccard
+    degrade to exact values."""
+    from osprey_spark.operators.sketches import kmv_set_ops
+
+    rows = [("a", f"k{i}") for i in range(30)] + [
+        ("b", f"k{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, "t string, key string")
+    r = kmv_set_ops(df, "key", "t", "a", "b", k=256).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union) == (30.0, 30.0, 50.0)
+    assert r.est_intersect == 10.0
+    assert (r.exact_a, r.exact_b, r.exact_union, r.exact_intersect) == (
+        30,
+        30,
+        50,
+        10,
+    )
+
+
+def test_kmv_estimates_within_bound(spark):
+    """Saturated regime: estimates within ~4/sqrt(k) of exact for
+    distinct counts, union and intersection."""
+    from osprey_spark.operators.sketches import kmv_set_ops
+
+    rows = [("a", f"k{i}") for i in range(3000)] + [
+        ("b", f"k{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "t string, key string")
+    k = 256
+    r = kmv_set_ops(df, "key", "t", "a", "b", k=k).collect()[0]
+    tol = 4.0 / (k ** 0.5)
+    assert abs(r.est_a - r.exact_a) <= tol * r.exact_a
+    assert abs(r.est_b - r.exact_b) <= tol * r.exact_b
+    assert abs(r.est_union - r.exact_union) <= tol * r.exact_union
+    # intersection compounds two estimators; allow 2x the tolerance
+    assert abs(r.est_intersect - r.exact_intersect) <= 2 * tol * r.exact_union
+
+
+def test_kmv_min_k_merge_property(spark):
+    """The k smallest of (sketch_a ∪ sketch_b) equal the k smallest of
+    the raw union — the min-k merge that makes the sketch mergeable."""
+    from osprey_spark.operators.sketches import _kmv_hash, kmv_sketch
+
+    rows = [("a", f"k{i}") for i in range(500)] + [
+        ("b", f"k{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "t string, key string")
+    k = 64
+    sk = {
+        r.t: r.kmv for r in kmv_sketch(df, "key", ["t"], k=k).collect()
+    }
+    merged = sorted(set(sk["a"]) | set(sk["b"]))[:k]
+    full = sorted(
+        r.h
+        for r in df.select(_kmv_hash(F.col("key")).alias("h"))
+        .distinct()
+        .collect()
+    )[:k]
+    assert merged == full
