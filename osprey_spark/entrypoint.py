@@ -3298,6 +3298,28 @@ FROM per ORDER BY doc_id
 """
 
 
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-class) segmentation
+    (curation.unigram_encode, Kudo 2018) — BPE's sibling, completing
+    both major subword families: Viterbi DP per distinct word under an
+    INTEGER objective (min pieces, tie-break max corpus frequency —
+    one BIGINT cost cell, no float logs, so the argmin is
+    engine-exact); top-64 piece vocab collected once (dimension-table
+    class) and re-entered as a literal map; per-doc token counts via
+    the same model-sized equi-join rollup as bpe_encode. Oracle
+    replays the DP as a recursive CTE carrying the DP band as
+    columns."""
+    from .operators.curation import unigram_encode
+
+    return unigram_encode(_docs(spark, sf_dir))
+
+
+def _unigram_oracle() -> str:
+    from .operators.curation import unigram_oracle_sql
+
+    return unigram_oracle_sql(_DUCK_RTOKENS)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training in-engine (curation.bpe_merges,
     Sennrich et al. 2016): one corpus-scale word-frequency aggregate,
@@ -5204,6 +5226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "unigram_encode": q_unigram_encode,
     "dedup_canonical": q_dedup_canonical,
     "sequence_packing": q_sequence_packing,
     "dataset_mixing": q_dataset_mixing,
@@ -5332,6 +5355,7 @@ ORACLES: dict[str, str] = {
     "token_entropy": O_TOKEN_ENTROPY,
     "bpe_merges": _bpe_oracle(),
     "bpe_encode": _bpe_oracle(encode=True),
+    "unigram_encode": _unigram_oracle(),
     "dedup_canonical": O_DEDUP_CANONICAL,
     "sequence_packing": O_SEQUENCE_PACKING,
     "dataset_mixing": O_DATASET_MIXING,

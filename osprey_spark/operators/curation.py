@@ -1145,3 +1145,213 @@ def nb_classifier(
         .select(id_col, "n_tokens", "log_odds", (F.col("log_odds") > 0).alias("pred_a"))
         .orderBy(id_col)
     )
+
+
+# --------------------------------------------------------------------------
+# unigram-LM (SentencePiece-class) subword segmentation
+# --------------------------------------------------------------------------
+
+_UG_BIG = 1 << 40  # per-piece base cost: lexicographic (pieces, -freq)
+_UG_HALF = 1 << 39
+_UG_START_CAP = 64  # substring-extraction start-position cap (both engines)
+
+
+def unigram_encode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Unigram-style subword segmentation (the SentencePiece inference
+    family, Kudo 2018) — BPE's sibling: instead of replaying learned
+    merges, pick the segmentation that optimizes a corpus-frequency
+    objective via Viterbi DP over each word.
+
+    The objective is deliberately INTEGER, not float log-probs:
+    minimize piece count, tie-broken by maximizing the total corpus
+    frequency of the chosen pieces — one BIGINT cost cell per DP state
+    (``pieces * 2^40 - sum_freq``), so the segmentation is exactly
+    reproducible across engines (a float ``-log p`` objective can flip
+    argmin ties on last-ulp ``ln`` differences between JVM and C
+    libms; the integer objective recovers the same "prefer frequent
+    long pieces" behavior with zero ambiguity).
+
+    Pipeline (all dimension-class after the first aggregate):
+      1. ONE corpus-scale pass builds the distinct-word frequency
+         table (hash aggregate, map-side partials);
+      2. candidate pieces = all substrings (start <= 64, length <=
+         ``max_piece_len``) of distinct words, weighted by word
+         frequency — vocabulary-sized explode, never corpus-sized;
+      3. top-``vocab_size`` pieces by (freq desc, piece asc) collect
+         to the driver (dimension-table class, like the BPE winner and
+         the k-means codebook) and re-enter as ONE literal map;
+      4. Viterbi DP per distinct word: an array fold whose step takes
+         the least of ``max_piece_len`` candidate costs (map lookup,
+         missing piece = infinity; single chars always admissible at
+         frequency 0 so coverage is total) — pure JVM expressions;
+      5. encode rollup = doc tokens equi-join the word segmentation
+         (model-sized side, AQE broadcasts), one hash aggregate.
+
+    Output: ``id_col, n_unigram_tokens, n_chars, chars_per_token`` —
+    the per-doc token-budget numbers, mirroring :func:`bpe_encode`.
+    """
+    from ..functions.text import tokenize_col
+
+    L = int(max_piece_len)
+    words = (
+        docs.select(F.explode(tokenize_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    n = F.length("w")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(_UG_START_CAP))),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(L), n - i + 1)),
+                lambda j: F.col("w").substr(i, j),
+            ),
+        )
+    )
+    pieces = (
+        words.select(F.explode(subs).alias("p"), "wc")
+        .groupBy("p")
+        .agg(F.sum("wc").alias("total"))
+    )
+    vocab = [
+        (r["p"], int(r["total"]))
+        for r in pieces.orderBy(F.desc("total"), "p")
+        .limit(int(vocab_size))
+        .collect()
+    ]
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for p, t in vocab
+            for x in (p, t)
+        ]
+    )
+
+    def step(acc, i):
+        cands = [
+            F.element_at(acc, i)
+            + F.lit(_UG_BIG)
+            - F.coalesce(
+                F.element_at(m, F.col("w").substr(i, F.lit(1))).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        ]
+        for j in range(2, L + 1):
+            piece = F.col("w").substr(i - F.lit(j) + F.lit(1), F.lit(j))
+            val = F.element_at(m, piece).cast("long")
+            cands.append(
+                F.when(
+                    (i >= F.lit(j)) & val.isNotNull(),
+                    F.element_at(acc, i - F.lit(j) + F.lit(1))
+                    + F.lit(_UG_BIG)
+                    - val,
+                )
+            )
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(0).cast("long")),
+        step,
+    )
+    seg = words.select(
+        "w",
+        F.element_at(dp, -1).alias("_cost"),
+    ).select(
+        "w",
+        F.expr(
+            f"CAST((_cost + {_UG_HALF}) DIV {_UG_BIG} AS BIGINT)"
+        ).alias("_np"),
+    )
+    toks = docs.select(
+        id_col, F.explode(tokenize_col(F.col(text_col))).alias("w")
+    )
+    out = (
+        toks.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_np").cast("long").alias("n_unigram_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_unigram_tokens").cast("double"),
+                6,
+            ),
+        )
+        .orderBy(id_col)
+    )
+    out.unpersist_base = lambda: words.unpersist(blocking=True)
+    return out
+
+
+def unigram_oracle_sql(
+    rtokens: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    vocab_size: int = 64,
+) -> str:
+    """DuckDB replay of :func:`unigram_encode`: identical piece table,
+    identical top-V tie-break, and the identical integer Viterbi as a
+    recursive CTE that carries the last ``max_piece_len`` DP cells as
+    columns (the working-table trick — standard recursion only sees
+    the previous row, so the DP band rides along)."""
+    L = int(max_piece_len)
+    big, half = _UG_BIG, _UG_HALF
+    cands = [
+        f"r.d0 + {big} - coalesce(mp[substr(r.w, r.pos + 1, 1)][1], CAST(0 AS BIGINT))"
+    ]
+    for j in range(2, L + 1):
+        piece = f"substr(r.w, r.pos + 2 - {j}, {j})"
+        cands.append(
+            f"CASE WHEN r.pos >= {j - 1} AND mp[{piece}][1] IS NOT NULL"
+            f" THEN r.d{j - 1} + {big} - mp[{piece}][1] END"
+        )
+    shift = ", ".join(f"r.d{j} AS d{j + 1}" for j in range(L - 1))
+    init_nulls = ", ".join(
+        f"CAST(NULL AS BIGINT) AS d{j}" for j in range(1, L)
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {rtokens} AS toks FROM {table}),
+tok AS (SELECT {id_col}, unnest(toks) AS w FROM t),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM tok GROUP BY w),
+pieces AS (
+  SELECT substr(words.w, i, j) AS p, CAST(sum(words.wc) AS BIGINT) AS total
+  FROM words, range(1, {_UG_START_CAP + 1}) r1(i), range(1, {L + 1}) r2(j)
+  WHERE i <= least(length(words.w), {_UG_START_CAP})
+    AND i + j - 1 <= length(words.w)
+  GROUP BY 1
+),
+vocab AS (SELECT p, total FROM pieces ORDER BY total DESC, p LIMIT {int(vocab_size)}),
+m AS (SELECT map_from_entries(list(struct_pack(k := p, v := total))) AS mp FROM vocab),
+dp AS (
+  WITH RECURSIVE r AS (
+    SELECT words.w AS w, 0 AS pos, CAST(0 AS BIGINT) AS d0, {init_nulls}
+    FROM words
+    UNION ALL
+    SELECT r.w, r.pos + 1,
+      least({", ".join(cands)}) AS d0,
+      {shift}
+    FROM r, m
+    WHERE r.pos < length(r.w)
+  )
+  SELECT w, (d0 + {half}) // {big} AS np FROM r WHERE pos = length(w)
+)
+SELECT tok.{id_col},
+  CAST(sum(dp.np) AS BIGINT) AS n_unigram_tokens,
+  CAST(sum(length(tok.w)) AS BIGINT) AS n_chars,
+  round(CAST(sum(length(tok.w)) AS DOUBLE) / CAST(sum(dp.np) AS DOUBLE), 6)
+    AS chars_per_token
+FROM tok JOIN dp USING (w)
+GROUP BY 1 ORDER BY 1
+"""

@@ -393,3 +393,45 @@ def test_scrub_duplicate_spans_removes_shared_span_only(spark):
     assert out[3]["kept_tokens"] == out[3]["n_tokens"]
     # short doc untouched
     assert out[4]["scrubbed_text"] == "short doc"
+
+
+def test_unigram_encode_known_answer(spark):
+    """Hand-checkable corpus: vocab = top-6 substrings of
+    {hello x3, help x2, lolo x5}; Viterbi picks h+el+lo for 'hello'
+    (3 pieces), lo+lo for 'lolo' (2), h+el+p for 'help' (3 — p falls
+    back to a single char outside the vocab)."""
+    from osprey_spark.operators.curation import unigram_encode
+
+    rows = (
+        [(f"a{i}", "hello") for i in range(3)]
+        + [(f"b{i}", "help") for i in range(2)]
+        + [(f"c{i}", "lolo") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r.doc_id: (r.n_unigram_tokens, r.n_chars)
+        for r in unigram_encode(df, vocab_size=6).collect()
+    }
+    assert out["a0"] == (3, 5)
+    assert out["b0"] == (3, 4)
+    assert out["c0"] == (2, 4)
+
+
+def test_unigram_encode_bounds(spark):
+    """Piece count per word is between 1 and the word length (single
+    chars always admissible), so per doc: n_words <= tokens <= chars."""
+    from osprey_spark.operators.curation import unigram_encode
+    from osprey_spark.functions.text import tokenize_col
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i}", f"some variably worded document number {i} {i*i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    enc = unigram_encode(df).collect()
+    words = {
+        r.doc_id: r.nw
+        for r in df.select(
+            "doc_id", F.size(tokenize_col(F.col("text"))).alias("nw")
+        ).collect()
+    }
+    for r in enc:
+        assert words[r.doc_id] <= r.n_unigram_tokens <= r.n_chars
