@@ -513,22 +513,31 @@ def kmv_set_ops(
     type_b: str,
     k: int = 256,
     seed: str = "kmv",
+    group_cols: tuple = (),
 ) -> DataFrame:
     """Distinct / union / intersection estimates for two segments from
     their KMV sketches, with the exact counts riding along as
     self-validating columns (drop them at 100 TB; the sketches need
-    one pass, the exacts need a count-distinct).
+    one pass, the exacts need a count-distinct). Optional
+    ``group_cols`` compute the whole set algebra per group (e.g. per
+    time window — the batch twin of ``stream_window_kmv``).
 
     Union sketch = k smallest of (kmv_a ∪ kmv_b) — exact by the KMV
     property. Intersection via the standard estimator: the fraction of
     union-sketch hashes present in BOTH sketches times the union
     estimate. Below saturation every number degrades to exact.
     """
+    gcols = list(group_cols)
     typed = df.filter(F.col(type_col).isin([type_a, type_b]))
-    sk = kmv_sketch(typed, key_col, [type_col], k=k, seed=seed)
-    one = sk.groupBy().agg(
-        F.max(F.when(F.col(type_col) == type_a, F.col("kmv"))).alias("a"),
-        F.max(F.when(F.col(type_col) == type_b, F.col("kmv"))).alias("b"),
+    sk = kmv_sketch(typed, key_col, gcols + [type_col], k=k, seed=seed)
+    empty = F.array().cast("array<long>")
+    one = sk.groupBy(*gcols).agg(
+        F.coalesce(
+            F.max(F.when(F.col(type_col) == type_a, F.col("kmv"))), empty
+        ).alias("a"),
+        F.coalesce(
+            F.max(F.when(F.col(type_col) == type_b, F.col("kmv"))), empty
+        ).alias("b"),
     )
     u_all = F.array_sort(F.array_union(F.col("a"), F.col("b")))
     u_sk = F.slice(u_all, 1, k)
@@ -540,13 +549,14 @@ def kmv_set_ops(
         F.size(both).cast("double") / F.size(u_all).cast("double"),
     ).otherwise(matches.cast("double") / F.lit(float(k)))
     est = one.select(
+        *gcols,
         kmv_estimate_col(F.col("a"), k).alias("est_a"),
         kmv_estimate_col(F.col("b"), k).alias("est_b"),
         est_u.alias("est_union"),
         F.round(jacc, 6).alias("est_jaccard"),
         F.round(jacc * est_u, 6).alias("est_intersect"),
     )
-    exact = typed.groupBy().agg(
+    exact = typed.groupBy(*gcols).agg(
         F.countDistinct(
             F.when(F.col(type_col) == type_a, F.col(key_col))
         ).alias("exact_a"),
@@ -555,12 +565,18 @@ def kmv_set_ops(
         ).alias("exact_b"),
         F.countDistinct(F.col(key_col)).alias("exact_union"),
     )
-    return est.crossJoin(F.broadcast(exact)).withColumn(
+    joined = (
+        est.join(exact, gcols)
+        if gcols
+        else est.crossJoin(F.broadcast(exact))
+    )
+    out = joined.withColumn(
         "exact_intersect",
         (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).cast(
             "long"
         ),
     )
+    return out.orderBy(*gcols) if gcols else out
 
 
 def kmv_set_ops_sql(

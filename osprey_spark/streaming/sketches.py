@@ -383,6 +383,153 @@ def stream_window_cms(
     )
 
 
+def stream_window_kmv(
+    turns: DataFrame,
+    key_col: str,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    dim_cols: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    watermark: str = "30 minutes",
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Running KMV/theta set-operation estimates per (tumbling window,
+    dims...): distinct keys in segment A, in segment B, in their union
+    and INTERSECTION while the window is still open — the overlap
+    question ("how many users hit both the payment and the login flow
+    this hour?") that the max-merge HLL structurally cannot answer.
+    Fifth streaming sketch fold: MIN-K merge (sorted set union
+    truncated to k), associative+commutative like the others, so the
+    final estimates equal the batch `kmv_set_ops(group_cols=[window])`
+    bit-for-bit in any arrival order. State per open slot is two <=k
+    hash lists — independent of traffic and key cardinality.
+
+    Emits one changelog row per touching micro-batch:
+    ``win_start, dims..., est_a, est_b, est_union, est_jaccard,
+    est_intersect, upd_seq, is_final``; timeout/`upd_seq` contract
+    identical to `stream_window_hll`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.sketches import _KMV_DOM, _kmv_hash
+
+    delay_sec = parse_delay_seconds(watermark)
+    dims = list(dim_cols)
+    kk = int(k)
+    ts_sec = F.col(ts_col).cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(int(window_seconds)))).alias("win_start")
+    src = (
+        turns.filter(F.col(seg_col).isin([seg_a, seg_b]))
+        .withWatermark(ts_col, watermark)
+        .select(
+            win,
+            *[F.col(d).cast("string").alias(d) for d in dims],
+            F.col(seg_col).cast("string").alias("_seg"),
+            _kmv_hash(F.col(key_col), seed).alias("_h"),
+            F.col(ts_col),
+        )
+    )
+    out_schema = StructType(
+        [StructField("win_start", LongType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("est_a", DoubleType()),
+            StructField("est_b", DoubleType()),
+            StructField("est_union", DoubleType()),
+            StructField("est_jaccard", DoubleType()),
+            StructField("est_intersect", DoubleType()),
+            StructField("upd_seq", LongType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("kmv_json", StringType())])
+    win_s = int(window_seconds)
+
+    def _est(lst):
+        # replay of kmv_estimate_col: exact below saturation, else
+        # (k-1) / (kth / 2^32), HALF_UP to 6 — identical doubles
+        if len(lst) < kk:
+            return float(len(lst))
+        return _round6((kk - 1.0) / (lst[kk - 1] / _KMV_DOM))
+
+    def fn(key_tuple, pdf_iter, state):
+        win_start = int(key_tuple[0])
+        dim_vals = list(key_tuple[1:])
+
+        def _rows(sk, seq, final):
+            a, b = sk.get("a", []), sk.get("b", [])
+            sa, sb = set(a), set(b)
+            u_all = sorted(sa | sb)
+            inboth = sa & sb
+            est_u = _est(u_all)
+            if not u_all:
+                jacc = 0.0
+            elif len(u_all) < kk:
+                jacc = len(inboth) / float(len(u_all))
+            else:
+                jacc = len(set(u_all[:kk]) & inboth) / float(kk)
+            return pd.DataFrame(
+                {
+                    "win_start": pd.array([win_start], dtype="int64"),
+                    **{d: [dv] for d, dv in zip(dims, dim_vals)},
+                    "est_a": pd.array([_est(a)], dtype="float64"),
+                    "est_b": pd.array([_est(b)], dtype="float64"),
+                    "est_union": pd.array([est_u], dtype="float64"),
+                    "est_jaccard": pd.array([_round6(jacc)], dtype="float64"),
+                    "est_intersect": pd.array(
+                        [_round6(jacc * est_u)], dtype="float64"
+                    ),
+                    "upd_seq": pd.array([seq], dtype="int64"),
+                    "is_final": pd.array([final], dtype="bool"),
+                }
+            )
+
+        if state.hasTimedOut:
+            sk, seq = json.loads(state.get[0]) if state.exists else ({}, 0)
+            state.remove()
+            yield _rows(sk, seq + 1, True)
+            return
+
+        sk, seq = json.loads(state.get[0]) if state.exists else ({}, 0)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            for seg, name in ((seg_a, "a"), (seg_b, "b")):
+                hs = pdf.loc[pdf["_seg"] == seg, "_h"]
+                if len(hs):
+                    # min-k merge: sorted set union, truncated
+                    merged = sorted(
+                        set(sk.get(name, [])) | set(int(h) for h in hs)
+                    )[:kk]
+                    sk[name] = merged
+        seq += 1
+        state.update((json.dumps([sk, seq]),))
+        timeout_ms = (win_start + win_s + delay_sec) * 1000
+        cur_wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, cur_wm + 1))
+        yield _rows(sk, seq, False)
+
+    return src.groupBy("win_start", *dims).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_window_hist(
     turns: DataFrame,
     value_col: str,

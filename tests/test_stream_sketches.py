@@ -414,3 +414,80 @@ def test_stream_window_hist_matches_batch(spark, tmp_path):
     assert set(latest) == set(expect)
     for k, r in latest.items():
         assert (r.est, r.n_rows) == expect[k], k
+
+
+def test_stream_window_kmv_matches_batch(spark, tmp_path):
+    """Min-k-merge sibling: after the stream consumes all input
+    (split mid-window), the latest set-operation estimates per window
+    equal batch kmv_set_ops grouped by the same derived window —
+    sorted-set-union-truncate is associative+commutative."""
+    from osprey_spark.operators.sketches import kmv_set_ops
+    from osprey_spark.streaming.sketches import stream_window_kmv
+
+    df = _df(spark)
+    src = str(tmp_path / "turns_kmv")
+    df.filter(F.col("turn_idx") < 45).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 45).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k = 16  # below the 37 distinct convs: exercises the estimator path
+    q = (
+        stream_window_kmv(
+            stream,
+            "conv_id",
+            "role",
+            "user",
+            "assistant",
+            window_seconds=3600,
+            watermark="10 minutes",
+            k=k,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kmv_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from kmv_stream").collect()
+    assert emitted, "stream emitted nothing"
+    latest = {}
+    for r in emitted:
+        if r.win_start not in latest or r.upd_seq > latest[r.win_start].upd_seq:
+            latest[r.win_start] = r
+    batch = df.withColumn(
+        "win_start",
+        (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600))),
+    )
+    expect = {
+        r["win_start"]: r
+        for r in kmv_set_ops(
+            batch,
+            "conv_id",
+            "role",
+            "user",
+            "assistant",
+            k=k,
+            group_cols=("win_start",),
+        ).collect()
+    }
+    assert set(latest) == set(expect)
+    for w, r in latest.items():
+        e = expect[w]
+        assert (
+            r.est_a,
+            r.est_b,
+            r.est_union,
+            r.est_jaccard,
+            r.est_intersect,
+        ) == (e.est_a, e.est_b, e.est_union, e.est_jaccard, e.est_intersect), w
+        # saturated regime reached: est != exact somewhere
+    assert any(
+        latest[w].est_a != float(expect[w].exact_a) for w in latest
+    ), "k too large — estimator branch never exercised"
