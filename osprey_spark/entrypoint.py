@@ -1814,7 +1814,7 @@ def q_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the per-band min window + one row-id shuffle for the
     any-band fold; the exact batch contract the streaming
     stream_near_dup_bands operator replays incrementally."""
-    t = turns_from_events(spark, sf_dir)
+    t = _spread(spark, turns_from_events(spark, sf_dir))
     return dedup.near_dup_flags(t)
 
 

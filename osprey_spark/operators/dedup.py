@@ -679,15 +679,35 @@ def near_dup_flags(
     rows_per_band = n_hashes // n_bands
     okey = near_dup_order_key(F.col(ts_col), [F.col(c) for c in id_cols])
     nonnull = df.filter(F.col(text_col).isNotNull())
-    digs = shingle_digests(
-        shingles(F.col(text_col), k), (n_hashes + 3) // 4
+    # STAGED projections, same reason as minhash_lsh_pairs: the digest
+    # array is materialized as its own column so the md5 work (the
+    # dominant cost) is computed once — CollapseProject refuses to
+    # inline a non-cheap expression referenced by all 8 signature
+    # slices, so each boundary below is real (measured 17.5 s -> ~3 s
+    # at sf0.1 when the digests/sig stopped inlining 8x into the
+    # slices/bands)
+    staged = (
+        nonnull.select(
+            *id_cols,
+            okey.alias("_okey"),
+            shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .withColumn(
+            "_digs", shingle_digests(F.col("_sh"), (n_hashes + 3) // 4)
+        )
+        .select(
+            *id_cols,
+            "_okey",
+            minhash_signature_from_digests(
+                F.col("_digs"), n_hashes
+            ).alias("_sig"),
+        )
     )
-    sig = minhash_signature_from_digests(digs, n_hashes)
-    base = nonnull.select(
+    base = staged.select(
         *id_cols,
-        okey.alias("_okey"),
+        "_okey",
         F.explode(
-            F.array(*minhash_bands(sig, n_bands, rows_per_band))
+            F.array(*minhash_bands(F.col("_sig"), n_bands, rows_per_band))
         ).alias("_band"),
     )
     w = Window.partitionBy("_band")

@@ -69,20 +69,34 @@ def stream_near_dup_bands(
 
     rows_per_band = n_hashes // n_bands
     okey = near_dup_order_key(F.col(ts_col), [F.col(c) for c in id_cols])
-    digs = shingle_digests(shingles(F.col(text_col), k), (n_hashes + 3) // 4)
-    sig = minhash_signature_from_digests(digs, n_hashes)
-    src = (
+    # staged projections — the digest array materializes once (same
+    # CollapseProject reasoning as the batch twin / minhash_lsh_pairs)
+    staged = (
         turns.filter(F.col(text_col).isNotNull())
         .select(
             *id_cols,
             okey.alias("_okey"),
-            F.explode(
-                F.array(*minhash_bands(sig, n_bands, rows_per_band))
-            ).alias("_band"),
+            shingles(F.col(text_col), k).alias("_sh"),
         )
         .withColumn(
-            "_bkt", F.pmod(F.xxhash64("_band"), F.lit(int(n_buckets))).cast("int")
+            "_digs", shingle_digests(F.col("_sh"), (n_hashes + 3) // 4)
         )
+        .select(
+            *id_cols,
+            "_okey",
+            minhash_signature_from_digests(F.col("_digs"), n_hashes).alias(
+                "_sig"
+            ),
+        )
+    )
+    src = staged.select(
+        *id_cols,
+        "_okey",
+        F.explode(
+            F.array(*minhash_bands(F.col("_sig"), n_bands, rows_per_band))
+        ).alias("_band"),
+    ).withColumn(
+        "_bkt", F.pmod(F.xxhash64("_band"), F.lit(int(n_buckets))).cast("int")
     )
     in_fields = {f.name: f for f in src.schema.fields}
     out_schema = StructType(
