@@ -102,3 +102,61 @@ def test_stream_near_dup_matches_batch(spark, tmp_path):
     ), "no cross-batch duplicate flagged"
     n_flagged = sum(got.values())
     assert 10 <= n_flagged < len(got)
+
+
+def test_stream_near_dup_state_survives_restart(spark, tmp_path):
+    """North rule: resumable from checkpoint. The per-band min-okey
+    map must carry across an engine restart — a duplicate arriving
+    after the resume is flagged against state persisted by the
+    previous run."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "conv_id string, turn_idx int, role string, text string, ts timestamp"
+
+    def write(rows):
+        (
+            spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string, ts_str string",
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                F.to_timestamp("ts_str").alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_near_dup_bands(stream, n_buckets=8)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    text = "a perfectly ordinary sentence that will be repeated verbatim"
+    write([("c1", 0, "user", text, "2024-01-01 10:00:00")])
+    run()
+    write([("c2", 0, "user", text, "2024-01-01 10:20:00"),
+           ("c3", 0, "user", "something else entirely and unrelated words", "2024-01-01 10:21:00")])
+    run()  # fresh query object, same checkpoint + state store
+    got = {
+        (r.conv_id, r.turn_idx): r.is_near_dup
+        for r in collapse_near_dup_flags(spark.read.parquet(out_dir)).collect()
+    }
+    assert got == {
+        ("c1", 0): False,  # first copy, pre-restart
+        ("c2", 0): True,  # duplicate flagged against RESTORED state
+        ("c3", 0): False,
+    }
