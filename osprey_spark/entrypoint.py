@@ -5141,6 +5141,40 @@ O_CEP_SESSION = _seq_sess_oracle(
 ).replace("WITH e AS", TURNS_CTE + ", e AS", 1)
 
 
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (cdc.latest_snapshot): upsert revisions of
+    edited/redacted turns compact to the latest snapshot in ONE
+    max(struct(version, payload)) hash aggregate — map-side partial,
+    shuffle carries keys not revision history (the Iceberg MERGE INTO
+    read-side as an engine operator; see operators/cdc.py)."""
+    from .operators.cdc import changelog_from_turns, latest_snapshot
+
+    t = turns_from_events(spark, sf_dir)
+    log = changelog_from_turns(t)
+    return latest_snapshot(
+        log, ("conv_id", "turn_idx"), "version", ("text",)
+    ).orderBy("conv_id", "turn_idx")
+
+
+from .operators.cdc import CHANGELOG_SQL as _CHANGELOG_SQL  # noqa: E402
+
+O_CDC_SNAPSHOT = (
+    TURNS_CTE
+    + ", changelog AS ("
+    + _CHANGELOG_SQL.format(turns="turns")
+    + """)
+SELECT conv_id, turn_idx, version, text FROM (
+  SELECT conv_id, turn_idx, version, text,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY version DESC, text DESC
+         ) AS rn
+  FROM changelog
+) WHERE rn = 1 ORDER BY conv_id, turn_idx
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5269,6 +5303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_profile": q_skew_profile,
     "cooccurrence": q_cooccurrence,
     "temperature_mixing": q_temperature_mixing,
+    "cdc_snapshot": q_cdc_snapshot,
 }
 
 ORACLES: dict[str, str] = {
@@ -5398,6 +5433,7 @@ ORACLES: dict[str, str] = {
     "skew_profile": O_SKEW_PROFILE,
     "cooccurrence": O_COOCCURRENCE,
     "temperature_mixing": O_TEMPERATURE_MIXING,
+    "cdc_snapshot": O_CDC_SNAPSHOT,
 }
 
 

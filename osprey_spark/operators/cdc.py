@@ -1,0 +1,218 @@
+"""Changelog compaction: CDC upserts → latest snapshot per key.
+
+The north rule lands verdicts in an exactly-once idempotent Iceberg
+sink; the companion READ-side problem is a changelog of row revisions
+— the same logical row (conv_id, turn_idx) arriving again with a
+higher version when a turn is edited or redacted — that must compact
+to the latest snapshot. This is Iceberg ``MERGE INTO`` / Delta upsert
+semantics expressed as an engine operator (the reference's analytics
+sink replays the full event log and has no revision concept;
+ref: osprey_worker/sinks — verdicts are append-only there, so this is
+the survey's §2.6 extension for mutable transcripts).
+
+``latest_snapshot`` — batch compaction as ONE hash aggregate:
+``max(struct(version, payload...))`` per key. Struct comparison is
+lexicographic by field order, so the max is "highest version, payload
+columns breaking exact version ties deterministically" — a total
+order, hence a commutative/associative max-merge with MAP-SIDE
+PARTIALS. The textbook ``row_number() OVER (PARTITION BY key ORDER BY
+version DESC) = 1`` form shuffles and SORTS every revision; the
+max-struct form folds to one row per key before the exchange, so at
+10^12 rows the shuffle carries keys, not revision history. No join,
+no row-scale window.
+
+``stream_latest_snapshot`` — the same max-merge run incrementally via
+``applyInPandasWithState``: state carries the current best
+(version, payload) per logical key, sharded across ``n_buckets``
+hash-bucket groups (state-tax amortization, same as
+``streaming.dedup``). Because the fold is a max over a total order it
+is associative + commutative: late or out-of-order revisions converge
+to the identical snapshot in any arrival order — the changelog's
+LATEST emitted row per key equals the batch operator bit-for-bit
+(tested). Rows already emitted are never revised (append-mode
+no-revision, same contract as the unique-count family); the sink-side
+compaction of the changelog is itself a ``latest_snapshot`` on
+``upd_seq``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Latest revision per logical key → ``(key..., version,
+    payload...)``.
+
+    One hash aggregate (map-side partial). Payload columns must be
+    non-null for the deterministic tiebreak to be total — coalesce
+    nullable payloads before calling (NULL orders before any value in
+    Spark struct comparison but is skipped by DuckDB ``max``-style
+    folds, so we refuse the ambiguity rather than pick a dialect).
+    """
+    packed = F.max(
+        F.struct(
+            F.col(version_col), *[F.col(c) for c in payload_cols]
+        )
+    ).alias("_top")
+    out = df.groupBy(*[F.col(k) for k in key_cols]).agg(packed)
+    return out.select(
+        *key_cols,
+        F.col(f"_top.{version_col}").alias(version_col),
+        *[F.col(f"_top.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def changelog_from_turns(turns: DataFrame) -> DataFrame:
+    """Deterministic revision changelog over the turns view (test /
+    oracle fixture — no RNG): every turn is inserted at version 0;
+    turns with ``event_id % 5 = 0`` get an edit at version 1; turns
+    with ``event_id % 25 = 0`` additionally get a redaction at
+    version 2. Mirrors ``CHANGELOG_SQL`` exactly."""
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(0).cast("int").alias("version"),
+        F.col("text"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    edited = (
+        turns.filter(F.col("event_id") % 5 == 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lit(1).cast("int").alias("version"),
+            F.concat(F.col("text"), F.lit(" [edited]")).alias("text"),
+            F.col("ts"),
+            F.col("event_id"),
+        )
+    )
+    redacted = (
+        turns.filter(F.col("event_id") % 25 == 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lit(2).cast("int").alias("version"),
+            F.lit("[redacted]").alias("text"),
+            F.col("ts"),
+            F.col("event_id"),
+        )
+    )
+    return base.unionByName(edited).unionByName(redacted)
+
+
+# DuckDB/Spark-common changelog over the shared turns CTE ({turns} is
+# the view name). Kept in SQL so the oracle builds the identical input.
+CHANGELOG_SQL = """
+SELECT conv_id, turn_idx, CAST(0 AS INT) AS version, text FROM {turns}
+UNION ALL
+SELECT conv_id, turn_idx, CAST(1 AS INT) AS version,
+       concat(text, ' [edited]') AS text
+FROM {turns} WHERE event_id % 5 = 0
+UNION ALL
+SELECT conv_id, turn_idx, CAST(2 AS INT) AS version,
+       '[redacted]' AS text
+FROM {turns} WHERE event_id % 25 = 0
+"""
+
+
+def stream_latest_snapshot(
+    changelog: DataFrame,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    version_col: str = "version",
+    payload_cols: Sequence[str] = ("text",),
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Incremental upsert compaction over a revision stream.
+
+    Emits one changelog row per logical key per micro-batch that
+    touches it: ``key..., version, payload..., upd_seq`` — the
+    key's best-so-far revision after folding the batch. The LATEST
+    emitted row per key (max ``upd_seq``) equals batch
+    :func:`latest_snapshot` over the same rows, in any arrival order.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keys = list(key_cols)
+    pays = list(payload_cols)
+    src = changelog.select(
+        *keys, version_col, *pays
+    ).withColumn(
+        "_bkt",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(int(n_buckets))).cast(
+            "int"
+        ),
+    )
+    in_fields = {f.name: f for f in src.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in keys]
+        + [in_fields[version_col]]
+        + [in_fields[c] for c in pays]
+        + [StructField("upd_seq", LongType())]
+    )
+    state_schema = StructType([StructField("best_json", StringType())])
+
+    def fn(key, pdf_iter, state):
+        best, seq = (
+            json.loads(state.get[0]) if state.exists else ({}, 0)
+        )
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            if state.exists:
+                state.update((json.dumps([best, seq]),))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        def _py(x):
+            return x.item() if hasattr(x, "item") else x
+
+        touched = {}
+        for row in pdf.itertuples(index=False):
+            kt = [_py(getattr(row, k)) for k in keys]
+            sk = json.dumps(kt)
+            cand = [int(getattr(row, version_col))] + [
+                _py(getattr(row, c)) for c in pays
+            ]
+            cur = best.get(sk)
+            # max-merge over the (version, payload...) total order
+            if cur is None or cand > cur:
+                best[sk] = cand
+            touched[sk] = kt
+        seq += 1
+        state.update((json.dumps([best, seq]),))
+        out_rows = []
+        for sk, kt in touched.items():
+            v = best[sk]
+            out_rows.append(kt + v + [seq])
+        yield pd.DataFrame(
+            out_rows, columns=keys + [version_col] + pays + ["upd_seq"]
+        )
+
+    return src.groupBy("_bkt").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
