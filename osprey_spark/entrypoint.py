@@ -5175,6 +5175,29 @@ SELECT conv_id, turn_idx, version, text FROM (
 )
 
 
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact decayed activity counters per conversation
+    (decay.decay_score): halflife-bucket bit-shift weights, so the
+    score is a plain integer SUM — one key hash aggregate with
+    map-side partials plus a 1-row broadcast (the global now bucket);
+    bit-identical under any partitioning, streaming twin bounded to
+    ≤23 state buckets per key (see operators/decay.py)."""
+    from .operators.decay import decay_score
+
+    t = turns_from_events(spark, sf_dir)
+    return decay_score(t, ("conv_id",), "ts", halflife_s=3600).orderBy("conv_id")
+
+
+from .operators.decay import decay_score_sql as _decay_sql  # noqa: E402
+
+O_DECAY_SCORE = (
+    _decay_sql("turns", ("conv_id",), "ts", halflife_s=3600).replace(
+        "WITH nb AS", TURNS_CTE + ", nb AS", 1
+    )
+    + " ORDER BY conv_id"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5304,6 +5327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cooccurrence": q_cooccurrence,
     "temperature_mixing": q_temperature_mixing,
     "cdc_snapshot": q_cdc_snapshot,
+    "decay_score": q_decay_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -5434,6 +5458,7 @@ ORACLES: dict[str, str] = {
     "cooccurrence": O_COOCCURRENCE,
     "temperature_mixing": O_TEMPERATURE_MIXING,
     "cdc_snapshot": O_CDC_SNAPSHOT,
+    "decay_score": O_DECAY_SCORE,
 }
 
 
