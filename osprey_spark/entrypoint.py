@@ -5198,6 +5198,27 @@ O_DECAY_SCORE = (
 )
 
 
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over tool/role sequences
+    (transcripts.transition_counts): one conv-keyed lag window + one
+    (src,dst) hash aggregate; out_total over the |alphabet|²-row
+    result frame only. Retry loops = heavy self-transitions."""
+    from .operators.transcripts import transition_counts
+
+    t = turns_from_events(spark, sf_dir)
+    return transition_counts(t).orderBy("src", "dst")
+
+
+from .operators.transcripts import (  # noqa: E402
+    transition_counts_sql as _trans_sql,
+)
+
+O_TOOL_TRANSITIONS = (
+    _trans_sql("turns").replace("WITH syms AS", TURNS_CTE + ", syms AS", 1)
+    + " ORDER BY src, dst"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5328,6 +5349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixing": q_temperature_mixing,
     "cdc_snapshot": q_cdc_snapshot,
     "decay_score": q_decay_score,
+    "tool_transitions": q_tool_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -5459,6 +5481,7 @@ ORACLES: dict[str, str] = {
     "temperature_mixing": O_TEMPERATURE_MIXING,
     "cdc_snapshot": O_CDC_SNAPSHOT,
     "decay_score": O_DECAY_SCORE,
+    "tool_transitions": O_TOOL_TRANSITIONS,
 }
 
 

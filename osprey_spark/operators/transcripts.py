@@ -269,3 +269,70 @@ def stream_turn_repetition(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def transition_counts(
+    turns: DataFrame,
+    sym: Column | None = None,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Corpus-wide Markov transition counts over per-conversation
+    symbol sequences → ``(src, dst, n, out_total)``.
+
+    The north star's "tool-usage sequences" as a first-order Markov
+    layer: which step follows which across all conversations — retry
+    loops surface as heavy self-transitions (``tool_k → tool_k``),
+    protocol violations as transitions the dialogue contract forbids
+    (``user → user``). Default symbol: ``coalesce(tool, role)`` —
+    tool-call turns keep their tool name, everything else its role.
+
+    Plan at 10^12 turns: ONE ``lag`` window over conv-sized partitions
+    (the transcript pipeline's standard key shuffle, partition size
+    bounded by conversation length) feeding ONE (src, dst) hash
+    aggregate with map-side partials; ``out_total`` is a window sum
+    over the RESULT frame, whose cardinality is |alphabet|² — the
+    dimension-table class, never row-scale. Counts are integers;
+    nothing floats.
+    """
+    if sym is None:
+        sym = F.coalesce(F.col("tool"), F.col("role"))
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    pairs = (
+        turns.select(conv_col, idx_col, sym.alias("_sym"))
+        .select(F.lag("_sym").over(w).alias("src"), F.col("_sym").alias("dst"))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    out_w = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n", F.sum("n").over(out_w).cast("long").alias("out_total")
+    )
+
+
+def transition_counts_sql(
+    table: str,
+    sym_expr: str = "coalesce(tool, role)",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> str:
+    """DuckDB oracle for :func:`transition_counts`."""
+    return f"""
+WITH syms AS (
+  SELECT {conv_col} AS conv_id, {idx_col} AS turn_idx,
+         {sym_expr} AS sym
+  FROM {table}
+), pairs AS (
+  SELECT lag(sym) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src,
+         sym AS dst
+  FROM syms
+), counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE src IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS out_total
+FROM counts
+"""

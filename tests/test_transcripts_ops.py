@@ -236,3 +236,37 @@ def test_conv_near_dup_finds_rephrased_conversation(spark):
     ).collect()
     assert [(r.id_a, r.id_b) for r in out] == [("c1", "c2")]
     assert out[0].jaccard == 1.0  # identical token sets
+
+
+def test_transition_counts_known_answer(spark):
+    from osprey_spark.operators.transcripts import transition_counts
+
+    rows = [
+        # c1: user -> assistant -> search -> search -> search -> assistant
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", None),
+        ("c1", 2, "tool", "search"),
+        ("c1", 3, "tool", "search"),
+        ("c1", 4, "tool", "search"),
+        ("c1", 5, "assistant", None),
+        # c2: user -> user (protocol violation) -> assistant
+        ("c2", 0, "user", None),
+        ("c2", 1, "user", None),
+        ("c2", 2, "assistant", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    got = {
+        (r.src, r.dst): (r.n, r.out_total)
+        for r in transition_counts(t).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (2, 3),
+        ("user", "user"): (1, 3),  # the violation is visible
+        ("assistant", "search"): (1, 1),
+        ("search", "search"): (2, 3),  # retry loop = self-transition
+        ("search", "assistant"): (1, 3),
+    }
+    # 5 transitions in c1 + 2 in c2; no cross-conversation pair
+    assert sum(n for n, _ in got.values()) == 7
