@@ -104,6 +104,10 @@ class ParquetDirFormat(TableFormat):
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._commit_path(batch_id))
 
+    def commit_metadata(self, batch_id: int) -> dict:
+        with open(self._commit_path(batch_id)) as f:
+            return json.load(f)
+
     def committed_batches(self) -> list[int]:
         out = []
         for f in os.listdir(self._commits_dir):
@@ -257,6 +261,42 @@ class ExactlyOnceParquetSink:
         if not batches:
             raise FileNotFoundError(f"no committed batches under {self.root}")
         return self.format.scan(spark, batches, merge_schema=merge_schema)
+
+    def read_snapshot(
+        self,
+        spark: SparkSession,
+        as_of_batch_id: int,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Time travel: the table as of commit ``as_of_batch_id`` —
+        the union of committed batches with id ≤ the given one
+        (Iceberg ``VERSION AS OF <snapshot>``; batch-id travel rather
+        than wall-clock travel so reads are deterministic under replay
+        — a replayed batch keeps its id, not its commit time). Batches
+        committed later, and data files whose commit marker never
+        landed, are invisible."""
+        batches = [
+            b for b in self.committed_batches() if b <= int(as_of_batch_id)
+        ]
+        if not batches:
+            raise FileNotFoundError(
+                f"no batches committed at or before {as_of_batch_id} "
+                f"under {self.root}"
+            )
+        return self.format.scan(spark, batches, merge_schema=merge_schema)
+
+    def snapshot_history(self) -> list[dict]:
+        """Commit metadata, oldest first — batch id, commit wall time,
+        writer, row counts and per-partition lineage (files/bytes) as
+        recorded in each commit marker (Iceberg's snapshot/manifest
+        metadata table analogue). Reads only the marker JSONs — never
+        the data files."""
+        reader = getattr(self.format, "commit_metadata", None)
+        if reader is None:
+            raise NotImplementedError(
+                f"{type(self.format).__name__} exposes no commit metadata"
+            )
+        return [reader(b) for b in self.committed_batches()]
 
 
 class PartialSinkFailure(Exception):

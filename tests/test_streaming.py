@@ -1404,3 +1404,39 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
 
     with pytest.raises(ValueError):
         join_verdicts_to_turns(None, None, how="full_outer")
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg VERSION AS OF analogue: read_snapshot(as_of) returns
+    exactly the union of batches committed with id <= as_of; a data
+    write whose commit marker never landed is invisible at every
+    snapshot; snapshot_history surfaces the commit metadata."""
+    sink = ExactlyOnceParquetSink(str(tmp_path / "tt"), bucket_col=None)
+
+    def batch(tag, n):
+        return spark.range(n).select(
+            F.lit(tag).alias("tag"), F.col("id").cast("long").alias("v")
+        )
+
+    sink.write_batch(batch("b0", 3), 0)
+    sink.write_batch(batch("b1", 4), 1)
+    # crashed writer: data files land, marker does not
+    sink.write_data(batch("crash", 9), 2)
+    sink.write_batch(batch("b3", 5), 3)
+
+    assert sink.read_snapshot(spark, 0).count() == 3
+    assert sink.read_snapshot(spark, 1).count() == 7
+    as_of_2 = sink.read_snapshot(spark, 2)  # batch 2 uncommitted
+    assert as_of_2.count() == 7
+    assert as_of_2.filter(F.col("tag") == "crash").count() == 0
+    assert sink.read_snapshot(spark, 3).count() == 12
+    assert sink.read_committed(spark).count() == 12
+
+    hist = sink.snapshot_history()
+    assert [h["batch_id"] for h in hist] == [0, 1, 3]
+    assert all("partitions" in h and "committed_at_unix" in h for h in hist)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sink.read_snapshot(spark, -1)
