@@ -5219,6 +5219,40 @@ O_TOOL_TRANSITIONS = (
 )
 
 
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response latency per conversation
+    (transcripts.response_latency): whole-second user→assistant
+    next-turn gaps, one lead window + one conv hash aggregate on the
+    same shuffle key; all-integer outputs."""
+    from .operators.transcripts import response_latency
+
+    t = turns_from_events(spark, sf_dir)
+    return response_latency(t).orderBy("conv_id")
+
+
+O_RESPONSE_LATENCY = (
+    TURNS_CTE
+    + """
+, gaps AS (
+  SELECT conv_id,
+    CASE WHEN role = 'user'
+          AND lead(role) OVER w = 'assistant'
+         THEN lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+              - CAST(floor(epoch(ts)) AS BIGINT)
+    END AS gap
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+  CAST(count(gap) AS BIGINT) AS n_responses,
+  CAST(max(gap) AS BIGINT) AS max_gap_s,
+  CAST(sum(gap) AS BIGINT) AS sum_gap_s
+FROM gaps GROUP BY conv_id HAVING count(gap) > 0
+ORDER BY conv_id
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5350,6 +5384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_snapshot": q_cdc_snapshot,
     "decay_score": q_decay_score,
     "tool_transitions": q_tool_transitions,
+    "response_latency": q_response_latency,
 }
 
 ORACLES: dict[str, str] = {
@@ -5482,6 +5517,7 @@ ORACLES: dict[str, str] = {
     "cdc_snapshot": O_CDC_SNAPSHOT,
     "decay_score": O_DECAY_SCORE,
     "tool_transitions": O_TOOL_TRANSITIONS,
+    "response_latency": O_RESPONSE_LATENCY,
 }
 
 

@@ -336,3 +336,43 @@ SELECT src, dst, n,
        CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS out_total
 FROM counts
 """
+
+
+def response_latency(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation assistant response latency →
+    ``(conv_id, n_responses, max_gap_s, sum_gap_s)``.
+
+    A response pair is a ``user`` turn whose NEXT turn (by
+    ``turn_idx``) is an ``assistant`` turn; its gap is the whole-second
+    event-time delta. The dialogue-latency observability rollup (the
+    timer-based absence rule in ``cep.response_absence`` answers "did
+    anyone reply in time"; this answers "how fast are replies").
+
+    All-integer outputs (floored epoch seconds), so the conv-keyed
+    aggregate is partition-order independent. Plan: one lead window
+    over conv-sized partitions + one conv hash aggregate on the same
+    shuffle key — the pipeline's standard shape.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    sec = F.floor(F.col(ts_col).cast("timestamp").cast("double")).cast("long")
+    base = turns.select(conv_col, idx_col, role_col, sec.alias("_sec"))
+    gap = F.when(
+        (F.col(role_col) == "user") & (F.lead(role_col).over(w) == "assistant"),
+        F.lead("_sec").over(w) - F.col("_sec"),
+    )
+    return (
+        base.select(conv_col, gap.alias("_gap"))
+        .groupBy(conv_col)
+        .agg(
+            F.count("_gap").cast("long").alias("n_responses"),
+            F.max("_gap").cast("long").alias("max_gap_s"),
+            F.sum("_gap").cast("long").alias("sum_gap_s"),
+        )
+        .filter(F.col("n_responses") > 0)
+    )

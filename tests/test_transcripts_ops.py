@@ -270,3 +270,29 @@ def test_transition_counts_known_answer(spark):
     }
     # 5 transitions in c1 + 2 in c2; no cross-conversation pair
     assert sum(n for n, _ in got.values()) == 7
+
+
+def test_response_latency_known_answer(spark):
+    from osprey_spark.operators.transcripts import response_latency
+
+    rows = [
+        # c1: user@0s -> assistant@4s (gap 4); assistant -> user (no);
+        #     user@10s -> assistant@13s (gap 3)
+        ("c1", 0, "user", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "2024-01-01 00:00:04"),
+        ("c1", 2, "user", "2024-01-01 00:00:10"),
+        ("c1", 3, "assistant", "2024-01-01 00:00:13"),
+        # c2: user -> tool -> assistant: NOT a direct response pair
+        ("c2", 0, "user", "2024-01-01 00:00:00"),
+        ("c2", 1, "tool", "2024-01-01 00:00:01"),
+        ("c2", 2, "assistant", "2024-01-01 00:00:02"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_str string"
+    ).select("conv_id", "turn_idx", "role", F.to_timestamp("ts_str").alias("ts"))
+    got = {
+        r.conv_id: (r.n_responses, r.max_gap_s, r.sum_gap_s)
+        for r in response_latency(t).collect()
+    }
+    # c2 has zero direct pairs -> filtered out entirely
+    assert got == {"c1": (2, 4, 7)}
