@@ -5253,6 +5253,65 @@ ORDER BY conv_id
 )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the strong co-occurrence
+    graph (graph.triangle_count with degree-oriented wedge counting —
+    out-degree bounded by O(√m), so no degree² hub explosion; the
+    clique-density ring signal). Edges: item pairs sharing ≥10
+    co-users from the capped bipartite projection."""
+    from .operators.graph import cooccurrence, triangle_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (
+        ev.select(
+            F.col("user_id").cast("string").alias("user"),
+            F.get_json_object(F.col("props"), "$.k").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    edges = cooccurrence(pairs, cap=20, min_count=10)
+    return triangle_count(edges, "item_a", "item_b").orderBy("node")
+
+
+O_TRIANGLE_COUNT = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+         json_extract_string(props, '$.k') AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+  SELECT u, item FROM (
+    SELECT u, item,
+      row_number() OVER (
+        PARTITION BY u ORDER BY md5('co1:' || u || ':' || item), item
+      ) AS rn
+    FROM pairs
+  ) WHERE rn <= 20
+),
+e AS (
+  SELECT a.item AS a, b.item AS b
+  FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 10
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node ORDER BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5385,6 +5444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decay_score": q_decay_score,
     "tool_transitions": q_tool_transitions,
     "response_latency": q_response_latency,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -5518,6 +5578,7 @@ ORACLES: dict[str, str] = {
     "decay_score": O_DECAY_SCORE,
     "tool_transitions": O_TOOL_TRANSITIONS,
     "response_latency": O_RESPONSE_LATENCY,
+    "triangle_count": O_TRIANGLE_COUNT,
 }
 
 

@@ -160,3 +160,65 @@ def cooccurrence(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= int(min_count))
     )
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph →
+    ``(node, n_triangles)`` (triangles touching the node; the global
+    triangle count is ``sum / 3``). The clique-density signal behind
+    ring detection: colluding accounts sharing resources pairwise
+    close many triangles, organic sharing closes few.
+
+    Scale shape — the naive wedge join explodes by degree² on hub
+    nodes ("the curse of the last reducer", Suri & Vassilvitskii
+    2011). Standard mitigation implemented here: ORIENT each edge
+    from its lower-(degree, id) endpoint to the higher one. The
+    orientation is acyclic and every triangle has exactly one node
+    whose two triangle-mates are both out-neighbors, so counting
+    wedges only at out-neighbor pairs counts each triangle exactly
+    once — and out-degree is bounded by O(√m), so wedge fan-out per
+    node is O(m) total instead of Σdeg². Three equi-joins + two hash
+    aggregates, all integer, no window over row scale.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("_da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("_db")), "b")
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    d = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    d1 = d.select(F.col("src").alias("_w"), F.col("dst").alias("_x"))
+    d2 = d.select(F.col("src").alias("_w"), F.col("dst").alias("_y"))
+    wedges = d1.join(d2, "_w").filter(F.col("_x") < F.col("_y"))
+    closed = wedges.join(
+        e.select(F.col("a").alias("_x"), F.col("b").alias("_y")),
+        ["_x", "_y"],
+    )
+    nodes = (
+        closed.select(F.col("_w").alias("node"))
+        .unionAll(closed.select(F.col("_x").alias("node")))
+        .unionAll(closed.select(F.col("_y").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

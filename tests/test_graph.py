@@ -148,3 +148,38 @@ def test_skew_profile_known_answer(spark):
     assert abs(r.mean_per_key - 5.33) < 1e-9
     assert r.pq_per_key == 5.0  # median of (1, 5, 10)
     assert abs(r.skew_ratio - 1.88) < 1e-9  # 10 / (16/3)
+
+
+def test_triangle_count_known_answer(spark):
+    from osprey_spark.operators.graph import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant
+    # edge d-e (e closes nothing) and a disconnected pair f-g
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("f", "g"),
+        ("b", "a"),  # duplicate in reverse orientation: must dedupe
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert sum(got.values()) // 3 == 4  # global count
+
+
+def test_triangle_count_partition_invariant(spark):
+    from osprey_spark.operators.graph import triangle_count
+
+    import itertools
+
+    nodes = [f"n{i}" for i in range(12)]
+    # deterministic quasi-random graph
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if (hash(None) or True) and ((ord(u[-1]) * 7 + ord(v[-1]) * 13) % 3 == 0)
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    a = triangle_count(df.repartition(1)).collect()
+    b = triangle_count(df.repartition(9)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
