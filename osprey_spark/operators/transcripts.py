@@ -376,3 +376,110 @@ def response_latency(
         )
         .filter(F.col("n_responses") > 0)
     )
+
+
+def stream_transition_counts(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Streaming :func:`transition_counts` as a RETRACTION CHANGELOG
+    (Flink update-mode semantics): emits ``(src, dst, delta)`` rows
+    whose running SUM per (src, dst) equals the batch transition
+    counts over all rows seen so far — in ANY arrival order.
+
+    Why retractions are unavoidable here: a late turn ``b`` arriving
+    between already-seen ``a`` and ``c`` SPLITS the previously-counted
+    pair (a,c) into (a,b)+(b,c) — the old pair must be un-counted, so
+    the changelog carries ``delta=-1`` rows. Sketch folds (HLL/CMS/
+    min-k) dodge this because their merges are monotone; sequence
+    adjacency is not, so this operator demonstrates the update-mode
+    contract the monotone folds never need.
+
+    State per conversation: the ordered (turn_idx → symbol) map —
+    bounded by conversation length, the same per-key boundedness
+    contract as session windows and CEP sequences (never corpus-
+    scale). Per micro-batch each touched conversation recomputes its
+    adjacency pairs (O(len)) and emits only the delta vs its previous
+    pairs; deltas from all conversations in a state group are summed
+    before emission. Duplicate (conv, turn_idx) deliveries keep the
+    FIRST symbol (at-least-once upstream tolerated).
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sym = F.coalesce(F.col(tool_col), F.col(role_col))
+    src = turns.select(
+        F.col(conv_col).cast("string").alias("_conv"),
+        F.col(idx_col).cast("long").alias("_idx"),
+        sym.cast("string").alias("_sym"),
+    ).withColumn(
+        "_bkt", F.pmod(F.xxhash64("_conv"), F.lit(int(n_buckets))).cast("int")
+    )
+    out_schema = StructType(
+        [
+            StructField("src", StringType()),
+            StructField("dst", StringType()),
+            StructField("delta", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seqs_json", StringType())])
+
+    def _pairs(seq_map):
+        # seq_map: {idx(str): sym}; ordered adjacency pairs
+        items = sorted((int(i), s) for i, s in seq_map.items())
+        out = {}
+        for (_, a), (_, b) in zip(items, items[1:]):
+            out[(a, b)] = out.get((a, b), 0) + 1
+        return out
+
+    def fn(key, pdf_iter, state):
+        seqs = json.loads(state.get[0]) if state.exists else {}
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            if state.exists:
+                state.update((json.dumps(seqs),))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        deltas: dict = {}
+        for conv, grp in pdf.groupby("_conv"):
+            cur = seqs.get(conv, {})
+            before = _pairs(cur)
+            for i, s in zip(grp["_idx"].to_numpy(), grp["_sym"].to_numpy()):
+                k = str(int(i))
+                if k not in cur:  # first delivery wins
+                    cur[k] = None if s is None else str(s)
+            seqs[conv] = cur
+            after = _pairs(cur)
+            for p in set(before) | set(after):
+                d = after.get(p, 0) - before.get(p, 0)
+                if d:
+                    deltas[p] = deltas.get(p, 0) + d
+        state.update((json.dumps(seqs),))
+        if not deltas:
+            return
+        rows = [[a, b, d] for (a, b), d in deltas.items()]
+        yield pd.DataFrame(rows, columns=["src", "dst", "delta"])
+
+    return src.groupBy("_bkt").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -296,3 +296,93 @@ def test_response_latency_known_answer(spark):
     }
     # c2 has zero direct pairs -> filtered out entirely
     assert got == {"c1": (2, 4, 7)}
+
+
+def test_stream_transition_counts_retraction_changelog(spark, tmp_path):
+    """Update-mode contract: the changelog's summed deltas equal batch
+    transition_counts in ANY arrival order — even-indexed turns arrive
+    first, so every odd turn later SPLITS an already-counted pair and
+    forces a retraction (delta = -1) row."""
+    from osprey_spark.operators.transcripts import (
+        stream_transition_counts,
+        transition_counts,
+    )
+    from osprey_spark.turns import turns_from_events
+
+    t = turns_from_events(spark, "/root/testdata/sf0.001").limit(300).select(
+        "conv_id", "turn_idx", "role", "tool"
+    )
+    src = str(tmp_path / "trans_src")
+    t.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    t.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, tool string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_transition_counts(stream, n_buckets=16)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    changelog = spark.sql("select * from trans_stream")
+    assert changelog.filter(F.col("delta") < 0).count() > 0, (
+        "no retraction emitted — the split path never ran"
+    )
+    got = {
+        (r.src, r.dst): r.n
+        for r in changelog.groupBy("src", "dst")
+        .agg(F.sum("delta").cast("long").alias("n"))
+        .filter(F.col("n") != 0)
+        .collect()
+    }
+    expect = {
+        (r.src, r.dst): r.n for r in transition_counts(t).collect()
+    }
+    assert got == expect
+
+
+def test_stream_transition_counts_duplicate_delivery(spark, tmp_path):
+    """At-least-once upstream: a redelivered (conv, turn_idx) row must
+    not change the counted pairs (first delivery wins)."""
+    from osprey_spark.operators.transcripts import stream_transition_counts
+
+    schema = "conv_id string, turn_idx int, role string, tool string"
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(
+        [("c", 0, "user", None), ("c", 1, "assistant", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # redelivery of turn 1 (different symbol — must be ignored) + turn 2
+    spark.createDataFrame(
+        [("c", 1, "tool", "exec"), ("c", 2, "user", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_transition_counts(stream, n_buckets=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_dup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.src, r.dst): r.n
+        for r in spark.sql(
+            "select src, dst, cast(sum(delta) as long) n from trans_dup group by 1,2"
+        ).collect()
+    }
+    assert got == {("user", "assistant"): 1, ("assistant", "user"): 1}
