@@ -1166,6 +1166,51 @@ class CompiledRuleset:
         total = F.coalesce(F.sum(val).over(w), F.lit(0))
         return df.select("*", total.cast("long").alias(spec["name"]))
 
+    def _join_decay_score(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetDecayScore on a BATCH frame: the decayed
+        integer sum of every same-key registration at or before this
+        row's second. collect_list over the UNBOUNDED range window
+        (the GetUniqueCount window class — per-row cost bounded by
+        key occupancy, conversations not corpus), then a pure-JVM HOF
+        fold: weight = 2^20 >> bucket_age via a 21-entry literal
+        array lookup (no float anywhere). Gated-off events register
+        amount 0. Streaming frames route through the fused state
+        pass."""
+        from pyspark.sql import Window as W
+
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        h = int(spec["halflife_s"])
+        amt = spec["value_col"]
+        if spec["gate"] is not None:
+            amt = F.when(F.coalesce(spec["gate"], F.lit(False)), amt).otherwise(
+                F.lit(0)
+            )
+        bkt = F.floor(sec / F.lit(h)).cast("long")
+        w = (
+            W.partitionBy(spec["key_col"])
+            .orderBy(sec)
+            .rangeBetween(W.unboundedPreceding, 0)
+        )
+        entries = F.collect_list(
+            F.struct(bkt.alias("b"), amt.cast("long").alias("a"))
+        ).over(w)
+        # weights[d+1] = 2^20 >> d for d in 0..21; entry 22 is the
+        # exact zero (2^20 >> 21), and the index clamp keeps every
+        # lookup in bounds under ANSI element_at
+        weights = F.array(*[F.lit((1 << 20) >> d) for d in range(22)])
+        cur_b = bkt
+        score = F.aggregate(
+            entries,
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + e["a"]
+            * F.element_at(
+                weights,
+                (F.least(F.lit(21), cur_b - e["b"]) + 1).cast("int"),
+            ),
+        )
+        return df.select("*", score.cast("long").alias(spec["name"]))
+
     def _join_seen_before(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one SeenBefore on a BATCH frame: a conditional
         registration count over a (key, value)-partitioned RANGE
@@ -1678,6 +1723,23 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "decay":
+                gate = sp["gate"]
+                amt = sp["value_col"]
+                if gate is not None:
+                    amt = F.when(F.coalesce(gate, F.lit(False)), amt).otherwise(
+                        F.lit(0)
+                    )
+                proj.append(amt.cast("long").alias(f"__fs{i}_dam"))
+                metas.append(
+                    {
+                        "fam": "decay",
+                        "name": sp["name"],
+                        "h": int(sp["halflife_s"]),
+                        "i": i,
+                    }
+                )
+                out_fields.append(T.StructField(sp["name"], T.LongType()))
             else:  # cache — emits a RAW lookup column "__fcv_{i}";
                 # default/gate post-processing happens JVM-side in the
                 # caller (mirrors _join_cache_streaming's tail)
@@ -1791,6 +1853,11 @@ class CompiledRuleset:
                 elif m["fam"] == "wsum":
                     op_in.append(
                         {"amt": pdf[f"__fs{m['i']}_amt"].to_numpy(dtype="int64")}
+                    )
+                    outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "decay":
+                    op_in.append(
+                        {"amt": pdf[f"__fs{m['i']}_dam"].to_numpy(dtype="int64")}
                     )
                     outs.append(np.empty(n, dtype="int64"))
                 else:  # cache
@@ -2184,6 +2251,54 @@ class CompiledRuleset:
                             smap[mk] = kept
                         elif mk in smap:
                             del smap[mk]
+                    elif m["fam"] == "decay":
+                        # decayed registration sum, judged like the
+                        # batch UNBOUNDED range window: every visible
+                        # same-key amount with ts <= this row's second
+                        # (equal-ts later rows included), weighted
+                        # 2^20 >> halflife_bucket_age (zero beyond
+                        # 20). State carries per-SECOND merged
+                        # (sec, amt) entries within the 21-bucket
+                        # horizon behind the key's newest event —
+                        # older entries weigh 0 for every future row
+                        # (bounded-lateness contract, like wsum).
+                        h = m["h"]
+                        entries = smap.get(mk, ())
+                        prev = np.asarray(entries, dtype="int64").reshape(-1, 2)
+                        all_sec = np.concatenate([prev[:, 0], seg_sec])
+                        all_amt = np.concatenate([prev[:, 1], inp["amt"][s:e]])
+                        order = np.argsort(all_sec, kind="stable")
+                        all_sec = all_sec[order]
+                        all_amt = all_amt[order]
+                        # merge equal seconds (RANGE ties share the
+                        # whole tie group, so per-sec sums are exact)
+                        u_sec, inv = np.unique(all_sec, return_inverse=True)
+                        u_amt = np.bincount(
+                            inv, weights=all_amt.astype("float64")
+                        ).astype("int64")
+                        u_b = u_sec // h
+                        csum = np.concatenate(([0], np.cumsum(u_amt)))
+                        row_b = seg_sec // h
+                        # same-bucket partial: sec <= row sec
+                        lo0 = np.searchsorted(u_b, row_b, side="left")
+                        hi0 = np.searchsorted(u_sec, seg_sec, side="right")
+                        score = (csum[hi0] - csum[lo0]) * (1 << 20)
+                        for dd in range(1, 21):
+                            lb = np.searchsorted(u_b, row_b - dd, side="left")
+                            rb2 = np.searchsorted(u_b, row_b - dd, side="right")
+                            score += (csum[rb2] - csum[lb]) * ((1 << 20) >> dd)
+                        out_a[s:e] = score
+                        keep_b = int(seg_sec.max() // h) - 20
+                        kidx = np.searchsorted(u_b, keep_b, side="left")
+                        kept = [
+                            [int(t), int(a)]
+                            for t, a in zip(u_sec[kidx:], u_amt[kidx:])
+                            if a != 0
+                        ]
+                        if kept:
+                            smap[mk] = kept
+                        elif mk in smap:
+                            del smap[mk]
                     elif m["fam"] == "seq":
                         k_len = m["k"]
                         rx = m["rx"]
@@ -2441,6 +2556,7 @@ class CompiledRuleset:
         unique_specs: dict | None = None,
         wminmax_specs: dict | None = None,
         seen_specs: dict | None = None,
+        decay_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2485,6 +2601,7 @@ class CompiledRuleset:
         unique_specs = unique_specs or {}
         wminmax_specs = wminmax_specs or {}
         seen_specs = seen_specs or {}
+        decay_specs = decay_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2500,6 +2617,12 @@ class CompiledRuleset:
                 return cols
             if mangled in wsum_specs:
                 s = wsum_specs[mangled]
+                cols = [s["key_col"], s["value_col"]]
+                if s["gate"] is not None:
+                    cols.append(s["gate"])
+                return cols
+            if mangled in decay_specs:
+                s = decay_specs[mangled]
                 cols = [s["key_col"], s["value_col"]]
                 if s["gate"] is not None:
                     cols.append(s["gate"])
@@ -2579,6 +2702,7 @@ class CompiledRuleset:
                     or name in unique_specs
                     or name in wminmax_specs
                     or name in seen_specs
+                    or name in decay_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2670,6 +2794,7 @@ class CompiledRuleset:
             s["name"]: s for s in getattr(self.ctx, "wminmax_lookups", [])
         }
         seen_specs = {s["name"]: s for s in getattr(self.ctx, "seen_lookups", [])}
+        decay_specs = {s["name"]: s for s in getattr(self.ctx, "decay_lookups", [])}
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2725,6 +2850,7 @@ class CompiledRuleset:
                 "unique",
                 "wminmax",
                 "seen",
+                "decay",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2776,7 +2902,7 @@ class CompiledRuleset:
                 cols.append(sp["value_col"])
                 if sp["order_col"] is not None:
                     cols.append(sp["order_col"])
-            elif fam == "wsum":
+            elif fam in ("wsum", "decay"):
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2831,6 +2957,7 @@ class CompiledRuleset:
             unique_specs,
             wminmax_specs,
             seen_specs,
+            decay_specs,
         ):
             if defn is None:
                 if streaming and mangled in rl_specs:
@@ -2868,6 +2995,12 @@ class CompiledRuleset:
                     if not _fusable("wsum", sp):
                         df = _flush(df)
                     pending.append(("wsum", sp))
+                    continue
+                if streaming and mangled in decay_specs:
+                    sp = decay_specs[mangled]
+                    if not _fusable("decay", sp):
+                        df = _flush(df)
+                    pending.append(("decay", sp))
                     continue
                 if streaming and mangled in last_specs:
                     sp = last_specs[mangled]
@@ -2942,6 +3075,8 @@ class CompiledRuleset:
                     df = self._join_window_minmax(df, wminmax_specs[mangled])
                 elif mangled in seen_specs:
                     df = self._join_seen_before(df, seen_specs[mangled])
+                elif mangled in decay_specs:
+                    df = self._join_decay_score(df, decay_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -5312,6 +5312,51 @@ FROM nodes GROUP BY node ORDER BY node
 """
 
 
+def q_decay_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level decayed-activity escalation signal (GetDecayScore,
+    13th stateful family): integer bit-shift halflife weights so the
+    per-event heat is a sum of exact longs — batch = HOF fold over
+    the unbounded key RANGE window (one shuffle); streaming = fused
+    state pass with horizon-bounded per-second amounts
+    (tests/test_decay_rule.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+Heat = GetDecayScore(key=K, halflife_seconds=3600.0)
+Hot: bool = Heat > 2097152
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("Heat").alias("heat"),
+        F.col("Hot").alias("hot"),
+    )
+
+
+O_DECAY_RULE = (
+    TURNS_CTE
+    + """,
+t AS (SELECT conv_id, turn_idx,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM turns)
+SELECT a.conv_id, a.turn_idx,
+  CAST((SELECT sum(1048576 >> least(21, (a.sec // 3600) - (b.sec // 3600)))
+        FROM t b
+        WHERE b.conv_id = a.conv_id AND b.sec <= a.sec) AS BIGINT) AS heat,
+  CAST((SELECT sum(1048576 >> least(21, (a.sec // 3600) - (b.sec // 3600)))
+        FROM t b
+        WHERE b.conv_id = a.conv_id AND b.sec <= a.sec) > 2097152
+    AS BOOLEAN) AS hot
+FROM t a
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5445,6 +5490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_transitions": q_tool_transitions,
     "response_latency": q_response_latency,
     "triangle_count": q_triangle_count,
+    "decay_rule": q_decay_rule,
 }
 
 ORACLES: dict[str, str] = {
@@ -5579,6 +5625,7 @@ ORACLES: dict[str, str] = {
     "tool_transitions": O_TOOL_TRANSITIONS,
     "response_latency": O_RESPONSE_LATENCY,
     "triangle_count": O_TRIANGLE_COUNT,
+    "decay_rule": O_DECAY_RULE,
 }
 
 

@@ -666,6 +666,68 @@ def get_window_sum(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetDecayScore")
+def get_decay_score(ctx, call, args):
+    """Exponentially time-decayed activity score ("how hot is this
+    key RIGHT NOW") — the window-edge-free escalation signal: each
+    gated event registers an integer ``value`` (default 1) whose
+    weight halves every ``halflife_seconds``. At event time the score
+    is the decayed sum of every same-key registration at or before
+    this event's second (tie-group inclusive).
+
+    INTEGER-exact (operators/decay.py discipline): time is bucketed
+    into absolute halflife buckets ``sec // h`` and a registration
+    ``d`` buckets old weighs ``(1 << 20) >> d`` (zero beyond 20) —
+    no float exp/log, so the score is a sum of exact longs:
+    tie-order independent, partition-order independent, and
+    DuckDB-replayable verbatim. Score units: 2^20 per current-bucket
+    registration of value 1.
+
+    Thirteenth stateful family. Batch = an integer HOF fold over the
+    key's UNBOUNDED range window (one key shuffle, the GetUniqueCount
+    window class); streaming = the fused state pass carrying the
+    in-horizon (sec, amount) entries per key — entries older than 20
+    halflife buckets behind the key's newest event weigh zero for
+    every future row and are evicted, so state is horizon-bounded
+    like GetWindowSum (and, like that family, rows arriving LATER
+    than the horizon may undercount — the documented bounded-lateness
+    contract shared by all trailing-window families).
+    """
+    key_v = arg(ctx, call, args, "key")
+    value_v = arg(ctx, call, args, "value", required=False)
+    gate_v = arg(ctx, call, args, "gate", required=False)
+    half_s = const_arg(ctx, call, args, "halflife_seconds")
+    if float(half_s) < 1.0:
+        raise ctx.error(
+            f"{call.func}: halflife_seconds must be >= 1, got {half_s}",
+            call.span,
+        )
+    if value_v is not None and value_v.dtype not in ("int", None, "any"):
+        raise ctx.error(
+            f"{call.func}: value must be an integer feature (float decayed "
+            f"sums are partition-order dependent), got {value_v.dtype}",
+            call.span,
+        )
+    if not hasattr(ctx, "decay_lookups"):
+        ctx.decay_lookups = []
+    name = f"__dy_{len(ctx.decay_lookups)}"
+    ctx.decay_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "value_col": (
+                F.coalesce(value_v.col.cast("long"), F.lit(0))
+                if value_v is not None
+                else F.lit(1).cast("long")
+            ),
+            "gate": gate_v.col if gate_v is not None else None,
+            "halflife_s": round(float(half_s)),
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="int")
+
+
 @register("RateLimit")
 def rate_limit(ctx, call, args):
     """Token-bucket rate limiter (north_star: stateful rule
