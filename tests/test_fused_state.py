@@ -260,14 +260,15 @@ MaxLen = GetWindowMax(key=K, value=L, window_seconds=600.0)
 MinLen = GetWindowMin(key=K, value=L, window_seconds=600.0)
 Rpt = SeenBefore(key=K, value=Tool)
 N = IncrementWindow(key=K, window_seconds=600.0)
+Heat = GetDecayScore(key=K, halflife_seconds=600.0)
 """
 
-_NEW_COLS = ["NTools", "MaxLen", "MinLen", "Rpt", "N"]
+_NEW_COLS = ["NTools", "MaxLen", "MinLen", "Rpt", "N", "Heat"]
 
 
 def test_new_families_fuse_into_one_pass(spark, tmp_path):
-    """unique + max + min + seen-before + counter on one key: FIVE
-    mechanisms, ONE FlatMapGroupsInPandasWithState, outputs equal to
+    """unique + max + min + seen-before + counter + decay on one
+    key: SIX mechanisms, ONE FlatMapGroupsInPandasWithState, outputs equal to
     batch for every mechanism."""
     rs, in_dir = _stream_vs_batch(spark, tmp_path, NEW_FAMILIES_SML, _NEW_COLS)
     stream = spark.readStream.schema(
@@ -280,7 +281,7 @@ def test_new_families_fuse_into_one_pass(spark, tmp_path):
 def test_new_families_survive_restart(spark, tmp_path):
     """Kill after batch 1, restart on the same checkpoint: the
     composite state (first-seen map, in-window entries, two-smallest
-    pairs, counter deque) resumes and final outputs match batch."""
+    pairs, counter deque, decay amounts) resumes and final outputs match batch."""
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
     os.makedirs(in_dir)
