@@ -5271,7 +5271,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = cooccurrence(pairs, cap=20, min_count=10)
-    return triangle_count(edges, "item_a", "item_b").orderBy("node")
+    tri = triangle_count(edges, "item_a", "item_b")
+    out = tri.orderBy("node")
+    out.unpersist_base = tri.unpersist_base
+    return out
 
 
 O_TRIANGLE_COUNT = """

@@ -189,6 +189,12 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # e is referenced by deg (twice), the orientation join and the
+        # wedge-closure join — unpersisted, Catalyst would replicate
+        # the whole upstream edge-building subtree into every branch
+        # (measured 66 scans / 198 windows of the bipartite projection
+        # at sf0.01). Release via result.unpersist_base().
+        .persist()
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -214,11 +220,13 @@ def triangle_count(
         e.select(F.col("a").alias("_x"), F.col("b").alias("_y")),
         ["_x", "_y"],
     )
-    nodes = (
-        closed.select(F.col("_w").alias("node"))
-        .unionAll(closed.select(F.col("_x").alias("node")))
-        .unionAll(closed.select(F.col("_y").alias("node")))
+    # one explode, not three unions — a union would re-run the wedge
+    # join per branch
+    nodes = closed.select(
+        F.explode(F.array(F.col("_w"), F.col("_x"), F.col("_y"))).alias("node")
     )
-    return nodes.groupBy("node").agg(
+    out = nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+    out.unpersist_base = lambda: e.unpersist(blocking=True)
+    return out
