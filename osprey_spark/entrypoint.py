@@ -5360,6 +5360,24 @@ FROM t a
 )
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption example generation (curation.span_corruption):
+    seeded md5 block-local masks so the corrupted/target pair is
+    engine-replayable; pure per-row array HOFs — zero joins, zero
+    shuffles, zero Python."""
+    from .operators.curation import span_corruption
+
+    docs = _docs(spark, sf_dir)
+    return span_corruption(docs).orderBy("doc_id")
+
+
+from .operators.curation import span_corruption_sql as _spanc_sql  # noqa: E402
+
+O_SPAN_CORRUPTION = (
+    _spanc_sql("documents") + " ORDER BY doc_id"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5494,6 +5512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "response_latency": q_response_latency,
     "triangle_count": q_triangle_count,
     "decay_rule": q_decay_rule,
+    "span_corruption": q_span_corruption,
 }
 
 ORACLES: dict[str, str] = {
@@ -5629,6 +5648,7 @@ ORACLES: dict[str, str] = {
     "response_latency": O_RESPONSE_LATENCY,
     "triangle_count": O_TRIANGLE_COUNT,
     "decay_rule": O_DECAY_RULE,
+    "span_corruption": O_SPAN_CORRUPTION,
 }
 
 

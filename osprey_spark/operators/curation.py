@@ -1355,3 +1355,169 @@ SELECT tok.{id_col},
 FROM tok JOIN dp USING (w)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 10,
+    span_len: int = 2,
+) -> DataFrame:
+    """T5-style span-corruption training-example generation (Raffel
+    et al. 2020 §3.1.4): mask deterministic token spans, emit the
+    corrupted input (spans collapsed to sentinels ``<X_b>``) and the
+    target (each sentinel followed by the tokens it hides) →
+    ``(doc_id, n_tokens, n_masked, corrupted, target)``.
+
+    Span placement is SEEDED, not random: token positions are split
+    into blocks of ``block``; a block longer than ``span_len`` masks
+    the ``span_len``-token run starting at ``md5(doc_id:b) %
+    (block_len - span_len + 1)`` — non-overlap by construction
+    (block-local spans), corruption rate ≈ span_len/block, and every
+    engine replays the identical mask (the md5-slice idiom the
+    sketches use), so the oracle is hash-exact where a real RNG would
+    be untestable.
+
+    Plan shape: pure per-row array HOFs over the token list — zero
+    joins, zero shuffles, zero Python; scales with tokens scanned.
+    """
+    if span_len < 1 or block <= span_len:
+        raise ValueError("need block > span_len >= 1")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    B, L = int(block), int(span_len)
+    did = F.col(id_col).cast("string")
+
+    def bstart(b):
+        return b * B
+
+    def blen(b):
+        return F.least(F.lit(B), n - bstart(b))
+
+    def span_at(b):
+        # start offset of block b's masked span (NULL if block too short)
+        room = blen(b) - L + 1
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(did, F.lit(":"), b.cast("string")).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.when(blen(b) > L, F.pmod(h, room))
+
+    nblocks = F.floor((n + B - 1) / F.lit(B)).cast("int")
+    blocks = F.when(n > 0, F.sequence(F.lit(0), nblocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    positions = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def tok_of(p):
+        return F.element_at(toks, p + 1)
+
+    def piece(p):
+        b = F.floor(p / F.lit(B)).cast("int")
+        off = p - b * B
+        s = span_at(b)
+        return (
+            F.when(s.isNull() | (off < s) | (off >= s + L), tok_of(p))
+            .when(off == s, F.concat(F.lit("<X_"), b.cast("string"), F.lit(">")))
+            # interior of a masked span: dropped
+        )
+
+    corrupted = F.array_join(
+        F.filter(F.transform(positions, piece), lambda x: x.isNotNull()), " "
+    )
+
+    def tgt(b):
+        s = span_at(b)
+        masked = F.array_join(
+            F.slice(toks, (bstart(b) + s + 1).cast("int"), L), " "
+        )
+        return F.when(
+            s.isNotNull(),
+            F.concat(F.lit("<X_"), b.cast("string"), F.lit("> "), masked),
+        )
+    target = F.array_join(
+        F.filter(F.transform(blocks, tgt), lambda x: x.isNotNull()), " "
+    )
+    n_masked = F.aggregate(
+        blocks,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(span_at(b).isNotNull(), F.lit(L)).otherwise(F.lit(0)),
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+    )
+
+
+def span_corruption_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 10,
+    span_len: int = 2,
+) -> str:
+    """DuckDB oracle replaying the identical seeded masks."""
+    B, L = int(block), int(span_len)
+    s_expr = (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':' || "
+        f"CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) "
+        f"% (least({B}, n - b*{B}) - {L} + 1)"
+    )
+    return f"""
+WITH d AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS toks,
+         len(string_split({text_col}, ' ')) AS n
+  FROM {table}
+),
+m AS (
+  SELECT {id_col}, toks, n,
+    list_transform(
+      range(0, CAST((n + {B} - 1) // {B} AS BIGINT)),
+      b -> CASE WHEN least({B}, n - b*{B}) > {L}
+                THEN {s_expr} END
+    ) AS spans
+  FROM d
+)
+SELECT {id_col},
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(spans, s -> s IS NOT NULL)) * {L} AS BIGINT) AS n_masked,
+  array_to_string(
+    list_filter(
+      list_transform(range(0, CAST(n AS BIGINT)), p ->
+        CASE
+          WHEN spans[CAST(p // {B} AS INT) + 1] IS NULL
+            OR p - (p // {B}) * {B} < spans[CAST(p // {B} AS INT) + 1]
+            OR p - (p // {B}) * {B} >= spans[CAST(p // {B} AS INT) + 1] + {L}
+          THEN toks[CAST(p AS INT) + 1]
+          WHEN p - (p // {B}) * {B} = spans[CAST(p // {B} AS INT) + 1]
+          THEN '<X_' || CAST(p // {B} AS VARCHAR) || '>'
+        END),
+      x -> x IS NOT NULL),
+    ' ') AS corrupted,
+  array_to_string(
+    list_filter(
+      list_transform(range(0, CAST((n + {B} - 1) // {B} AS BIGINT)), b ->
+        CASE WHEN spans[CAST(b AS INT) + 1] IS NOT NULL
+             THEN '<X_' || CAST(b AS VARCHAR) || '> ' ||
+                  array_to_string(
+                    toks[CAST(b*{B} + spans[CAST(b AS INT) + 1] + 1 AS INT)
+                         : CAST(b*{B} + spans[CAST(b AS INT) + 1] + {L} AS INT)],
+                    ' ')
+        END),
+      x -> x IS NOT NULL),
+    ' ') AS target
+FROM m
+"""

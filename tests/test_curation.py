@@ -435,3 +435,60 @@ def test_unigram_encode_bounds(spark):
     }
     for r in enc:
         assert words[r.doc_id] <= r.n_unigram_tokens <= r.n_chars
+
+
+def test_span_corruption_known_answer(spark):
+    from osprey_spark.operators.curation import span_corruption
+
+    # 12 tokens, block=6, span=2: two blocks, each masks a 2-token run
+    toks = [f"t{i}" for i in range(12)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    row = span_corruption(docs, block=6, span_len=2).collect()[0]
+    assert row.n_tokens == 12 and row.n_masked == 4
+
+    # recompute the seeded offsets exactly as the operator does
+    import hashlib
+
+    def s_of(b):
+        h = int(hashlib.md5(f"1:{b}".encode()).hexdigest()[:8], 16)
+        return h % (6 - 2 + 1)
+
+    s0, s1 = s_of(0), s_of(1)
+    expect_corrupted = []
+    for p in range(12):
+        b, off = divmod(p, 6)
+        s = (s0, s1)[b]
+        if off == s:
+            expect_corrupted.append(f"<X_{b}>")
+        elif not (s < off < s + 2):
+            expect_corrupted.append(toks[p])
+    assert row.corrupted == " ".join(expect_corrupted)
+    assert row.target == (
+        f"<X_0> {toks[s0]} {toks[s0+1]} <X_1> {toks[6+s1]} {toks[6+s1+1]}"
+    )
+
+
+def test_span_corruption_short_tail_block(spark):
+    from osprey_spark.operators.curation import span_corruption
+
+    # 7 tokens, block=5, span=2: tail block has 2 tokens (== span) ->
+    # too short to mask, only block 0 masks
+    docs = spark.createDataFrame(
+        [(9, "a b c d e f g")], "doc_id long, text string"
+    )
+    row = span_corruption(docs, block=5, span_len=2).collect()[0]
+    assert row.n_tokens == 7 and row.n_masked == 2
+    assert "<X_1>" not in row.corrupted and "<X_1>" not in row.target
+    assert row.corrupted.count("<X_0>") == 1
+    # round trip: corrupted keeps n - span + 1 sentinel-adjusted tokens
+    assert len(row.corrupted.split(" ")) == 7 - 2 + 1
+
+
+def test_span_corruption_rejects_bad_params(spark):
+    import pytest
+
+    from osprey_spark.operators.curation import span_corruption
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        span_corruption(docs, block=2, span_len=2)
