@@ -5378,6 +5378,87 @@ O_SPAN_CORRUPTION = (
 )
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference-pair assembly from rule verdicts: per
+    conversation, the first flagged assistant reply (SpamRule — the
+    model emitted a spam link) becomes `rejected`, the first clean
+    assistant reply `chosen`, and the turns before either become the
+    shared `prompt` — the (prompt, chosen, rejected) triples a reward
+    model trains on, derived from the SAME compiled ruleset the
+    moderation pipeline runs (one source of truth for "bad"). One
+    conv-keyed hash aggregate carrying the ordered turn texts
+    (conversation-bounded state, the CEP boundedness class); no
+    joins."""
+    out = rules_output(spark, sf_dir)
+    is_asst = F.col("Role") == "assistant"
+    flagged = F.coalesce(F.col("SpamRule"), F.lit(False))
+    agg = (
+        out.groupBy("conv_id")
+        .agg(
+            F.min(F.when(is_asst & flagged, F.col("turn_idx"))).alias("_r"),
+            F.min(F.when(is_asst & ~flagged, F.col("turn_idx"))).alias("_c"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx").alias("i"), F.col("TurnText").alias("t")))
+            ).alias("_ts"),
+        )
+        .filter(F.col("_r").isNotNull() & F.col("_c").isNotNull())
+    )
+    cut = F.least(F.col("_r"), F.col("_c"))
+    text_at = lambda idx: F.element_at(  # noqa: E731
+        F.transform(
+            F.filter(F.col("_ts"), lambda s: s["i"] == idx), lambda s: s["t"]
+        ),
+        1,
+    )
+    return agg.select(
+        "conv_id",
+        F.array_join(
+            F.transform(
+                F.filter(F.col("_ts"), lambda s: s["i"] < cut), lambda s: s["t"]
+            ),
+            "\n",
+        ).alias("prompt"),
+        text_at(F.col("_c")).alias("chosen"),
+        text_at(F.col("_r")).alias("rejected"),
+        F.col("_c").cast("long").alias("chosen_idx"),
+        F.col("_r").cast("long").alias("rejected_idx"),
+    ).orderBy("conv_id")
+
+
+O_PREFERENCE_PAIRS = (
+    TURNS_CTE
+    + r""",
+sel AS (
+  SELECT conv_id, turn_idx, role, text,
+    (regexp_matches(text, 'https?://') AND
+     list_contains(regexp_extract_all(lower(text), 'https?://([\w\-\.]+)', 1),
+                   'spam.example.com')) AS flagged
+  FROM turns
+),
+agg AS (
+  SELECT conv_id,
+    min(CASE WHEN role = 'assistant' AND flagged THEN turn_idx END) AS r,
+    min(CASE WHEN role = 'assistant' AND NOT flagged THEN turn_idx END) AS c
+  FROM sel GROUP BY conv_id
+)
+SELECT a.conv_id,
+  coalesce((SELECT string_agg(s.text, chr(10) ORDER BY s.turn_idx)
+            FROM sel s
+            WHERE s.conv_id = a.conv_id AND s.turn_idx < least(a.r, a.c)),
+           '') AS prompt,
+  (SELECT s.text FROM sel s
+   WHERE s.conv_id = a.conv_id AND s.turn_idx = a.c) AS chosen,
+  (SELECT s.text FROM sel s
+   WHERE s.conv_id = a.conv_id AND s.turn_idx = a.r) AS rejected,
+  CAST(a.c AS BIGINT) AS chosen_idx,
+  CAST(a.r AS BIGINT) AS rejected_idx
+FROM agg a
+WHERE a.r IS NOT NULL AND a.c IS NOT NULL
+ORDER BY a.conv_id
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5513,6 +5594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "decay_rule": q_decay_rule,
     "span_corruption": q_span_corruption,
+    "preference_pairs": q_preference_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5649,6 +5731,7 @@ ORACLES: dict[str, str] = {
     "triangle_count": O_TRIANGLE_COUNT,
     "decay_rule": O_DECAY_RULE,
     "span_corruption": O_SPAN_CORRUPTION,
+    "preference_pairs": O_PREFERENCE_PAIRS,
 }
 
 

@@ -386,3 +386,20 @@ def test_stream_transition_counts_duplicate_delivery(spark, tmp_path):
         ).collect()
     }
     assert got == {("user", "assistant"): 1, ("assistant", "user"): 1}
+
+
+def test_preference_pairs_invariants(spark):
+    """(prompt, chosen, rejected) triples from the flagship ruleset:
+    rejected always carries the spam link, chosen never does, and the
+    prompt is exactly the turns before the earlier of the two."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["preference_pairs"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 10
+    for r in rows[:50]:
+        assert "spam.example.com" in r.rejected
+        assert "spam.example.com" not in r.chosen
+        assert r.chosen_idx != r.rejected_idx
+        cut = min(r.chosen_idx, r.rejected_idx)
+        n_prompt_turns = 0 if r.prompt == "" else len(r.prompt.split("\n"))
+        assert n_prompt_turns == cut  # turn_idx is dense from 0
