@@ -5459,6 +5459,25 @@ ORDER BY a.conv_id
 )
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate (dq.dq_checks): the whole check
+    suite in one scan + one map-side-combined aggregate (row checks)
+    + one conv aggregate + one conv-bounded lag window — never one
+    job per check."""
+    from .operators.dq import dq_checks
+
+    t = turns_from_events(spark, sf_dir)
+    return dq_checks(t).orderBy("check_name")
+
+
+from .operators.dq import dq_checks_sql as _dq_sql  # noqa: E402
+
+O_DQ_CHECKS = (
+    _dq_sql("turns").replace("WITH rowc AS", TURNS_CTE + ", rowc AS", 1)
+    + " ORDER BY check_name"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5595,6 +5614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decay_rule": q_decay_rule,
     "span_corruption": q_span_corruption,
     "preference_pairs": q_preference_pairs,
+    "dq_checks": q_dq_checks,
 }
 
 ORACLES: dict[str, str] = {
@@ -5732,6 +5752,7 @@ ORACLES: dict[str, str] = {
     "decay_rule": O_DECAY_RULE,
     "span_corruption": O_SPAN_CORRUPTION,
     "preference_pairs": O_PREFERENCE_PAIRS,
+    "dq_checks": O_DQ_CHECKS,
 }
 
 

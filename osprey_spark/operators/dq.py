@@ -1,0 +1,144 @@
+"""Data-quality expectation checks over the transcripts table.
+
+The Great-Expectations-class ingest gate, engine-native: each
+expectation compiles to a conditional COUNT inside a shared
+aggregate, so a full check suite over 10^12 rows is ONE scan + ONE
+map-side-combined aggregate for the row-level checks, plus one
+conv-keyed aggregate (same shuffle key as the rest of the pipeline)
+for the per-conversation structural checks — not one job per check,
+which is how checklist tools burn a cluster. All counts are integers.
+
+Checks:
+- ``null_conv_id`` / ``null_ts`` / ``null_text`` — required fields;
+- ``bad_role`` — role outside the dialogue contract's enum;
+- ``negative_turn_idx`` — turn positions must be ≥ 0;
+- ``sparse_conv`` — conversations whose turn_idx is not dense 0..n-1
+  (max+1 ≠ count or min ≠ 0): dropped/duplicated turns upstream;
+- ``ts_regression`` — a turn whose event time precedes the previous
+  turn's (by turn_idx) within its conversation: clock skew or
+  misordered backfill (one lag window over conv-bounded partitions).
+
+Output: one row per check — ``(check_name, violations, total, passed)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VALID_ROLES = ("user", "assistant", "system", "tool")
+
+
+def dq_checks(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    total = F.count(F.lit(1)).cast("long")
+    row_checks = turns.agg(
+        total.alias("_total"),
+        cnt(F.col(conv_col).isNull()).alias("null_conv_id"),
+        cnt(F.col(ts_col).isNull()).alias("null_ts"),
+        cnt(F.col(text_col).isNull()).alias("null_text"),
+        cnt(
+            ~F.col(role_col).isin(*VALID_ROLES) | F.col(role_col).isNull()
+        ).alias("bad_role"),
+        cnt(F.col(idx_col) < 0).alias("negative_turn_idx"),
+    )
+
+    conv_checks = (
+        turns.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(idx_col).alias("_mx"),
+            F.min(idx_col).alias("_mn"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_total"),
+            cnt(
+                (F.col("_mx") + 1 != F.col("_n")) | (F.col("_mn") != 0)
+            ).alias("sparse_conv"),
+        )
+    )
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(sec).over(w)
+    ts_check = turns.select(
+        (prev.isNotNull() & (sec < prev)).alias("_regr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_total"),
+        cnt(F.col("_regr")).alias("ts_regression"),
+    )
+
+    def unpivot(df, names):
+        rows = None
+        for name in names:
+            r = df.select(
+                F.lit(name).alias("check_name"),
+                F.col(name).alias("violations"),
+                F.col("_total").alias("total"),
+            )
+            rows = r if rows is None else rows.unionAll(r)
+        return rows
+
+    out = (
+        unpivot(
+            row_checks,
+            ["null_conv_id", "null_ts", "null_text", "bad_role", "negative_turn_idx"],
+        )
+        .unionAll(unpivot(conv_checks, ["sparse_conv"]))
+        .unionAll(unpivot(ts_check, ["ts_regression"]))
+    )
+    return out.select(
+        "check_name", "violations", "total", (F.col("violations") == 0).alias("passed")
+    )
+
+
+def dq_checks_sql(table: str) -> str:
+    """DuckDB oracle replaying the identical conditional counts."""
+    roles = ", ".join(f"'{r}'" for r in VALID_ROLES)
+    return f"""
+WITH rowc AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_conv_id,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+    CAST(sum(CASE WHEN role IS NULL OR role NOT IN ({roles}) THEN 1 ELSE 0 END) AS BIGINT) AS bad_role,
+    CAST(sum(CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_turn_idx
+  FROM {table}
+),
+convc AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(CASE WHEN mx + 1 != n OR mn != 0 THEN 1 ELSE 0 END) AS BIGINT) AS sparse_conv
+  FROM (
+    SELECT conv_id, count(*) AS n, max(turn_idx) AS mx, min(turn_idx) AS mn
+    FROM {table} GROUP BY conv_id
+  )
+),
+tsc AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND sec < prev THEN 1 ELSE 0 END) AS BIGINT) AS ts_regression
+  FROM (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM {table}
+  )
+)
+SELECT check_name, violations, total, violations = 0 AS passed FROM (
+  SELECT 'null_conv_id' AS check_name, null_conv_id AS violations, total FROM rowc
+  UNION ALL SELECT 'null_ts', null_ts, total FROM rowc
+  UNION ALL SELECT 'null_text', null_text, total FROM rowc
+  UNION ALL SELECT 'bad_role', bad_role, total FROM rowc
+  UNION ALL SELECT 'negative_turn_idx', negative_turn_idx, total FROM rowc
+  UNION ALL SELECT 'sparse_conv', sparse_conv, total FROM convc
+  UNION ALL SELECT 'ts_regression', ts_regression, total FROM tsc
+)
+"""

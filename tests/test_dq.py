@@ -1,0 +1,55 @@
+"""Data-quality gate: each expectation catches exactly its violation
+class on a crafted dirty frame, and a clean frame passes everything."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from osprey_spark.operators.dq import dq_checks
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts_str string"
+    ).select(
+        "conv_id", "turn_idx", "role", "text",
+        F.to_timestamp("ts_str").alias("ts"),
+    )
+
+
+def test_dq_clean_frame_passes(spark):
+    rows = [
+        ("c1", 0, "user", "hi", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "hello", "2024-01-01 00:00:05"),
+        ("c2", 0, "system", "boot", "2024-01-01 01:00:00"),
+    ]
+    out = {r.check_name: r for r in dq_checks(_frame(spark, rows)).collect()}
+    assert len(out) == 7
+    assert all(r.passed for r in out.values())
+    assert all(r.violations == 0 for r in out.values())
+    assert out["null_ts"].total == 3
+    assert out["sparse_conv"].total == 2  # conv-level check counts convs
+
+
+def test_dq_each_check_catches_its_violation(spark):
+    rows = [
+        (None, 0, "user", "x", "2024-01-01 00:00:00"),          # null conv
+        ("c1", 0, "user", None, "2024-01-01 00:00:00"),         # null text
+        ("c1", 1, "robot", "x", "2024-01-01 00:00:01"),         # bad role
+        ("c1", 2, "user", "x", None),                           # null ts
+        ("c2", -1, "user", "x", "2024-01-01 00:00:00"),         # negative idx
+        ("c3", 0, "user", "x", "2024-01-01 00:00:10"),
+        ("c3", 1, "user", "x", "2024-01-01 00:00:05"),          # ts regression
+        ("c4", 1, "user", "x", "2024-01-01 00:00:00"),          # sparse (no idx 0)
+    ]
+    out = {r.check_name: r for r in dq_checks(_frame(spark, rows)).collect()}
+    assert out["null_conv_id"].violations == 1
+    assert out["null_text"].violations == 1
+    assert out["bad_role"].violations == 1
+    assert out["null_ts"].violations == 1
+    assert out["negative_turn_idx"].violations == 1
+    assert out["ts_regression"].violations == 1
+    # sparse convs: c2 (min=-1) and c4 (min=1, max+1 != n)... c1 has
+    # idx 0,1,2 dense; None-conv group and c3 are dense
+    assert out["sparse_conv"].violations == 2
+    assert not out["bad_role"].passed
