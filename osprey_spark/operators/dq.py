@@ -29,6 +29,37 @@ from pyspark.sql import functions as F
 VALID_ROLES = ("user", "assistant", "system", "tool")
 
 
+def dq_observe_exprs(
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> list:
+    """The row-level expectations as ``observe()`` aggregate columns —
+    the streaming form of the gate: attached to the input stream they
+    ride the EXISTING micro-batch pass for free (no extra job, no
+    second scan) and surface per-batch in every progress event's
+    ``observedMetrics``, where the metrics listener records them.
+    Only row-local checks belong here; the cross-row checks
+    (sparse_conv, ts_regression) are the batch suite's job."""
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return [
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        cnt(F.col(conv_col).isNull(), "null_conv_id"),
+        cnt(F.col(ts_col).isNull(), "null_ts"),
+        cnt(F.col(text_col).isNull(), "null_text"),
+        cnt(
+            ~F.col(role_col).isin(*VALID_ROLES) | F.col(role_col).isNull(),
+            "bad_role",
+        ),
+        cnt(F.col(idx_col) < 0, "negative_turn_idx"),
+    ]
+
+
 def dq_checks(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -66,6 +66,16 @@ class JsonMetricsListener(StreamingQueryListener):
             "watermark_lag_ms": _lag_ms(et.get("max"), et.get("watermark")),
             "ts": time.time(),
         }
+        # observe() metrics (e.g. the dq ingest-quality counters) —
+        # one named Row per observation point
+        try:
+            observed = p.observedMetrics or {}
+        except Exception:  # pragma: no cover - older event shapes
+            observed = {}
+        if observed:
+            rec["observed"] = {
+                name: row.asDict() for name, row in observed.items()
+            }
         self._emit(rec)
 
     def onQueryTerminated(self, event):

@@ -64,6 +64,7 @@ class StreamingRuleEngine:
         dedup_ids: Optional[tuple[str, ...]] = None,
         dedup_watermark: str = "10 minutes",
         partition_hour: bool = False,
+        observe_dq: bool = False,
     ):
         """``tee``: multi-target fan-out (ref: output_sink.py:46-89) —
         a dict name -> (transform_fn, sink_kwargs) handed to MultiSink;
@@ -94,6 +95,11 @@ class StreamingRuleEngine:
         # queue's ack semantics instead, input_stream.py:413-444)
         self.dedup_ids = list(dedup_ids) if dedup_ids else None
         self.dedup_watermark = dedup_watermark
+        # per-micro-batch ingest-quality counters riding the existing
+        # pass via observe() (operators/dq.py) — surfaced in every
+        # progress event's observedMetrics and recorded by
+        # JsonMetricsListener
+        self.observe_dq = observe_dq
         # north rule: sink "partitioned by hash(conv_id) and ts-hour" —
         # the hash buckets are always on; this adds the event-time-hour
         # partition column so time-range reads prune at the directory
@@ -135,6 +141,10 @@ class StreamingRuleEngine:
         )
 
     def transform(self, stream: DataFrame) -> DataFrame:
+        if self.observe_dq:
+            from ..operators.dq import dq_observe_exprs
+
+            stream = stream.observe("dq", *dq_observe_exprs())
         if self.dedup_ids:
             stream = stream.withWatermark("ts", self.dedup_watermark)
             stream = stream.dropDuplicatesWithinWatermark(self.dedup_ids)

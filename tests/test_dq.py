@@ -53,3 +53,60 @@ def test_dq_each_check_catches_its_violation(spark):
     # idx 0,1,2 dense; None-conv group and c3 are dense
     assert out["sparse_conv"].violations == 2
     assert not out["bad_role"].passed
+
+
+def test_streaming_dq_observed_metrics(spark, tmp_path):
+    """observe_dq=True: the row-level expectations ride the rule
+    pipeline's existing micro-batch pass and land per batch in the
+    metrics listener's records — including a real violation count."""
+    import os
+    import time
+
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.streaming.metrics import JsonMetricsListener, read_metrics
+    from osprey_spark.streaming.pipeline import StreamingRuleEngine
+    from osprey_spark.turns import TURN_BINDINGS
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    rows = [
+        ("c1", 0, "user", "hi", "2024-01-01 10:00:00"),
+        ("c1", 1, "robot", "bad role here", "2024-01-01 10:00:05"),
+        ("c2", 0, "assistant", None, "2024-01-01 10:00:10"),
+    ]
+    _frame(spark, rows).coalesce(1).write.parquet(in_dir)
+
+    rs = compile_ruleset(
+        {"main.sml": "K: str = JsonData(path='$.conv_id')\n"},
+        bindings=TURN_BINDINGS,
+    )
+    mpath = str(tmp_path / "metrics.jsonl")
+    listener = JsonMetricsListener(mpath)
+    spark.streams.addListener(listener)
+    try:
+        eng = StreamingRuleEngine(
+            spark, rs, in_dir, out_dir,
+            passthrough=("conv_id", "turn_idx"), observe_dq=True,
+        )
+        eng.run_to_completion()
+        for _ in range(40):
+            if any("observed" in r for r in read_metrics(mpath)):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    obs = [
+        r["observed"]["dq"]
+        for r in read_metrics(mpath)
+        if r.get("event") == "progress" and "observed" in r
+        and "dq" in r.get("observed", {})
+    ]
+    assert obs, "no dq observation reached the listener"
+    agg = {
+        k: sum(o[k] for o in obs)
+        for k in ("rows", "bad_role", "null_text", "null_conv_id")
+    }
+    assert agg["rows"] == 3
+    assert agg["bad_role"] == 1
+    assert agg["null_text"] == 1
+    assert agg["null_conv_id"] == 0
