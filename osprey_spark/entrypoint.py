@@ -5478,6 +5478,35 @@ O_DQ_CHECKS = (
 )
 
 
+WATCHLIST_PHRASES = [
+    "key agg",
+    "batch window spark",
+    "customer query",
+    "hash value table",
+    "slow fast",
+    "merge sort",
+]
+
+
+def q_watchlist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale multi-phrase watchlist matching
+    (match.watchlist_hits): inverted first-token equi-join + narrow
+    window verify — the Aho-Corasick role re-expressed relationally,
+    so a 10^5-phrase list rides a join key instead of one giant
+    regex on every executor."""
+    from .operators.match import watchlist_hits
+
+    docs = _docs(spark, sf_dir)
+    return watchlist_hits(docs, WATCHLIST_PHRASES).orderBy("doc_id")
+
+
+from .operators.match import watchlist_hits_sql as _wl_sql  # noqa: E402
+
+O_WATCHLIST_HITS = (
+    _wl_sql("documents", WATCHLIST_PHRASES) + " ORDER BY doc_id"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5615,6 +5644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corruption": q_span_corruption,
     "preference_pairs": q_preference_pairs,
     "dq_checks": q_dq_checks,
+    "watchlist_hits": q_watchlist_hits,
 }
 
 ORACLES: dict[str, str] = {
@@ -5753,6 +5783,7 @@ ORACLES: dict[str, str] = {
     "span_corruption": O_SPAN_CORRUPTION,
     "preference_pairs": O_PREFERENCE_PAIRS,
     "dq_checks": O_DQ_CHECKS,
+    "watchlist_hits": O_WATCHLIST_HITS,
 }
 
 

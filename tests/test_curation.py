@@ -492,3 +492,36 @@ def test_span_corruption_rejects_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         span_corruption(docs, block=2, span_len=2)
+
+
+def test_watchlist_hits_known_answer(spark):
+    from osprey_spark.operators.match import watchlist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap meds now buy cheap meds"),   # phrase twice
+            (2, "cheap meds only"),                     # partial: no 'buy'
+            (3, "buy cheap socks"),                     # prefix diverges
+            (4, "totally clean text"),
+            (5, "x buy cheap meds y free money z"),     # two phrases
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.n_phrases, r.first_pos)
+        for r in watchlist_hits(docs, ["buy cheap meds", "free money"]).collect()
+    }
+    assert got == {
+        1: (2, 1, 0),
+        5: (2, 2, 1),
+    }
+
+
+def test_watchlist_hits_rejects_overlong_phrase(spark):
+    import pytest
+
+    from osprey_spark.operators.match import watchlist_hits
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        watchlist_hits(docs, ["a b c d e f"], max_len=5)
