@@ -5507,6 +5507,25 @@ O_WATCHLIST_HITS = (
 )
 
 
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-format assembly (transcripts.sft_render): merge
+    consecutive same-role turns (gaps-and-islands over one conv
+    shuffle), render deterministic <|role|> lines — the transcript →
+    training-row bridge."""
+    from .operators.transcripts import sft_render
+
+    t = turns_from_events(spark, sf_dir)
+    return sft_render(t).orderBy("conv_id")
+
+
+from .operators.transcripts import sft_render_sql as _sft_sql  # noqa: E402
+
+O_SFT_RENDER = (
+    _sft_sql("turns").replace("WITH b AS", TURNS_CTE + ", b AS", 1)
+    + " ORDER BY conv_id"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5645,6 +5664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preference_pairs": q_preference_pairs,
     "dq_checks": q_dq_checks,
     "watchlist_hits": q_watchlist_hits,
+    "sft_render": q_sft_render,
 }
 
 ORACLES: dict[str, str] = {
@@ -5784,6 +5804,7 @@ ORACLES: dict[str, str] = {
     "preference_pairs": O_PREFERENCE_PAIRS,
     "dq_checks": O_DQ_CHECKS,
     "watchlist_hits": O_WATCHLIST_HITS,
+    "sft_render": O_SFT_RENDER,
 }
 
 

@@ -483,3 +483,116 @@ def stream_transition_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sft_render(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT training-example assembly from raw transcripts →
+    ``(conv_id, n_turns, n_merged, rendered)``.
+
+    The two standard cleanup/render steps between a transcript table
+    and a chat-format training row:
+
+    1. MERGE consecutive same-role turns (tool spam, double-sends)
+       into one turn, texts joined with a single space in turn order;
+    2. render the chat template: one ``<|role|> text`` line per merged
+       turn, lines joined with newlines — deterministic, so the
+       rendered string is oracle-replayable byte-for-byte.
+
+    The merge is the classic gaps-and-islands shape: a turn starts a
+    new island iff its role differs from the previous turn's (lag),
+    island id = running count of starts — two window passes over the
+    SAME conv-sized partitions (one shuffle), then one (conv, island)
+    aggregate and one conv aggregate. State never exceeds a
+    conversation; no joins.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    base = turns.select(conv_col, idx_col, role_col, text_col)
+    is_start = (
+        F.lag(role_col).over(w).isNull()
+        | (F.lag(role_col).over(w) != F.col(role_col))
+    ).cast("int")
+    with_isl = base.select(
+        conv_col,
+        idx_col,
+        role_col,
+        text_col,
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_isl"),
+    )
+    islands = with_isl.groupBy(conv_col, "_isl").agg(
+        F.min(idx_col).alias("_i0"),
+        F.first(role_col).alias("_role"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(idx_col).alias("i"), F.col(text_col).alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        islands.groupBy(conv_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_turns"),
+            (F.sum("_n") - F.count(F.lit(1))).cast("long").alias("n_merged"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_i0").alias("i"),
+                                F.concat(
+                                    F.lit("<|"), F.col("_role"), F.lit("|> "), F.col("_text")
+                                ).alias("line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("rendered"),
+        )
+    )
+
+
+def sft_render_sql(table: str) -> str:
+    """DuckDB oracle for :func:`sft_render` (gaps-and-islands +
+    ordered string_agg)."""
+    return f"""
+WITH b AS (
+  SELECT conv_id, turn_idx, role, text,
+    CASE WHEN lag(role) OVER w IS NULL OR lag(role) OVER w != role
+         THEN 1 ELSE 0 END AS st
+  FROM {table}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+isl AS (
+  SELECT conv_id, turn_idx, role, text,
+    sum(st) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING) AS isl
+  FROM b
+),
+merged AS (
+  SELECT conv_id, isl, min(turn_idx) AS i0, min(role) AS role,
+    string_agg(text, ' ' ORDER BY turn_idx) AS text,
+    count(*) AS n
+  FROM isl GROUP BY conv_id, isl
+)
+SELECT conv_id,
+  CAST(sum(n) AS BIGINT) AS n_turns,
+  CAST(sum(n) - count(*) AS BIGINT) AS n_merged,
+  string_agg('<|' || role || '|> ' || text, chr(10) ORDER BY i0) AS rendered
+FROM merged GROUP BY conv_id
+"""

@@ -403,3 +403,29 @@ def test_preference_pairs_invariants(spark):
         cut = min(r.chosen_idx, r.rejected_idx)
         n_prompt_turns = 0 if r.prompt == "" else len(r.prompt.split("\n"))
         assert n_prompt_turns == cut  # turn_idx is dense from 0
+
+
+def test_sft_render_merges_and_renders(spark):
+    from osprey_spark.operators.transcripts import sft_render
+
+    rows = [
+        ("c1", 0, "system", "you are helpful"),
+        ("c1", 1, "user", "hi"),
+        ("c1", 2, "user", "are you there"),       # merged into previous
+        ("c1", 3, "assistant", "yes"),
+        ("c1", 4, "tool", "a"),
+        ("c1", 5, "tool", "b"),                   # merged
+        ("c1", 6, "tool", "c"),                   # merged
+        ("c2", 0, "user", "solo"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r.conv_id: r for r in sft_render(t).collect()}
+    assert got["c1"].n_turns == 7 and got["c1"].n_merged == 3
+    assert got["c1"].rendered == (
+        "<|system|> you are helpful\n"
+        "<|user|> hi are you there\n"
+        "<|assistant|> yes\n"
+        "<|tool|> a b c"
+    )
+    assert got["c2"].n_turns == 1 and got["c2"].n_merged == 0
+    assert got["c2"].rendered == "<|user|> solo"
