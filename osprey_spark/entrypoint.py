@@ -5526,6 +5526,26 @@ O_SFT_RENDER = (
 )
 
 
+def q_echo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-parrots-user echo metric (transcripts.echo_overlap):
+    BLEU-style clipped unigram/bigram precision of each assistant
+    turn against the preceding user turn. One conv-partitioned lag
+    window + per-row JVM higher-order functions — no self-join, no
+    UDF."""
+    from .operators.transcripts import echo_overlap
+
+    t = turns_from_events(spark, sf_dir)
+    return echo_overlap(t).orderBy("conv_id", "turn_idx")
+
+
+from .operators.transcripts import echo_overlap_sql as _echo_sql  # noqa: E402
+
+O_ECHO_OVERLAP = (
+    _echo_sql("turns").replace("WITH tk AS", TURNS_CTE + ", tk AS", 1)
+    + " ORDER BY conv_id, turn_idx"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5665,6 +5685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_checks": q_dq_checks,
     "watchlist_hits": q_watchlist_hits,
     "sft_render": q_sft_render,
+    "echo_overlap": q_echo_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -5805,6 +5826,7 @@ ORACLES: dict[str, str] = {
     "dq_checks": O_DQ_CHECKS,
     "watchlist_hits": O_WATCHLIST_HITS,
     "sft_render": O_SFT_RENDER,
+    "echo_overlap": O_ECHO_OVERLAP,
 }
 
 

@@ -596,3 +596,134 @@ SELECT conv_id,
   string_agg('<|' || role || '|> ' || text, chr(10) ORDER BY i0) AS rendered
 FROM merged GROUP BY conv_id
 """
+
+
+def echo_overlap(
+    turns: DataFrame,
+    threshold: float = 0.6,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assistant-parrots-user detection: clipped n-gram precision of
+    each assistant turn against the immediately preceding user turn.
+
+    The copy/echo quality signal for dialogue training data (the
+    modified n-gram precision of BLEU, Papineni et al. 2002, with the
+    preceding user turn as the reference): an assistant turn whose
+    unigram precision vs the user prompt is ~1.0 adds no information
+    — it just repeats the prompt back. Emits per-pair unigram and
+    bigram clipped counts and precisions plus an ``echoed`` flag at
+    ``threshold`` on the unigram precision.
+
+    Shapes, at 100 TB: ONE conv-partitioned window (lag of the
+    previous turn's role + token array — conversation-sized
+    partitions, the pipeline's standard shuffle key) and everything
+    else is per-row JVM higher-order functions (zip_with for bigrams,
+    aggregate/least/filter for the clipped multiset intersection) —
+    no self-join, no UDF, no corpus-sized state. Clipped counting is
+    O(|cand| * (|cand|+|ref|)) per row on short turn texts.
+
+    Float determinism: each precision is ONE integer/integer division
+    rounded half-away-from-zero to 6 places, so the DuckDB replay is
+    hash-exact.
+    """
+
+    def _bigrams(a: Column) -> Column:
+        return F.when(
+            F.size(a) >= 2,
+            F.zip_with(
+                F.slice(a, 1, F.size(a) - 1),
+                F.slice(a, 2, F.size(a) - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _clip(c: Column, r: Column) -> Column:
+        # sum over distinct candidate grams of min(count_c, count_r)
+        return F.aggregate(
+            F.array_distinct(c),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.least(
+                F.size(F.filter(c, lambda y: y == t)),
+                F.size(F.filter(r, lambda y: y == t)),
+            ).cast("long"),
+        )
+
+    toks = turns.select(
+        conv_col,
+        idx_col,
+        role_col,
+        tokenize_col(F.col(text_col)).alias("_tk"),
+    )
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    paired = toks.select(
+        conv_col,
+        idx_col,
+        role_col,
+        F.col("_tk").alias("_cand"),
+        F.lag(role_col).over(w).alias("_prole"),
+        F.lag("_tk").over(w).alias("_ref"),
+    ).filter(
+        (F.col(role_col) == "assistant") & (F.col("_prole") == "user")
+    )
+    n_cand = F.size("_cand").cast("long")
+    n_bi = F.greatest(F.size("_cand") - 1, F.lit(0)).cast("long")
+    uni_clip = _clip(F.col("_cand"), F.col("_ref"))
+    bi_clip = _clip(_bigrams(F.col("_cand")), _bigrams(F.col("_ref")))
+    uni_prec = F.when(
+        n_cand > 0, F.round(uni_clip.cast("double") / n_cand, 6)
+    ).otherwise(F.lit(0.0))
+    bi_prec = F.when(
+        n_bi > 0, F.round(bi_clip.cast("double") / n_bi, 6)
+    ).otherwise(F.lit(0.0))
+    return paired.select(
+        conv_col,
+        idx_col,
+        n_cand.alias("n_cand"),
+        uni_clip.alias("uni_clip"),
+        bi_clip.alias("bi_clip"),
+        uni_prec.alias("uni_prec"),
+        bi_prec.alias("bi_prec"),
+        (uni_prec >= F.lit(threshold)).alias("echoed"),
+    )
+
+
+def echo_overlap_sql(table: str, threshold: float = 0.6) -> str:
+    """DuckDB oracle for :func:`echo_overlap` (lag pairing + list
+    comprehension bigrams + clipped-count list fold)."""
+    tk = r"list_filter(regexp_split_to_array(lower(text), '[\W_]+'), t -> t <> '')"
+    bi = (
+        "CASE WHEN len({a}) >= 2 THEN "
+        "list_transform(range(1, len({a})), i -> {a}[i] || ' ' || {a}[i+1]) "
+        "ELSE [] END"
+    )
+    clip = (
+        "coalesce(list_sum(list_transform(list_distinct({c}), "
+        "t -> least(len(list_filter({c}, y -> y = t)), "
+        "len(list_filter({r}, y -> y = t))))), 0)"
+    )
+    return f"""
+WITH tk AS (
+  SELECT conv_id, turn_idx, role, {tk} AS cand,
+    lag(role) OVER w AS prole, lag({tk}) OVER w AS ref
+  FROM {table}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+pairs AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(cand) AS BIGINT) AS n_cand,
+    CAST(greatest(len(cand) - 1, 0) AS BIGINT) AS n_bi,
+    CAST({clip.format(c='cand', r='ref')} AS BIGINT) AS uni_clip,
+    CAST({clip.format(c=bi.format(a='cand'), r=bi.format(a='ref'))} AS BIGINT) AS bi_clip
+  FROM tk WHERE role = 'assistant' AND prole = 'user'
+)
+SELECT conv_id, turn_idx, n_cand, uni_clip, bi_clip,
+  CASE WHEN n_cand > 0 THEN round(CAST(uni_clip AS DOUBLE) / n_cand, 6) ELSE 0.0 END AS uni_prec,
+  CASE WHEN n_bi > 0 THEN round(CAST(bi_clip AS DOUBLE) / n_bi, 6) ELSE 0.0 END AS bi_prec,
+  (CASE WHEN n_cand > 0 THEN round(CAST(uni_clip AS DOUBLE) / n_cand, 6) ELSE 0.0 END)
+    >= {threshold} AS echoed
+FROM pairs
+"""

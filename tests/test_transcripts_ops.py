@@ -429,3 +429,32 @@ def test_sft_render_merges_and_renders(spark):
     )
     assert got["c2"].n_turns == 1 and got["c2"].n_merged == 0
     assert got["c2"].rendered == "<|user|> solo"
+
+
+def test_echo_overlap_known_answer(spark):
+    from osprey_spark.operators.transcripts import echo_overlap
+
+    rows = [
+        ("c1", 0, "user", "the cat sat on the mat"),
+        ("c1", 1, "assistant", "the cat sat quietly"),
+        ("c1", 2, "user", "ok"),
+        ("c1", 3, "assistant", "ok"),
+        ("c1", 4, "user", "hm"),
+        ("c1", 5, "assistant", "!!!"),          # tokenizes to nothing
+        ("c2", 0, "assistant", "no prior user"),  # no preceding turn
+        ("c3", 0, "tool", "x"),
+        ("c3", 1, "assistant", "y"),            # preceding turn not user
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r.conv_id, r.turn_idx): r for r in echo_overlap(t).collect()}
+    assert set(got) == {("c1", 1), ("c1", 3), ("c1", 5)}
+    r = got[("c1", 1)]
+    # cand [the cat sat quietly]: uni clip = the+cat+sat = 3/4
+    # bigrams: {the cat, cat sat} of 3 -> 2/3
+    assert (r.n_cand, r.uni_clip, r.bi_clip) == (4, 3, 2)
+    assert r.uni_prec == 0.75 and r.bi_prec == 0.666667 and r.echoed
+    r = got[("c1", 3)]  # exact parrot, single token, no bigrams
+    assert (r.n_cand, r.uni_clip, r.uni_prec, r.bi_prec) == (1, 1, 1.0, 0.0)
+    assert r.echoed
+    r = got[("c1", 5)]  # empty candidate -> defined 0.0, not echoed
+    assert (r.n_cand, r.uni_prec, r.echoed) == (0, 0.0, False)
