@@ -5546,6 +5546,26 @@ O_ECHO_OVERLAP = (
 )
 
 
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-limited next-turn-prediction context assembly
+    (transcripts.context_windows): one prefix-sum window + a
+    conv-keyed equi-join whose budget inequality bounds per-target
+    fan-out regardless of conversation length — never collect-the-
+    whole-history-per-row."""
+    from .operators.transcripts import context_windows
+
+    t = turns_from_events(spark, sf_dir)
+    return context_windows(t).orderBy("conv_id", "turn_idx")
+
+
+from .operators.transcripts import context_windows_sql as _ctxw_sql  # noqa: E402
+
+O_CONTEXT_WINDOWS = (
+    _ctxw_sql("turns").replace("WITH base AS", TURNS_CTE + ", base AS", 1)
+    + " ORDER BY 1, 2"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5686,6 +5706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watchlist_hits": q_watchlist_hits,
     "sft_render": q_sft_render,
     "echo_overlap": q_echo_overlap,
+    "context_windows": q_context_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -5827,6 +5848,7 @@ ORACLES: dict[str, str] = {
     "watchlist_hits": O_WATCHLIST_HITS,
     "sft_render": O_SFT_RENDER,
     "echo_overlap": O_ECHO_OVERLAP,
+    "context_windows": O_CONTEXT_WINDOWS,
 }
 
 

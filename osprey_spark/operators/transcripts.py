@@ -727,3 +727,128 @@ SELECT conv_id, turn_idx, n_cand, uni_clip, bi_clip,
     >= {threshold} AS echoed
 FROM pairs
 """
+
+
+def context_windows(
+    turns: DataFrame,
+    budget: int = 32,
+    target_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-turn-prediction context assembly under a token budget.
+
+    For every ``target_role`` turn, gather the longest suffix of its
+    conversation history whose total token count fits ``budget`` and
+    render it as ordered ``<|role|> text`` lines — the
+    (context, target) training-example shape for next-turn prediction
+    with a bounded context window. Targets whose single preceding
+    turn already exceeds the budget produce no row (no non-empty
+    context fits).
+
+    Shapes, at 100 TB: the naive form is "collect the whole history
+    per row" — an O(conv_len^2) window state blow-up. Instead ONE
+    prefix-sum window computes ``pre`` = tokens before each turn, and
+    the history suffix becomes a conv-keyed equi-join with the budget
+    inequality ``t.pre - c.pre <= budget`` as a post-join filter:
+    both sides shuffle on the pipeline's standard conv key
+    (co-partitioned), and per-target fan-out is bounded by
+    budget / min-tokens-per-turn REGARDLESS of conversation length.
+    One (conv, target) hash aggregate with a turn-ordered array join
+    renders byte-deterministic context strings.
+    """
+    base = turns.select(
+        conv_col,
+        idx_col,
+        role_col,
+        text_col,
+        F.size(tokenize_col(F.col(text_col))).cast("long").alias("_nt"),
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumt = base.withColumn("_pre", F.sum("_nt").over(w) - F.col("_nt"))
+    targets = cumt.filter(
+        (F.col(role_col) == target_role) & (F.col(idx_col) > 0)
+    ).select(
+        conv_col,
+        F.col(idx_col).alias("_t_idx"),
+        F.col("_pre").alias("_t_pre"),
+        F.col(text_col).alias("target_text"),
+    )
+    ctx = cumt.select(
+        conv_col,
+        F.col(idx_col).alias("_c_idx"),
+        F.col("_pre").alias("_c_pre"),
+        F.col("_nt").alias("_c_nt"),
+        F.concat(
+            F.lit("<|"), F.col(role_col), F.lit("|> "), F.col(text_col)
+        ).alias("_line"),
+    )
+    joined = targets.join(ctx, on=conv_col, how="inner").filter(
+        (F.col("_c_idx") < F.col("_t_idx"))
+        & (F.col("_t_pre") - F.col("_c_pre") <= F.lit(budget))
+    )
+    return (
+        joined.groupBy(conv_col, "_t_idx", "target_text")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ctx_turns"),
+            F.sum("_c_nt").cast("long").alias("ctx_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_c_idx").alias("i"),
+                                F.col("_line").alias("line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("ctx_text"),
+        )
+        .select(
+            conv_col,
+            F.col("_t_idx").alias(idx_col),
+            "ctx_turns",
+            "ctx_tokens",
+            "ctx_text",
+            "target_text",
+        )
+    )
+
+
+def context_windows_sql(
+    table: str, budget: int = 32, target_role: str = "assistant"
+) -> str:
+    """DuckDB oracle for :func:`context_windows` (prefix-sum window +
+    budget-bounded self-join + ordered string_agg)."""
+    tk = r"list_filter(regexp_split_to_array(lower(text), '[\W_]+'), t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, text, CAST(len({tk}) AS BIGINT) AS nt
+  FROM {table}
+),
+cumt AS (
+  SELECT *, sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS UNBOUNDED PRECEDING) - nt AS pre
+  FROM base
+)
+SELECT t.conv_id, t.turn_idx,
+  CAST(count(*) AS BIGINT) AS ctx_turns,
+  CAST(sum(c.nt) AS BIGINT) AS ctx_tokens,
+  string_agg('<|' || c.role || '|> ' || c.text, chr(10) ORDER BY c.turn_idx) AS ctx_text,
+  t.text AS target_text
+FROM cumt t JOIN cumt c
+  ON t.conv_id = c.conv_id
+ AND c.turn_idx < t.turn_idx
+ AND t.pre - c.pre <= {budget}
+WHERE t.role = '{target_role}' AND t.turn_idx > 0
+GROUP BY t.conv_id, t.turn_idx, t.text
+"""

@@ -458,3 +458,34 @@ def test_echo_overlap_known_answer(spark):
     assert r.echoed
     r = got[("c1", 5)]  # empty candidate -> defined 0.0, not echoed
     assert (r.n_cand, r.uni_prec, r.echoed) == (0, 0.0, False)
+
+
+def test_context_windows_budget_suffix(spark):
+    from osprey_spark.operators.transcripts import context_windows
+
+    rows = [
+        ("c1", 0, "user", "a b c"),        # 3 tokens, pre=0
+        ("c1", 1, "tool", "d e"),          # 2 tokens, pre=3
+        ("c1", 2, "user", "f g h i"),      # 4 tokens, pre=5
+        ("c1", 3, "assistant", "target one"),   # pre=9
+        ("c1", 4, "assistant", "target two"),   # pre=11
+        ("c2", 0, "assistant", "no history"),   # turn 0: never a target
+        ("c3", 0, "user", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+        ("c3", 1, "assistant", "over budget"),  # sole prior turn > budget
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    tight = {(r.conv_id, r.turn_idx): r for r in context_windows(t, budget=5).collect()}
+    assert set(tight) == {("c1", 3), ("c1", 4)}
+    r = tight[("c1", 3)]  # 9 - pre <= 5 -> only turn 2 (pre=5)
+    assert (r.ctx_turns, r.ctx_tokens) == (1, 4)
+    assert r.ctx_text == "<|user|> f g h i" and r.target_text == "target one"
+    r = tight[("c1", 4)]  # 11 - pre <= 5 -> only turn 3 (pre=9)
+    assert (r.ctx_turns, r.ctx_tokens) == (1, 2)
+    assert r.ctx_text == "<|assistant|> target one"
+
+    wide = {(r.conv_id, r.turn_idx): r for r in context_windows(t, budget=100).collect()}
+    r = wide[("c1", 3)]  # whole history fits, line order by turn_idx
+    assert (r.ctx_turns, r.ctx_tokens) == (3, 9)
+    assert r.ctx_text == "<|user|> a b c\n<|tool|> d e\n<|user|> f g h i"
+    assert ("c3", 1) in wide and ("c2", 0) not in wide
