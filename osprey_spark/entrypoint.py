@@ -5566,6 +5566,22 @@ O_CONTEXT_WINDOWS = (
 )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (similarity.fuzzy_match_pairs):
+    prefix-blocked self-equi-join + built-in levenshtein with
+    early-exit threshold — the typo family MinHash misses; never a
+    cross join."""
+    from .operators.similarity import fuzzy_match_pairs
+
+    docs = _docs(spark, sf_dir)
+    return fuzzy_match_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+from .operators.similarity import fuzzy_match_oracle_sql as _fuzzy_sql  # noqa: E402
+
+O_FUZZY_MATCH = _fuzzy_sql("documents") + " ORDER BY 1, 2"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5707,6 +5723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_render": q_sft_render,
     "echo_overlap": q_echo_overlap,
     "context_windows": q_context_windows,
+    "fuzzy_match": q_fuzzy_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -5849,6 +5866,7 @@ ORACLES: dict[str, str] = {
     "sft_render": O_SFT_RENDER,
     "echo_overlap": O_ECHO_OVERLAP,
     "context_windows": O_CONTEXT_WINDOWS,
+    "fuzzy_match": O_FUZZY_MATCH,
 }
 
 

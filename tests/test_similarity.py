@@ -331,3 +331,26 @@ def test_kmeans_separable_clusters_and_partitioning_invariance(spark):
         assert len({cell[i] for i in ids}) == 1
     assert len({cell[b * 10] for b in range(3)}) == 3
     assert all(r.dist2 < 0.01 for r in out1)
+
+
+def test_fuzzy_match_pairs_known_answer(spark):
+    from osprey_spark.operators.similarity import fuzzy_match_pairs
+
+    texts = {
+        1: "prefix0123456789 hello world",
+        2: "prefix0123456789 hello w0rld",        # 1 substitution from d1
+        3: "prefix0123456789 completely different tail",
+        4: "other prefix entirely hello world",   # different block
+        5: "prefix0123456789 hello world",        # exact dup of d1
+    }
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in fuzzy_match_pairs(docs, threshold=5, block_len=16).collect()
+    }
+    # in-block, within threshold: (1,2)=1, (1,5)=0, (2,5)=1; the
+    # early-exit -1 sentinel for >threshold pairs must be filtered out
+    assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
