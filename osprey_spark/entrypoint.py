@@ -5582,6 +5582,22 @@ from .operators.similarity import fuzzy_match_oracle_sql as _fuzzy_sql  # noqa: 
 O_FUZZY_MATCH = _fuzzy_sql("documents") + " ORDER BY 1, 2"
 
 
+def q_pivot_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role-mix wide table
+    (transcripts.pivot_roles): pivot with an EXPLICIT value list —
+    one conv-keyed aggregate of conditional counts, no extra
+    distinct-discovery job."""
+    from .operators.transcripts import pivot_roles
+
+    t = turns_from_events(spark, sf_dir)
+    return pivot_roles(t).orderBy("conv_id")
+
+
+from .operators.transcripts import pivot_roles_sql as _pivot_sql  # noqa: E402
+
+O_PIVOT_ROLES = TURNS_CTE + " " + _pivot_sql("turns") + " ORDER BY conv_id"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5724,6 +5740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "echo_overlap": q_echo_overlap,
     "context_windows": q_context_windows,
     "fuzzy_match": q_fuzzy_match,
+    "pivot_roles": q_pivot_roles,
 }
 
 ORACLES: dict[str, str] = {
@@ -5867,6 +5884,7 @@ ORACLES: dict[str, str] = {
     "echo_overlap": O_ECHO_OVERLAP,
     "context_windows": O_CONTEXT_WINDOWS,
     "fuzzy_match": O_FUZZY_MATCH,
+    "pivot_roles": O_PIVOT_ROLES,
 }
 
 

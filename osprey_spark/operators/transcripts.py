@@ -852,3 +852,56 @@ FROM cumt t JOIN cumt c
 WHERE t.role = '{target_role}' AND t.turn_idx > 0
 GROUP BY t.conv_id, t.turn_idx, t.text
 """
+
+
+ROLES = ("user", "assistant", "system", "tool")
+
+
+def pivot_roles(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation role-mix in wide form: one column of turn
+    counts per role — the feature-vector shape downstream models and
+    dashboards consume (a conversation with 40 tool turns and 1 user
+    turn is an agent loop; 0 assistant turns is an abandoned chat).
+
+    Pivot is the operator; the scale contract is the EXPLICIT value
+    list: ``pivot(role, [values])`` compiles to ONE conv-keyed hash
+    aggregate with map-side partials (conditional counts per role),
+    while ``pivot(role)`` without values runs a whole extra
+    distinct-collect job over the corpus first to discover them at
+    the driver. Pivoted dimensions must be enum-class (|roles| = 4);
+    absent combinations land NULL and are pinned to 0 so outputs are
+    all-integer and the replay is hash-exact.
+    """
+    wide = (
+        turns.groupBy(conv_col)
+        .pivot(role_col, list(ROLES))
+        .count()
+    )
+    cols = [
+        F.coalesce(F.col(r), F.lit(0)).cast("long").alias(f"n_{r}")
+        for r in ROLES
+    ]
+    total = sum(
+        (F.coalesce(F.col(r), F.lit(0)) for r in ROLES), F.lit(0)
+    ).cast("long")
+    return wide.select(conv_col, *cols, total.alias("n_turns"))
+
+
+def pivot_roles_sql(table: str) -> str:
+    """DuckDB oracle for :func:`pivot_roles` (conditional counts —
+    exactly the aggregate Spark's pivot compiles to)."""
+    conds = ",\n  ".join(
+        f"CAST(count(*) FILTER (role = '{r}') AS BIGINT) AS n_{r}"
+        for r in ROLES
+    )
+    return f"""
+SELECT conv_id,
+  {conds},
+  CAST(count(*) FILTER (role IN ('user','assistant','system','tool')) AS BIGINT) AS n_turns
+FROM {table}
+GROUP BY conv_id
+"""

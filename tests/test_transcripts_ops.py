@@ -489,3 +489,19 @@ def test_context_windows_budget_suffix(spark):
     assert (r.ctx_turns, r.ctx_tokens) == (3, 9)
     assert r.ctx_text == "<|user|> a b c\n<|tool|> d e\n<|user|> f g h i"
     assert ("c3", 1) in wide and ("c2", 0) not in wide
+
+
+def test_pivot_roles_wide_counts(spark):
+    from osprey_spark.operators.transcripts import pivot_roles
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+        ("c1", 3, "tool"), ("c1", 4, "assistant"),
+        ("c2", 0, "system"), ("c2", 1, "user"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {r.conv_id: r for r in pivot_roles(t).collect()}
+    r = got["c1"]
+    assert (r.n_user, r.n_assistant, r.n_system, r.n_tool, r.n_turns) == (1, 2, 0, 2, 5)
+    r = got["c2"]
+    assert (r.n_user, r.n_assistant, r.n_system, r.n_tool, r.n_turns) == (1, 0, 1, 0, 2)
