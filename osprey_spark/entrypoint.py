@@ -5598,6 +5598,22 @@ from .operators.transcripts import pivot_roles_sql as _pivot_sql  # noqa: E402
 O_PIVOT_ROLES = TURNS_CTE + " " + _pivot_sql("turns") + " ORDER BY conv_id"
 
 
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty tiers (curation.curriculum_buckets):
+    exact quantile boundaries from ONE map-side aggregate + broadcast
+    range assignment — never the single-partition global-ntile
+    window."""
+    from .operators.curation import curriculum_buckets
+
+    docs = _docs(spark, sf_dir)
+    return curriculum_buckets(docs).orderBy("doc_id")
+
+
+from .operators.curation import curriculum_buckets_sql as _curr_sql  # noqa: E402
+
+O_CURRICULUM_BUCKETS = _curr_sql("documents") + " ORDER BY doc_id"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5741,6 +5757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_windows": q_context_windows,
     "fuzzy_match": q_fuzzy_match,
     "pivot_roles": q_pivot_roles,
+    "curriculum_buckets": q_curriculum_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -5885,6 +5902,7 @@ ORACLES: dict[str, str] = {
     "context_windows": O_CONTEXT_WINDOWS,
     "fuzzy_match": O_FUZZY_MATCH,
     "pivot_roles": O_PIVOT_ROLES,
+    "curriculum_buckets": O_CURRICULUM_BUCKETS,
 }
 
 

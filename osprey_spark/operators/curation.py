@@ -1521,3 +1521,69 @@ SELECT {id_col},
     ' ') AS target
 FROM m
 """
+
+
+def curriculum_buckets(
+    docs: DataFrame,
+    probs: tuple = (0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Curriculum-ordering bucket assignment: split the corpus into
+    len(probs)+1 difficulty tiers by exact score quantiles (easy →
+    hard data scheduling, Bengio et al. 2009), WITHOUT the global-sort
+    trap.
+
+    The naive form is ``ntile(k) OVER (ORDER BY score)`` — an
+    un-partitioned window that funnels EVERY row through ONE task (the
+    single-partition window is the classic 100 TB cliff). Instead:
+    ONE map-side-combinable aggregate computes the exact interpolated
+    quantile boundaries (``percentile`` — counts-map merge, memory
+    bounded by distinct scores; swap in ``approx_percentile`` when
+    scores are continuous), the 1-row boundary frame broadcasts, and
+    bucket assignment is a per-row array fold ``1 + |{b : score > b}|``
+    — embarrassingly parallel, no corpus shuffle at all.
+
+    Difference vs ntile semantics: equal scores always land in the
+    same bucket here (boundary ties break by value, not row position),
+    which is what a curriculum actually wants — ntile splits ties
+    arbitrarily to equalize bucket sizes. Integer scores + exact
+    boundaries keep the DuckDB ``quantile_cont`` replay hash-exact.
+    """
+    bounds = docs.agg(
+        F.percentile(
+            F.col(score_col).cast("double"),
+            F.array(*[F.lit(float(p)) for p in probs]),
+        ).alias("_bs")
+    )
+    score = F.col(score_col).cast("double")
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(score > b, 1).otherwise(0),
+    )
+    return docs.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        F.col(score_col).cast("long").alias("score"),
+        bucket.cast("long").alias("bucket"),
+    )
+
+
+def curriculum_buckets_sql(
+    table: str,
+    probs: tuple = (0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> str:
+    """DuckDB oracle for :func:`curriculum_buckets` (quantile_cont
+    boundaries + the same strictly-greater array fold)."""
+    plist = ", ".join(str(float(p)) for p in probs)
+    return f"""
+WITH bounds AS (
+  SELECT quantile_cont(CAST({score_col} AS DOUBLE), [{plist}]) AS bs FROM {table}
+)
+SELECT d.{id_col},
+  CAST(d.{score_col} AS BIGINT) AS score,
+  CAST(1 + len(list_filter(b.bs, x -> CAST(d.{score_col} AS DOUBLE) > x)) AS BIGINT) AS bucket
+FROM {table} d, bounds b
+"""

@@ -39,6 +39,7 @@ _CROSS_OK = {
     "zorder_stats",  # 1-row min/max-ranges frame broadcast onto the scan
     "kmv_set_ops",  # 1-row sketch frame x 1-row exact frame broadcast
     "decay_score",  # 1-row global now-bucket frame broadcast onto the scan
+    "curriculum_buckets",  # 1-row quantile-boundaries frame broadcast onto the scan
 }
 
 # Queries expected to broadcast at least one join side (small dim /
