@@ -5614,6 +5614,34 @@ from .operators.curation import curriculum_buckets_sql as _curr_sql  # noqa: E40
 O_CURRICULUM_BUCKETS = _curr_sql("documents") + " ORDER BY doc_id"
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (sketches.drift_metrics): PSI + KS
+    of per-event values between the first and second half of the
+    month, per event type — ONE corpus scan to a <=252-bin-per-group
+    histogram frame, integer-exact KS numerator, bin-ordered PSI
+    fold. The training-pipeline answer to "did the data shift under
+    us since the last snapshot"."""
+    from .operators.sketches import drift_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return drift_metrics(
+        ev,
+        value_col=F.floor(F.col("value") * 100),
+        cur_pred=F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        group_cols=["event_type"],
+    ).orderBy("event_type")
+
+
+from .operators.sketches import drift_metrics_sql as _drift_sql  # noqa: E402
+
+O_DRIFT_PSI = _drift_sql(
+    "events",
+    value_expr="floor(value * 100)",
+    cur_expr="ts >= TIMESTAMP '2024-01-16 00:00:00'",
+    group_cols=["event_type"],
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -5758,6 +5786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "pivot_roles": q_pivot_roles,
     "curriculum_buckets": q_curriculum_buckets,
+    "drift_psi": q_drift_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -5903,6 +5932,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_match": O_FUZZY_MATCH,
     "pivot_roles": O_PIVOT_ROLES,
     "curriculum_buckets": O_CURRICULUM_BUCKETS,
+    "drift_psi": O_DRIFT_PSI,
 }
 
 

@@ -651,3 +651,173 @@ SELECT est_a, est_b, est_union,
   CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersect
 FROM e CROSS JOIN ex
 """
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI + KS) between two event-time periods
+# ---------------------------------------------------------------------------
+
+
+def drift_metrics(
+    df: DataFrame,
+    value_col: Column,
+    cur_pred: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Population Stability Index + Kolmogorov-Smirnov statistic of a
+    value's distribution between a reference period (``cur_pred``
+    false) and a current period (``cur_pred`` true) — the
+    training-data drift monitor (did token lengths / activity values
+    shift under the pipeline since the last snapshot?).
+
+    Both periods histogram into the same log-scaled bins as
+    :func:`hist_quantiles` (<=252 bins), so the whole comparison runs
+    on bin frames:
+
+    1. ONE corpus scan -> hash aggregate to (group, bin, ref_cnt,
+       cur_cnt) — conditional counts, map-side partials; the only
+       row-scale shuffle, and it carries (group, bin) keys only;
+    2. group totals / bin cumsums as windows over the BIN frame
+       (group-sized partitions, <=252 rows each) — all INTEGER sums,
+       partition-order independent;
+    3. KS in exact integer arithmetic: the statistic's numerator
+       ``max |cum_ref*cur_n - cum_cur*ref_n|`` folds as decimal(38)
+       products (overflow-free to ~1e18 rows per side), one float
+       division at the very end;
+    4. PSI with add-one smoothing over the union bin set
+       (``p = (ref_cnt+1)/(ref_n+n_bins)``) — each bin's term has one
+       fixed expression shape and the per-group sum folds BIN-ORDERED
+       over a collected (<=252-entry) array, so float add order is
+       fixed and the DuckDB oracle replays hash-exact (same
+       discipline as the NLL/DSIR folds).
+
+    Output: ``group_cols..., ref_n, cur_n, n_bins, psi, ks`` (floats
+    rounded to 6, the repo's hashed-float convention). Groups with an
+    empty side report NULL psi/ks (nothing to compare against).
+    """
+    from pyspark.sql.window import Window
+
+    cur = cur_pred.cast("int")
+    hist = (
+        df.select(
+            *group_cols, hist_bin(value_col.cast("long")).alias("_bin"), cur.alias("_c")
+        )
+        .groupBy(*group_cols, "_bin")
+        .agg(
+            F.sum(F.lit(1) - F.col("_c")).alias("_rc"),
+            F.sum("_c").alias("_cc"),
+        )
+    )
+    w = Window.partitionBy(*group_cols)
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    x = hist.select(
+        *group_cols,
+        "_bin",
+        "_rc",
+        "_cc",
+        F.sum("_rc").over(w).alias("_rn"),
+        F.sum("_cc").over(w).alias("_cn"),
+        F.count(F.lit(1)).over(w).alias("_nb"),
+        F.sum("_rc").over(wo).alias("_cumr"),
+        F.sum("_cc").over(wo).alias("_cumc"),
+    )
+    p = (F.col("_rc") + 1).cast("double") / (F.col("_rn") + F.col("_nb")).cast("double")
+    q = (F.col("_cc") + 1).cast("double") / (F.col("_cn") + F.col("_nb")).cast("double")
+    term = (p - q) * F.log(p / q)
+    diff = F.abs(
+        F.col("_cumr").cast(dec) * F.col("_cn").cast(dec)
+        - F.col("_cumc").cast(dec) * F.col("_rn").cast(dec)
+    )
+    g = x.select(
+        *group_cols, "_bin", "_rn", "_cn", "_nb", term.alias("_t"), diff.alias("_d")
+    ).groupBy(*group_cols).agg(
+        F.max("_rn").alias("ref_n"),
+        F.max("_cn").alias("cur_n"),
+        F.max("_nb").alias("n_bins"),
+        F.max("_d").alias("_ksnum"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_bin").alias("b"), F.col("_t").alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("_psi"),
+    )
+    both = (F.col("ref_n") > 0) & (F.col("cur_n") > 0)
+    ks = F.col("_ksnum").cast("double") / (
+        F.col("ref_n").cast("double") * F.col("cur_n").cast("double")
+    )
+    return g.select(
+        *group_cols,
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.when(both, F.round(F.col("_psi"), 6)).alias("psi"),
+        F.when(both, F.round(ks, 6)).alias("ks"),
+    )
+
+
+def drift_metrics_sql(
+    table: str,
+    value_expr: str,
+    cur_expr: str,
+    group_cols: list[str],
+) -> str:
+    """DuckDB replay of :func:`drift_metrics`: identical bins
+    (:func:`duck_hist_bin_sql` shape), identical integer windows,
+    identical bin-ordered float fold — hash-exact."""
+    gc = ", ".join(group_cols)
+    return f"""
+WITH binned AS (
+  SELECT {gc},
+    CASE WHEN v IS NULL OR v <= 0 THEN -1
+         ELSE (length(bin(v)) - 1) * 4
+              + CAST(floor((v * 4) / power(2, length(bin(v)) - 1)) AS BIGINT) - 4
+    END AS b,
+    CASE WHEN {cur_expr} THEN 1 ELSE 0 END AS c
+  FROM (SELECT *, CAST({value_expr} AS BIGINT) AS v FROM {table})
+),
+hist AS (
+  SELECT {gc}, b, sum(1 - c) AS rc, sum(c) AS cc
+  FROM binned GROUP BY {gc}, b
+),
+x AS (
+  SELECT {gc}, b, rc, cc,
+    sum(rc) OVER (PARTITION BY {gc}) AS rn,
+    sum(cc) OVER (PARTITION BY {gc}) AS cn,
+    count(*) OVER (PARTITION BY {gc}) AS nb,
+    sum(rc) OVER (PARTITION BY {gc} ORDER BY b
+                  ROWS UNBOUNDED PRECEDING) AS cumr,
+    sum(cc) OVER (PARTITION BY {gc} ORDER BY b
+                  ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM hist
+),
+terms AS (
+  SELECT {gc}, b, rn, cn, nb,
+    (CAST(rc + 1 AS DOUBLE) / CAST(rn + nb AS DOUBLE)
+     - CAST(cc + 1 AS DOUBLE) / CAST(cn + nb AS DOUBLE))
+    * ln((CAST(rc + 1 AS DOUBLE) / CAST(rn + nb AS DOUBLE))
+         / (CAST(cc + 1 AS DOUBLE) / CAST(cn + nb AS DOUBLE))) AS t,
+    abs(CAST(cumr AS HUGEINT) * CAST(cn AS HUGEINT)
+        - CAST(cumc AS HUGEINT) * CAST(rn AS HUGEINT)) AS d
+  FROM x
+)
+SELECT {gc},
+  CAST(max(rn) AS BIGINT) AS ref_n,
+  CAST(max(cn) AS BIGINT) AS cur_n,
+  CAST(max(nb) AS BIGINT) AS n_bins,
+  CASE WHEN max(rn) > 0 AND max(cn) > 0 THEN
+    round(list_sum(list_transform(
+      list(struct_pack(b := b, t := t) ORDER BY b, t), s -> s.t)), 6)
+  END AS psi,
+  CASE WHEN max(rn) > 0 AND max(cn) > 0 THEN
+    round(CAST(max(d) AS DOUBLE)
+          / (CAST(max(rn) AS DOUBLE) * CAST(max(cn) AS DOUBLE)), 6)
+  END AS ks
+FROM terms GROUP BY {gc} ORDER BY {gc}
+"""
