@@ -821,3 +821,51 @@ SELECT {gc},
   END AS ks
 FROM terms GROUP BY {gc} ORDER BY {gc}
 """
+
+
+def py_drift_metrics(ref_bins: dict, cur_bins: dict):
+    """Pure-Python replay of one :func:`drift_metrics` group from two
+    bin tables — the shared arithmetic for the streaming fold and the
+    equivalence tests: identical expression shapes, bin-ordered float
+    adds, round-6 outputs (Python floats are IEEE doubles, so the ops
+    match the JVM bit-for-bit modulo a final-ulp ln difference that
+    round-6 absorbs).
+
+    Returns ``(ref_n, cur_n, n_bins, psi, ks)``; psi/ks are None when
+    either side is empty.
+    """
+    import math
+
+    bins = sorted(set(ref_bins) | set(cur_bins))
+    nb = len(bins)
+    rn = sum(ref_bins.values())
+    cn = sum(cur_bins.values())
+    if rn == 0 or cn == 0:
+        return rn, cn, nb, None, None
+    psi = 0.0
+    cum_r = cum_c = 0
+    num = 0
+    for b in bins:
+        rc = ref_bins.get(b, 0)
+        cc = cur_bins.get(b, 0)
+        p = (rc + 1) / (rn + nb)
+        q = (cc + 1) / (cn + nb)
+        psi += (p - q) * math.log(p / q)
+        cum_r += rc
+        cum_c += cc
+        num = max(num, abs(cum_r * cn - cum_c * rn))
+    return rn, cn, nb, round(psi, 6), round(num / (rn * cn), 6)
+
+
+def hist_table(df: DataFrame, value_col: Column, pred: Column | None = None) -> dict:
+    """Log-bin histogram of a (filtered) frame as a plain dict — the
+    bounded (<=252-row) reference snapshot ``stream_drift_psi``
+    monitors against. The collect is dimension-class by construction."""
+    d = df.filter(pred) if pred is not None else df
+    rows = (
+        d.select(hist_bin(value_col.cast("long")).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    return {int(r["b"]): int(r["count"]) for r in rows}

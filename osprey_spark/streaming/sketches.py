@@ -797,3 +797,124 @@ def stream_window_weighted_sample(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_drift_psi(
+    turns: DataFrame,
+    value_col: str,
+    ref_bins: dict,
+    dim_cols: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Running distribution-drift alert per (tumbling window, dims...):
+    PSI + KS of the open window's value distribution against a FIXED
+    reference histogram (the last-known-good snapshot from
+    ``operators.sketches.hist_table``, <=252 (bin, count) pairs riding
+    the closure as a literal — the broadcast-dimension class).
+
+    The state fold is the same integer bin-count vector addition as
+    ``stream_window_hist`` — exact in any arrival order — and every
+    read recomputes PSI/KS from the merged table via
+    ``py_drift_metrics``, the identical arithmetic the batch
+    ``drift_metrics`` oracle checks. So the latest row per slot always
+    equals the batch drift of exactly the rows seen so far, and the
+    ``is_final`` row (event-time timeout, same contract as the
+    HLL/CMS/hist folds) equals the batch drift of the closed window.
+
+    Emits ``win_start, dims..., ref_n, cur_n, n_bins, psi, ks,
+    upd_seq, is_final`` per touching micro-batch (changelog; keep the
+    max upd_seq per slot, or filter is_final for closed windows only).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.sketches import hist_bin, py_drift_metrics
+
+    ref = {int(k): int(v) for k, v in ref_bins.items()}
+    delay_sec = parse_delay_seconds(watermark)
+    dims = list(dim_cols)
+    ts_sec = F.col(ts_col).cast("long")
+    win = (ts_sec - F.pmod(ts_sec, F.lit(int(window_seconds)))).alias("win_start")
+    src = turns.withWatermark(ts_col, watermark).select(
+        win,
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        hist_bin(F.col(value_col).cast("long")).alias("_bin"),
+        F.col(ts_col),
+    )
+    out_schema = StructType(
+        [StructField("win_start", LongType())]
+        + [StructField(d, StringType()) for d in dims]
+        + [
+            StructField("ref_n", LongType()),
+            StructField("cur_n", LongType()),
+            StructField("n_bins", LongType()),
+            StructField("psi", DoubleType()),
+            StructField("ks", DoubleType()),
+            StructField("upd_seq", LongType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("bins_json", StringType())])
+    win_s = int(window_seconds)
+
+    def fn(key_tuple, pdf_iter, state):
+        win_start = int(key_tuple[0])
+        dim_vals = list(key_tuple[1:])
+
+        def _row(counters, seq, final):
+            rn, cn, nb, psi, ks = py_drift_metrics(ref, counters)
+            return pd.DataFrame(
+                {
+                    "win_start": pd.array([win_start], dtype="int64"),
+                    **{d: [dv] for d, dv in zip(dims, dim_vals)},
+                    "ref_n": pd.array([rn], dtype="int64"),
+                    "cur_n": pd.array([cn], dtype="int64"),
+                    "n_bins": pd.array([nb], dtype="int64"),
+                    "psi": pd.array([psi], dtype="float64"),
+                    "ks": pd.array([ks], dtype="float64"),
+                    "upd_seq": pd.array([seq], dtype="int64"),
+                    "is_final": pd.array([final], dtype="bool"),
+                }
+            )
+
+        if state.hasTimedOut:
+            counters, seq = (
+                json.loads(state.get[0]) if state.exists else ({}, 0)
+            )
+            counters = {int(k): v for k, v in counters.items()}
+            state.remove()
+            yield _row(counters, seq + 1, True)
+            return
+
+        counters, seq = json.loads(state.get[0]) if state.exists else ({}, 0)
+        counters = {int(k): v for k, v in counters.items()}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            part = pdf.groupby("_bin").size()
+            for b, n in part.items():
+                counters[int(b)] = counters.get(int(b), 0) + int(n)
+        seq += 1
+        state.update((json.dumps([{str(k): v for k, v in counters.items()}, seq]),))
+        timeout_ms = (win_start + win_s + delay_sec) * 1000
+        cur_wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, cur_wm + 1))
+        yield _row(counters, seq, False)
+
+    return src.groupBy("win_start", *dims).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

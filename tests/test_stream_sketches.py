@@ -562,3 +562,78 @@ def test_stream_window_hist_state_survives_restart(spark, tmp_path):
     # the post-restart rows landed in the same window as the first
     # batch: n_rows = 40 proves the restored state merged
     assert all(v[1] == 40 for v in expect.values())
+
+
+def test_stream_drift_psi_matches_batch(spark, tmp_path):
+    """Drift sibling of the hist test: the latest (psi, ks) per
+    (window, role) slot equals the batch drift computed via
+    py_drift_metrics over the same rows — and py_drift_metrics itself
+    is pinned to the oracle-checked batch drift_metrics by
+    tests/test_drift.py. The fixed reference histogram comes from the
+    first window's user rows (the 'last-known-good snapshot' shape)."""
+    from osprey_spark.operators.sketches import (
+        hist_table,
+        py_drift_metrics,
+    )
+    from osprey_spark.streaming.sketches import stream_drift_psi
+
+    df = _df(spark).withColumn("text_len", F.length("text"))
+    ref = hist_table(
+        df, F.col("text_len"), pred=F.col("turn_idx") < 30
+    )
+    src = str(tmp_path / "turns_drift")
+    df.filter(F.col("turn_idx") < 45).coalesce(1).write.parquet(src)
+    df.filter(F.col("turn_idx") >= 45).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " ts timestamp, text_len int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_drift_psi(
+            stream,
+            "text_len",
+            ref_bins=ref,
+            dim_cols=("role",),
+            window_seconds=3600,
+            watermark="10 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from drift_stream").collect()
+    assert emitted, "stream emitted nothing"
+    latest = {}
+    for r in emitted:
+        k = (r.win_start, r.role)
+        if k not in latest or r.upd_seq > latest[k].upd_seq:
+            latest[k] = r
+    # batch replay: bin tables per (window, role) via hist_table on
+    # the filtered frame, then the shared arithmetic
+    win = (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(3600)))
+    slots = {
+        (r.win_start, r.role)
+        for r in df.select(win.alias("win_start"), "role").distinct().collect()
+    }
+    assert set(latest) == slots
+    for (ws, role), r in latest.items():
+        cur = hist_table(
+            df,
+            F.col("text_len"),
+            pred=(win == F.lit(ws)) & (F.col("role") == role),
+        )
+        rn, cn, nb, psi, ks = py_drift_metrics(ref, cur)
+        assert (r.ref_n, r.cur_n, r.n_bins) == (rn, cn, nb), (ws, role)
+        assert r.psi == psi and r.ks == ks, (ws, role)
+    # the first window saw rows in BOTH micro-batches (split at turn
+    # 45 of 60) — its latest drift merged cross-batch state
+    first = [r for r in emitted if r.win_start == min(s[0] for s in slots)]
+    assert max(r.upd_seq for r in first) >= 2
