@@ -5614,6 +5614,41 @@ from .operators.curation import curriculum_buckets_sql as _curr_sql  # noqa: E40
 O_CURRICULUM_BUCKETS = _curr_sql("documents") + " ORDER BY doc_id"
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training in-engine (curation.
+    wordpiece_merges, Schuster & Nakajima 2012 — the BERT tokenizer):
+    the BPE distributed shape (one corpus word-frequency aggregate +
+    dimension-class merge rounds) with the likelihood score
+    count(pair)/(count(p1)*count(p2)) as the argmax — one extra
+    model-sized symbol-count aggregate per round; the score is a
+    single integer/integer double division (IEEE-exact in both
+    engines), ties lexicographic. Completes the subword trio next to
+    bpe_merges and unigram_encode."""
+    from .operators.curation import wordpiece_merges
+
+    return wordpiece_merges(_docs(spark, sf_dir), rounds=6)
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode the way real WordPiece inference works
+    (curation.wordpiece_encode): greedy LONGEST-MATCH-FIRST against
+    the final vocabulary (not merge replay — the BPE/WordPiece
+    inference difference), as a pure-JVM array fold per DISTINCT word
+    with the vocab riding as one literal map; [UNK] convention for
+    unmatchable words. Oracle replays the greedy as a recursive CTE."""
+    from .operators.curation import wordpiece_encode
+
+    return wordpiece_encode(_docs(spark, sf_dir), rounds=4)
+
+
+def _wordpiece_oracle(encode: bool = False) -> str:
+    from .operators.curation import wordpiece_oracle_sql
+
+    return wordpiece_oracle_sql(
+        4 if encode else 6, _DUCK_RTOKENS, encode=encode
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (sketches.drift_metrics): PSI + KS
     of per-event values between the first and second half of the
@@ -5787,6 +5822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_roles": q_pivot_roles,
     "curriculum_buckets": q_curriculum_buckets,
     "drift_psi": q_drift_psi,
+    "wordpiece_merges": q_wordpiece_merges,
+    "wordpiece_encode": q_wordpiece_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -5933,6 +5970,8 @@ ORACLES: dict[str, str] = {
     "pivot_roles": O_PIVOT_ROLES,
     "curriculum_buckets": O_CURRICULUM_BUCKETS,
     "drift_psi": O_DRIFT_PSI,
+    "wordpiece_merges": _wordpiece_oracle(),
+    "wordpiece_encode": _wordpiece_oracle(encode=True),
 }
 
 

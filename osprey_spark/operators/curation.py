@@ -1587,3 +1587,377 @@ SELECT d.{id_col},
   CAST(1 + len(list_filter(b.bs, x -> CAST(d.{score_col} AS DOUBLE) > x)) AS BIGINT) AS bucket
 FROM {table} d, bounds b
 """
+
+
+# --------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) — the third
+# canonical subword algorithm next to BPE and unigram-LM
+# --------------------------------------------------------------------------
+
+
+def _wordpiece_train(docs: DataFrame, rounds: int, text_col: str):
+    """Shared WordPiece training loop. Same distributed shape as
+    :func:`_bpe_train` — ONE corpus-scale word-frequency aggregate,
+    then every round runs on the DISTINCT-WORD table — but the merge
+    argmax is WordPiece's LIKELIHOOD score
+    ``count(pair) / (count(p1) * count(p2))`` instead of raw pair
+    count, and symbols carry the ``##`` continuation convention
+    (non-initial pieces are ``##``-prefixed; a merge strips the
+    ``##`` off its right element). The score needs the current
+    per-symbol totals, so each round runs TWO model-sized hash
+    aggregates (pairs + symbols) and joins them — still
+    dimension-class work. The score division is a single
+    integer/integer double division (IEEE-exact in both engines);
+    ties break lexicographically on (p1, p2).
+
+    Returns (persisted word table, final per-word symbol frame,
+    merges list of (round, p1, p2, merged, pair_count, p1_count,
+    p2_count)).
+    """
+    from ..functions.text import tokenize_col
+
+    d = _BPE_DELIM
+    words = (
+        docs.select(F.explode(tokenize_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "w",
+            "wc",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.when(
+                        i == 1, F.col("w").substr(i, F.lit(1))
+                    ).otherwise(
+                        F.concat(F.lit("##"), F.col("w").substr(i, F.lit(1)))
+                    ),
+                ),
+                d,
+            ).alias("syms"),
+        )
+        .persist()
+    )
+    cur = words
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for r in range(1, rounds + 1):
+        arr = F.split(F.col("syms"), d)
+        n = F.size(arr)
+        pairs = (
+            cur.select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice(arr, F.lit(1), n - 1),
+                        F.slice(arr, F.lit(2), n - 1),
+                        lambda x, y: F.struct(x.alias("p1"), y.alias("p2")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        scnt = (
+            cur.select("wc", F.explode(arr).alias("s"))
+            .groupBy("s")
+            .agg(F.sum("wc").alias("sc"))
+        )
+        scored = (
+            pairs.join(scnt.select(F.col("s").alias("p1"), F.col("sc").alias("c1")), "p1")
+            .join(scnt.select(F.col("s").alias("p2"), F.col("sc").alias("c2")), "p2")
+            .select(
+                "p1",
+                "p2",
+                "cnt",
+                "c1",
+                "c2",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ).alias("score"),
+            )
+        )
+        best = scored.orderBy(F.desc("score"), "p1", "p2").limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        p1, p2 = b["p1"], b["p2"]
+        merged = p1 + p2[2:]  # strip the continuation marker
+        merges.append(
+            (r, p1, p2, merged, int(b["cnt"]), int(b["c1"]), int(b["c2"]))
+        )
+
+        def make_step(p1: str, p2: str, merged: str):
+            def step(acc, x):
+                is_merge = (
+                    (acc == F.lit(p1)) | acc.endswith(F.lit(d + p1))
+                ) & (x == F.lit(p2))
+                return F.when(
+                    is_merge,
+                    F.concat(
+                        acc.substr(F.lit(1), F.length(acc) - F.lit(len(p1))),
+                        F.lit(merged),
+                    ),
+                ).otherwise(F.concat(acc, F.lit(d), x))
+
+            return step
+
+        step = make_step(p1, p2, merged)
+        cur = cur.select(
+            "w",
+            "wc",
+            F.aggregate(
+                F.slice(arr, F.lit(2), n - 1), F.element_at(arr, 1), step
+            ).alias("syms"),
+        )
+        # unlike the BPE loop (one consumer per round), each WordPiece
+        # round evaluates cur TWICE (pair counts + symbol counts), so
+        # the nested fold lineage would re-optimize and re-execute
+        # doubled per round — materialize the (distinct-word-sized)
+        # segmentation instead, same trick as dedup_groups
+        cur = cur.localCheckpoint(eager=False)
+    return words, cur, merges
+
+
+def wordpiece_merges(
+    docs: DataFrame,
+    rounds: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece tokenizer training in-engine: the first ``rounds``
+    likelihood-scored merges. Output one row per merge —
+    ``(round, p1, p2, merged, pair_count, p1_count, p2_count)``, all
+    strings/integers so the unrolled-CTE DuckDB replay is hash-exact
+    (the score itself is implied: ``pair_count/(p1_count*p2_count)``).
+    """
+    words, _cur, merges = _wordpiece_train(docs, rounds, text_col)
+    out = docs.sparkSession.createDataFrame(
+        merges,
+        "round int, p1 string, p2 string, merged string,"
+        " pair_count long, p1_count long, p2_count long",
+    ).orderBy("round")
+    out.unpersist_base = lambda: words.unpersist(blocking=True)
+    return out
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    rounds: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    encode_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Train WordPiece (:func:`wordpiece_merges`), then ENCODE the way
+    real WordPiece inference works: unlike BPE (which replays merge
+    rules), WordPiece keeps only the final VOCABULARY and tokenizes
+    each word by GREEDY LONGEST-MATCH-FIRST — at each cursor take the
+    longest vocab piece (``##``-prefixed when not word-initial) that
+    matches; a position with no match makes the whole word ``[UNK]``
+    (the BERT convention).
+
+    Distributed shape: the vocab (initial alphabet + merged pieces —
+    dimension-table class, like the BPE winners and the IVF codebook)
+    collects to the driver and re-enters as ONE literal map; the
+    greedy runs as a pure-JVM array fold over each DISTINCT word
+    (word-length iterations, each either consumes >=1 char or marks
+    the word unknown), and the per-doc rollup is one equi-join of doc
+    tokens against the word table + one hash aggregate — document
+    text is never touched a second time.
+
+    ``encode_docs`` encodes a DIFFERENT frame with the vocab trained
+    on ``docs`` (the production split: train on the snapshot, encode
+    the incoming batch) — unseen characters go through the [UNK]
+    path. Defaults to encoding the training frame itself, where every
+    char is in the alphabet and [UNK] is unreachable.
+
+    Output: ``id_col, n_wordpiece_tokens, n_unk_words, n_chars``
+    (an [UNK] word contributes exactly 1 token and its chars).
+    """
+    words, _cur, merges = _wordpiece_train(docs, rounds, text_col)
+    d = _BPE_DELIM
+    alphabet = [
+        r["s"]
+        for r in words.select(
+            F.explode(F.split("syms", d)).alias("s")
+        ).distinct().collect()
+    ]
+    vocab = sorted(set(alphabet) | {m[3] for m in merges})
+    # consumed chars per piece (## is a marker, not content)
+    max_consume = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    vset = F.create_map(*[F.lit(x) for p in vocab for x in (p, 1)])
+
+    n = F.length("w")
+
+    def gstep(acc, _i):
+        pos = F.element_at(acc, 1)
+        ntok = F.element_at(acc, 2)
+        bad = F.element_at(acc, 3)
+        done = (bad == 1) | (pos > n)
+        cands = []
+        for j in range(max_consume, 0, -1):
+            raw = F.col("w").substr(pos, F.lit(j))
+            piece = F.when(pos == 1, raw).otherwise(F.concat(F.lit("##"), raw))
+            ok = (pos + F.lit(j) - 1 <= n) & F.element_at(vset, piece).isNotNull()
+            cands.append(F.when(ok, F.lit(j)))
+        ml = F.greatest(*cands) if len(cands) > 1 else cands[0]
+        return F.when(done, acc).otherwise(
+            F.when(
+                ml.isNull(), F.array(pos, ntok, F.lit(1))
+            ).otherwise(F.array(pos + ml, ntok + 1, F.lit(0)))
+        )
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(1), F.lit(0), F.lit(0)),
+        gstep,
+    )
+    from ..functions.text import tokenize_col
+
+    target = encode_docs if encode_docs is not None else docs
+    toks = target.select(
+        id_col, F.explode(tokenize_col(F.col(text_col))).alias("w")
+    )
+    # the greedy runs over the DISTINCT words of the frame being
+    # encoded (which may contain words — even characters — the
+    # training vocab never saw)
+    seg = toks.select("w").distinct().select(
+        "w",
+        F.element_at(fold, 2).alias("_ntok"),
+        F.element_at(fold, 3).alias("_bad"),
+    ).select(
+        "w",
+        F.when(F.col("_bad") == 1, F.lit(1)).otherwise(F.col("_ntok")).alias("_np"),
+        F.col("_bad").alias("_unk"),
+    )
+    out = (
+        toks.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_np").cast("long").alias("n_wordpiece_tokens"),
+            F.sum("_unk").cast("long").alias("n_unk_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .orderBy(id_col)
+    )
+    out.unpersist_base = lambda: words.unpersist(blocking=True)
+    return out
+
+
+def wordpiece_oracle_sql(
+    rounds: int,
+    rtokens: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    encode: bool = False,
+) -> str:
+    """DuckDB replay of :func:`wordpiece_merges` (and, with
+    ``encode=True``, :func:`wordpiece_encode`): each training round
+    unrolls into (pair-count, symbol-count, score-argmax, merge-fold)
+    CTEs with the identical double-division score and lexicographic
+    tie-break; the greedy longest-match encode replays as a recursive
+    CTE whose candidate-length probe unrolls ``2^rounds`` static
+    cases (>= the provable max piece consumption after ``rounds``
+    merges, so the two greedies see identical match sets)."""
+    parts = [
+        f"WITH toks AS (SELECT unnest({rtokens}) AS w FROM {table}),",
+        "wds AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),",
+        "s0 AS (SELECT w, wc, array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> CASE WHEN i = 1 THEN"
+        " substr(w, CAST(i AS INT), 1) ELSE '##' ||"
+        " substr(w, CAST(i AS INT), 1) END), chr(1)) AS syms FROM wds)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT sp[i] AS p1, sp[i + 1] AS p2, sum(wc) AS cnt FROM (
+    SELECT wc, string_split(syms, chr(1)) AS sp FROM s{r - 1}
+  ), LATERAL unnest(generate_series(1, len(sp) - 1)) AS u{r}(i)
+  GROUP BY 1, 2
+),
+c{r} AS MATERIALIZED (
+  SELECT s, sum(wc) AS sc FROM (
+    SELECT wc, unnest(string_split(syms, chr(1))) AS s FROM s{r - 1}
+  ) GROUP BY 1
+),
+b{r} AS MATERIALIZED (
+  SELECT {r} AS round, p1, p2, p1 || substr(p2, 3) AS merged,
+         cnt, x1.sc AS c1, x2.sc AS c2
+  FROM p{r} JOIN c{r} x1 ON p{r}.p1 = x1.s JOIN c{r} x2 ON p{r}.p2 = x2.s
+  ORDER BY CAST(cnt AS DOUBLE) / CAST(x1.sc * x2.sc AS DOUBLE) DESC, p1, p2
+  LIMIT 1
+)"""
+        )
+        if r < rounds or encode:
+            parts.append(
+                f""",
+s{r} AS MATERIALIZED (
+  SELECT w, wc,
+    list_reduce(string_split(syms, chr(1)), (acc, x) ->
+      CASE WHEN (acc = b.p1 OR ends_with(acc, chr(1) || b.p1)) AND x = b.p2
+           THEN substr(acc, 1, length(acc) - length(b.p1)) || b.merged
+           ELSE acc || chr(1) || x END) AS syms
+  FROM s{r - 1} CROSS JOIN b{r} b
+)"""
+            )
+    if not encode:
+        union = " UNION ALL ".join(
+            f"SELECT * FROM b{r}" for r in range(1, rounds + 1)
+        )
+        parts.append(
+            f"""
+SELECT round, p1, p2, merged, CAST(cnt AS BIGINT) AS pair_count,
+  CAST(c1 AS BIGINT) AS p1_count, CAST(c2 AS BIGINT) AS p2_count
+FROM ({union}) ORDER BY round"""
+        )
+        return "".join(parts)
+
+    bunion = " UNION ALL ".join(
+        f"SELECT merged FROM b{r}" for r in range(1, rounds + 1)
+    )
+    J = 2 ** rounds
+    ml_cases = " ".join(
+        f"WHEN r.pos + {j} - 1 <= length(r.w) AND list_contains(vl.v,"
+        f" CASE WHEN r.pos = 1 THEN substr(r.w, CAST(r.pos AS INT), {j})"
+        f" ELSE '##' || substr(r.w, CAST(r.pos AS INT), {j}) END) THEN {j}"
+        for j in range(J, 0, -1)
+    )
+    parts.append(
+        f""",
+enc AS (SELECT {id_col}, unnest({rtokens}) AS w FROM {table}),
+encw AS (SELECT DISTINCT w FROM enc),
+alpha AS (SELECT DISTINCT unnest(string_split(syms, chr(1))) AS piece FROM s0),
+vocab AS (SELECT piece FROM alpha UNION SELECT merged AS piece FROM ({bunion})),
+vl AS (SELECT list(piece) AS v FROM vocab),
+g AS (
+  WITH RECURSIVE r AS (
+    SELECT encw.w AS w, CAST(1 AS BIGINT) AS pos,
+           CAST(0 AS BIGINT) AS ntok, 0 AS bad
+    FROM encw
+    UNION ALL
+    SELECT q.w,
+      CASE WHEN q.ml = 0 THEN q.pos ELSE q.pos + q.ml END,
+      CASE WHEN q.ml = 0 THEN q.ntok ELSE q.ntok + 1 END,
+      CASE WHEN q.ml = 0 THEN 1 ELSE 0 END
+    FROM (
+      SELECT r.w AS w, r.pos AS pos, r.ntok AS ntok,
+        CASE {ml_cases} ELSE 0 END AS ml
+      FROM (SELECT * FROM r WHERE bad = 0 AND pos <= length(w)) r
+      CROSS JOIN vl
+    ) q
+  )
+  SELECT w,
+    CASE WHEN bad = 1 THEN CAST(1 AS BIGINT) ELSE ntok END AS np,
+    CAST(bad AS BIGINT) AS unk
+  FROM r WHERE bad = 1 OR pos > length(w)
+)
+SELECT enc.{id_col},
+  CAST(sum(g.np) AS BIGINT) AS n_wordpiece_tokens,
+  CAST(sum(g.unk) AS BIGINT) AS n_unk_words,
+  CAST(sum(length(enc.w)) AS BIGINT) AS n_chars
+FROM enc JOIN g USING (w)
+GROUP BY 1 ORDER BY 1"""
+    )
+    return "".join(parts)
