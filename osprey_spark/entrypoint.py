@@ -5649,6 +5649,53 @@ def _wordpiece_oracle(encode: bool = False) -> str:
     )
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness (similarity.retrieval_eval): recall@5 and
+    reciprocal rank of the LSH top-k against the exact brute-force
+    top-k, per query — one equi-join of two query-bounded frames +
+    one aggregate. Both sides are deterministic, so the DuckDB oracle
+    replays BOTH pipelines and the evaluation is hash-exact — the
+    FAISS-style recall curve as an exactly-checkable query."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.brute_force_topk(emb, queries, k=5)
+    cand = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return similarity.retrieval_eval(truth, cand, k=5)
+
+
+def _o_retrieval_eval() -> str:
+    truth = O_EMBEDDING_TOPK.rsplit("\nORDER BY", 1)[0]
+    cand = similarity.lsh_topk_oracle_sql(dim=64, k=5, n_planes=6).rsplit(
+        "\nORDER BY", 1
+    )[0]
+    return f"""
+WITH truth AS ({truth}),
+cand AS ({cand}),
+joined AS (
+  SELECT c.query_id, c.rank,
+    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM cand c LEFT JOIN truth t
+    ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+),
+per_q AS (
+  SELECT query_id, sum(hit) AS nh,
+         min(CASE WHEN hit = 1 THEN rank END) AS fr
+  FROM joined GROUP BY 1
+)
+SELECT q.query_id,
+  CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+  round(CAST(coalesce(nh, 0) AS DOUBLE) / 5.0, 6) AS recall_at_k,
+  round(coalesce(1.0 / fr, 0.0), 6) AS rr
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN per_q USING (query_id)
+ORDER BY query_id
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (sketches.drift_metrics): PSI + KS
     of per-event values between the first and second half of the
@@ -5824,6 +5871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi": q_drift_psi,
     "wordpiece_merges": q_wordpiece_merges,
     "wordpiece_encode": q_wordpiece_encode,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -5972,6 +6020,7 @@ ORACLES: dict[str, str] = {
     "drift_psi": O_DRIFT_PSI,
     "wordpiece_merges": _wordpiece_oracle(),
     "wordpiece_encode": _wordpiece_oracle(encode=True),
+    "retrieval_eval": _o_retrieval_eval(),
 }
 
 

@@ -1090,3 +1090,54 @@ FROM {table} a JOIN {table} b
  AND abs(a.n_chars - b.n_chars) <= {max_len_diff}
 WHERE levenshtein(a.text, b.text) <= {threshold}
 """
+
+
+def retrieval_eval(
+    truth: DataFrame,
+    cand: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """ANN quality evaluation: per query, recall@k and reciprocal
+    rank of an approximate top-k frame against the exact one — the
+    harness that justifies shipping an LSH/IVF/PQ index instead of
+    the brute-force scan (FAISS-style recall curves, in-engine).
+
+    Both inputs are (query, id, rank) frames of <= k rows per query
+    (the existing topk operators' shape), so the whole evaluation is
+    one equi-join of two query-cardinality-bounded frames + one hash
+    aggregate — nothing corpus-scale. recall@k is one int/int double
+    division; rr = 1/min(rank of a true-positive candidate), 0 when
+    the candidate list misses everything (floats rounded to 6, the
+    hashed-float convention).
+
+    A query present in ``truth`` but absent from ``cand`` (empty LSH
+    bucket) still reports a row — recall 0, rr 0 — via the left join
+    from the truth side's query list.
+    """
+    qs = truth.select(query_col).distinct()
+    hits = cand.join(
+        truth.select(query_col, id_col).withColumn("_hit", F.lit(1)),
+        [query_col, id_col],
+        "left",
+    )
+    per_q = hits.groupBy(query_col).agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nh"),
+        F.min(F.when(F.col("_hit") == 1, F.col(rank_col))).alias("_fr"),
+    )
+    return (
+        qs.join(per_q, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("_nh"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("_nh"), F.lit(0)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+        .orderBy(query_col)
+    )

@@ -354,3 +354,22 @@ def test_fuzzy_match_pairs_known_answer(spark):
     # in-block, within threshold: (1,2)=1, (1,5)=0, (2,5)=1; the
     # early-exit -1 sentinel for >threshold pairs must be filtered out
     assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+
+def test_retrieval_eval_contract(spark):
+    """recall@k/MRR known answers incl. the empty-candidate query."""
+    from osprey_spark.operators.similarity import retrieval_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1), (3, 31, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    cand = spark.createDataFrame(
+        # q1: perfect; q2: second candidate is the only hit; q3: absent
+        [(1, 10, 1), (1, 11, 2), (2, 99, 1), (2, 20, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    out = {r.query_id: r for r in retrieval_eval(truth, cand, k=2).collect()}
+    assert (out[1].n_hits, out[1].recall_at_k, out[1].rr) == (2, 1.0, 1.0)
+    assert (out[2].n_hits, out[2].recall_at_k, out[2].rr) == (1, 0.5, 0.5)
+    assert (out[3].n_hits, out[3].recall_at_k, out[3].rr) == (0, 0.0, 0.0)
