@@ -5649,6 +5649,22 @@ def _wordpiece_oracle(encode: bool = False) -> str:
     )
 
 
+def q_conv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation length-trajectory slope
+    (transcripts.conv_trend): OLS of turn length on turn index from
+    five INTEGER moments in one conv-keyed hash aggregate + one
+    fixed-shape double division — the degeneration / runaway-agent
+    signal, partition-order independent and oracle-hash-exact."""
+    from .operators.transcripts import conv_trend
+
+    return conv_trend(turns_from_events(spark, sf_dir))
+
+
+from .operators.transcripts import conv_trend_sql as _trend_sql  # noqa: E402
+
+O_CONV_TREND = TURNS_CTE + " " + _trend_sql("turns")
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -5872,6 +5888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_merges": q_wordpiece_merges,
     "wordpiece_encode": q_wordpiece_encode,
     "retrieval_eval": q_retrieval_eval,
+    "conv_trend": q_conv_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -6021,6 +6038,7 @@ ORACLES: dict[str, str] = {
     "wordpiece_merges": _wordpiece_oracle(),
     "wordpiece_encode": _wordpiece_oracle(encode=True),
     "retrieval_eval": _o_retrieval_eval(),
+    "conv_trend": O_CONV_TREND,
 }
 
 

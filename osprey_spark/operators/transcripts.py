@@ -905,3 +905,70 @@ SELECT conv_id,
 FROM {table}
 GROUP BY conv_id
 """
+
+
+def conv_trend(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    min_turns: int = 3,
+) -> DataFrame:
+    """Per-conversation length-trajectory slope: the OLS regression of
+    turn text length on turn index →
+    ``(conv_id, n_turns, slope, mean_len)``. A strongly positive
+    slope is the degeneration signal (replies ballooning turn over
+    turn — agent loops, runaway tool output); a strongly negative one
+    is a conversation collapsing into one-word exchanges.
+
+    Exactness discipline: the five regression moments (n, Σx, Σy,
+    Σxy, Σx²) are INTEGER sums in one conv-keyed hash aggregate
+    (map-side partials; the transcript pipeline's existing shuffle
+    key), and the slope is ONE fixed-shape double division
+    ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` — partition-order independent
+    and replayed bit-exactly by the SQL oracle (no running-mean float
+    accumulation). NULL texts count as length 0 (an empty turn is a
+    real datapoint in the trajectory). The denominator cannot be 0:
+    turn indices within a conversation are distinct, and the
+    ``min_turns`` filter (default 3) removes the single-turn case.
+    """
+    x = F.col(idx_col).cast("long")
+    y = F.coalesce(F.length(text_col), F.lit(0)).cast("long")
+    g = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    ).filter(F.col("_n") >= int(min_turns))
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    return g.select(
+        conv_col,
+        F.col("_n").cast("long").alias("n_turns"),
+        F.round(num / den, 6).alias("slope"),
+        F.round(F.col("_sy").cast("double") / F.col("_n").cast("double"), 6).alias(
+            "mean_len"
+        ),
+    ).orderBy(conv_col)
+
+
+def conv_trend_sql(table: str, min_turns: int = 3) -> str:
+    """DuckDB replay of :func:`conv_trend` — identical integer moments
+    and the identical single-division expression shape."""
+    return f"""
+SELECT conv_id,
+  CAST(n AS BIGINT) AS n_turns,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_len
+FROM (
+  SELECT conv_id, count(*) AS n,
+    sum(CAST(turn_idx AS BIGINT)) AS sx,
+    sum(CAST(coalesce(length(text), 0) AS BIGINT)) AS sy,
+    sum(CAST(turn_idx AS BIGINT) * CAST(coalesce(length(text), 0) AS BIGINT)) AS sxy,
+    sum(CAST(turn_idx AS BIGINT) * CAST(turn_idx AS BIGINT)) AS sxx
+  FROM {table} GROUP BY conv_id
+) WHERE n >= {int(min_turns)}
+ORDER BY conv_id
+"""

@@ -505,3 +505,29 @@ def test_pivot_roles_wide_counts(spark):
     assert (r.n_user, r.n_assistant, r.n_system, r.n_tool, r.n_turns) == (1, 2, 0, 2, 5)
     r = got["c2"]
     assert (r.n_user, r.n_assistant, r.n_system, r.n_tool, r.n_turns) == (1, 0, 1, 0, 2)
+
+
+def test_conv_trend_known_answers(spark):
+    """Slope known answers: perfectly linear growth, flat, shrinking,
+    NULL-text-as-zero, and the min_turns filter."""
+    from osprey_spark.operators.transcripts import conv_trend
+
+    rows = [
+        # c_up: lengths 2, 4, 6 over idx 0,1,2 -> slope exactly 2
+        ("c_up", 0, "ab"), ("c_up", 1, "abcd"), ("c_up", 2, "abcdef"),
+        # c_flat: constant length -> slope 0
+        ("c_flat", 0, "xxx"), ("c_flat", 1, "yyy"), ("c_flat", 2, "zzz"),
+        # c_down: 6, 4, 2 -> slope -2; NULL counted as 0 at idx 3 steepens
+        ("c_down", 0, "abcdef"), ("c_down", 1, "abcd"),
+        ("c_down", 2, "ab"), ("c_down", 3, None),
+        # c_short: below min_turns -> dropped
+        ("c_short", 0, "hello"), ("c_short", 1, "hi"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in conv_trend(df).collect()}
+    assert set(out) == {"c_up", "c_flat", "c_down"}
+    assert out["c_up"].slope == 2.0 and out["c_up"].mean_len == 4.0
+    assert out["c_flat"].slope == 0.0
+    # exact OLS over (0,6),(1,4),(2,2),(3,0): slope -2
+    assert out["c_down"].slope == -2.0
+    assert out["c_down"].n_turns == 4
