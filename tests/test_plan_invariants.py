@@ -40,6 +40,7 @@ _CROSS_OK = {
     "kmv_set_ops",  # 1-row sketch frame x 1-row exact frame broadcast
     "decay_score",  # 1-row global now-bucket frame broadcast onto the scan
     "curriculum_buckets",  # 1-row quantile-boundaries frame broadcast onto the scan
+    "retrieval_eval",  # wraps brute_force_topk: the bounded Q-row broadcast product
 }
 
 # Queries expected to broadcast at least one join side (small dim /
