@@ -5546,6 +5546,26 @@ O_ECHO_OVERLAP = (
 )
 
 
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (token LCS P/R/F1) of each assistant turn vs the
+    preceding user turn (transcripts.rouge_l): the order-aware gappy-
+    copy companion to echo_overlap. One conv-partitioned lag window +
+    a per-row pure-JVM nested-aggregate LCS DP on max_tokens-capped
+    sequences — no self-join, no UDF."""
+    from .operators.transcripts import rouge_l
+
+    t = turns_from_events(spark, sf_dir)
+    return rouge_l(t).orderBy("conv_id", "turn_idx")
+
+
+from .operators.transcripts import rouge_l_sql as _rouge_sql  # noqa: E402
+
+O_ROUGE_L = (
+    _rouge_sql("turns").replace("WITH tk AS", TURNS_CTE + ", tk AS", 1)
+    + " ORDER BY conv_id, turn_idx"
+)
+
+
 def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-limited next-turn-prediction context assembly
     (transcripts.context_windows): one prefix-sum window + a
@@ -5880,6 +5900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watchlist_hits": q_watchlist_hits,
     "sft_render": q_sft_render,
     "echo_overlap": q_echo_overlap,
+    "rouge_l": q_rouge_l,
     "context_windows": q_context_windows,
     "fuzzy_match": q_fuzzy_match,
     "pivot_roles": q_pivot_roles,
@@ -6030,6 +6051,7 @@ ORACLES: dict[str, str] = {
     "watchlist_hits": O_WATCHLIST_HITS,
     "sft_render": O_SFT_RENDER,
     "echo_overlap": O_ECHO_OVERLAP,
+    "rouge_l": O_ROUGE_L,
     "context_windows": O_CONTEXT_WINDOWS,
     "fuzzy_match": O_FUZZY_MATCH,
     "pivot_roles": O_PIVOT_ROLES,

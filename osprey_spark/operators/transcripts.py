@@ -972,3 +972,162 @@ FROM (
 ) WHERE n >= {int(min_turns)}
 ORDER BY conv_id
 """
+
+
+def rouge_l(
+    turns: DataFrame,
+    max_tokens: int = 32,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """ROUGE-L of each assistant turn against the preceding user turn:
+    token-level longest-common-SUBSEQUENCE precision/recall/F1 (Lin
+    2004) — the order-aware companion to :func:`echo_overlap`'s
+    clipped n-gram precision. BLEU-style clipping misses gappy copies
+    ("a b c d" -> "a X b Y c Z d" has low bigram precision but near-
+    total LCS recall); ROUGE-L is the standard summary/para-phrase
+    overlap metric and, on dialogue data, the gappy-parroting signal.
+
+    Shapes, at 100 TB: the SAME single conv-partitioned lag window as
+    echo_overlap (the pipeline's standard shuffle key) pairs the
+    turns; the LCS DP then runs per row as a pure-JVM nested
+    higher-order-function fold — the outer ``aggregate`` walks
+    candidate tokens carrying the DP row (an ``array<int>`` of length
+    |ref|+1), the inner ``aggregate`` builds the next row — O(n*m)
+    integer cells on ``max_tokens``-capped sequences, no UDF, no
+    self-join, no corpus-sized state. Both sequences are hard-capped
+    at ``max_tokens`` so the per-row cost is bounded by a constant
+    regardless of pathological turn lengths.
+
+    Engine-exactness: the LCS *length* is algorithm-independent (any
+    correct DP yields the same integer), so the DuckDB oracle may use
+    a different row-update formulation (prefix-max instead of the
+    sequential classic) and still match bit-for-bit; P/R are single
+    int/int double divisions and F1 one fixed parenthesization
+    ``(2*p*r)/(p+r)`` evaluated identically in both engines, each
+    rounded half-away-from-zero to 6 places.
+    """
+    toks = turns.select(
+        conv_col,
+        idx_col,
+        role_col,
+        F.slice(tokenize_col(F.col(text_col)), 1, max_tokens).alias("_tk"),
+    )
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    paired = toks.select(
+        conv_col,
+        idx_col,
+        role_col,
+        F.col("_tk").alias("_cand"),
+        F.lag(role_col).over(w).alias("_prole"),
+        F.lag("_tk").over(w).alias("_ref"),
+    ).filter(
+        (F.col(role_col) == "assistant") & (F.col("_prole") == "user")
+    )
+
+    a, b = F.col("_cand"), F.col("_ref")
+    # Classic sequential LCS row update: N[j] = match ? P[j-1]+1
+    # : max(P[j], N[j-1]).  acc2 is the new row built so far, so when
+    # appending the entry for dp index j we have size(acc2) == j and
+    # (1-based element_at) P[j-1] == element_at(P, j),
+    # P[j] == element_at(P, j+1), N[j-1] == element_at(acc2, -1).
+    dp0 = F.array_repeat(F.lit(0), F.size(b) + 1)
+    dp = F.aggregate(
+        a,
+        dp0,
+        lambda P, x: F.aggregate(
+            b,
+            F.array(F.lit(0)),
+            lambda acc2, y: F.concat(
+                acc2,
+                F.array(
+                    F.when(
+                        y == x, F.element_at(P, F.size(acc2)) + F.lit(1)
+                    ).otherwise(
+                        F.greatest(
+                            F.element_at(P, F.size(acc2) + 1),
+                            F.element_at(acc2, -1),
+                        )
+                    )
+                ),
+            ),
+        ),
+    )
+    lcs = F.element_at(dp, -1).cast("long")
+    n_cand = F.size(a).cast("long")
+    n_ref = F.size(b).cast("long")
+    p_raw = lcs.cast("double") / n_cand
+    r_raw = lcs.cast("double") / n_ref
+    rouge_p = F.when(n_cand > 0, F.round(p_raw, 6)).otherwise(F.lit(0.0))
+    rouge_r = F.when(n_ref > 0, F.round(r_raw, 6)).otherwise(F.lit(0.0))
+    rouge_f = F.when(
+        (lcs > 0) & (n_cand > 0) & (n_ref > 0),
+        F.round((F.lit(2.0) * p_raw * r_raw) / (p_raw + r_raw), 6),
+    ).otherwise(F.lit(0.0))
+    return paired.select(
+        conv_col,
+        idx_col,
+        n_cand.alias("n_cand"),
+        n_ref.alias("n_ref"),
+        lcs.alias("lcs_len"),
+        rouge_p.alias("rouge_p"),
+        rouge_r.alias("rouge_r"),
+        rouge_f.alias("rouge_f"),
+    )
+
+
+def rouge_l_sql(table: str, max_tokens: int = 32) -> str:
+    """DuckDB oracle for :func:`rouge_l`.
+
+    Replays the LCS with the prefix-max row update (N[j] =
+    max(P[j], max_{k<=j, ref[k]==x}(P[k-1]+1)) — valid because P is
+    nondecreasing, and any correct LCS DP yields the identical
+    integer): the candidate tokens become per-token match-mask lists
+    against the reference so ``list_reduce``'s same-type accumulator
+    constraint (acc and element both INT[]) is satisfied, with the
+    initial DP row prepended as the reduce seed.
+    """
+    tk = (
+        r"list_slice(list_filter(regexp_split_to_array(lower(text), "
+        rf"'[\W_]+'), t -> t <> ''), 1, {int(max_tokens)})"
+    )
+    # masks: [dp0, mask(x1), mask(x2), ...]; reduce seed = dp0.
+    masks = (
+        "list_prepend(list_transform(range(0, len(ref) + 1), j -> 0), "
+        "list_transform(cand, x -> list_transform(ref, y -> "
+        "CASE WHEN y = x THEN 1 ELSE 0 END)))"
+    )
+    step = (
+        "list_prepend(0, list_transform(range(1, len(P)), j -> "
+        "greatest(P[j + 1], coalesce(list_max(list_transform(range(1, j + 1), "
+        "k -> CASE WHEN el[k] = 1 THEN P[k] + 1 ELSE 0 END)), 0))))"
+    )
+    return f"""
+WITH tk AS (
+  SELECT conv_id, turn_idx, role, {tk} AS cand,
+    lag(role) OVER w AS prole, lag({tk}) OVER w AS ref
+  FROM {table}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+pairs AS (
+  SELECT conv_id, turn_idx, cand, ref,
+    CAST(len(cand) AS BIGINT) AS n_cand,
+    CAST(len(ref) AS BIGINT) AS n_ref,
+    CAST((list_reduce({masks}, (P, el) -> {step}))[-1] AS BIGINT) AS lcs_len
+  FROM tk WHERE role = 'assistant' AND prole = 'user'
+)
+SELECT conv_id, turn_idx, n_cand, n_ref, lcs_len,
+  CASE WHEN n_cand > 0
+    THEN round(CAST(lcs_len AS DOUBLE) / n_cand, 6) ELSE 0.0 END AS rouge_p,
+  CASE WHEN n_ref > 0
+    THEN round(CAST(lcs_len AS DOUBLE) / n_ref, 6) ELSE 0.0 END AS rouge_r,
+  CASE WHEN lcs_len > 0 AND n_cand > 0 AND n_ref > 0
+    THEN round((2.0 * (CAST(lcs_len AS DOUBLE) / n_cand)
+                    * (CAST(lcs_len AS DOUBLE) / n_ref))
+               / ((CAST(lcs_len AS DOUBLE) / n_cand)
+                  + (CAST(lcs_len AS DOUBLE) / n_ref)), 6)
+    ELSE 0.0 END AS rouge_f
+FROM pairs
+"""

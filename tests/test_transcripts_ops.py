@@ -531,3 +531,63 @@ def test_conv_trend_known_answers(spark):
     # exact OLS over (0,6),(1,4),(2,2),(3,0): slope -2
     assert out["c_down"].slope == -2.0
     assert out["c_down"].n_turns == 4
+
+
+def test_rouge_l_known_answers(spark):
+    from osprey_spark.operators.transcripts import rouge_l
+
+    rows = [
+        # gappy copy: LCS("a b c d e", "a x b y c d") = a b c d = 4
+        ("g", 0, "user", "a b c d e"),
+        ("g", 1, "assistant", "a x b y c d"),
+        # exact parrot
+        ("g", 2, "user", "hello world"),
+        ("g", 3, "assistant", "hello world"),
+        # disjoint: LCS = 0 -> all metrics 0.0 (F1 guard, no NaN)
+        ("h", 0, "user", "p q"),
+        ("h", 1, "assistant", "z z z"),
+        # assistant not after user -> no row
+        ("h", 2, "assistant", "p q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in rouge_l(df).collect()}
+    assert set(out) == {("g", 1), ("g", 3), ("h", 1)}
+    gappy = out[("g", 1)]
+    assert (gappy.lcs_len, gappy.n_cand, gappy.n_ref) == (4, 6, 5)
+    assert gappy.rouge_p == round(4 / 6, 6)
+    assert gappy.rouge_r == 0.8
+    p, r = 4 / 6, 4 / 5
+    assert gappy.rouge_f == round(2.0 * p * r / (p + r), 6)
+    exact = out[("g", 3)]
+    assert (exact.rouge_p, exact.rouge_r, exact.rouge_f) == (1.0, 1.0, 1.0)
+    disjoint = out[("h", 1)]
+    assert (disjoint.lcs_len, disjoint.rouge_f) == (0, 0.0)
+
+
+def test_rouge_l_cap_and_empty(spark):
+    from osprey_spark.operators.transcripts import rouge_l
+
+    rows = [
+        # cap at max_tokens=3: cand/ref sliced before the DP
+        ("k", 0, "user", "a b c d e f"),
+        ("k", 1, "assistant", "a b c x y z"),
+        # empty candidate after tokenization (punctuation only)
+        ("m", 0, "user", "w x"),
+        ("m", 1, "assistant", "..."),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in rouge_l(df, max_tokens=3).collect()}
+    capped = out[("k", 1)]
+    assert (capped.n_cand, capped.n_ref, capped.lcs_len) == (3, 3, 3)
+    assert capped.rouge_f == 1.0
+    empty = out[("m", 1)]
+    assert (empty.n_cand, empty.lcs_len, empty.rouge_p, empty.rouge_f) == (
+        0,
+        0,
+        0.0,
+        0.0,
+    )
