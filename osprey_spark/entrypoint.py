@@ -4651,6 +4651,61 @@ ORDER BY s.doc_id
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS robust-winnowing near-dup/plagiarism pairs
+    (dedup.winnow_pairs): per-row HOF gram hashes + rightmost-min
+    window selection, then an fp-keyed equi-join with a max_df
+    boilerplate-gram cull — any shared >= k+w-1-token substring is
+    guaranteed a shared fingerprint at ~2/(w+1) density."""
+    from .operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir), k=5, w=4, min_shared=1, max_df=100
+    ).orderBy("doc_a", "doc_b")
+
+
+O_WINNOW_PAIRS = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) - 4 >= 1 THEN
+      list_transform(range(1, len(tk) - 4 + 1),
+        i -> ('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM base
+),
+sel AS (
+  SELECT doc_id, hs,
+    list_distinct(list_transform(range(1, len(hs) - least(4, len(hs)) + 2),
+      p -> list_max(list_filter(range(p, p + least(4, len(hs))),
+             i -> hs[i] = list_min(list_slice(hs, p, p + least(4, len(hs)) - 1)))))) AS sels
+  FROM g WHERE len(hs) >= 1
+),
+fpx AS (SELECT doc_id, hs, unnest(sels) AS pos FROM sel),
+fp AS (SELECT DISTINCT doc_id, hs[pos] AS fp FROM fpx),
+kept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfreq FROM fp
+  ) WHERE dfreq <= 100
+),
+nfp AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+sh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 1
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+  CAST(na.n_fp AS BIGINT) AS fp_a, CAST(nb.n_fp AS BIGINT) AS fp_b,
+  round(CAST(shared AS DOUBLE) / CAST(na.n_fp + nb.n_fp - shared AS DOUBLE), 6) AS score
+FROM sh JOIN nfp na ON na.doc_id = sh.doc_a JOIN nfp nb ON nb.doc_id = sh.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup REMOVAL (Lee et al. 2022 §4 removes the
     duplicated substrings, not the documents): tokens covered by a
@@ -5874,6 +5929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_topn": q_windowed_topn,
     "cohort_retention": q_cohort_retention,
     "duplicate_spans": q_duplicate_spans,
+    "winnow_pairs": q_winnow_pairs,
     "rate_anomaly": q_rate_anomaly,
     "bm25": q_bm25,
     "salted_join": q_salted_join,
@@ -6025,6 +6081,7 @@ ORACLES: dict[str, str] = {
     "windowed_topn": O_WINDOWED_TOPN,
     "cohort_retention": O_COHORT_RETENTION,
     "duplicate_spans": O_DUPLICATE_SPANS,
+    "winnow_pairs": O_WINNOW_PAIRS,
     "rate_anomaly": O_RATE_ANOMALY,
     "bm25": O_BM25,
     "salted_join": O_SALTED_JOIN,

@@ -721,3 +721,145 @@ def near_dup_flags(
         *id_cols, F.lit(False).alias("is_near_dup")
     )
     return out.unionByName(nulls).orderBy(*id_cols)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS,
+    SIGMOD 2003): hash every token k-gram, slide a w-hash window, and
+    select the window minimum — rightmost on ties — deduping repeated
+    selections. Guarantees every shared substring of at least
+    ``k + w - 1`` tokens shares a fingerprint, at an expected density
+    of 2/(w+1) — the position-robust sampling that plain 0 mod p
+    hash selection lacks.
+
+    Shapes, at 100 TB: everything per-row JVM higher-order functions —
+    gram hashes via one ``transform`` (O(n*k)), window argmins via a
+    second (O(n*w)); only the SELECTED fingerprints explode
+    (~2/(w+1) of grams), so the exploded frame is a small fraction of
+    the token stream and the only shuffle is whatever the consumer
+    does with it. No UDF, no Python.
+
+    Docs shorter than ``w`` grams winnow one window over all their
+    grams (effective window ``min(w, n_grams)``); docs shorter than
+    ``k`` tokens emit nothing.
+
+    Determinism: 60-bit gram hashes from the first 15 md5 hex chars —
+    the engine-replayable idiom shared with the simhash/minhash
+    family. Output: one row per selected (``doc_id``, ``pos``,
+    ``fp``) with ``pos`` the 1-based gram position.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    tk = tokens(F.col(text_col))
+    n_grams = F.size(tk) - F.lit(k - 1)
+    hs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(tk, i, k), " ").cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = df.select(F.col(id_col).alias("doc_id"), hs.alias("_hs")).filter(
+        F.size("_hs") >= 1
+    )
+    hsc = F.col("_hs")
+    weff = F.least(F.lit(w), F.size(hsc))
+    n_windows = F.size(hsc) - weff + F.lit(1)
+    # rightmost index of the window minimum, robust-winnowing tie rule
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda p: F.array_max(
+                F.filter(
+                    F.sequence(p, p + weff - F.lit(1)),
+                    lambda i: F.element_at(hsc, i)
+                    == F.array_min(F.slice(hsc, p, weff)),
+                )
+            ),
+        )
+    )
+    return staged.select(
+        "doc_id", F.explode(sel).alias("pos"), F.col("_hs").alias("_hs")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.element_at(F.col("_hs"), F.col("pos")).alias("fp"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document near-dup/plagiarism pairs by shared winnowing
+    fingerprints: MOSS's pair-detection stage. Candidate pairs come
+    from an equi-join on the fingerprint value; the score is the
+    resemblance ``shared / (|A| + |B| - shared)`` over each doc's
+    retained distinct-fingerprint set.
+
+    Shapes, at 100 TB: (doc, fp) distinct → drop fingerprints whose
+    doc-frequency exceeds ``max_df`` (the boilerplate-gram skew guard
+    — a header shared by a million docs must not become a
+    half-trillion-row join key; MOSS applies the same ubiquity cull)
+    → fp-keyed self-equi-join with ``a < b`` → one (a, b) hash
+    aggregate. Per-fp fan-out is capped at max_df², and every join is
+    an equi-join — no cross product anywhere. Doc fingerprint counts
+    are computed AFTER the cull so the resemblance is internally
+    consistent over the retained sets.
+
+    Determinism: integer shared/counts plus ONE double division
+    rounded half-away-from-zero to 6 places — hash-exact in DuckDB.
+    """
+    fps = (
+        winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    kept = fps.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_df)
+    n_fp = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = n_fp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
+    nb = n_fp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
+    out = shared.join(na, "doc_a").join(nb, "doc_b")
+    score = F.round(
+        F.col("shared").cast("double")
+        / (F.col("fp_a") + F.col("fp_b") - F.col("shared")).cast("double"),
+        6,
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.col("fp_a").cast("long").alias("fp_a"),
+        F.col("fp_b").cast("long").alias("fp_b"),
+        score.alias("score"),
+    )

@@ -525,3 +525,60 @@ def test_watchlist_hits_rejects_overlong_phrase(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         watchlist_hits(docs, ["a b c d e f"], max_len=5)
+
+
+def test_winnow_guarantee_and_tie_rule(spark):
+    """Winnowing contract: any shared substring of >= k+w-1 tokens
+    shares a fingerprint regardless of position shift; tie windows
+    select the rightmost minimum; sub-k docs emit nothing."""
+    from osprey_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    k, w = 3, 3
+    shared_run = "alpha beta gamma delta epsilon"  # 5 tokens = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, shared_run + " tail words here"),
+            (2, "prefix tokens then " + shared_run),
+            (3, "unrelated content entirely different words"),
+            (4, "xy"),  # < k tokens -> no grams
+            (5, "rep rep rep rep rep rep"),  # identical grams -> tie rule
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # guarantee: docs 1 and 2 share the k+w-1 run -> >= 1 common fp
+    assert by_doc[1] & by_doc[2]
+    assert 4 not in by_doc
+    # all grams of doc 5 are identical -> every window's rightmost min
+    # advances with the window: one fp value, several positions
+    d5 = [r for r in rows if r.doc_id == 5]
+    assert len({r.fp for r in d5}) == 1
+    assert {r.pos for r in d5} == {3, 4}  # windows [1..3],[2..4] -> rightmost
+    pairs = {(r.doc_a, r.doc_b): r for r in winnow_pairs(docs, k=k, w=w, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)].shared >= 1
+    assert all(p in {(1, 2)} or 3 not in p for p in pairs)
+
+
+def test_winnow_density_and_max_df_cull(spark):
+    """Expected fingerprint density ~2/(w+1); a gram ubiquitous
+    across > max_df docs is culled from pair detection."""
+    from osprey_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    text = " ".join(f"t{i * 7919 % 1009}" for i in range(200))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_sel = winnow_fingerprints(docs, k=4, w=8).count()
+    n_grams = 200 - 3
+    density = n_sel / n_grams
+    assert 0.1 < density < 0.4  # 2/(w+1) = 0.222 expected
+    # ubiquitous boilerplate: same text in 4 docs, max_df=3 culls every
+    # shared fp -> no pairs survive
+    boiler = spark.createDataFrame(
+        [(i, "common header line shared by every doc") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert winnow_pairs(boiler, k=3, w=2, min_shared=1, max_df=3).count() == 0
+    assert winnow_pairs(boiler, k=3, w=2, min_shared=1, max_df=4).count() == 6
