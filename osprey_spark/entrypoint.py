@@ -5787,6 +5787,30 @@ ORDER BY query_id
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (similarity.mmr_rerank, Carbonell &
+    Goldstein 1998): greedy lam*rel - (1-lam)*max-sim-to-selected
+    re-ranking of the brute-force top-20 candidates — bounded
+    per-query arrays, pairwise sims and the greedy fold as pure-JVM
+    HOFs, nothing corpus-scale shuffles."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_rerank(emb, queries, k=5, n_candidates=20, lam=0.7)
+
+
+O_MMR_RERANK = similarity.mmr_oracle_sql(
+    "embeddings",
+    "SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10",
+    k=5,
+    n_candidates=20,
+    lam=0.7,
+)
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (sketches.drift_metrics): PSI + KS
     of per-event values between the first and second half of the
@@ -5965,6 +5989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_merges": q_wordpiece_merges,
     "wordpiece_encode": q_wordpiece_encode,
     "retrieval_eval": q_retrieval_eval,
+    "mmr_rerank": q_mmr_rerank,
     "conv_trend": q_conv_trend,
 }
 
@@ -6117,6 +6142,7 @@ ORACLES: dict[str, str] = {
     "wordpiece_merges": _wordpiece_oracle(),
     "wordpiece_encode": _wordpiece_oracle(encode=True),
     "retrieval_eval": _o_retrieval_eval(),
+    "mmr_rerank": O_MMR_RERANK,
     "conv_trend": O_CONV_TREND,
 }
 

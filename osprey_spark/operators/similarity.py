@@ -1141,3 +1141,214 @@ def retrieval_eval(
         )
         .orderBy(query_col)
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedy diversified top-k — each round selects the
+    candidate maximizing ``lam * rel - (1 - lam) * max_sim_to_already_
+    selected``, so near-duplicate hits stop crowding out coverage.
+    The standard diversity stage between an ANN index and a training-
+    data / RAG consumer.
+
+    Shapes, at 100 TB: candidate generation is :func:`brute_force_
+    topk` (swap in lsh/ivf/pq for scale — any (query, id, rank)
+    frame of <= n_candidates rows per query works); candidates join
+    their embeddings back by id (equi-join), collapse to ONE row per
+    query (bounded arrays — the top-k boundedness class), and the
+    O(n_candidates² · dim) pairwise-similarity matrix plus the
+    O(k · n_candidates · k) greedy fold run per row as pure-JVM
+    higher-order functions. Nothing corpus-scale shuffles; per-query
+    cost is a constant set by (n_candidates, k, dim).
+
+    Engine-exactness: relevances and pairwise similarities are the
+    6-rounded cosines the top-k family already replays hash-exact;
+    the greedy score is ONE fixed parenthesization over them, ties
+    broken by candidate rank (desc relevance, asc id) — fully
+    deterministic, so the DuckDB replay selects the identical set in
+    the identical order.
+    """
+    if k < 1 or n_candidates < 1:
+        raise ValueError("mmr_rerank: k and n_candidates must be >= 1")
+    cands = brute_force_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, k=n_candidates,
+    )
+    ce = cands.join(
+        vectors.select(F.col(id_col), F.col(vec_col).alias("_ce")), id_col
+    )
+    g = ce.groupBy(query_id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", F.col(id_col).alias("_id"), "cosine", "_ce"))
+        ).alias("_c")
+    )
+    ids = F.transform(F.col("_c"), lambda c: c["_id"])
+    rels = F.transform(F.col("_c"), lambda c: c["cosine"])
+    embs = F.transform(F.col("_c"), lambda c: c["_ce"])
+    n = F.size(F.col("_c"))
+    sim = F.transform(
+        embs,
+        lambda e1: F.transform(embs, lambda e2: F.round(cosine(e1, e2), 6)),
+    )
+    staged = g.select(
+        query_id_col,
+        ids.alias("_ids"),
+        rels.alias("_rels"),
+        sim.alias("_S"),
+        n.alias("_n"),
+    ).filter(F.col("_n") >= 1)
+
+    idsc, relsc, Sc, nc = (
+        F.col("_ids"), F.col("_rels"), F.col("_S"), F.col("_n")
+    )
+    lam_c, one_m = F.lit(float(lam)), F.lit(1.0 - float(lam))
+
+    def _score(acc: Column, i: Column) -> Column:
+        # lam * rel_i - (1-lam) * max_{j in acc} S[i][j]; 0 max when
+        # nothing is selected yet (round 1 == pure relevance order)
+        return lam_c * F.element_at(relsc, i) - one_m * F.coalesce(
+            F.array_max(
+                F.transform(acc, lambda j: F.element_at(F.element_at(Sc, i), j))
+            ),
+            F.lit(0.0),
+        )
+
+    def _step(acc: Column, _r: Column) -> Column:
+        scores = F.transform(
+            F.sequence(F.lit(1), nc),
+            lambda i: F.when(~F.array_contains(acc, i), _score(acc, i)),
+        )
+        best = F.array_max(F.filter(scores, lambda s: s.isNotNull()))
+        chosen = F.array_min(
+            F.filter(
+                F.sequence(F.lit(1), nc),
+                lambda i: ~F.array_contains(acc, i) & (_score(acc, i) == best),
+            )
+        )
+        return F.concat(acc, F.array(chosen))
+
+    k_eff = F.least(F.lit(k), nc)
+    sel = F.aggregate(
+        F.sequence(F.lit(1), k_eff),
+        F.array().cast("array<int>"),
+        _step,
+    )
+    # re-derive each round's marginal score from the selection prefix
+    out_rows = F.transform(
+        F.sequence(F.lit(1), F.size(sel)),
+        lambda r: F.struct(
+            r.cast("long").alias("mmr_rank"),
+            F.element_at(idsc, F.element_at(sel, r)).alias("_vid"),
+            F.element_at(relsc, F.element_at(sel, r)).alias("relevance"),
+            F.round(
+                _score(F.slice(sel, 1, r - 1), F.element_at(sel, r)), 6
+            ).alias("mmr_score"),
+        ),
+    )
+    return (
+        staged.select(query_id_col, F.explode(out_rows).alias("_o"))
+        .select(
+            query_id_col,
+            F.col("_o.mmr_rank").alias("mmr_rank"),
+            F.col("_o._vid").alias(id_col),
+            F.col("_o.relevance").alias("relevance"),
+            F.col("_o.mmr_score").alias("mmr_score"),
+        )
+        .orderBy(query_id_col, "mmr_rank")
+    )
+
+
+def mmr_oracle_sql(
+    vectors_table: str,
+    queries_sql: str,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB replay of :func:`mmr_rerank` over ``vectors_table``
+    (columns vec_id, embedding) with ``queries_sql`` selecting
+    (query_id, qe). Same rounded cosines, same greedy recurrence via
+    ``list_reduce`` (seed-prepended accumulator, dummy round
+    elements), same tie rule."""
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> CAST(list_extract({a}, i) AS DOUBLE) * CAST(list_extract({b}, i) AS DOUBLE)))"
+    )
+    cos = (
+        f"round({dot.format(a='{a}', b='{b}')} / "
+        f"(sqrt({dot.format(a='{a}', b='{a}')}) * sqrt({dot.format(a='{b}', b='{b}')})), 6)"
+    )
+    score = (
+        "({lam} * rels[{i}] - {onem} * coalesce(list_max("
+        "list_transform({acc}, j -> S[{i}][j])), 0.0))"
+    ).format(lam=float(lam), onem=1.0 - float(lam), i="{i}", acc="{acc}")
+    best = (
+        "list_max(list_filter(list_transform(range(1, n + 1), "
+        f"i -> CASE WHEN list_contains({{acc}}, i) THEN NULL ELSE {score.format(i='i', acc='{acc}')} END), "
+        "s -> s IS NOT NULL))"
+    )
+    chosen = (
+        "list_min(list_filter(range(1, n + 1), "
+        f"i -> NOT list_contains({{acc}}, i) AND {score.format(i='i', acc='{acc}')} = {best}))"
+    )
+    step = f"list_append(acc, {chosen.format(acc='acc')})"
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM {vectors_table}),
+q AS ({queries_sql}),
+scored AS (
+  SELECT q.query_id, v.vec_id, v.embedding AS ce,
+    {cos.format(a='q.qe', b='v.embedding')} AS cosine
+  FROM q, v
+),
+ranked AS (
+  SELECT query_id, vec_id, ce, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+),
+cands AS (SELECT * FROM ranked WHERE rank <= {int(n_candidates)}),
+g AS (
+  SELECT query_id,
+    list(vec_id ORDER BY rank) AS ids,
+    list(cosine ORDER BY rank) AS rels,
+    list(ce ORDER BY rank) AS embs,
+    count(*) AS n
+  FROM cands GROUP BY query_id
+),
+mat AS (
+  SELECT query_id, ids, rels, n,
+    list_transform(embs, e1 -> list_transform(embs, e2 ->
+      {cos.format(a='e1', b='e2')})) AS S
+  FROM g
+),
+greedy AS (
+  SELECT query_id, ids, rels, n, S,
+    list_reduce(
+      list_prepend(CAST([] AS INT[]),
+        list_transform(range(1, least({int(k)}, n) + 1), r -> CAST([] AS INT[]))),
+      (acc, el) -> {step}) AS sel
+  FROM mat
+),
+rows_out AS (
+  SELECT query_id,
+    unnest(list_transform(range(1, len(sel) + 1), r -> struct_pack(
+      mmr_rank := CAST(r AS BIGINT),
+      vec_id := ids[sel[r]],
+      relevance := rels[sel[r]],
+      mmr_score := round({score.format(i='sel[r]', acc='list_slice(sel, 1, r - 1)')}, 6)
+    ))) AS o
+  FROM greedy
+)
+SELECT query_id, o.mmr_rank AS mmr_rank, o.vec_id AS vec_id,
+  o.relevance AS relevance, o.mmr_score AS mmr_score
+FROM rows_out
+ORDER BY query_id, mmr_rank
+"""

@@ -41,6 +41,7 @@ _CROSS_OK = {
     "decay_score",  # 1-row global now-bucket frame broadcast onto the scan
     "curriculum_buckets",  # 1-row quantile-boundaries frame broadcast onto the scan
     "retrieval_eval",  # wraps brute_force_topk: the bounded Q-row broadcast product
+    "mmr_rerank",  # wraps brute_force_topk: the bounded Q-row broadcast product
 }
 
 # Queries expected to broadcast at least one join side (small dim /

@@ -373,3 +373,45 @@ def test_retrieval_eval_contract(spark):
     assert (out[1].n_hits, out[1].recall_at_k, out[1].rr) == (2, 1.0, 1.0)
     assert (out[2].n_hits, out[2].recall_at_k, out[2].rr) == (1, 0.5, 0.5)
     assert (out[3].n_hits, out[3].recall_at_k, out[3].rr) == (0, 0.0, 0.0)
+
+
+def test_mmr_rerank_diversifies_planted_near_dups(spark):
+    """MMR contract: rank 1 is the pure-relevance winner; low-lambda
+    selection skips a planted near-duplicate of the top hit that
+    plain top-k keeps; selected ids are unique; high lambda (1.0)
+    degenerates to relevance order."""
+    q = [1.0, 0.0, 0.0, 0.0]
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # exact hit
+        (1, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 0, 2nd by relevance
+        (2, [0.7, 0.7, 0.0, 0.0]),        # diverse, mid relevance
+        (3, [0.5, 0.0, 0.8, 0.0]),        # diverse
+        (4, [0.0, 1.0, 0.0, 0.0]),        # orthogonal
+    ]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame([(100, q)], "query_id long, embedding array<double>")
+
+    plain = similarity.brute_force_topk(vdf, qdf, k=3)
+    assert [r.vec_id for r in plain.collect()] == [0, 1, 2]
+
+    low = similarity.mmr_rerank(vdf, qdf, k=3, n_candidates=5, lam=0.3)
+    sel = [r.vec_id for r in low.orderBy("mmr_rank").collect()]
+    assert sel[0] == 0  # round 1 == relevance argmax
+    assert 1 not in sel  # the near-dup is crowded out at low lambda
+    assert len(set(sel)) == 3
+
+    pure = similarity.mmr_rerank(vdf, qdf, k=3, n_candidates=5, lam=1.0)
+    assert [r.vec_id for r in pure.orderBy("mmr_rank").collect()] == [0, 1, 2]
+
+
+def test_mmr_rerank_k_exceeds_candidates(spark):
+    """Requesting more rows than candidates returns every candidate
+    exactly once (k_eff = n)."""
+    vecs = [(i, [float(i == j) for j in range(3)]) for i in range(3)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(9, [1.0, 0.1, 0.1])], "query_id long, embedding array<double>"
+    )
+    out = similarity.mmr_rerank(vdf, qdf, k=10, n_candidates=3, lam=0.5).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1, 2]
+    assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
