@@ -5601,6 +5601,25 @@ O_ECHO_OVERLAP = (
 )
 
 
+def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (transcripts.topic_segments,
+    Hearst 1997): per-gap block Jaccard cohesion + valley depth vs
+    neighboring peaks, everything on bounded rows-between frames over
+    ONE conv-keyed shuffle — no joins, no UDF."""
+    from .operators.transcripts import topic_segments
+
+    t = turns_from_events(spark, sf_dir)
+    return topic_segments(t).orderBy("conv_id", "turn_idx")
+
+
+from .operators.transcripts import topic_segments_sql as _tseg_sql  # noqa: E402
+
+O_TOPIC_SEGMENTS = (
+    _tseg_sql("turns").replace("WITH tkt AS", TURNS_CTE + ", tkt AS", 1)
+    + " ORDER BY conv_id, turn_idx"
+)
+
+
 def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L (token LCS P/R/F1) of each assistant turn vs the
     preceding user turn (transcripts.rouge_l): the order-aware gappy-
@@ -5981,6 +6000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_render": q_sft_render,
     "echo_overlap": q_echo_overlap,
     "rouge_l": q_rouge_l,
+    "topic_segments": q_topic_segments,
     "context_windows": q_context_windows,
     "fuzzy_match": q_fuzzy_match,
     "pivot_roles": q_pivot_roles,
@@ -6134,6 +6154,7 @@ ORACLES: dict[str, str] = {
     "sft_render": O_SFT_RENDER,
     "echo_overlap": O_ECHO_OVERLAP,
     "rouge_l": O_ROUGE_L,
+    "topic_segments": O_TOPIC_SEGMENTS,
     "context_windows": O_CONTEXT_WINDOWS,
     "fuzzy_match": O_FUZZY_MATCH,
     "pivot_roles": O_PIVOT_ROLES,

@@ -1131,3 +1131,164 @@ SELECT conv_id, turn_idx, n_cand, n_ref, lcs_len,
     ELSE 0.0 END AS rouge_f
 FROM pairs
 """
+
+
+def topic_segments(
+    turns: DataFrame,
+    block: int = 2,
+    peak_window: int = 3,
+    depth_threshold: float = 0.2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic segmentation of conversations (Hearst,
+    CL 1997): score every gap between consecutive turns by the
+    lexical cohesion of the ``block`` turns on each side, then mark
+    topic boundaries where the cohesion *valley* is deep relative to
+    its neighboring peaks — the discourse-structure signal for
+    splitting long multi-topic transcripts into coherent training
+    segments.
+
+    Per gap g (after turn g): ``sim`` = Jaccard of the distinct token
+    sets of turns [g-block+1..g] vs [g+1..g+block];
+    ``depth`` = (peakL - sim) + (peakR - sim) with peakL/peakR the
+    max sim over the ``peak_window`` gaps on each side, clamped at
+    sim so a local maximum scores 0; ``boundary`` = depth >=
+    ``depth_threshold`` AND the gap is the VALLEY itself — a local
+    minimum of sim (strictly below the previous gap, at most the
+    next, so a flat-bottomed valley flags its leftmost gap exactly
+    once) — without the valley condition the deep gap's depth bleeds
+    into its flanking gaps through their peak terms and a single
+    topic shift flags three gaps. Blocks truncate at conversation
+    edges
+    (Hearst's standard edge handling); the last turn has no
+    following block and emits no gap row.
+
+    Shapes, at 100 TB: every step rides ONE conv-keyed shuffle — the
+    block token unions are bounded rows-between ``collect_list``
+    frames over the pipeline's standard (conv, idx) window, the
+    Jaccard is per-row ``array_intersect``/``array_union`` on
+    distinct token sets, and the peak scan is a second bounded
+    rows-between max over the sims. No joins, no UDF, state bounded
+    by block/peak_window — never conversation length.
+
+    Determinism: sim is one int/int division rounded to 6; depth is
+    one fixed combination of rounded sims rounded again to 6 — the
+    DuckDB window replay is hash-exact.
+    """
+    if block < 1 or peak_window < 1:
+        raise ValueError("topic_segments: block and peak_window must be >= 1")
+    toks = turns.select(
+        conv_col,
+        idx_col,
+        F.array_distinct(tokenize_col(F.col(text_col))).alias("_tk"),
+    )
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    A = F.array_distinct(
+        F.flatten(
+            F.collect_list("_tk").over(w.rowsBetween(-(block - 1), 0))
+        )
+    )
+    B = F.array_distinct(
+        F.flatten(F.collect_list("_tk").over(w.rowsBetween(1, block)))
+    )
+    gaps = toks.select(
+        conv_col,
+        idx_col,
+        A.alias("_A"),
+        B.alias("_B"),
+    ).filter(F.size("_B") >= 1)
+    inter = F.size(F.array_intersect("_A", "_B")).cast("long")
+    union = F.size(F.array_union("_A", "_B")).cast("long")
+    sim = F.when(
+        union > 0, F.round(inter.cast("double") / union.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    scored = gaps.select(
+        conv_col, idx_col, inter.alias("n_common"), union.alias("n_union"),
+        sim.alias("sim"),
+    )
+    ws = Window.partitionBy(conv_col).orderBy(idx_col)
+    peak_l = F.greatest(
+        F.coalesce(
+            F.max("sim").over(ws.rowsBetween(-peak_window, -1)), F.col("sim")
+        ),
+        F.col("sim"),
+    )
+    peak_r = F.greatest(
+        F.coalesce(
+            F.max("sim").over(ws.rowsBetween(1, peak_window)), F.col("sim")
+        ),
+        F.col("sim"),
+    )
+    depth = F.round(peak_l + peak_r - F.lit(2.0) * F.col("sim"), 6)
+    prev_sim = F.lag("sim").over(ws)
+    next_sim = F.lead("sim").over(ws)
+    is_valley = (prev_sim.isNull() | (F.col("sim") < prev_sim)) & (
+        next_sim.isNull() | (F.col("sim") <= next_sim)
+    )
+    return scored.select(
+        conv_col,
+        idx_col,
+        "n_common",
+        "n_union",
+        "sim",
+        depth.alias("depth"),
+        ((depth >= F.lit(float(depth_threshold))) & is_valley).alias(
+            "boundary"
+        ),
+    )
+
+
+def topic_segments_sql(
+    table: str,
+    block: int = 2,
+    peak_window: int = 3,
+    depth_threshold: float = 0.2,
+) -> str:
+    """DuckDB oracle for :func:`topic_segments` — the same bounded
+    rows-between windows (list() frames flattened + distinct, max
+    over sims) and the same rounded divisions."""
+    tk = r"list_distinct(list_filter(regexp_split_to_array(lower(text), '[\W_]+'), t -> t <> ''))"
+    return f"""
+WITH tkt AS (
+  SELECT conv_id, turn_idx, {tk} AS tk FROM {table}
+),
+blocks AS (
+  SELECT conv_id, turn_idx,
+    list_distinct(flatten(list(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN {int(block) - 1} PRECEDING AND CURRENT ROW))) AS A,
+    list_distinct(flatten(coalesce(list(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 1 FOLLOWING AND {int(block)} FOLLOWING), []))) AS B
+  FROM tkt
+),
+gaps AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_intersect(A, B)) AS BIGINT) AS n_common,
+    CAST(len(list_distinct(list_concat(A, B))) AS BIGINT) AS n_union
+  FROM blocks WHERE len(B) >= 1
+),
+scored AS (
+  SELECT conv_id, turn_idx, n_common, n_union,
+    CASE WHEN n_union > 0
+      THEN round(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+      ELSE 0.0 END AS sim
+  FROM gaps
+),
+peaks AS (
+  SELECT conv_id, turn_idx, n_common, n_union, sim,
+    greatest(coalesce(max(sim) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN {int(peak_window)} PRECEDING AND 1 PRECEDING), sim), sim) AS peak_l,
+    greatest(coalesce(max(sim) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 1 FOLLOWING AND {int(peak_window)} FOLLOWING), sim), sim) AS peak_r,
+    lag(sim) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sim,
+    lead(sim) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_sim
+  FROM scored
+)
+SELECT conv_id, turn_idx, n_common, n_union, sim,
+  round(peak_l + peak_r - 2.0 * sim, 6) AS depth,
+  (round(peak_l + peak_r - 2.0 * sim, 6) >= {float(depth_threshold)}
+   AND (prev_sim IS NULL OR sim < prev_sim)
+   AND (next_sim IS NULL OR sim <= next_sim)) AS boundary
+FROM peaks
+"""

@@ -591,3 +591,37 @@ def test_rouge_l_cap_and_empty(spark):
         0.0,
         0.0,
     )
+
+
+def test_topic_segments_boundary_at_topic_shift(spark):
+    from osprey_spark.operators.transcripts import topic_segments
+
+    rows = [
+        # two cohesive topics with zero lexical overlap: the gap
+        # between them is a deep valley flanked by high-sim peaks
+        ("c", 0, "onion butter pan"),
+        ("c", 1, "onion butter salt"),
+        ("c", 2, "pan salt onion"),
+        ("c", 3, "stock market index"),
+        ("c", 4, "market index shares"),
+        ("c", 5, "shares stock market"),
+        ("d", 0, "single"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.turn_idx: r for r in topic_segments(
+        df, block=2, peak_window=3, depth_threshold=0.5
+    ).filter(F.col("conv_id") == "c").collect()}
+    # last turn has no following block; turns 0..4 emit gap rows
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[2].sim == 0.0 and out[2].n_common == 0  # disjoint topics
+    assert out[2].boundary  # the deep valley
+    assert not out[1].boundary and not out[3].boundary
+    # depth = peakL + peakR - 2*sim, peaks = window max over 3 gaps
+    assert out[2].depth == round(
+        max(out[0].sim, out[1].sim) + max(out[3].sim, out[4].sim), 6
+    )
+    # flanking gaps inherit large depth from the valley's peaks but
+    # are NOT local minima -> not boundaries (the valley condition)
+    assert out[1].depth >= 0.5 and not out[1].boundary
+    # single-turn conversation emits no gap rows
+    assert topic_segments(df).filter(F.col("conv_id") == "d").count() == 0
