@@ -5370,6 +5370,68 @@ FROM nodes GROUP BY node ORDER BY node
 """
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-occurrence item graph (graph.kcore):
+    synchronous iterative peeling — per round one degree aggregate +
+    two left-semi restrictions on the edges-only working set,
+    localCheckpoint-truncated rounds, fixpoint by probe. The
+    densest-region filter that strips casual co-occurrence before
+    ring analysis; rounds bounded by peeling depth, never graph
+    size."""
+    from .operators.graph import cooccurrence, kcore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (
+        ev.select(
+            F.col("user_id").cast("string").alias("user"),
+            F.get_json_object(F.col("props"), "$.k").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    und = cooccurrence(pairs, cap=20, min_count=5)
+    sym = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    out = kcore(sym, k=3).orderBy("node")
+    return out
+
+
+def _o_kcore() -> str:
+    from .operators.graph import kcore_oracle_sql
+
+    edges_sql = """
+  WITH pairs AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+           json_extract_string(props, '$.k') AS item
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+  ),
+  capped AS (
+    SELECT u, item FROM (
+      SELECT u, item,
+        row_number() OVER (
+          PARTITION BY u ORDER BY md5('co1:' || u || ':' || item), item
+        ) AS rn
+      FROM pairs
+    ) WHERE rn <= 20
+  ),
+  und AS (
+    SELECT a.item AS a, b.item AS b
+    FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+  )
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL SELECT b AS src, a AS dst FROM und
+"""
+    return (
+        kcore_oracle_sql(edges_sql, k=3, rounds=12) + " ORDER BY node"
+    )
+
+
 def q_decay_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level decayed-activity escalation signal (GetDecayScore,
     13th stateful family): integer bit-shift halflife weights so the
@@ -5992,6 +6054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_transitions": q_tool_transitions,
     "response_latency": q_response_latency,
     "triangle_count": q_triangle_count,
+    "kcore": q_kcore,
     "decay_rule": q_decay_rule,
     "span_corruption": q_span_corruption,
     "preference_pairs": q_preference_pairs,
@@ -6146,6 +6209,7 @@ ORACLES: dict[str, str] = {
     "tool_transitions": O_TOOL_TRANSITIONS,
     "response_latency": O_RESPONSE_LATENCY,
     "triangle_count": O_TRIANGLE_COUNT,
+    "kcore": _o_kcore(),
     "decay_rule": O_DECAY_RULE,
     "span_corruption": O_SPAN_CORRUPTION,
     "preference_pairs": O_PREFERENCE_PAIRS,

@@ -230,3 +230,119 @@ def triangle_count(
     )
     out.unpersist_base = lambda: e.unpersist(blocking=True)
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by synchronous iterative peeling: the
+    maximal subgraph in which every node keeps degree >= k — the
+    standard densest-region filter (Seidman 1983) that strips the
+    long tail of casual co-occurrence before ring/community analysis
+    (a fraud clique survives a 3-core; the background bipartite noise
+    does not).
+
+    ``edges`` must be a symmetric (src, dst) string edge list (both
+    directions present, no self loops), the same contract as
+    :func:`pagerank`. Each round removes EVERY node whose current
+    degree is below ``k`` simultaneously, then re-restricts the edge
+    list — synchronous peeling, so the result is the unique k-core
+    regardless of partitioning, and a fixpoint replay with MORE
+    rounds is a no-op (the property the unrolled DuckDB oracle relies
+    on).
+
+    Scale shape: per round ONE hash-aggregate degree count (map-side
+    partials) + TWO left-semi equi-joins restricting src and dst to
+    surviving nodes — edges-only working set, no driver-side node
+    state; the fixpoint test is a limit(1).count() probe and rounds
+    are localCheckpoint-truncated (each round references the previous
+    frame three times, so raw lineage would grow exponentially — the
+    dedup_groups discipline). Rounds are bounded by the peeling depth
+    (degeneracy ordering), not graph size; ``max_rounds`` exhaustion
+    warns about the unconverged fixpoint like dedup_groups.
+
+    Output: (node, deg) for every k-core member with its in-core
+    degree — all integers, hash-exact in any engine.
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    sc = edges.sparkSession.sparkContext
+
+    def _checkpointed(df):
+        jmap = sc._jsc.getPersistentRDDs()
+        before = set(jmap.keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        after = sc._jsc.getPersistentRDDs()
+        new_ids = [i for i in after.keySet().toArray() if i not in before]
+        return out, new_ids
+
+    def _free(ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = jmap.get(i)
+            if r is not None:
+                r.unpersist(True)
+
+    cur, cur_ids = _checkpointed(edges.select("src", "dst"))
+    converged = False
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.filter(F.col("deg") < k)
+        if weak.limit(1).count() == 0:
+            converged = True
+            break
+        alive = deg.filter(F.col("deg") >= k).select("src")
+        nxt = cur.join(alive, "src", "left_semi").join(
+            alive.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        nxt, nxt_ids = _checkpointed(nxt)
+        _free(cur_ids)
+        cur, cur_ids = nxt, nxt_ids
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"kcore: fixpoint not reached after {max_rounds} rounds — "
+            "result is the partially peeled graph, not the k-core",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    out = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("deg"))
+    )
+    out.unpersist_base = lambda: _free(cur_ids)
+    return out
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 10) -> str:
+    """DuckDB replay of :func:`kcore`: the peeling loop statically
+    unrolled to ``rounds`` MATERIALIZED alive-set CTEs — valid
+    because synchronous peeling is idempotent at the fixpoint, so
+    any ``rounds`` >= the data's true peeling depth yields exactly
+    the k-core (the Spark side converges by probe; callers pick
+    ``rounds`` above the observed depth)."""
+    parts = [f"WITH e AS MATERIALIZED ({edges_sql})"]
+    parts.append(
+        "alive_0 AS MATERIALIZED (SELECT src AS node FROM e GROUP BY src)"
+    )
+    prev = "alive_0"
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"alive_{r} AS MATERIALIZED (\n"
+            f"  SELECT src AS node FROM e\n"
+            f"  WHERE src IN (SELECT node FROM {prev})\n"
+            f"    AND dst IN (SELECT node FROM {prev})\n"
+            f"  GROUP BY src HAVING count(*) >= {int(k)})"
+        )
+        prev = f"alive_{r}"
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e
+WHERE src IN (SELECT node FROM {prev}) AND dst IN (SELECT node FROM {prev})
+GROUP BY src
+"""

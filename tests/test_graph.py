@@ -183,3 +183,53 @@ def test_triangle_count_partition_invariant(spark):
     a = triangle_count(df.repartition(1)).collect()
     b = triangle_count(df.repartition(9)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kcore_peels_to_clique(spark):
+    """3-core keeps exactly the K4; 2-core keeps K4 + the separate
+    triangle; the pendant chain always peels away."""
+    from osprey_spark.operators.graph import kcore
+
+    und = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),                      # K4
+        ("d", "e"), ("e", "f"),          # pendant chain
+        ("x", "y"), ("y", "z"), ("x", "z"),  # triangle
+    ]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    core3 = kcore(edges, k=3)
+    assert sorted((r.node, r.deg) for r in core3.collect()) == [
+        ("a", 3), ("b", 3), ("c", 3), ("d", 3)
+    ]
+    core3.unpersist_base()
+    core2 = kcore(edges, k=2)
+    assert {r.node for r in core2.collect()} == {"a", "b", "c", "d", "x", "y", "z"}
+    core2.unpersist_base()
+    # k above max degree -> empty core, schema intact
+    core9 = kcore(edges, k=9)
+    assert core9.count() == 0 and core9.columns == ["node", "deg"]
+    core9.unpersist_base()
+
+
+def test_kcore_warns_on_round_exhaustion(spark):
+    """A path graph peels one layer per round under k=2; max_rounds=1
+    leaves it unconverged and must warn."""
+    import warnings
+
+    from osprey_spark.operators.graph import kcore
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = kcore(edges, k=2, max_rounds=1)
+        n = out.count()
+        out.unpersist_base()
+    assert any("fixpoint not reached" in str(w.message) for w in caught)
+    assert n > 0  # partially peeled remnant, larger than the true core
+    # converged run: a pure path has NO 2-core at all
+    full = kcore(edges, k=2)
+    assert full.count() == 0
+    full.unpersist_base()
