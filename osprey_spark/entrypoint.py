@@ -5682,6 +5682,27 @@ O_TOPIC_SEGMENTS = (
 )
 
 
+def q_textrank_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive conversation summaries
+    (transcripts.textrank_turns, Mihalcea & Tarau 2004): per-turn
+    centrality in the conversation's token-Jaccard turn graph by
+    fixed-round power iteration — conversations collapse to one
+    bounded row, the O(n²) matrix and iterations run as pure-JVM
+    folds, fixed fold order keeps the doubles engine-exact."""
+    from .operators.transcripts import textrank_turns
+
+    t = turns_from_events(spark, sf_dir)
+    return textrank_turns(t).orderBy("conv_id", "turn_idx")
+
+
+from .operators.transcripts import textrank_turns_sql as _trank_sql  # noqa: E402
+
+O_TEXTRANK_TURNS = (
+    _trank_sql("turns").replace("WITH tkt AS", TURNS_CTE + ", tkt AS", 1)
+    + " ORDER BY conv_id, turn_idx"
+)
+
+
 def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L (token LCS P/R/F1) of each assistant turn vs the
     preceding user turn (transcripts.rouge_l): the order-aware gappy-
@@ -6064,6 +6085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "echo_overlap": q_echo_overlap,
     "rouge_l": q_rouge_l,
     "topic_segments": q_topic_segments,
+    "textrank_turns": q_textrank_turns,
     "context_windows": q_context_windows,
     "fuzzy_match": q_fuzzy_match,
     "pivot_roles": q_pivot_roles,
@@ -6219,6 +6241,7 @@ ORACLES: dict[str, str] = {
     "echo_overlap": O_ECHO_OVERLAP,
     "rouge_l": O_ROUGE_L,
     "topic_segments": O_TOPIC_SEGMENTS,
+    "textrank_turns": O_TEXTRANK_TURNS,
     "context_windows": O_CONTEXT_WINDOWS,
     "fuzzy_match": O_FUZZY_MATCH,
     "pivot_roles": O_PIVOT_ROLES,

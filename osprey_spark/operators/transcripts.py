@@ -1292,3 +1292,218 @@ SELECT conv_id, turn_idx, n_common, n_union, sim,
    AND (next_sim IS NULL OR sim <= next_sim)) AS boundary
 FROM peaks
 """
+
+
+def textrank_turns(
+    turns: DataFrame,
+    rounds: int = 10,
+    damping: float = 0.85,
+    top_m: int = 3,
+    max_turns: int = 64,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extractive conversation summarization by TextRank (Mihalcea &
+    Tarau, EMNLP 2004): rank each turn by its centrality in the
+    conversation's turn-similarity graph — power iteration of
+    ``s_i = (1-d) + d * Σ_j (S_ij / deg_j) * s_j`` — and select the
+    ``top_m`` most central turns as the summary. The structural
+    "which turns carry this conversation" signal, with the edge
+    weights as token Jaccard (rounded int/int division) instead of
+    the paper's log-length normalization so every similarity is
+    engine-exact.
+
+    Shapes, at 100 TB: conversations collapse to ONE bounded row each
+    (ordered token-set arrays capped at ``max_turns`` turns — the
+    sft_render/preference_pairs boundedness class) on the pipeline's
+    standard conv shuffle; the O(n²) similarity matrix, degree
+    vector, and the fixed ``rounds`` power iterations all run per
+    row as pure-JVM higher-order folds (no joins, no UDF, cost a
+    constant set by max_turns² · rounds); final ranking is one
+    row_number window back on the conv key.
+
+    Engine-exactness: fixed round count, fixed fold order (j
+    ascending, seed 0.0), fixed parenthesization
+    ``(S/deg) * s`` per term and ``(1-d) + d * Σ`` per node — IEEE
+    doubles evaluate bit-identically in DuckDB's list_reduce replay;
+    scores round to 6 only after the last iteration, ranking ties
+    break by turn index.
+
+    Inline-hazard discipline (the near_dup_flags lesson, here in HOF
+    form): every expensive intermediate is consumed by exactly ONE
+    iterating HOF that walks it directly (``transform(S, row ->
+    ...)``, ``zip_with(idxs, scores, ...)``) — never by
+    ``element_at(X, i)`` inside a lambda, which re-evaluates X's
+    whole expression per element if CollapseProject inlines the
+    alias (measured: 88 s -> 1.4 s at sf0.01). The normalized
+    transition matrix additionally rides the power iteration's
+    INITIAL ACCUMULATOR (``struct(M, s0)``), which the fold contract
+    evaluates exactly once regardless of any optimizer decision.
+    """
+    if rounds < 1 or top_m < 1 or max_turns < 1:
+        raise ValueError("textrank_turns: rounds/top_m/max_turns must be >= 1")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    toks = (
+        turns.select(
+            conv_col,
+            idx_col,
+            F.array_distinct(tokenize_col(F.col(text_col))).alias("_tk"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_turns)
+    )
+    g = toks.groupBy(conv_col).agg(
+        F.sort_array(F.collect_list(F.struct(idx_col, "_tk"))).alias("_c")
+    )
+    idxs = F.transform(F.col("_c"), lambda c: c[idx_col])
+    tks = F.transform(F.col("_c"), lambda c: c["_tk"])
+    n = F.size(F.col("_c"))
+    staged = g.select(
+        conv_col, idxs.alias("_idxs"), tks.alias("_tks"), n.alias("_n")
+    )
+    tksc, nc = F.col("_tks"), F.col("_n")
+
+    def _jac(i: Column, j: Column) -> Column:
+        a, b = F.element_at(tksc, i), F.element_at(tksc, j)
+        inter = F.size(F.array_intersect(a, b))
+        union = F.size(F.array_union(a, b))
+        return F.when(
+            (i != j) & (union > 0),
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    seq_n = F.sequence(F.lit(1), nc)
+    S = F.transform(seq_n, lambda i: F.transform(seq_n, lambda j: _jac(i, j)))
+    staged = staged.select(
+        conv_col, F.col("_idxs"), F.col("_n"), S.alias("_S")
+    )
+    Sc = F.col("_S")
+    d, base = F.lit(float(damping)), F.lit(1.0 - float(damping))
+    # deg_j = Σ_i S[i][j]; M[i][j] = deg_j > 0 ? S[i][j] / deg_j : 0.0
+    # (column sums == row sums here — S is symmetric — but fold rows
+    # per j via zip_with so deg is consumed positionally, not by
+    # element_at). Division happens once; (S/deg) * s per round then
+    # multiplies the SAME double the per-term division would produce,
+    # so the oracle's (S[i][j]/deg[j])*s[j] replays bit-identically.
+    deg = F.transform(Sc, lambda row: F.aggregate(row, F.lit(0.0), lambda a, x: a + x))
+    M = F.transform(
+        Sc,
+        lambda row: F.zip_with(
+            row,
+            deg,
+            lambda x, dg: F.when(dg > 0.0, x / dg).otherwise(F.lit(0.0)),
+        ),
+    )
+    s0 = F.array_repeat(F.lit(1.0), nc)
+    # M rides the fold's INITIAL accumulator: evaluated exactly once.
+    scores = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(rounds))),
+        F.struct(M.alias("m"), s0.alias("s")),
+        lambda acc, _r: F.struct(
+            acc["m"].alias("m"),
+            F.transform(
+                acc["m"],
+                lambda mrow: base
+                + d
+                * F.aggregate(
+                    F.zip_with(mrow, acc["s"], lambda m, sv: m * sv),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    rows = F.zip_with(
+        F.col("_idxs"),
+        scores,
+        lambda idx, sc: F.struct(
+            idx.alias("_idx"), F.round(sc, 6).alias("_score")
+        ),
+    )
+    exploded = staged.select(conv_col, F.explode(rows).alias("_o")).select(
+        conv_col,
+        F.col("_o._idx").alias(idx_col),
+        F.col("_o._score").alias("score"),
+    )
+    wr = Window.partitionBy(conv_col).orderBy(F.desc("score"), F.asc(idx_col))
+    return exploded.select(
+        conv_col,
+        idx_col,
+        "score",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).withColumn("selected", F.col("rank") <= top_m)
+
+
+def textrank_turns_sql(
+    table: str,
+    rounds: int = 10,
+    damping: float = 0.85,
+    top_m: int = 3,
+    max_turns: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`textrank_turns` — identical fold
+    orders and parenthesization via list_reduce (seed-prepended
+    accumulators, dummy round elements)."""
+    d, base = float(damping), 1.0 - float(damping)
+    tk = r"list_distinct(list_filter(regexp_split_to_array(lower(text), '[\W_]+'), t -> t <> ''))"
+    jac = (
+        "CASE WHEN i <> j AND len(list_distinct(list_concat(tks[i], tks[j]))) > 0 "
+        "THEN round(CAST(len(list_intersect(tks[i], tks[j])) AS DOUBLE) "
+        "/ CAST(len(list_distinct(list_concat(tks[i], tks[j]))) AS DOUBLE), 6) "
+        "ELSE 0.0 END"
+    )
+    inner = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, n + 1), "
+        f"j -> CASE WHEN deg[j] > 0.0 THEN (S[i][j] / deg[j]) * s[j] ELSE 0.0 END)), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH tkt AS (
+  SELECT conv_id, turn_idx, {tk} AS tk,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM {table}
+),
+g AS (
+  SELECT conv_id,
+    list(turn_idx ORDER BY turn_idx) AS idxs,
+    list(tk ORDER BY turn_idx) AS tks,
+    count(*) AS n
+  FROM tkt WHERE rn <= {int(max_turns)} GROUP BY conv_id
+),
+mat AS (
+  SELECT conv_id, idxs, n,
+    list_transform(range(1, n + 1), i ->
+      list_transform(range(1, n + 1), j -> {jac})) AS S
+  FROM g
+),
+degs AS (
+  SELECT conv_id, idxs, n, S,
+    list_transform(range(1, n + 1), i ->
+      list_reduce(list_prepend(0.0, S[i]), (a, b) -> a + b)) AS deg
+  FROM mat
+),
+iterated AS (
+  SELECT conv_id, idxs, n,
+    list_reduce(
+      list_prepend(list_transform(range(1, n + 1), i -> 1.0),
+        list_transform(range(1, {int(rounds)} + 1), r -> CAST([] AS DOUBLE[]))),
+      (s, el) -> list_transform(range(1, n + 1), i ->
+        {base} + {d} * {inner})) AS scores
+  FROM degs
+),
+exploded AS (
+  SELECT conv_id, unnest(list_transform(range(1, n + 1), i -> struct_pack(
+    turn_idx := idxs[i], score := round(scores[i], 6)))) AS o
+  FROM iterated
+),
+ranked AS (
+  SELECT conv_id, o.turn_idx AS turn_idx, o.score AS score,
+    CAST(row_number() OVER (PARTITION BY conv_id
+      ORDER BY o.score DESC, o.turn_idx) AS BIGINT) AS rank
+  FROM exploded
+)
+SELECT conv_id, turn_idx, score, rank, rank <= {int(top_m)} AS selected
+FROM ranked
+"""

@@ -625,3 +625,36 @@ def test_topic_segments_boundary_at_topic_shift(spark):
     assert out[1].depth >= 0.5 and not out[1].boundary
     # single-turn conversation emits no gap rows
     assert topic_segments(df).filter(F.col("conv_id") == "d").count() == 0
+
+
+def test_textrank_hub_turn_ranks_first(spark):
+    from osprey_spark.operators.transcripts import textrank_turns
+
+    rows = [
+        ("c", 0, "alpha beta"),
+        ("c", 1, "alpha beta gamma delta"),  # hub: overlaps 0 and 2
+        ("c", 2, "gamma delta"),
+        ("c", 3, "zzz qqq"),                 # isolated
+        ("d", 0, "solo turn"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {(r.conv_id, r.turn_idx): r for r in textrank_turns(df, top_m=2).collect()}
+    assert out[("c", 1)].rank == 1 and out[("c", 1)].selected
+    # isolated turn gets the damping floor (1-d) and ranks last
+    assert out[("c", 3)].score == round(1 - 0.85, 6)
+    assert out[("c", 3)].rank == 4 and not out[("c", 3)].selected
+    # symmetric satellites tie on score; tie breaks by turn index
+    assert out[("c", 0)].score == out[("c", 2)].score
+    assert (out[("c", 0)].rank, out[("c", 2)].rank) == (2, 3)
+    # singleton conversation: floor score, rank 1, selected
+    assert out[("d", 0)].score == round(1 - 0.85, 6)
+    assert out[("d", 0)].rank == 1 and out[("d", 0)].selected
+
+
+def test_textrank_max_turns_cap(spark):
+    from osprey_spark.operators.transcripts import textrank_turns
+
+    rows = [("c", i, f"tok{i} shared") for i in range(6)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = textrank_turns(df, max_turns=4).collect()
+    assert sorted(r.turn_idx for r in out) == [0, 1, 2, 3]
