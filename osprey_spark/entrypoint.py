@@ -4792,6 +4792,24 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outliers by modified z-score
+    (analytics.mad_outliers, Iglewicz & Hoaglin 1993): median/MAD
+    instead of mean/stddev, so the outliers cannot inflate their own
+    gate (50% breakdown). Two exact-percentile hash aggregates, the
+    group-sized stats frames broadcast back — no row-keyed
+    shuffle."""
+    from .plans.analytics import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mad_outliers(ev).orderBy("event_id")
+
+
+from .plans.analytics import mad_outliers_sql as _mad_sql  # noqa: E402
+
+O_MAD_OUTLIERS = _mad_sql("events") + " ORDER BY event_id"
+
+
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly-rate anomaly detection: hours where a user's
     event count is >= 2 sample standard deviations above their own
@@ -6057,6 +6075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,
     "winnow_pairs": q_winnow_pairs,
     "rate_anomaly": q_rate_anomaly,
+    "mad_outliers": q_mad_outliers,
     "bm25": q_bm25,
     "salted_join": q_salted_join,
     "stratified_split": q_stratified_split,
@@ -6213,6 +6232,7 @@ ORACLES: dict[str, str] = {
     "duplicate_spans": O_DUPLICATE_SPANS,
     "winnow_pairs": O_WINNOW_PAIRS,
     "rate_anomaly": O_RATE_ANOMALY,
+    "mad_outliers": O_MAD_OUTLIERS,
     "bm25": O_BM25,
     "salted_join": O_SALTED_JOIN,
     "stratified_split": O_STRATIFIED_SPLIT,
