@@ -5907,6 +5907,26 @@ ORDER BY query_id
 """
 
 
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (similarity.dbscan_clusters, Ester et
+    al. 1996) with the eps-neighborhood as the banded-LSH candidate
+    join: core/border/noise roles + min-id cluster labels via the
+    dedup_groups pointer-jumping components — arbitrary-shape
+    clusters, outliers stay out, nothing corpus-quadratic."""
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    out = similarity.dbscan_clusters(
+        emb, dim=64, threshold=0.4, n_bands=8, planes_per_band=12, min_pts=3
+    )
+    return out
+
+
+O_DBSCAN_CLUSTERS = similarity.dbscan_oracle_sql(
+    dim=64, threshold=0.4, n_bands=8, planes_per_band=12, min_pts=3
+)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-k (similarity.mmr_rerank, Carbonell &
     Goldstein 1998): greedy lam*rel - (1-lam)*max-sim-to-selected
@@ -6114,6 +6134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_encode": q_wordpiece_encode,
     "retrieval_eval": q_retrieval_eval,
     "mmr_rerank": q_mmr_rerank,
+    "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
 
@@ -6271,6 +6292,7 @@ ORACLES: dict[str, str] = {
     "wordpiece_encode": _wordpiece_oracle(encode=True),
     "retrieval_eval": _o_retrieval_eval(),
     "mmr_rerank": O_MMR_RERANK,
+    "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }
 

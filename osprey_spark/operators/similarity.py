@@ -1352,3 +1352,161 @@ SELECT query_id, o.mmr_rank AS mmr_rank, o.vec_id AS vec_id,
 FROM rows_out
 ORDER BY query_id, mmr_rank
 """
+
+
+def dbscan_clusters(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    min_pts: int = 4,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD 1996) over
+    the embedding column, with the eps-neighborhood realized as the
+    banded-LSH candidate join instead of a cross product: a point is
+    CORE when its cosine>=threshold neighborhood (itself included)
+    holds at least ``min_pts`` points; core points connected through
+    their neighborhoods form clusters; non-core points adjacent to a
+    core are BORDER (assigned the MIN cluster id among their core
+    neighbors — standard DBSCAN leaves this tie arbitrary, pinned
+    here for determinism); everything else is NOISE — the arbitrary-
+    shape clustering k-means structurally cannot do (no centroids, no
+    k, outliers stay out instead of distorting a mean).
+
+    Composition, at 100 TB: neighbor pairs are
+    :func:`banded_near_dup_pairs` (band equi-join + exact-cosine
+    verify, no cross join; recall is the standard LSH amplification
+    — exact w.r.t. this plan, approximate w.r.t. all-pairs);
+    neighbor counts are one hash aggregate; core-core component
+    labels reuse ``dedup.dedup_groups``'s pointer-jumping min-label
+    propagation (O(log diameter) rounds, edges-only working set);
+    border assignment is one more equi-join + min aggregate. Nothing
+    corpus-quadratic anywhere.
+
+    Output: (id, role in core/border/noise, cluster_id = min member
+    id, NULL for noise) — all integers/strings, hash-exact in the
+    recursive-CTE DuckDB replay.
+    """
+    from .dedup import dedup_groups
+
+    pairs = banded_near_dup_pairs(
+        vectors,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+    )
+    pr = pairs.select("id_a", "id_b")
+    sym = pr.select(
+        F.col("id_a").alias("_u"), F.col("id_b").alias("_v")
+    ).unionByName(pr.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
+    ncnt = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_nn"))
+    core_ids = ncnt.filter(F.col("_nn") + 1 >= int(min_pts)).select(
+        F.col("_u").alias(id_col)
+    )
+    core_pairs = pr.join(
+        core_ids.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+    ).join(core_ids.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
+    comp = dedup_groups(
+        core_pairs, core_ids, id_col=id_col, max_iterations=max_iterations
+    )
+    core_lbl = comp.select(
+        F.col(id_col).alias("_cid"), F.col("group_id").alias("_ccl")
+    )
+    border = (
+        sym.join(core_ids.select(F.col(id_col).alias("_u")), "_u", "left_anti")
+        .join(core_lbl.withColumnRenamed("_cid", "_v"), "_v")
+        .groupBy("_u")
+        .agg(F.min("_ccl").alias("_bcl"))
+    )
+    out = (
+        vectors.select(F.col(id_col))
+        .join(core_lbl.withColumnRenamed("_cid", id_col), id_col, "left")
+        .join(border.withColumnRenamed("_u", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_ccl").isNotNull(), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("_ccl"), F.col("_bcl")).alias("cluster_id"),
+        )
+        .orderBy(id_col)
+    )
+    out.unpersist_base = lambda: (pairs.unpersist_base(), comp.unpersist_base())
+    return out
+
+
+def dbscan_oracle_sql(
+    dim: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    min_pts: int = 4,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+) -> str:
+    """DuckDB replay of :func:`dbscan_clusters`: splices the banded
+    near-dup oracle's CTEs into a ``pairs`` CTE, then core counting +
+    a recursive-CTE min-label reach for the core components + the
+    min-tie border join — the dedup_groups oracle discipline."""
+    base = banded_near_dup_oracle_sql(
+        dim,
+        table=table,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+    )
+    body = base.rsplit("\nORDER BY", 1)[0]
+    i = body.rindex("\nSELECT")
+    # every CTE feeding the recursive member is MATERIALIZED: DuckDB
+    # otherwise re-inlines the whole LSH pipeline into each recursion
+    # step (the WordPiece-oracle 3^rounds blowup, here as an OOM)
+    spliced = (
+        body[:i].replace("WITH bk AS", "WITH RECURSIVE bk AS", 1)
+        + ",\npairs AS MATERIALIZED ("
+        + body[i:]
+        + "\n),"
+    )
+    return f"""{spliced}
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+),
+ncnt AS MATERIALIZED (SELECT u, count(*) AS nn FROM edges GROUP BY u),
+core AS MATERIALIZED (SELECT u AS id FROM ncnt WHERE nn + 1 >= {int(min_pts)}),
+core_edges AS MATERIALIZED (
+  SELECT u, v FROM edges
+  WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)
+),
+reach(id, root) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN core_edges e ON e.u = r.id
+),
+core_lbl AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT e.u AS id, min(c.cluster_id) AS cluster_id
+  FROM edges e JOIN core_lbl c ON c.id = e.v
+  WHERE e.u NOT IN (SELECT id FROM core)
+  GROUP BY e.u
+)
+SELECT v.{id_col} AS {id_col},
+  CASE WHEN cl.id IS NOT NULL THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  coalesce(cl.cluster_id, b.cluster_id) AS cluster_id
+FROM {table} v
+LEFT JOIN core_lbl cl ON cl.id = v.{id_col}
+LEFT JOIN border b ON b.id = v.{id_col}
+ORDER BY {id_col}
+"""

@@ -415,3 +415,63 @@ def test_mmr_rerank_k_exceeds_candidates(spark):
     out = similarity.mmr_rerank(vdf, qdf, k=10, n_candidates=3, lam=0.5).collect()
     assert sorted(r.vec_id for r in out) == [0, 1, 2]
     assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
+
+
+def test_dbscan_planted_cluster_roles(spark):
+    """A planted dense blob becomes one cluster of cores (+ a border
+    hanging off it); an isolated far point is noise; cluster id is
+    the min member id."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    vecs = (
+        # dense blob: 4 near-identical directions -> all core at min_pts=3
+        [(i, unit(0.001 * i)) for i in range(4)]
+        # border: close enough to blob members to pair, but too few
+        # neighbors of its own would make it border only if below
+        # min_pts; at 0.35 rad it pairs with the blob edge only
+        + [(10, unit(0.45))]
+        # noise: orthogonal
+        + [(20, [0.0, 0.0, 1.0, 0.0])]
+    )
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.dbscan_clusters(
+        vdf, dim=4, threshold=0.95, min_pts=3, n_bands=4, planes_per_band=4
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    out.unpersist_base()
+    blob = [rows[i] for i in range(4)]
+    assert all(r.role == "core" for r in blob)
+    assert {r.cluster_id for r in blob} == {0}  # min member id
+    assert rows[20].role == "noise" and rows[20].cluster_id is None
+
+
+def test_dbscan_border_attaches_to_one_core(spark):
+    """A point reaching only the EDGE of a spread-out core chain has
+    too few neighbors to be core itself -> border, inheriting the
+    chain's (min-id) cluster."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # chain 0..3 at 0.05-rad spacing: every pair within 0.15 rad, so
+    # each has 3 neighbors (+self = 4 = min_pts) -> all core.
+    # vec 10 at 0.36 rad reaches only vec 3 (gap 0.21 <= 0.22) while
+    # vec 2 is 0.26 away -> 1 neighbor -> border.
+    eps = math.cos(0.22)
+    vecs = [(i, unit(0.05 * i)) for i in range(4)] + [
+        (10, unit(0.36)),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.dbscan_clusters(
+        vdf, dim=4, threshold=round(eps, 4), min_pts=4, n_bands=4, planes_per_band=4
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    out.unpersist_base()
+    assert all(rows[i].role == "core" and rows[i].cluster_id == 0 for i in range(4))
+    assert rows[10].role == "border" and rows[10].cluster_id == 0
+    assert rows[20].role == "noise"
