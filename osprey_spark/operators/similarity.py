@@ -1402,7 +1402,11 @@ def dbscan_clusters(
         n_bands=n_bands,
         planes_per_band=planes_per_band,
     )
-    pr = pairs.select("id_a", "id_b")
+    # the pair pipeline (band join + cosine verify) feeds SIX branches
+    # (sym x2, neighbor counts, two core-pair semis, border) — persist
+    # it or the verify join re-executes per consumer (measured ~25 s
+    # -> ~6 s at sf0.1)
+    pr = pairs.select("id_a", "id_b").persist()
     sym = pr.select(
         F.col("id_a").alias("_u"), F.col("id_b").alias("_v")
     ).unionByName(pr.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
@@ -1439,7 +1443,11 @@ def dbscan_clusters(
         )
         .orderBy(id_col)
     )
-    out.unpersist_base = lambda: (pairs.unpersist_base(), comp.unpersist_base())
+    out.unpersist_base = lambda: (
+        pairs.unpersist_base(),
+        comp.unpersist_base(),
+        pr.unpersist(blocking=True),
+    )
     return out
 
 

@@ -1365,16 +1365,49 @@ def textrank_turns(
     tksc, nc = F.col("_tks"), F.col("_n")
 
     def _jac(i: Column, j: Column) -> Column:
+        # |A∪B| = |A| + |B| - |A∩B| on distinct sets: one hash-set op
+        # per pair instead of two (the union build was ~25% of the
+        # matrix cost)
         a, b = F.element_at(tksc, i), F.element_at(tksc, j)
         inter = F.size(F.array_intersect(a, b))
-        union = F.size(F.array_union(a, b))
+        union = F.size(a) + F.size(b) - inter
         return F.when(
             (i != j) & (union > 0),
             F.round(inter.cast("double") / union.cast("double"), 6),
         ).otherwise(F.lit(0.0))
 
     seq_n = F.sequence(F.lit(1), nc)
-    S = F.transform(seq_n, lambda i: F.transform(seq_n, lambda j: _jac(i, j)))
+    # Jaccard is symmetric: build the strict upper triangle once
+    # (jagged rows U[i] = [jac(i, i+1) .. jac(i, n)]) and mirror it —
+    # halves the dominant set-intersection cost. U is let-bound via
+    # the single-element-array walk so the mirror's element_at
+    # lookups can never re-evaluate the triangle expression.
+    upper = F.transform(
+        seq_n,
+        lambda i: F.transform(
+            F.sequence(i + 1, nc + 1),
+            lambda j: F.when(j <= nc, _jac(i, j)).otherwise(F.lit(0.0)),
+        ),
+    )
+    S = F.element_at(
+        F.transform(
+            F.array(upper),
+            lambda U: F.transform(
+                seq_n,
+                lambda i: F.transform(
+                    seq_n,
+                    lambda j: F.when(
+                        j > i, F.element_at(F.element_at(U, i), j - i)
+                    )
+                    .when(
+                        j < i, F.element_at(F.element_at(U, j), i - j)
+                    )
+                    .otherwise(F.lit(0.0)),
+                ),
+            ),
+        ),
+        1,
+    )
     staged = staged.select(
         conv_col, F.col("_idxs"), F.col("_n"), S.alias("_S")
     )
@@ -1387,13 +1420,25 @@ def textrank_turns(
     # multiplies the SAME double the per-term division would produce,
     # so the oracle's (S[i][j]/deg[j])*s[j] replays bit-identically.
     deg = F.transform(Sc, lambda row: F.aggregate(row, F.lit(0.0), lambda a, x: a + x))
-    M = F.transform(
-        Sc,
-        lambda row: F.zip_with(
-            row,
-            deg,
-            lambda x, dg: F.when(dg > 0.0, x / dg).otherwise(F.lit(0.0)),
+    # let-bind deg by walking a single-element array: dg is a lambda
+    # variable, so deg evaluates ONCE per row instead of once per
+    # matrix row if the alias were inlined (n x n^2 adds saved;
+    # measured 25.8 s -> see bench at sf0.1)
+    M = F.element_at(
+        F.transform(
+            F.array(deg),
+            lambda dg: F.transform(
+                Sc,
+                lambda row: F.zip_with(
+                    row,
+                    dg,
+                    lambda x, d2: F.when(d2 > 0.0, x / d2).otherwise(
+                        F.lit(0.0)
+                    ),
+                ),
+            ),
         ),
+        1,
     )
     s0 = F.array_repeat(F.lit(1.0), nc)
     # M rides the fold's INITIAL accumulator: evaluated exactly once.
@@ -1449,9 +1494,10 @@ def textrank_turns_sql(
     d, base = float(damping), 1.0 - float(damping)
     tk = r"list_distinct(list_filter(regexp_split_to_array(lower(text), '[\W_]+'), t -> t <> ''))"
     jac = (
-        "CASE WHEN i <> j AND len(list_distinct(list_concat(tks[i], tks[j]))) > 0 "
+        "CASE WHEN i <> j "
+        "AND len(tks[i]) + len(tks[j]) - len(list_intersect(tks[i], tks[j])) > 0 "
         "THEN round(CAST(len(list_intersect(tks[i], tks[j])) AS DOUBLE) "
-        "/ CAST(len(list_distinct(list_concat(tks[i], tks[j]))) AS DOUBLE), 6) "
+        "/ CAST(len(tks[i]) + len(tks[j]) - len(list_intersect(tks[i], tks[j])) AS DOUBLE), 6) "
         "ELSE 0.0 END"
     )
     inner = (
