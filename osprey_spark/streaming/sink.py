@@ -298,6 +298,202 @@ class ExactlyOnceParquetSink:
             )
         return [reader(b) for b in self.committed_batches()]
 
+    # ------------------------------------------------------------------
+    # Compaction (Iceberg rewrite_data_files analogue). A year of
+    # 10-second micro-batches is ~3.2M commits x n_buckets files — the
+    # classic small-file death of a streaming table. compact() rewrites
+    # the batches <= upto into one bucket-partitioned rewrite snapshot
+    # WITHOUT changing logical content at any snapshot:
+    #
+    #   <root>/_rewrites/<R>/            rewritten data files
+    #   <root>/_rewrites/<R>.json        atomic rewrite marker
+    #                                    {replaces: [...], upto, ...}
+    #
+    # Original batch dirs are RETAINED (crash before the marker leaves
+    # the rewrite invisible; time travel below `upto` still reads
+    # originals) until vacuum() deletes fully-covered originals and
+    # records the snapshot floor — exactly Iceberg's rewrite-then-
+    # expire_snapshots split. `_batch_id` survives as a data column in
+    # rewritten files, so a rewrite-served scan returns the identical
+    # rows (including lineage columns) the original partitions did.
+    # ------------------------------------------------------------------
+
+    @property
+    def _rewrites_dir(self) -> str:
+        return os.path.join(self.root, "_rewrites")
+
+    def _rewrite_markers(self) -> list[dict]:
+        d = self._rewrites_dir
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.endswith(".json") and not f.startswith("_"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["rewrite_id"])
+
+    def _snapshot_floor(self) -> Optional[int]:
+        p = os.path.join(self._rewrites_dir, "_floor.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["min_snapshot"]
+
+    def compact(
+        self,
+        spark: SparkSession,
+        upto_batch_id: Optional[int] = None,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Rewrite every committed batch with id <= ``upto_batch_id``
+        (default: second-newest commit — the newest stays out so a
+        Structured Streaming replay of the in-flight batch can never
+        race its own compaction) into ONE rewrite snapshot. Task count
+        is sized by total bytes / ``target_bytes`` from the commit
+        markers' lineage (no data pass); bucketed tables keep whole
+        buckets per task, so the rewrite lands n_buckets files instead
+        of batches x n_buckets."""
+        committed = self.committed_batches()
+        if upto_batch_id is None:
+            if len(committed) < 2:
+                raise ValueError("compact: need >= 2 committed batches")
+            upto_batch_id = committed[-2]
+        replaces = [b for b in committed if b <= int(upto_batch_id)]
+        if not replaces:
+            raise ValueError(f"compact: no committed batches <= {upto_batch_id}")
+        total_bytes = 0
+        for b in replaces:
+            meta = self.format.commit_metadata(b)
+            total_bytes += sum(
+                p["bytes"] for p in meta.get("partitions", {}).values()
+            )
+        n_tasks = max(1, -(-total_bytes // int(target_bytes)))
+        markers = self._rewrite_markers()
+        rewrite_id = (markers[-1]["rewrite_id"] + 1) if markers else 0
+        os.makedirs(self._rewrites_dir, exist_ok=True)
+        rw_dir = os.path.join(self._rewrites_dir, str(rewrite_id))
+
+        df = self.format.scan(spark, replaces)
+        # partition columns come back from directory parsing; pin the
+        # id to the parser's IntegerType so rewrite-served unions with
+        # original partitions stay schema-identical
+        df = df.withColumn("_batch_id", F.col("_batch_id").cast("int"))
+        # mirror the sink's partition layout (minus _batch_id) so the
+        # rewrite's directory-parsed partition column types match the
+        # originals' and the union stays schema-identical
+        parts = [
+            c for c in (*self.partition_by, "_bucket") if c in df.columns
+        ]
+        if parts:
+            df.repartition(int(n_tasks), *[F.col(c) for c in parts]).write.mode(
+                "overwrite"
+            ).partitionBy(*parts).parquet(rw_dir)
+        else:
+            df.coalesce(int(n_tasks)).write.mode("overwrite").parquet(rw_dir)
+        n_files = sum(
+            1
+            for _root, _d, files in os.walk(rw_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        marker = {
+            "rewrite_id": rewrite_id,
+            "replaces": replaces,
+            "upto": int(upto_batch_id),
+            "input_bytes": total_bytes,
+            "target_bytes": int(target_bytes),
+            "files": n_files,
+            "committed_at_unix": time.time(),
+        }
+        tmp = os.path.join(self._rewrites_dir, f"{rewrite_id}.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(self._rewrites_dir, f"{rewrite_id}.json"))
+        return marker
+
+    def _effective_rewrite(self) -> Optional[dict]:
+        markers = self._rewrite_markers()
+        return markers[-1] if markers else None
+
+    def _scan_with_rewrite(
+        self, spark: SparkSession, batches: list[int], merge_schema: bool
+    ) -> DataFrame:
+        """Scan ``batches`` serving the rewrite for every batch it
+        covers and originals for the rest; falls back to originals-only
+        when no rewrite covers the range (or none exists)."""
+        rw = self._effective_rewrite()
+        if rw is None or not set(rw["replaces"]).issubset(batches):
+            floor = self._snapshot_floor()
+            if floor is not None and any(b < floor for b in batches):
+                raise FileNotFoundError(
+                    f"snapshot expired: originals below batch {floor} were "
+                    "vacuumed; only snapshots at/above the floor are readable"
+                )
+            return self.format.scan(spark, batches, merge_schema=merge_schema)
+        rest = [b for b in batches if b not in set(rw["replaces"])]
+        rw_dir = os.path.join(self._rewrites_dir, str(rw["rewrite_id"]))
+        reader = spark.read.option("basePath", rw_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        out = reader.parquet(rw_dir)
+        if rest:
+            out = out.unionByName(
+                self.format.scan(spark, rest, merge_schema=merge_schema)
+            )
+        return out
+
+    def read_current(
+        self, spark: SparkSession, merge_schema: bool = False
+    ) -> DataFrame:
+        """``read_committed`` through the latest rewrite: compacted
+        file layout for the covered prefix, original partitions for
+        everything after — identical rows either way."""
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        return self._scan_with_rewrite(spark, batches, merge_schema)
+
+    def read_snapshot_compacted(
+        self, spark: SparkSession, as_of_batch_id: int, merge_schema: bool = False
+    ) -> DataFrame:
+        """Time travel that survives vacuum: snapshots at/above the
+        latest rewrite's ``upto`` serve the covered prefix from the
+        rewrite; older snapshots need the originals (raise once those
+        are vacuumed below the floor)."""
+        batches = [
+            b for b in self.committed_batches() if b <= int(as_of_batch_id)
+        ]
+        if not batches:
+            raise FileNotFoundError(
+                f"no batches committed at or before {as_of_batch_id}"
+            )
+        return self._scan_with_rewrite(spark, batches, merge_schema)
+
+    def vacuum(self) -> dict:
+        """Delete the original batch directories fully covered by the
+        latest rewrite and record the snapshot floor (= the rewrite's
+        ``upto``): Iceberg ``expire_snapshots``. Time travel below the
+        floor raises afterwards; at/above it is served by the
+        rewrite."""
+        import shutil
+
+        rw = self._effective_rewrite()
+        if rw is None:
+            raise ValueError("vacuum: no rewrite to vacuum against")
+        removed = []
+        for b in rw["replaces"]:
+            d = os.path.join(self.data_dir, f"_batch_id={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(b)
+        floor = {"min_snapshot": rw["upto"], "rewrite_id": rw["rewrite_id"]}
+        tmp = os.path.join(self._rewrites_dir, f"_floor.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(floor, f)
+        os.replace(tmp, os.path.join(self._rewrites_dir, "_floor.json"))
+        return {"removed_batches": removed, **floor}
+
 
 class PartialSinkFailure(Exception):
     """One or more tee targets failed for a batch; carries the
