@@ -5979,6 +5979,57 @@ O_DRIFT_PSI = _drift_sql(
 )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by Dunning's G² log-likelihood ratio
+    (curation.collocations, Dunning 1993) — the significance test for
+    "these words co-occur more than chance" that precedes phrase
+    merging in a tokenizer/embedding pipeline; unlike raw PMI it does
+    not explode on rare pairs. Per-row bigram HOFs (zero shuffle) →
+    ONE corpus-scale (w1, w2) hash aggregate, then marginals/total/G²
+    all run on the bigram-TYPE frame. Integer contingency cells + one
+    fixed double parenthesization per cell → oracle-hash-exact."""
+    from .operators.curation import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, top_k=50)
+
+
+def _o_collocations() -> str:
+    term = (
+        "CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE) * ln(CAST({k} AS DOUBLE)"
+        " / ((CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE)) / CAST(n_bigrams AS DOUBLE)))"
+        " ELSE 0.0 END"
+    )
+    t11 = term.format(k="pair_count", r="c1", c="c2")
+    t12 = term.format(k="(c1 - pair_count)", r="c1", c="(n_bigrams - c2)")
+    t21 = term.format(k="(c2 - pair_count)", r="(n_bigrams - c1)", c="c2")
+    t22 = term.format(
+        k="(n_bigrams - c1 - c2 + pair_count)",
+        r="(n_bigrams - c1)",
+        c="(n_bigrams - c2)",
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_RTOKENS} AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS pair_count
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m1 AS (SELECT w1, sum(pair_count) AS c1 FROM bg GROUP BY 1),
+m2 AS (SELECT w2, sum(pair_count) AS c2 FROM bg GROUP BY 1),
+n AS (SELECT sum(pair_count) AS n_bigrams FROM bg),
+cand AS (
+  SELECT w1, w2, pair_count, c1, c2, n_bigrams
+  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+  WHERE pair_count >= 5
+)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+  round(2.0 * ((({t11}) + ({t12}) + ({t21})) + ({t22})), 6) AS g2
+FROM cand
+ORDER BY g2 DESC, w1, w2 LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -6108,6 +6159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "skew_profile": q_skew_profile,
     "cooccurrence": q_cooccurrence,
+    "collocations": q_collocations,
     "temperature_mixing": q_temperature_mixing,
     "cdc_snapshot": q_cdc_snapshot,
     "decay_score": q_decay_score,
@@ -6266,6 +6318,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "skew_profile": O_SKEW_PROFILE,
     "cooccurrence": O_COOCCURRENCE,
+    "collocations": _o_collocations(),
     "temperature_mixing": O_TEMPERATURE_MIXING,
     "cdc_snapshot": O_CDC_SNAPSHOT,
     "decay_score": O_DECAY_SCORE,

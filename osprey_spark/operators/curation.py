@@ -1961,3 +1961,109 @@ FROM enc JOIN g USING (w)
 GROUP BY 1 ORDER BY 1"""
     )
     return "".join(parts)
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by Dunning's log-likelihood ratio (G²)
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    and Coincidence") — the standard significance test for "these two
+    words co-occur more than chance" that, unlike raw PMI, does not
+    explode on rare pairs: the 2×2 contingency test weights evidence
+    by count, so ``(of, the)`` with thousands of occurrences and a
+    hapax typo pair are ranked on the same scale. The classic corpus
+    step before phrase merging ("new_york" becomes one token) in a
+    tokenizer/embedding pipeline.
+
+    Plan at 100 TB: per-row adjacent-bigram construction as array HOFs
+    (zero shuffle; the token array is let-bound by walking a
+    single-element array so tokenization runs once per row, the
+    textrank_turns lesson), ONE corpus-scale (w1, w2) hash aggregate
+    with map-side partials, and everything after runs on the
+    bigram-TYPE frame (vocabulary-squared bounded, in practice far
+    smaller): marginals are two aggregates over that frame joined back
+    by equi-join (AQE broadcasts vocabulary-sized sides), the grand
+    total is a 1-row broadcast. No row-keyed second shuffle, no cross
+    join, nothing driver-side.
+
+    Determinism: the contingency cells k11=c(w1,w2), k12=c1−k11,
+    k21=c2−k11, k22=N−c1−c2+k11 are exact BIGINT sums; expecteds are
+    computed in doubles with ONE fixed parenthesization
+    (k·ln(k/((row·col)/N)), casts before multiply so c1·c2 cannot
+    overflow long at web scale), the four terms add in fixed cell
+    order, and 0·ln0 cells contribute exactly 0.0 — so the DuckDB
+    replay is hash-exact. Output is the top_k pairs by rounded G²
+    (desc, then w1, w2 — a total order, so both engines cut the same
+    set).
+    """
+    from ..functions.text import tokenize_col
+
+    # let-bind the token array: transform()'s lambda variable cannot
+    # be re-inlined by CollapseProject, so tokenize runs once per row
+    # even though both slice() calls read it
+    bigrams = F.element_at(
+        F.transform(
+            F.array(tokenize_col(F.col(text_col))),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        1,
+    )
+    bg = (
+        docs.select(F.explode(bigrams).alias("_bg"))
+        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        # four consumers below (marginals ×2, total, candidates) —
+        # compute the corpus-scale aggregate once
+        .persist()
+    )
+    c1 = bg.groupBy("w1").agg(F.sum("pair_count").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.sum("pair_count").alias("c2"))
+    n = bg.agg(F.sum("pair_count").alias("n_bigrams"))
+
+    cand = (
+        bg.filter(F.col("pair_count") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(n))
+    )
+
+    nd = F.col("n_bigrams").cast("double")
+
+    def _term(k: Column, row: Column, col: Column) -> Column:
+        kd = k.cast("double")
+        e = (row.cast("double") * col.cast("double")) / nd
+        return F.when(k > 0, kd * F.log(kd / e)).otherwise(F.lit(0.0))
+
+    k11 = F.col("pair_count")
+    k12 = F.col("c1") - k11
+    k21 = F.col("c2") - k11
+    k22 = F.col("n_bigrams") - F.col("c1") - F.col("c2") + k11
+    row1, row2 = F.col("c1"), F.col("n_bigrams") - F.col("c1")
+    col1, col2 = F.col("c2"), F.col("n_bigrams") - F.col("c2")
+    g2 = F.round(
+        2.0
+        * (
+            _term(k11, row1, col1)
+            + _term(k12, row1, col2)
+            + _term(k21, row2, col1)
+            + _term(k22, row2, col2)
+        ),
+        6,
+    )
+    out = (
+        cand.select("w1", "w2", "pair_count", "c1", "c2", g2.alias("g2"))
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(top_k)
+    )
+    out.unpersist_base = lambda: bg.unpersist(blocking=True)
+    return out

@@ -31,6 +31,7 @@ _CROSS_OK = {
     "tfidf",
     "bm25",
     "dsir_weights",
+    "collocations",  # 1-row grand-total bigram-count frame broadcast (no join key)
     "lm_nll",  # 1-row vocab-size frame broadcast into the scorer
     "nb_classifier",  # 1-row (totals, V, prior) scalar frame broadcast
     "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
