@@ -5951,6 +5951,122 @@ O_MMR_RERANK = similarity.mmr_oracle_sql(
 )
 
 
+_JACCARD_TOPK_CFG = dict(query_ids=[0, 1, 2, 3, 4], max_df_pct=80)
+
+
+def q_token_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval channel (similarity.token_jaccard_topk):
+    top-k docs per query by distinct-token Jaccard via an
+    inverted-index equi-join — the sparse half of a hybrid retrieval
+    stack. max_df_pct=80 culls corpus-stopword tokens (>80% document
+    frequency) from both sides by an exact integer test against a
+    1-row broadcast count, so the join fan-out stays bounded by real
+    signal tokens, never boilerplate."""
+    out = similarity.token_jaccard_topk(
+        _docs(spark, sf_dir), k=10, **_JACCARD_TOPK_CFG
+    )
+    return out.select(
+        "query_id", "doc_id", "jaccard", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _o_token_jaccard(k: int, query_ids, max_df_pct: int, final: bool = True) -> str:
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    sql = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest({_DUCK_RTOKENS}) AS t(tok)
+),
+keep AS (
+  SELECT tok FROM postings GROUP BY tok
+  HAVING count(*) * 100 <= {int(max_df_pct)} * (SELECT count(*) FROM documents)
+),
+culled AS (SELECT p.doc_id, p.tok FROM postings p JOIN keep USING (tok)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM culled GROUP BY 1),
+qp AS (SELECT doc_id AS query_id, tok FROM culled WHERE doc_id IN ({ids})),
+qs AS (SELECT doc_id AS query_id, sz AS qsz FROM sizes WHERE doc_id IN ({ids})),
+shared AS (
+  SELECT q.query_id, c.doc_id, count(*) AS sh
+  FROM qp q JOIN culled c USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.query_id, s.doc_id,
+    round(CAST(s.sh AS DOUBLE) / CAST((qs.qsz + z.sz - s.sh) AS DOUBLE), 6) AS jaccard
+  FROM shared s JOIN sizes z USING (doc_id) JOIN qs USING (query_id)
+),
+jranked AS (
+  SELECT query_id, doc_id, jaccard,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, jaccard, rank FROM jranked WHERE rank <= {k}"""
+    if final:
+        sql += "\nORDER BY query_id, rank"
+    return sql
+
+
+O_TOKEN_JACCARD_TOPK = _o_token_jaccard(k=10, **_JACCARD_TOPK_CFG)
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (similarity.rrf_fuse, Cormack et al. SIGIR
+    2009): the lexical token-Jaccard channel over `documents` and the
+    dense exact-cosine channel over `embeddings` (shared id space)
+    fused by reciprocal-rank fusion score = Σ 1/(60+rank) — the
+    standard lexical+dense combiner, rank-based so the two channels'
+    incomparable scores never need calibrating. Both inputs are top-k
+    frames (query-bounded, never corpus-scale); the fuse is one
+    (query, id) full-outer join + one window."""
+    lex = similarity.token_jaccard_topk(
+        _docs(spark, sf_dir), k=20, **_JACCARD_TOPK_CFG
+    )
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = similarity.brute_force_topk(emb, queries, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    out = similarity.rrf_fuse([lex, dense], k_const=60, topk=10)
+    out = out.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+    out.unpersist_base = lex.unpersist_base
+    return out
+
+
+def _o_rrf_hybrid() -> str:
+    lex = _o_token_jaccard(k=20, final=False, **_JACCARD_TOPK_CFG)
+    dense = O_EMBEDDING_TOPK.rsplit("\nORDER BY", 1)[0].replace(
+        "WHERE vec_id < 10", "WHERE vec_id < 5"
+    ).replace("WHERE rank <= 5", "WHERE rank <= 20")
+    return f"""
+WITH lex AS ({lex}),
+dense AS (SELECT query_id, vec_id AS doc_id, rank FROM ({dense})),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+    coalesce(l.doc_id, d.doc_id) AS doc_id,
+    round(coalesce(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+        + coalesce(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+rranked AS (
+  SELECT query_id, doc_id, rrf_score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, fused_rank FROM rranked
+WHERE fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (sketches.drift_metrics): PSI + KS
     of per-event values between the first and second half of the
@@ -6186,6 +6302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_encode": q_wordpiece_encode,
     "retrieval_eval": q_retrieval_eval,
     "mmr_rerank": q_mmr_rerank,
+    "token_jaccard_topk": q_token_jaccard_topk,
+    "rrf_hybrid": q_rrf_hybrid,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6345,6 +6463,8 @@ ORACLES: dict[str, str] = {
     "wordpiece_encode": _wordpiece_oracle(encode=True),
     "retrieval_eval": _o_retrieval_eval(),
     "mmr_rerank": O_MMR_RERANK,
+    "token_jaccard_topk": O_TOKEN_JACCARD_TOPK,
+    "rrf_hybrid": _o_rrf_hybrid(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

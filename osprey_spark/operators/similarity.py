@@ -9,6 +9,7 @@ path. The dot products run as built-in higher-order functions
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1518,3 +1519,158 @@ LEFT JOIN core_lbl cl ON cl.id = v.{id_col}
 LEFT JOIN border b ON b.id = v.{id_col}
 ORDER BY {id_col}
 """
+
+
+def token_jaccard_topk(
+    docs: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 20,
+    max_df: int | None = None,
+    max_df_pct: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical retrieval channel: top-k documents per query document
+    by distinct-token-set Jaccard, via an inverted-index equi-join —
+    the sparse/lexical half of a hybrid retrieval stack (the dense
+    half is ``brute_force_topk`` / the ANN variants).
+
+    Plan at 100 TB: the corpus tokenizes ONCE into a distinct
+    (doc, token) posting frame; the query side is a handful of rows
+    filtered from it (broadcast). Candidates are docs sharing >= 1
+    surviving token with a query — an equi-join on the token, never a
+    cross join — and the per-(query, doc) shared count is one hash
+    aggregate. ``max_df`` culls tokens appearing in more than that
+    many documents from BOTH sides (the MOSS boilerplate-gram
+    discipline: a stopword shared by every document adds no ranking
+    signal but multiplies join fan-out by its document frequency);
+    ``max_df_pct`` is the scale-relative form — tokens in more than
+    that percent of the corpus drop, decided by the EXACT integer
+    test ``df · 100 <= pct · n_docs`` against a 1-row broadcast count
+    (no driver collect, no float threshold that could flip at a
+    boundary). Jaccard is computed over the post-cull sets,
+    deterministically.
+
+    Determinism: shared/|A|/|B| are exact BIGINTs, Jaccard is ONE
+    int/int double division (|A∪B| = |A|+|B|−shared arithmetically —
+    no second set build), rounded to 6; ranking by (jaccard desc, id)
+    is a total order.
+    """
+    from ..functions.text import tokenize_col
+
+    postings = (
+        docs.select(F.col(id_col), F.explode(tokenize_col(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+    if max_df is not None and max_df_pct is not None:
+        raise ValueError("pass max_df or max_df_pct, not both")
+    if max_df is not None:
+        keep = (
+            postings.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("tok")
+        )
+        postings = postings.join(keep, "tok")
+    elif max_df_pct is not None:
+        ndocs = docs.agg(F.count(F.lit(1)).alias("_n"))
+        keep = (
+            postings.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .join(F.broadcast(ndocs))
+            .filter(F.col("_df") * 100 <= int(max_df_pct) * F.col("_n"))
+            .select("tok")
+        )
+        postings = postings.join(keep, "tok")
+    # four consumers below (sizes, query postings, query sizes, the
+    # shared-token join) — compute the tokenize+distinct(+cull)
+    # pipeline once; released via unpersist_base
+    postings = postings.persist()
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+
+    qp = F.broadcast(
+        postings.filter(F.col(id_col).isin(*[int(q) for q in query_ids])).select(
+            F.col(id_col).alias("query_id"), "tok"
+        )
+    )
+    qs = F.broadcast(
+        sizes.filter(F.col(id_col).isin(*[int(q) for q in query_ids])).select(
+            F.col(id_col).alias("query_id"), F.col("_sz").alias("_qsz")
+        )
+    )
+    shared = (
+        qp.join(postings, "tok")
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    scored = (
+        shared.join(sizes, id_col)
+        .join(qs, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("_shared").cast("double")
+                / (F.col("_qsz") + F.col("_sz") - F.col("_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc(id_col))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+    out.unpersist_base = lambda: postings.unpersist(blocking=True)
+    return out
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009): fuse N ranked candidate lists per query into one ranking
+    by score = Σ_channels 1/(k_const + rank), the standard hybrid
+    lexical+dense combiner — rank-based, so BM25 scores and cosines
+    never need calibrating onto one scale, and k=60 damps any single
+    channel's head.
+
+    Plan: the inputs are top-k frames — (queries × k)-bounded, never
+    corpus-scale — full-outer-joined on (query, id) so a candidate
+    ranked by only one channel still scores (absent channels
+    contribute exactly 0.0). One window per query ranks the fused
+    score. Determinism: each 1/(k+r) is one exact IEEE division on
+    small integers, channel terms add in the fixed channel order,
+    rounded to 6; (score desc, id) is a total order so both engines
+    cut the same topk.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 ranked channels")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            query_col, id_col, F.col(rank_col).alias(f"_r{i}")
+        )
+        fused = side if fused is None else fused.join(
+            side, [query_col, id_col], "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"_r{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.select(query_col, id_col, F.round(score, 6).alias("rrf_score"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .orderBy(query_col, "fused_rank")
+    )

@@ -43,6 +43,8 @@ _CROSS_OK = {
     "curriculum_buckets",  # 1-row quantile-boundaries frame broadcast onto the scan
     "retrieval_eval",  # wraps brute_force_topk: the bounded Q-row broadcast product
     "mmr_rerank",  # wraps brute_force_topk: the bounded Q-row broadcast product
+    "token_jaccard_topk",  # 1-row corpus-count frame broadcast for the max_df_pct cull
+    "rrf_hybrid",  # wraps brute_force_topk + token_jaccard_topk (both classes above)
 }
 
 # Queries expected to broadcast at least one join side (small dim /

@@ -475,3 +475,117 @@ def test_dbscan_border_attaches_to_one_core(spark):
     assert all(rows[i].role == "core" and rows[i].cluster_id == 0 for i in range(4))
     assert rows[10].role == "border" and rows[10].cluster_id == 0
     assert rows[20].role == "noise"
+
+
+# --- hybrid retrieval: token-Jaccard channel + RRF fusion -------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_jaccard_topk_known_answer(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (0, "apple banana cherry"),
+            (1, "cherry banana apple apple"),  # same SET -> jaccard 1.0
+            (2, "apple banana date"),  # shared 2, union 4 -> 0.5
+            (3, "fig grape"),  # disjoint -> absent
+            (4, "apple"),  # shared 1, union 3 -> 0.333333
+        ],
+    )
+    out = similarity.token_jaccard_topk(docs, query_ids=[0], k=10)
+    rows = out.collect()
+    out.unpersist_base()
+    got = {(r.doc_id): (r.jaccard, r.rank) for r in rows}
+    assert 3 not in got  # zero-overlap docs never join, never rank
+    # tie at 1.0 between the query itself and the same-set doc -> id asc
+    assert got[0] == (1.0, 1) and got[1] == (1.0, 2)
+    assert got[2] == (0.5, 3)
+    assert got[4] == (0.333333, 4)
+
+
+def test_token_jaccard_max_df_cull(spark):
+    # "the" is in all 4 docs; with max_df=3 it is culled from BOTH the
+    # query and candidate sets, so jaccard is computed over signal
+    # tokens only and the all-boilerplate doc drops out entirely.
+    docs = _docs_df(
+        spark,
+        [
+            (0, "the apple banana"),
+            (1, "the apple banana"),
+            (2, "the apple"),
+            (3, "the"),
+        ],
+    )
+    out = similarity.token_jaccard_topk(docs, query_ids=[0], k=10, max_df=3)
+    rows = out.collect()
+    out.unpersist_base()
+    got = {r.doc_id: r.jaccard for r in rows}
+    assert got == {0: 1.0, 1: 1.0, 2: 0.5}  # doc 3 has no surviving tokens
+
+
+def test_token_jaccard_max_df_pct_boundary(spark):
+    # df*100 <= pct*n_docs is an EXACT integer test: a token in 4 of 5
+    # docs survives pct=80 (400 <= 400) and drops at pct=79.
+    docs = _docs_df(
+        spark,
+        [
+            (0, "common alpha"),
+            (1, "common alpha"),
+            (2, "common beta"),
+            (3, "common beta"),
+            (4, "solo"),
+        ],
+    )
+    keep = similarity.token_jaccard_topk(docs, query_ids=[0], k=10, max_df_pct=80)
+    got_keep = {r.doc_id: r.jaccard for r in keep.collect()}
+    keep.unpersist_base()
+    # "common" kept: doc0 vs doc2 share {common} of union 3 -> 0.333333
+    assert got_keep[2] == 0.333333
+    cull = similarity.token_jaccard_topk(docs, query_ids=[0], k=10, max_df_pct=79)
+    got_cull = {r.doc_id: r.jaccard for r in cull.collect()}
+    cull.unpersist_base()
+    # "common" culled: only {alpha} survives for doc0 -> doc2 disjoint
+    assert 2 not in got_cull and got_cull == {0: 1.0, 1: 1.0}
+
+
+def test_token_jaccard_rejects_both_culls(spark):
+    docs = _docs_df(spark, [(0, "a b")])
+    with pytest.raises(ValueError, match="not both"):
+        similarity.token_jaccard_topk(docs, query_ids=[0], max_df=1, max_df_pct=50)
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rrf_fuse_known_answer(spark):
+    # q1: doc 11 is ranked by BOTH channels -> 1/61 + 1/62 beats every
+    # single-channel doc; doc absent from a channel contributes 0.0.
+    a = _rank_df(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _rank_df(spark, [(1, 11, 1), (1, 12, 2)])
+    out = similarity.rrf_fuse([a, b], k_const=60, topk=10).collect()
+    got = [(r.doc_id, r.rrf_score, r.fused_rank) for r in out]
+    s_both = round(1.0 / 62.0 + 1.0 / 61.0, 6)
+    s_r1 = round(1.0 / 61.0, 6)
+    s_r2 = round(1.0 / 62.0, 6)
+    assert got == [(11, s_both, 1), (10, s_r1, 2), (12, s_r2, 3)]
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    # symmetric ranks -> identical fused scores -> id asc wins
+    a = _rank_df(spark, [(2, 20, 1), (2, 21, 2)])
+    b = _rank_df(spark, [(2, 21, 1), (2, 20, 2)])
+    out = similarity.rrf_fuse([a, b], k_const=60, topk=10).collect()
+    assert [(r.doc_id, r.fused_rank) for r in out] == [(20, 1), (21, 2)]
+
+
+def test_rrf_fuse_topk_and_channel_count(spark):
+    a = _rank_df(spark, [(1, i, i + 1) for i in range(5)])
+    b = _rank_df(spark, [(1, i + 3, i + 1) for i in range(5)])
+    out = similarity.rrf_fuse([a, b], k_const=60, topk=2).collect()
+    assert len(out) == 2 and [r.fused_rank for r in out] == [1, 2]
+    with pytest.raises(ValueError, match=">= 2"):
+        similarity.rrf_fuse([a])
