@@ -5450,6 +5450,70 @@ def _o_kcore() -> str:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-occurrence item graph
+    (graph.lpa, Raghavan et al. 2007): 4 synchronous
+    label-propagation rounds — per round one labels⋈edges equi-join,
+    one self-vote union, two hash aggregates (vote count + the
+    min(struct(-count, label)) argmax; no window over row scale),
+    localCheckpoint-truncated lineage. Densely linked regions
+    partition where connected components would merge and k-core would
+    only filter; both engines replay the exact same round count, so
+    even an oscillating graph is hash-stable."""
+    from .operators.graph import cooccurrence, lpa
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (
+        ev.select(
+            F.col("user_id").cast("string").alias("user"),
+            F.get_json_object(F.col("props"), "$.k").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    und = cooccurrence(pairs, cap=20, min_count=5)
+    sym = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    out = lpa(sym, rounds=4)
+    res = out.orderBy("node")
+    res.unpersist_base = out.unpersist_base
+    return res
+
+
+def _o_lpa_communities() -> str:
+    from .operators.graph import lpa_oracle_sql
+
+    edges_sql = """
+  WITH pairs AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+           json_extract_string(props, '$.k') AS item
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+  ),
+  capped AS (
+    SELECT u, item FROM (
+      SELECT u, item,
+        row_number() OVER (
+          PARTITION BY u ORDER BY md5('co1:' || u || ':' || item), item
+        ) AS rn
+      FROM pairs
+    ) WHERE rn <= 20
+  ),
+  und AS (
+    SELECT a.item AS a, b.item AS b
+    FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+  )
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL SELECT b AS src, a AS dst FROM und
+"""
+    return lpa_oracle_sql(edges_sql, rounds=4) + " ORDER BY node"
+
+
 def q_decay_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level decayed-activity escalation signal (GetDecayScore,
     13th stateful family): integer bit-shift halflife weights so the
@@ -6304,6 +6368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "token_jaccard_topk": q_token_jaccard_topk,
     "rrf_hybrid": q_rrf_hybrid,
+    "lpa_communities": q_lpa_communities,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6465,6 +6530,7 @@ ORACLES: dict[str, str] = {
     "mmr_rerank": O_MMR_RERANK,
     "token_jaccard_topk": O_TOKEN_JACCARD_TOPK,
     "rrf_hybrid": _o_rrf_hybrid(),
+    "lpa_communities": _o_lpa_communities(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

@@ -232,6 +232,28 @@ def triangle_count(
     return out
 
 
+def _checkpointed(sc, df):
+    """localCheckpoint ``df`` eagerly and return (df, new_rdd_ids) so
+    the caller can free exactly the blocks this round pinned — the
+    iterative-round lineage-truncation discipline shared by kcore and
+    lpa (each round references the previous frame more than once, so
+    raw lineage would replicate the upstream subtree exponentially)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    before = set(jmap.keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs()
+    new_ids = [i for i in after.keySet().toArray() if i not in before]
+    return out, new_ids
+
+
+def _free(sc, ids):
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        r = jmap.get(i)
+        if r is not None:
+            r.unpersist(True)
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,
@@ -269,23 +291,7 @@ def kcore(
     if k < 1:
         raise ValueError("kcore: k must be >= 1")
     sc = edges.sparkSession.sparkContext
-
-    def _checkpointed(df):
-        jmap = sc._jsc.getPersistentRDDs()
-        before = set(jmap.keySet().toArray())
-        out = df.localCheckpoint(eager=True)
-        after = sc._jsc.getPersistentRDDs()
-        new_ids = [i for i in after.keySet().toArray() if i not in before]
-        return out, new_ids
-
-    def _free(ids):
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            r = jmap.get(i)
-            if r is not None:
-                r.unpersist(True)
-
-    cur, cur_ids = _checkpointed(edges.select("src", "dst"))
+    cur, cur_ids = _checkpointed(sc, edges.select("src", "dst"))
     converged = False
     for _ in range(max_rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -297,8 +303,8 @@ def kcore(
         nxt = cur.join(alive, "src", "left_semi").join(
             alive.select(F.col("src").alias("dst")), "dst", "left_semi"
         )
-        nxt, nxt_ids = _checkpointed(nxt)
-        _free(cur_ids)
+        nxt, nxt_ids = _checkpointed(sc, nxt)
+        _free(sc, cur_ids)
         cur, cur_ids = nxt, nxt_ids
     if not converged:
         import warnings
@@ -314,8 +320,103 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("deg"))
     )
-    out.unpersist_base = lambda: _free(cur_ids)
+    out.unpersist_base = lambda: _free(sc, cur_ids)
     return out
+
+
+def lpa(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) — the near-linear community finder that
+    separates DENSELY linked regions, which neither connected
+    components (any path merges) nor k-core (a global density filter,
+    no partition) gives. The ring-analysis read: a fraud clique and
+    the organic cluster it touches through one bridge edge stay
+    distinct communities.
+
+    ``edges``: symmetric (src, dst) string edge list, the
+    pagerank/kcore contract. Every node starts labeled with its own
+    id; each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors plus one self-vote (the self-vote damps
+    the classic bipartite two-coloring oscillation), ties broken by
+    MIN label — synchronous update + total-order tie-break makes
+    round ``r`` a pure function of round ``r-1``, so the result is
+    deterministic under any partitioning and the DuckDB oracle
+    replays the exact same ``rounds`` verbatim (no fixpoint claim
+    needed: even an oscillating graph matches, both engines stop at
+    the same round).
+
+    Scale shape per round: ONE equi-join (labels ⋈ edges on src — a
+    neighbor's label arrives at dst), one union with the self-votes,
+    TWO hash aggregates (vote count by (node, label), then the argmax
+    as ``min(struct(-count, label))`` — no window over row scale).
+    Labels frames are localCheckpoint-truncated per round (each round
+    references the previous labels twice — join + self-vote union —
+    so raw lineage would replicate the upstream subtree 2^rounds
+    times); release the final pin via ``out.unpersist_base()``.
+
+    Output: (node, community) — community is the winning seed node id.
+    """
+    if rounds < 1:
+        raise ValueError("lpa: rounds must be >= 1")
+    sc = edges.sparkSession.sparkContext
+    e = edges.select("src", "dst").persist()
+    labels = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    lbl_ids: list = []
+    for _ in range(int(rounds)):
+        votes = (
+            e.join(labels, e.src == labels.node)
+            .select(F.col("dst").alias("n2"), F.col("lbl"))
+            .unionByName(labels.select(F.col("node").alias("n2"), F.col("lbl")))
+        )
+        nxt = (
+            votes.groupBy("n2", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("n2")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select(F.col("n2").alias("node"), F.col("m.l").alias("lbl"))
+        )
+        nxt, nxt_ids = _checkpointed(sc, nxt)
+        _free(sc, lbl_ids)
+        labels, lbl_ids = nxt, nxt_ids
+    out = labels.select("node", F.col("lbl").alias("community"))
+    out.unpersist_base = lambda: (
+        e.unpersist(blocking=True),
+        _free(sc, lbl_ids),
+    )
+    return out
+
+
+def lpa_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB replay of :func:`lpa`: the synchronous rounds statically
+    unrolled into MATERIALIZED label CTEs — one vote union + one
+    grouped row_number argmax per round, count desc / label asc, the
+    exact tie-break the Spark side encodes as min(struct(-c, lbl))."""
+    parts = [f"WITH e AS MATERIALIZED ({edges_sql})"]
+    parts.append(
+        "lbl_0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM e GROUP BY src)"
+    )
+    prev = "lbl_0"
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"lbl_{r} AS MATERIALIZED (\n"
+            f"  SELECT node, lbl FROM (\n"
+            f"    SELECT n2 AS node, lbl,\n"
+            f"      row_number() OVER (PARTITION BY n2 ORDER BY count(*) DESC, lbl) AS rn\n"
+            f"    FROM (\n"
+            f"      SELECT e.dst AS n2, l.lbl FROM e JOIN {prev} l ON l.node = e.src\n"
+            f"      UNION ALL SELECT node, lbl FROM {prev}\n"
+            f"    ) GROUP BY n2, lbl\n"
+            f"  ) WHERE rn = 1)"
+        )
+        prev = f"lbl_{r}"
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, lbl AS community FROM {prev}\n"
 
 
 def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 10) -> str:

@@ -233,3 +233,92 @@ def test_kcore_warns_on_round_exhaustion(spark):
     full = kcore(edges, k=2)
     assert full.count() == 0
     full.unpersist_base()
+
+
+def _lpa_python(sym_edges, rounds):
+    """Pure-Python replica of graph.lpa's synchronous semantics:
+    neighbor votes + one self-vote, argmax by (count desc, label asc)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in sym_edges:
+        nbrs[a].append(b)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nbrs:
+            votes = Counter(lbl[m] for m in nbrs[n])
+            votes[lbl[n]] += 1
+            nxt[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = nxt
+    return lbl
+
+
+def test_lpa_two_cliques_one_bridge(spark):
+    """Two K4s joined by a single bridge edge resolve to two
+    communities — the partition connected components cannot give
+    (one component) and k-core cannot give (both survive a 3-core)."""
+    from osprey_spark.operators.graph import lpa
+
+    und = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("w", "x"), ("w", "y"), ("w", "z"), ("x", "y"), ("x", "z"), ("y", "z"),
+        ("d", "w"),  # bridge
+    ]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    out = lpa(edges, rounds=4)
+    got = {r.node: r.community for r in out.collect()}
+    out.unpersist_base()
+    assert got == _lpa_python(sym, 4)
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    assert got["w"] == got["x"] == got["y"] == got["z"] == "w"
+
+
+def test_lpa_tie_breaks_to_min_label(spark):
+    """Single edge p–q: round 1 is a 1-1 vote tie at both endpoints;
+    min label wins, so both land in community 'p'."""
+    from osprey_spark.operators.graph import lpa
+
+    edges = spark.createDataFrame(
+        [("p", "q"), ("q", "p")], "src string, dst string"
+    )
+    out = lpa(edges, rounds=2)
+    got = {r.node: r.community for r in out.collect()}
+    out.unpersist_base()
+    assert got == {"p": "p", "q": "p"}
+
+
+def test_lpa_matches_python_replica_and_releases_state(spark):
+    """Fixed irregular graph: Spark == the pure-Python synchronous
+    replica at every round count, and unpersist_base drops both the
+    edge persist and the final checkpoint blocks."""
+    from osprey_spark.operators.graph import lpa
+
+    und = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d"),
+        ("g", "a"), ("h", "e"), ("h", "f"),
+    ]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    for rounds in (1, 2, 5):
+        out = lpa(edges, rounds=rounds)
+        got = {r.node: r.community for r in out.collect()}
+        out.unpersist_base()
+        assert got == _lpa_python(sym, rounds), f"rounds={rounds}"
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = len(jmap.keySet().toArray())
+    out = lpa(edges, rounds=3)
+    out.count()
+    out.unpersist_base()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    from osprey_spark.operators.graph import lpa
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match=">= 1"):
+        lpa(edges, rounds=0)
