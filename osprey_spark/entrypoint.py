@@ -5514,6 +5514,33 @@ def _o_lpa_communities() -> str:
     return lpa_oracle_sql(edges_sql, rounds=4) + " ORDER BY node"
 
 
+def q_burst_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection (transcripts.burst_spans, KDD 2002):
+    optimal 2-state Viterbi labeling of each conversation's inter-turn
+    gaps — base rate λ0 = gaps/span vs burst rate 2·λ0, entering costs
+    ln(n_gaps) — the sustained rapid-fire-run signal rate_anomaly's
+    mean z and mad_outliers' robust z both miss. One conv shuffle,
+    bounded per-conv arrays, the whole DP one pure-JVM fold; all
+    output columns integer."""
+    from .operators.transcripts import burst_spans
+
+    t = turns_from_events(spark, sf_dir)
+    return burst_spans(t, s=2.0, gamma=1.0, max_turns=64).orderBy(
+        "conv_id", "gap_idx"
+    )
+
+
+def _o_burst_spans() -> str:
+    from .operators.transcripts import burst_spans_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + burst_spans_sql("turns", s=2.0, gamma=1.0, max_turns=64)
+        + " ORDER BY conv_id, gap_idx"
+    )
+
+
 def q_decay_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level decayed-activity escalation signal (GetDecayScore,
     13th stateful family): integer bit-shift halflife weights so the
@@ -6369,6 +6396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_jaccard_topk": q_token_jaccard_topk,
     "rrf_hybrid": q_rrf_hybrid,
     "lpa_communities": q_lpa_communities,
+    "burst_spans": q_burst_spans,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6531,6 +6559,7 @@ ORACLES: dict[str, str] = {
     "token_jaccard_topk": O_TOKEN_JACCARD_TOPK,
     "rrf_hybrid": _o_rrf_hybrid(),
     "lpa_communities": _o_lpa_communities(),
+    "burst_spans": _o_burst_spans(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

@@ -1553,3 +1553,228 @@ ranked AS (
 SELECT conv_id, turn_idx, score, rank, rank <= {int(top_m)} AS selected
 FROM ranked
 """
+
+
+def burst_spans(
+    turns: DataFrame,
+    s: float = 2.0,
+    gamma: float = 1.0,
+    max_turns: int = 64,
+    min_gaps: int = 2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kleinberg burst detection (KDD 2002) over each conversation's
+    inter-turn gaps: the optimal 2-state automaton labeling — state 0
+    emits gaps at the conversation's base rate λ0 = n_gaps / span,
+    state 1 at λ1 = s·λ0, entering a burst costs γ·ln(n_gaps), leaving
+    is free — solved exactly by Viterbi. The TEMPORAL-STRUCTURE signal
+    the distributional monitors miss: ``rate_anomaly`` (mean z) and
+    ``mad_outliers`` (robust z) flag individually extreme values;
+    this finds sustained rapid-fire RUNS whose gaps are each
+    individually unremarkable (the flooding/takeover shape).
+
+    Shapes, at 100 TB: conversations collapse to ONE bounded row each
+    (epoch arrays capped at ``max_turns`` — the textrank boundedness
+    class) on the pipeline's standard conv shuffle; gaps are one
+    zip_with over two slices (no element_at-in-lambda re-evaluation),
+    and the whole Viterbi DP runs per row as a single pure-JVM
+    ``aggregate`` fold carrying ``struct(cost0, cost1, path0, path1)``
+    — no joins, no UDF, cost a constant set by max_turns.
+
+    Engine-exactness: every output column is an INTEGER (gap seconds,
+    gap index, 0/1 state) — doubles exist only inside the DP. The fold
+    order is fixed (gap order), every emit cost keeps one fixed
+    parenthesization ``(λ·x) − ln λ``, cost comparisons tie-break
+    toward KEEPING the current state (``<=``), and the not-yet-
+    enterable burst start is a finite 1e18 sentinel (not ±inf) so both
+    engines' arithmetic stays ordinary IEEE. DuckDB replays the exact
+    fold via list_reduce with the same-type-accumulator element trick
+    (the rouge_l discipline).
+
+    Returns per-gap rows ``(conv_id, gap_idx 1-based, gap_s,
+    in_burst)`` for conversations with at least one burst gap.
+    """
+    if s <= 1.0:
+        raise ValueError("burst_spans: s must be > 1 (burst rate above base)")
+    if max_turns < 3 or min_gaps < 2:
+        raise ValueError("burst_spans: max_turns >= 3 and min_gaps >= 2 required")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    sec = F.floor(F.col(ts_col).cast("timestamp").cast("double")).cast("long")
+    capped = (
+        turns.select(conv_col, F.col(idx_col), sec.alias("_sec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_turns))
+    )
+    g = capped.groupBy(conv_col).agg(
+        F.sort_array(F.collect_list(F.struct(idx_col, "_sec"))).alias("_c")
+    )
+    eps = F.transform(F.col("_c"), lambda c: c["_sec"])
+    staged = g.select(conv_col, eps.alias("_ep"), F.size(F.col("_c")).alias("_n"))
+    nm = F.col("_n") - 1
+    gaps = F.zip_with(
+        F.slice(F.col("_ep"), 2, nm),
+        F.slice(F.col("_ep"), 1, nm),
+        lambda a, b: a - b,
+    )
+    staged = staged.select(conv_col, gaps.alias("_g")).select(
+        conv_col,
+        "_g",
+        F.size(F.col("_g")).alias("_m"),
+        F.aggregate(
+            F.col("_g"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("_T"),
+    )
+    staged = staged.filter(
+        (F.col("_m") >= int(min_gaps)) & (F.col("_T") >= 1)
+    )
+    lam0 = F.col("_m").cast("double") / F.col("_T").cast("double")
+    staged = staged.select(
+        conv_col,
+        "_g",
+        lam0.alias("_lam0"),
+        (F.lit(float(s)) * lam0).alias("_lam1"),
+    ).select(
+        conv_col,
+        "_g",
+        "_lam0",
+        "_lam1",
+        F.log(F.col("_lam0")).alias("_l0"),
+        F.log(F.col("_lam1")).alias("_l1"),
+        (F.lit(float(gamma)) * F.log(F.size(F.col("_g")).cast("double"))).alias(
+            "_tr"
+        ),
+    )
+
+    init = F.struct(
+        F.lit(0.0).alias("c0"),
+        F.lit(1.0e18).alias("c1"),
+        F.array().cast("array<int>").alias("p0"),
+        F.array().cast("array<int>").alias("p1"),
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        xd = x.cast("double")
+        e0 = F.col("_lam0") * xd - F.col("_l0")
+        e1 = F.col("_lam1") * xd - F.col("_l1")
+        up = acc["c0"] + F.col("_tr")
+        return F.struct(
+            (F.least(acc["c0"], acc["c1"]) + e0).alias("c0"),
+            (F.least(acc["c1"], up) + e1).alias("c1"),
+            F.concat(
+                F.when(acc["c0"] <= acc["c1"], acc["p0"]).otherwise(acc["p1"]),
+                F.array(F.lit(0)),
+            ).alias("p0"),
+            F.concat(
+                F.when(acc["c1"] <= up, acc["p1"]).otherwise(acc["p0"]),
+                F.array(F.lit(1)),
+            ).alias("p1"),
+        )
+
+    states = F.aggregate(
+        F.col("_g"),
+        init,
+        _step,
+        lambda a: F.when(a["c0"] <= a["c1"], a["p0"]).otherwise(a["p1"]),
+    )
+    labeled = staged.select(conv_col, "_g", states.alias("_st")).filter(
+        F.array_max(F.col("_st")) == 1
+    )
+    return labeled.select(
+        conv_col,
+        F.posexplode(
+            F.zip_with(
+                F.col("_g"),
+                F.col("_st"),
+                lambda gp, st: F.struct(gp.alias("g"), st.alias("st")),
+            )
+        ),
+    ).select(
+        conv_col,
+        (F.col("pos") + 1).cast("long").alias("gap_idx"),
+        F.col("col.g").cast("long").alias("gap_s"),
+        F.col("col.st").cast("int").alias("in_burst"),
+    )
+
+
+def burst_spans_sql(
+    table: str,
+    s: float = 2.0,
+    gamma: float = 1.0,
+    max_turns: int = 64,
+    min_gaps: int = 2,
+) -> str:
+    """DuckDB replay of :func:`burst_spans`: the identical Viterbi
+    fold via ``list_reduce`` under its same-type-accumulator
+    constraint (gaps pre-mapped into the accumulator struct type, the
+    rouge_l trick), same fixed parenthesization per emit cost, same
+    <=-keeps-current-state tie-breaks, same 1e18 sentinel. The
+    accumulator is ONE FLAT DOUBLE[] — ``[c0, c1] || path0 || path1``
+    (both paths have length t after t steps, so no separator) —
+    because DuckDB 1.0's list_reduce silently RESETS list-typed STRUCT
+    fields between iterations (minimal repro: reduce over structs
+    carrying a list — scalars accumulate, the list restarts empty each
+    step); bare-list accumulators, slices and concat all carry
+    correctly."""
+    return f"""
+capped AS (
+  SELECT conv_id, turn_idx, sec FROM (
+    SELECT conv_id, turn_idx, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+    FROM {table}
+  ) WHERE rn <= {int(max_turns)}
+),
+eps AS (
+  SELECT conv_id, list(sec ORDER BY turn_idx) AS ep
+  FROM capped GROUP BY conv_id
+),
+gapped AS (
+  SELECT conv_id,
+    list_transform(range(2, len(ep) + 1), i -> ep[i] - ep[i - 1]) AS g
+  FROM eps WHERE len(ep) >= {int(min_gaps) + 1}
+),
+parm AS (
+  SELECT conv_id, g, len(g) AS m, list_sum(g) AS T
+  FROM gapped
+  WHERE len(g) >= {int(min_gaps)} AND list_sum(g) >= 1
+),
+lams AS (
+  SELECT conv_id, g,
+    CAST(m AS DOUBLE) / CAST(T AS DOUBLE) AS lam0,
+    CAST({float(s)!r} AS DOUBLE) * (CAST(m AS DOUBLE) / CAST(T AS DOUBLE)) AS lam1,
+    CAST({float(gamma)!r} AS DOUBLE) * ln(CAST(m AS DOUBLE)) AS tr
+  FROM parm
+),
+folded AS (
+  SELECT conv_id, g,
+    list_reduce(
+      list_prepend(CAST([0.0, 1e18] AS DOUBLE[]),
+                   list_transform(g, x -> CAST([x] AS DOUBLE[]))),
+      (A, X) -> [
+          least(A[1], A[2]) + (lam0 * X[1] - ln(lam0)),
+          least(A[2], A[1] + tr) + (lam1 * X[1] - ln(lam1))
+        ]
+        || list_append(CASE WHEN A[1] <= A[2]
+                            THEN A[3 : (len(A) + 2) // 2]
+                            ELSE A[(len(A) + 4) // 2 : len(A)] END, 0.0)
+        || list_append(CASE WHEN A[2] <= A[1] + tr
+                            THEN A[(len(A) + 4) // 2 : len(A)]
+                            ELSE A[3 : (len(A) + 2) // 2] END, 1.0)
+    ) AS red
+  FROM lams
+),
+labeled AS (
+  SELECT conv_id, g,
+    CASE WHEN red[1] <= red[2]
+         THEN red[3 : (len(red) + 2) // 2]
+         ELSE red[(len(red) + 4) // 2 : len(red)] END AS st
+  FROM folded
+)
+SELECT conv_id,
+  CAST(t.i AS BIGINT) AS gap_idx,
+  CAST(g[t.i] AS BIGINT) AS gap_s,
+  CAST(st[t.i] AS INT) AS in_burst
+FROM labeled, unnest(range(1, len(g) + 1)) AS t(i)
+WHERE list_max(st) = 1
+"""

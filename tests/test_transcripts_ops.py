@@ -658,3 +658,93 @@ def test_textrank_max_turns_cap(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     out = textrank_turns(df, max_turns=4).collect()
     assert sorted(r.turn_idx for r in out) == [0, 1, 2, 3]
+
+
+# --- Kleinberg burst detection -----------------------------------------------
+
+
+def _ts_turns(spark, rows):
+    import datetime as dt
+
+    data = [
+        (c, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec))
+        for c, i, sec in rows
+    ]
+    return spark.createDataFrame(data, "conv_id string, turn_idx int, ts timestamp")
+
+
+def _burst_python(gaps, s=2.0, gamma=1.0):
+    """Pure-Python replica of burst_spans' Viterbi fold."""
+    import math
+
+    m, T = len(gaps), sum(gaps)
+    lam0 = m / T
+    lam1 = s * lam0
+    l0, l1 = math.log(lam0), math.log(lam1)
+    tr = gamma * math.log(m)
+    c0, c1, p0, p1 = 0.0, 1e18, [], []
+    for x in gaps:
+        e0, e1 = lam0 * x - l0, lam1 * x - l1
+        up = c0 + tr
+        nc0, nc1 = min(c0, c1) + e0, min(c1, up) + e1
+        np0 = (p0 if c0 <= c1 else p1) + [0]
+        np1 = (p1 if c1 <= up else p0) + [1]
+        c0, c1, p0, p1 = nc0, nc1, np0, np1
+    return p0 if c0 <= c1 else p1
+
+
+def test_burst_spans_flags_rapid_fire_run(spark):
+    """Slow-fast-slow gap profile: the fast middle run is one burst;
+    gaps and the state sequence match the pure-Python Viterbi."""
+    from osprey_spark.operators.transcripts import burst_spans
+
+    gaps = [600, 600, 600, 5, 5, 5, 5, 5, 600, 600, 600]
+    secs = [0]
+    for g in gaps:
+        secs.append(secs[-1] + g)
+    rows = [("a", i, s) for i, s in enumerate(secs)]
+    out = burst_spans(_ts_turns(spark, rows)).collect()
+    got = sorted((r.gap_idx, r.gap_s, r.in_burst) for r in out)
+    expect_states = _burst_python(gaps)
+    assert [g for _, g, _ in got] == gaps
+    assert [st for _, _, st in got] == expect_states
+    # the fast run is burst, the slow shoulders are not
+    assert expect_states[3:8] == [1] * 5 and expect_states[0] == 0
+
+
+def test_burst_spans_uniform_gaps_silent(spark):
+    """Uniform cadence -> the burst state never pays for itself ->
+    conversation absent from the output entirely."""
+    from osprey_spark.operators.transcripts import burst_spans
+
+    rows = [("u", i, i * 60) for i in range(20)]
+    assert burst_spans(_ts_turns(spark, rows)).count() == 0
+
+
+def test_burst_spans_zero_span_and_short_convs_dropped(spark):
+    """All-simultaneous turns (span 0) and single-gap conversations
+    carry no rate signal and are filtered, not NaN'd."""
+    from osprey_spark.operators.transcripts import burst_spans
+
+    rows = [("z", i, 0) for i in range(5)] + [("s", 0, 0), ("s", 1, 3)]
+    assert burst_spans(_ts_turns(spark, rows)).count() == 0
+
+
+def test_burst_spans_max_turns_cap_and_validation(spark):
+    """Turns past max_turns never contribute gaps; bad params raise."""
+    import pytest
+
+    from osprey_spark.operators.transcripts import burst_spans
+
+    gaps = [600] * 5 + [5] * 6 + [600] * 5
+    secs = [0]
+    for g in gaps:
+        secs.append(secs[-1] + g)
+    rows = [("a", i, s) for i, s in enumerate(secs)]
+    capped = burst_spans(_ts_turns(spark, rows), max_turns=8).collect()
+    # 8 turns -> 7 gaps max
+    assert max(r.gap_idx for r in capped) <= 7 if capped else True
+    with pytest.raises(ValueError, match="s must be > 1"):
+        burst_spans(_ts_turns(spark, rows), s=1.0)
+    with pytest.raises(ValueError, match="max_turns"):
+        burst_spans(_ts_turns(spark, rows), max_turns=2)
