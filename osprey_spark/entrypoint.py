@@ -5514,6 +5514,46 @@ def _o_lpa_communities() -> str:
     return lpa_oracle_sql(edges_sql, rounds=4) + " ORDER BY node"
 
 
+_LOGREG_FEATURES = ["n_tokens", "n_distinct", "n_data"]
+_LOGREG_CFG = dict(iterations=25, lr=0.5, feat_scale=100.0, quant=10**9)
+
+
+def q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine TRAINED linear quality classifier
+    (curation.logreg_train): full-batch gradient-descent logistic
+    regression predicting lang='en' from integer text statistics —
+    the learnable complement to nb_classifier's closed-form counts.
+    One hash aggregate per iteration with per-row gradients QUANTIZED
+    to BIGINT micro-units before the corpus sum (the kmeans
+    integer-moment discipline), so 25 GD iterations are
+    partition-order independent and the DuckDB unrolled-CTE replay is
+    hash-exact; the driver holds only the 4-float weight vector
+    between rounds."""
+    from .operators.curation import logreg_train
+
+    toks = F.split(F.col("text"), " ")
+    feats = _docs(spark, sf_dir).select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t == F.lit("data"))).alias("n_data"),
+    )
+    return logreg_train(feats, _LOGREG_FEATURES, label_col="y", **_LOGREG_CFG)
+
+
+def _o_logreg_weights() -> str:
+    from .operators.curation import logreg_oracle_sql
+
+    feats_sql = """
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    len(string_split(text, ' ')) AS x0,
+    len(list_distinct(string_split(text, ' '))) AS x1,
+    len(list_filter(string_split(text, ' '), t -> t = 'data')) AS x2
+  FROM documents
+"""
+    return logreg_oracle_sql(feats_sql, _LOGREG_FEATURES, **_LOGREG_CFG)
+
+
 def q_burst_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg burst detection (transcripts.burst_spans, KDD 2002):
     optimal 2-state Viterbi labeling of each conversation's inter-turn
@@ -6397,6 +6437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_hybrid": q_rrf_hybrid,
     "lpa_communities": q_lpa_communities,
     "burst_spans": q_burst_spans,
+    "logreg_weights": q_logreg_weights,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6560,6 +6601,7 @@ ORACLES: dict[str, str] = {
     "rrf_hybrid": _o_rrf_hybrid(),
     "lpa_communities": _o_lpa_communities(),
     "burst_spans": _o_burst_spans(),
+    "logreg_weights": _o_logreg_weights(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

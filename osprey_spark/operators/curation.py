@@ -2067,3 +2067,161 @@ def collocations(
     )
     out.unpersist_base = lambda: bg.unpersist(blocking=True)
     return out
+
+
+def logreg_train(
+    feats: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "y",
+    iterations: int = 15,
+    lr: float = 0.5,
+    feat_scale: float = 100.0,
+    quant: int = 10**9,
+) -> DataFrame:
+    """In-engine TRAINED binary quality classifier: logistic
+    regression by full-batch gradient descent — the learnable
+    complement to :func:`nb_classifier` (whose closed-form counts
+    cannot weigh correlated real-valued signals against each other).
+    The fasttext-linear-classifier class of data-curation filters
+    (CCNet / GPT-3 quality scoring), trained entirely inside the
+    engine: no sampling, no RNG, no sklearn.
+
+    Determinism is the kmeans integer-moment discipline extended to
+    SGD-free GD: ``feats`` carries INTEGER feature columns (counts)
+    and an INTEGER 0/1 label; each iteration computes the per-row
+    gradient contribution ``(sigmoid(w·x) − y) · x_j`` as a DOUBLE but
+    QUANTIZES it to integer micro-units (``round(g · quant)`` →
+    BIGINT) before the corpus sum, so the reduction is a sum of longs
+    — partition-order independent, bit-reproducible, and replayable
+    verbatim by the DuckDB oracle's unrolled per-iteration CTEs. The
+    weight update ``w_j −= lr · S_j / (N · quant)`` then happens in
+    exact agreement on both sides because every operand is the same
+    IEEE double.
+
+    Scale shape: ONE hash aggregate per iteration (d+1 long sums,
+    map-side partials) over the persisted feature frame; the driver
+    holds only the (d+1)-float weight vector between rounds (the
+    kmeans-codebook bounded-materialization class). Long-sum headroom:
+    |contribution| <= max_count/feat_scale · quant per row, so with
+    the defaults a single training run supports ~1e8 rows per unit of
+    max feature value — lower ``quant`` for larger corpora (documented
+    bound, checked nowhere: counts are data).
+
+    Returns a (d+1)-row frame ``(feature, weight)``, weights rounded
+    to 6 (Spark HALF_UP == DuckDB round — not Python's half-even).
+    """
+    if iterations < 1:
+        raise ValueError("logreg_train: iterations must be >= 1")
+    if not feature_cols:
+        raise ValueError("logreg_train: need at least one feature column")
+    spark = feats.sparkSession
+    base = feats.select(
+        F.col(label_col).cast("int").alias("_y"),
+        *[F.col(c).cast("long").alias(f"_x{j}") for j, c in enumerate(feature_cols)],
+    ).persist()
+    n = base.count()
+    if n == 0:
+        base.unpersist()
+        raise ValueError("logreg_train: empty training frame")
+    d = len(feature_cols)
+    w = [0.0] * (d + 1)  # w[0] = intercept
+    qf = float(quant)
+    for _ in range(int(iterations)):
+        z: Column = F.lit(w[0])
+        for j in range(d):
+            z = z + F.lit(w[j + 1]) * (
+                F.col(f"_x{j}").cast("double") / F.lit(float(feat_scale))
+            )
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = sig - F.col("_y").cast("double")
+        aggs = [
+            F.sum(F.round(resid * F.lit(qf), 0).cast("long")).alias("q0")
+        ]
+        for j in range(d):
+            fj = F.col(f"_x{j}").cast("double") / F.lit(float(feat_scale))
+            aggs.append(
+                F.sum(F.round((resid * fj) * F.lit(qf), 0).cast("long")).alias(
+                    f"q{j + 1}"
+                )
+            )
+        sums = base.agg(*aggs).collect()[0]
+        for j in range(d + 1):
+            w[j] = w[j] - float(lr) * (sums[j] / (n * qf))
+    base.unpersist(blocking=True)
+    rows = [("intercept", w[0])] + [
+        (feature_cols[j], w[j + 1]) for j in range(d)
+    ]
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+def logreg_oracle_sql(
+    feats_sql: str,
+    feature_names: Sequence[str],
+    iterations: int = 15,
+    lr: float = 0.5,
+    feat_scale: float = 100.0,
+    quant: int = 10**9,
+) -> str:
+    """DuckDB replay of :func:`logreg_train`: one MATERIALIZED CTE per
+    GD iteration (the kmeans/pagerank unrolled discipline), weights
+    threaded as scalar subqueries, the identical left-associated
+    ``((w0 + w1·f1) + w2·f2) + …`` dot-product chain, the identical
+    ``round(resid·f·quant)``→BIGINT quantization, the identical
+    update arithmetic — every float op matches the Spark side's
+    literal-folded expression bit-for-bit because its operands are
+    bit-identical."""
+    d = len(feature_names)
+    qf = repr(float(quant))
+    fs = repr(float(feat_scale))
+    lrs = repr(float(lr))
+    parts = [f"WITH feats AS MATERIALIZED ({feats_sql})"]
+    parts.append(
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)"
+    )
+    parts.append(
+        "w_0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d + 1))
+        + ")"
+    )
+    for t in range(1, int(iterations) + 1):
+        prev = f"w_{t - 1}"
+        z = f"(SELECT w0 FROM {prev})"
+        for j in range(d):
+            z = (
+                f"({z} + (SELECT w{j + 1} FROM {prev})"
+                f" * (CAST(x{j} AS DOUBLE) / {fs}))"
+            )
+        qs = [f"CAST(round(resid * {qf}, 0) AS BIGINT) AS q0"]
+        for j in range(d):
+            qs.append(
+                f"CAST(round((resid * (CAST(x{j} AS DOUBLE) / {fs})) * {qf}, 0)"
+                f" AS BIGINT) AS q{j + 1}"
+            )
+        xs = ", ".join(f"x{j}" for j in range(d))
+        ws = [
+            f"(SELECT w{j} FROM {prev}) - {lrs} * (CAST(sum(q{j}) AS DOUBLE)"
+            f" / ((SELECT n FROM nn) * {qf})) AS w{j}"
+            for j in range(d + 1)
+        ]
+        parts.append(
+            f"w_{t} AS MATERIALIZED (\n"
+            f"  SELECT {', '.join(ws)}\n"
+            f"  FROM (\n"
+            f"    SELECT {', '.join(qs)}\n"
+            f"    FROM (\n"
+            f"      SELECT {xs},\n"
+            f"        (1.0 / (1.0 + exp(-({z})))) - CAST(y AS DOUBLE) AS resid\n"
+            f"      FROM feats)))"
+        )
+    last = f"w_{int(iterations)}"
+    sel = [
+        f"SELECT 'intercept' AS feature, round((SELECT w0 FROM {last}), 6) AS weight"
+    ]
+    for j, name in enumerate(feature_names):
+        sel.append(
+            f"SELECT '{name}', round((SELECT w{j + 1} FROM {last}), 6)"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL ".join(sel)
+    return f"{body}\nSELECT * FROM (\n{union}\n) ORDER BY feature"

@@ -94,3 +94,90 @@ def test_collocations_g2_known_answer(spark):
     assert by_pair[("apple", "pie")].g2 == ny.g2
     assert (got[0].w1, got[0].w2) == ("apple", "pie")
     assert (got[1].w1, got[1].w2) == ("new", "york")
+
+
+# --- logistic-regression GD trainer ------------------------------------------
+
+
+def _logreg_python(rows, d, iterations=15, lr=0.5, feat_scale=100.0, quant=10**9):
+    """Pure-Python replica of curation.logreg_train's quantized GD."""
+    import math
+
+    n = len(rows)
+    w = [0.0] * (d + 1)
+    for _ in range(iterations):
+        sums = [0] * (d + 1)
+        for r in rows:
+            y, xs = r[0], r[1:]
+            z = w[0]
+            for j in range(d):
+                z = z + w[j + 1] * (xs[j] / feat_scale)
+            resid = 1.0 / (1.0 + math.exp(-z)) - y
+            # Spark/DuckDB round() is half-away-from-zero, not half-even
+            q0 = resid * quant
+            sums[0] += int(math.floor(abs(q0) + 0.5)) * (1 if q0 >= 0 else -1)
+            for j in range(d):
+                qj = (resid * (xs[j] / feat_scale)) * quant
+                sums[j + 1] += int(math.floor(abs(qj) + 0.5)) * (1 if qj >= 0 else -1)
+        for j in range(d + 1):
+            w[j] = w[j] - lr * (sums[j] / (n * float(quant)))
+    return w
+
+
+def test_logreg_learns_separable_threshold(spark):
+    """y = 1 iff x0 is large: GD must drive the x0 weight positive and
+    the trained model must classify every training row correctly."""
+    from osprey_spark.operators.curation import logreg_train
+
+    rows = [(1, 150, 10) if i % 2 == 0 else (0, 50, 10) for i in range(60)]
+    feats = spark.createDataFrame(rows, "y int, big long, noise long")
+    out = logreg_train(feats, ["big", "noise"], iterations=60, lr=2.0)
+    w = {r.feature: r.weight for r in out.collect()}
+    assert w["big"] > 0.1
+    for y, x0, x1 in rows[:2]:
+        z = w["intercept"] + w["big"] * (x0 / 100.0) + w["noise"] * (x1 / 100.0)
+        assert (z > 0) == (y == 1)
+
+
+def test_logreg_matches_python_replica(spark):
+    """Quantized-integer gradient sums make the whole GD trajectory
+    engine-exact: Spark == the pure-Python replica after round-6."""
+    from osprey_spark.operators.curation import logreg_train
+
+    rows = [
+        (1, 120, 80, 3), (0, 40, 35, 0), (1, 200, 150, 7), (0, 55, 50, 1),
+        (1, 90, 70, 2), (0, 30, 28, 0), (0, 60, 42, 5), (1, 180, 120, 6),
+    ]
+    feats = spark.createDataFrame(rows, "y int, a long, b long, c long")
+    out = logreg_train(feats, ["a", "b", "c"], iterations=15, lr=0.5)
+    got = {r.feature: r.weight for r in out.collect()}
+    w = _logreg_python(rows, d=3, iterations=15, lr=0.5)
+    expect = {"intercept": w[0], "a": w[1], "b": w[2], "c": w[3]}
+    for k, v in expect.items():
+        assert abs(got[k] - round(v, 6)) < 2e-6, (k, got[k], v)
+
+
+def test_logreg_partition_order_independent(spark):
+    """The BIGINT gradient sums are partition-order independent: 1
+    partition and 13 partitions produce identical rounded weights."""
+    from osprey_spark.operators.curation import logreg_train
+
+    rows = [(i % 2, 30 + 7 * i, (3 * i) % 50) for i in range(40)]
+    feats = spark.createDataFrame(rows, "y int, a long, b long")
+    w1 = sorted(map(tuple, logreg_train(feats.coalesce(1), ["a", "b"]).collect()))
+    w13 = sorted(map(tuple, logreg_train(feats.repartition(13), ["a", "b"]).collect()))
+    assert w1 == w13
+
+
+def test_logreg_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.curation import logreg_train
+
+    feats = spark.createDataFrame([(1, 5)], "y int, a long")
+    with pytest.raises(ValueError, match="iterations"):
+        logreg_train(feats, ["a"], iterations=0)
+    with pytest.raises(ValueError, match="at least one feature"):
+        logreg_train(feats, [])
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(feats.filter("y = 9"), ["a"])
