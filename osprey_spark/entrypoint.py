@@ -5518,6 +5518,33 @@ _LOGREG_FEATURES = ["n_tokens", "n_distinct", "n_data"]
 _LOGREG_CFG = dict(iterations=25, lr=0.5, feat_scale=100.0, quant=10**9)
 
 
+def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint detection (transcripts.changepoints,
+    binary segmentation): regime shifts in each conversation's
+    per-turn token-count series by greedy SSE-gain splitting over
+    integer prefix sums — the level-shift signal burst_spans' rate
+    runs and rate_anomaly's point z both miss. One conv shuffle,
+    bounded per-conv arrays, the whole recursion one pure-JVM fold
+    carrying only the cut array; integer-only output."""
+    from .operators.transcripts import changepoints
+
+    t = turns_from_events(spark, sf_dir)
+    return changepoints(t, penalty=8.0, max_cps=3, max_turns=64).orderBy(
+        "conv_id", "cp_pos"
+    )
+
+
+def _o_changepoints() -> str:
+    from .operators.transcripts import changepoints_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + changepoints_sql("turns", penalty=8.0, max_cps=3, max_turns=64)
+        + " ORDER BY conv_id, cp_pos"
+    )
+
+
 def q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine TRAINED linear quality classifier
     (curation.logreg_train): full-batch gradient-descent logistic
@@ -6438,6 +6465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_communities": q_lpa_communities,
     "burst_spans": q_burst_spans,
     "logreg_weights": q_logreg_weights,
+    "changepoints": q_changepoints,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6602,6 +6630,7 @@ ORACLES: dict[str, str] = {
     "lpa_communities": _o_lpa_communities(),
     "burst_spans": _o_burst_spans(),
     "logreg_weights": _o_logreg_weights(),
+    "changepoints": _o_changepoints(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

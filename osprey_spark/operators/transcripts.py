@@ -1778,3 +1778,236 @@ SELECT conv_id,
 FROM labeled, unnest(range(1, len(g) + 1)) AS t(i)
 WHERE list_max(st) = 1
 """
+
+
+def changepoints(
+    turns: DataFrame,
+    penalty: float = 8.0,
+    max_cps: int = 3,
+    max_turns: int = 64,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean-shift changepoint detection by binary segmentation (Scott
+    & Knott 1974 lineage; the greedy standard the PELT literature
+    benchmarks against) over each conversation's per-turn token-count
+    series: where does the REGIME change — the agent starts dumping
+    walls of text, the user goes monosyllabic. The level-shift signal
+    ``burst_spans`` (rate runs) and ``rate_anomaly`` (point outliers)
+    both miss: every post-shift turn is individually unremarkable, and
+    the cadence never changes.
+
+    Greedy recursion, iteratively: start with one segment [1, n];
+    each of ``max_cps`` rounds evaluates EVERY admissible split of
+    EVERY current segment by SSE gain — segment cost is
+    ``Σx² − (Σx)²/len`` read off integer prefix-sum arrays, so each
+    candidate is O(1) — and applies the single best split iff its
+    gain exceeds ``penalty ·`` (global per-point variance), ties to
+    the smallest position.
+
+    Shapes, at 100 TB: conversations collapse to ONE bounded row (the
+    burst_spans/textrank class) on the standard conv shuffle; prefix
+    sums build as one bare-list fold, the whole recursion is a single
+    pure-JVM ``aggregate`` over ``sequence(1, max_cps)`` carrying only
+    the sorted cut array — no joins, no UDF.
+
+    Engine-exactness: inputs are INTEGER token counts, prefix sums are
+    exact longs, every output column is an integer — doubles exist
+    only inside gain comparisons, built from exact longs by one fixed
+    parenthesization; the per-round argmax is ``min(struct(−gain,
+    k))``, a total order. Descending-sequence hazard: Spark's
+    ``sequence(a, b)`` REVERSES when a > b (DuckDB's ``range`` is
+    empty) — every candidate enumeration is guarded with an explicit
+    when().
+
+    Returns ``(conv_id, cp_pos, turn_idx)`` — cp_pos = 1-based
+    position in the capped sequence AFTER which the shift occurs,
+    turn_idx = the first turn of the new regime — for conversations
+    with at least one accepted changepoint.
+    """
+    if max_cps < 1 or max_turns < 4:
+        raise ValueError("changepoints: max_cps >= 1 and max_turns >= 4 required")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    capped = (
+        turns.select(conv_col, F.col(idx_col), ntok.alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_turns))
+    )
+    g = capped.groupBy(conv_col).agg(
+        F.sort_array(F.collect_list(F.struct(idx_col, "_v"))).alias("_c")
+    )
+    staged = g.select(
+        conv_col,
+        F.transform(F.col("_c"), lambda c: c[idx_col]).alias("_idxs"),
+        F.transform(F.col("_c"), lambda c: c["_v"]).alias("_xs"),
+        F.size(F.col("_c")).alias("_n"),
+    ).filter(F.col("_n") >= 2)
+
+    def _prefix(arr: Column, sq: bool) -> Column:
+        return F.aggregate(
+            arr,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.element_at(acc, -1) + (x * x if sq else x))
+            ),
+        )
+
+    # P/Q are O(n) fold expressions consumed by O(n · rounds) element_at
+    # lookups — unprotected, CollapseProject inlines the fold into EVERY
+    # lookup (measured: ~180 s at sf0.01). The textrank discipline: walk a
+    # single-element array so the prefix arrays bind to a lambda variable,
+    # which the optimizer cannot re-inline — they evaluate exactly once.
+    pq_arr = F.array(
+        F.struct(
+            _prefix(F.col("_xs"), False).alias("P"),
+            _prefix(F.col("_xs"), True).alias("Q"),
+        )
+    )
+    n = F.col("_n")
+
+    def _cuts_of(pq: Column) -> Column:
+        P, Q = pq["P"], pq["Q"]
+
+        def _cost(l: Column, r: Column) -> Column:
+            s = (
+                F.element_at(P, (r + 1).cast("int"))
+                - F.element_at(P, l.cast("int"))
+            ).cast("double")
+            q = (
+                F.element_at(Q, (r + 1).cast("int"))
+                - F.element_at(Q, l.cast("int"))
+            ).cast("double")
+            return q - (s * s) / (r - l + 1).cast("double")
+
+        thr = F.lit(float(penalty)) * (_cost(F.lit(1), n) / n.cast("double"))
+
+        def _round(acc: Column, _elem: Column) -> Column:
+            bounds = F.concat(
+                F.array(F.lit(0).cast("long")), acc, F.array(n.cast("long"))
+            )
+            nb = F.size(bounds)
+
+            def _seg_cands(i: Column) -> Column:
+                l = F.element_at(bounds, i.cast("int")) + 1
+                r = F.element_at(bounds, (i + 1).cast("int"))
+                ks = F.when(l <= r - 1, F.sequence(l, r - 1)).otherwise(
+                    F.array().cast("array<long>")
+                )
+                return F.transform(
+                    ks,
+                    lambda k: F.struct(
+                        (-(_cost(l, r) - _cost(l, k) - _cost(k + 1, r))).alias(
+                            "g"
+                        ),
+                        k.alias("k"),
+                    ),
+                )
+
+            cands = F.flatten(
+                F.transform(F.sequence(F.lit(1), nb - 1), _seg_cands)
+            )
+            best = F.array_min(cands)
+            return F.when(
+                best.isNotNull() & ((-best["g"]) > thr),
+                F.sort_array(F.concat(acc, F.array(best["k"]))),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(max_cps))),
+            F.array().cast("array<long>"),
+            _round,
+        )
+
+    cuts = F.element_at(F.transform(pq_arr, _cuts_of), 1)
+    labeled = staged.select(conv_col, "_idxs", cuts.alias("_cuts")).filter(
+        F.size(F.col("_cuts")) >= 1
+    )
+    return labeled.select(
+        conv_col,
+        F.explode(F.col("_cuts")).alias("_cp"),
+        F.col("_idxs"),
+    ).select(
+        conv_col,
+        F.col("_cp").cast("long").alias("cp_pos"),
+        F.element_at(F.col("_idxs"), (F.col("_cp") + 1).cast("int"))
+        .cast("int")
+        .alias("turn_idx"),
+    )
+
+
+_CHANGEPOINTS_SQL_TEMPLATE = """
+capped AS (
+  SELECT conv_id, turn_idx, v FROM (
+    SELECT conv_id, turn_idx,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+      row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+    FROM TABLE_NAME
+  ) WHERE rn <= MAX_TURNS
+),
+series AS (
+  SELECT conv_id,
+    list(turn_idx ORDER BY turn_idx) AS idxs,
+    list(v ORDER BY turn_idx) AS xs
+  FROM capped GROUP BY conv_id HAVING count(*) >= 2
+),
+prefixed AS (
+  SELECT conv_id, idxs, len(xs) AS n,
+    list_reduce(list_prepend(CAST([0] AS BIGINT[]),
+      list_transform(xs, x -> CAST([x] AS BIGINT[]))),
+      (A, X) -> A || [A[-1] + X[1]]) AS P,
+    list_reduce(list_prepend(CAST([0] AS BIGINT[]),
+      list_transform(xs, x -> CAST([x] AS BIGINT[]))),
+      (A, X) -> A || [A[-1] + X[1] * X[1]]) AS Q
+  FROM series
+),
+thresholded AS (
+  SELECT conv_id, idxs, n, P, Q,
+    PENALTY * (((CAST(Q[CAST(n + 1 AS INT)] - Q[CAST(1 AS INT)] AS DOUBLE)) - (CAST(P[CAST(n + 1 AS INT)] - P[CAST(1 AS INT)] AS DOUBLE) * CAST(P[CAST(n + 1 AS INT)] - P[CAST(1 AS INT)] AS DOUBLE)) / CAST(n - 1 + 1 AS DOUBLE)) / CAST(n AS DOUBLE)) AS thr
+  FROM prefixed
+),
+cut AS (
+  SELECT conv_id, idxs,
+    list_reduce(
+      list_prepend(CAST([] AS BIGINT[]),
+        list_transform(range(1, MAX_CPS + 1), z -> CAST([z] AS BIGINT[]))),
+      (A, X) -> (
+        CASE WHEN len(flatten(list_transform(range(1, len((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)]))), i -> list_transform(range(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1), (CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)]), k -> {'g': -(((CAST(Q[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - Q[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE) * CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) / CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] - ((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) + 1 AS DOUBLE)) - ((CAST(Q[CAST(k + 1 AS INT)] - Q[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST(k + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE) * CAST(P[CAST(k + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) / CAST(k - ((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) + 1 AS DOUBLE)) - ((CAST(Q[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - Q[CAST((k + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST((k + 1) AS INT)] AS DOUBLE) * CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST((k + 1) AS INT)] AS DOUBLE)) / CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] - (k + 1) + 1 AS DOUBLE))), 'k': k})))) >= 1
+              AND (-(list_sort(flatten(list_transform(range(1, len((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)]))), i -> list_transform(range(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1), (CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)]), k -> {'g': -(((CAST(Q[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - Q[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE) * CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) / CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] - ((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) + 1 AS DOUBLE)) - ((CAST(Q[CAST(k + 1 AS INT)] - Q[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST(k + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE) * CAST(P[CAST(k + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) / CAST(k - ((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) + 1 AS DOUBLE)) - ((CAST(Q[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - Q[CAST((k + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST((k + 1) AS INT)] AS DOUBLE) * CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST((k + 1) AS INT)] AS DOUBLE)) / CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] - (k + 1) + 1 AS DOUBLE))), 'k': k}))))[1].g)) > thr
+             THEN list_sort(list_append(A, list_sort(flatten(list_transform(range(1, len((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)]))), i -> list_transform(range(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1), (CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)]), k -> {'g': -(((CAST(Q[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - Q[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE) * CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) / CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] - ((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) + 1 AS DOUBLE)) - ((CAST(Q[CAST(k + 1 AS INT)] - Q[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST(k + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE) * CAST(P[CAST(k + 1 AS INT)] - P[CAST(((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) AS INT)] AS DOUBLE)) / CAST(k - ((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i AS INT)] + 1) + 1 AS DOUBLE)) - ((CAST(Q[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - Q[CAST((k + 1) AS INT)] AS DOUBLE)) - (CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST((k + 1) AS INT)] AS DOUBLE) * CAST(P[CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] + 1 AS INT)] - P[CAST((k + 1) AS INT)] AS DOUBLE)) / CAST((CAST([0] AS BIGINT[]) || A || [CAST(n AS BIGINT)])[CAST(i + 1 AS INT)] - (k + 1) + 1 AS DOUBLE))), 'k': k}))))[1].k))
+             ELSE A END
+      )
+    ) AS cuts
+  FROM thresholded
+),
+exploded AS (
+  SELECT conv_id, t.cp AS cp_pos, idxs[CAST(t.cp + 1 AS INT)] AS turn_idx
+  FROM cut, unnest(cuts) AS t(cp)
+  WHERE len(cuts) >= 1
+)
+SELECT conv_id, CAST(cp_pos AS BIGINT) AS cp_pos, CAST(turn_idx AS INT) AS turn_idx
+FROM exploded
+"""
+
+
+def changepoints_sql(
+    table: str,
+    penalty: float = 8.0,
+    max_cps: int = 3,
+    max_turns: int = 64,
+) -> str:
+    """DuckDB replay of :func:`changepoints`: prefix sums as bare-list
+    folds, the greedy recursion as one list_reduce over
+    range(1, max_cps + 1) carrying the flat BIGINT[] cut array (bare
+    lists carry correctly across iterations — the burst_spans
+    DuckDB-1.0 lesson; the bounds/candidate expressions are fully
+    inlined since SQL lambdas cannot let-bind), identical cost
+    parenthesization, and the min(struct(−gain, k)) argmax realized as
+    list_sort(...)[1]."""
+    return (
+        _CHANGEPOINTS_SQL_TEMPLATE.replace("TABLE_NAME", table)
+        .replace("MAX_TURNS", str(int(max_turns)))
+        .replace("MAX_CPS", str(int(max_cps)))
+        .replace("PENALTY", repr(float(penalty)))
+    )

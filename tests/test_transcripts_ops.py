@@ -748,3 +748,87 @@ def test_burst_spans_max_turns_cap_and_validation(spark):
         burst_spans(_ts_turns(spark, rows), s=1.0)
     with pytest.raises(ValueError, match="max_turns"):
         burst_spans(_ts_turns(spark, rows), max_turns=2)
+
+
+# --- binary-segmentation changepoints ----------------------------------------
+
+
+def _text_turns(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def _binseg_python(xs, penalty=8.0, max_cps=3):
+    """Pure-Python replica of transcripts.changepoints' greedy binseg."""
+    n = len(xs)
+    P = [0]
+    Q = [0]
+    for x in xs:
+        P.append(P[-1] + x)
+        Q.append(Q[-1] + x * x)
+
+    def cost(l, r):
+        s = float(P[r] - P[l - 1])
+        return float(Q[r] - Q[l - 1]) - (s * s) / float(r - l + 1)
+
+    thr = penalty * (cost(1, n) / n)
+    cuts = []
+    for _ in range(max_cps):
+        bounds = [0] + cuts + [n]
+        best = None
+        for i in range(len(bounds) - 1):
+            l, r = bounds[i] + 1, bounds[i + 1]
+            for k in range(l, r):
+                g = cost(l, r) - cost(l, k) - cost(k + 1, r)
+                if best is None or (-g, k) < best:
+                    best = (-g, k)
+        if best is not None and -best[0] > thr:
+            cuts = sorted(cuts + [best[1]])
+    return cuts
+
+
+def test_changepoints_two_regime_known_answer(spark):
+    """Short turns then long turns: one cut exactly at the boundary;
+    a constant conversation stays silent."""
+    from osprey_spark.operators.transcripts import changepoints
+
+    rows = [("a", i, "w w w") for i in range(10)]
+    rows += [("a", i, " ".join(["w"] * 12)) for i in range(10, 20)]
+    rows += [("b", i, "w w w") for i in range(20)]
+    out = changepoints(_text_turns(spark, rows)).collect()
+    assert [(r.conv_id, r.cp_pos, r.turn_idx) for r in out] == [("a", 10, 10)]
+
+
+def test_changepoints_matches_python_replica(spark):
+    """Irregular three-regime series: Spark's per-row fold == the
+    pure-Python greedy binseg at every max_cps."""
+    from osprey_spark.operators.transcripts import changepoints
+
+    lens = [3] * 6 + [15] * 5 + [7] * 7 + [2] * 6
+    rows = [("c", i, " ".join(["w"] * k)) for i, k in enumerate(lens)]
+    for mc in (1, 2, 3):
+        out = changepoints(_text_turns(spark, rows), max_cps=mc).collect()
+        got = sorted(r.cp_pos for r in out)
+        assert got == _binseg_python(lens, max_cps=mc), f"max_cps={mc}"
+
+
+def test_changepoints_maps_cut_to_turn_idx(spark):
+    """turn_idx output is the FIRST turn of the new regime even when
+    turn indices are sparse (gaps in numbering)."""
+    from osprey_spark.operators.transcripts import changepoints
+
+    rows = [("s", 2 * i + 1, "w w") for i in range(8)]
+    rows += [("s", 100 + i, " ".join(["w"] * 10)) for i in range(8)]
+    out = changepoints(_text_turns(spark, rows)).collect()
+    assert len(out) == 1 and out[0].cp_pos == 8 and out[0].turn_idx == 100
+
+
+def test_changepoints_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.transcripts import changepoints
+
+    t = _text_turns(spark, [("a", 0, "w")])
+    with pytest.raises(ValueError, match="max_cps"):
+        changepoints(t, max_cps=0)
+    with pytest.raises(ValueError, match="max_cps"):
+        changepoints(t, max_turns=3)
