@@ -5518,6 +5518,43 @@ _LOGREG_FEATURES = ["n_tokens", "n_distinct", "n_data"]
 _LOGREG_CFG = dict(iterations=25, lr=0.5, feat_scale=100.0, quant=10**9)
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly forecast + anomaly flags
+    (forecast.holt_forecast): Holt linear-trend double exponential
+    smoothing with an EWMA absolute-deviation band — the
+    forecast-residual anomaly the rest of the family lacks (a
+    steadily growing metric never alarms; the trend term absorbs it).
+    Dense zero-filled hourly grid per key (an absent hour IS an
+    observation of 0), the whole smoothing pass one pure-JVM fold on
+    a flat array<double>; exact binary-fraction smoothing constants
+    keep the DuckDB replay hash-exact."""
+    from .operators.forecast import holt_forecast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy(
+        F.col("event_type").alias("key"),
+        (F.col("ts").cast("timestamp").cast("long") / F.lit(3600))
+        .cast("long")
+        .alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = holt_forecast(counts, alpha=0.5, beta=0.25, gamma=0.25, k=4.0)
+    return out.orderBy("key", "hour")
+
+
+def _o_holt_forecast() -> str:
+    from .operators.forecast import holt_forecast_sql
+
+    sparse = """
+  SELECT event_type AS k,
+    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+"""
+    sql = holt_forecast_sql(sparse, alpha=0.5, beta=0.25, gamma=0.25, k=4.0)
+    head, tail = sql.rsplit("SELECT k,", 1)
+    return "WITH " + (head + "SELECT k AS key," + tail).lstrip() + " ORDER BY key, hour"
+
+
 def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-shift changepoint detection (transcripts.changepoints,
     binary segmentation): regime shifts in each conversation's
@@ -6466,6 +6503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_spans": q_burst_spans,
     "logreg_weights": q_logreg_weights,
     "changepoints": q_changepoints,
+    "holt_forecast": q_holt_forecast,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6631,6 +6669,7 @@ ORACLES: dict[str, str] = {
     "burst_spans": _o_burst_spans(),
     "logreg_weights": _o_logreg_weights(),
     "changepoints": _o_changepoints(),
+    "holt_forecast": _o_holt_forecast(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

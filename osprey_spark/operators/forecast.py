@@ -1,0 +1,251 @@
+"""Time-series forecasting over keyed event-count series — the
+observability layer's "is this metric where it should be" question.
+The anomaly family so far is distributional or structural:
+``rate_anomaly`` (point z), ``mad_outliers`` (robust z),
+``burst_spans`` (rate runs), ``changepoints`` (level shifts). This
+module adds the FORECAST-RESIDUAL signal: Holt's linear-trend double
+exponential smoothing (Holt 1957 / Winters 1960 lineage) with an EWMA
+absolute-deviation band — a steadily GROWING metric never alarms (the
+trend term absorbs it), while the same value after a flat history
+does. The reference has no forecasting; rebuilt Spark-first in the
+bounded-per-key-series fold style of burst_spans.
+
+Scale shape: one hash aggregate finds each key's hour bounds, the
+dense grid materializes as ``explode(sequence(...))`` capped at
+``max_points`` trailing hours (span is horizon-bounded, never
+row-bounded), zero-fill is a LEFT equi-join back to the sparse counts
+on the same (key, hour) shuffle key, and the whole smoothing pass is
+ONE pure-JVM fold per key row. No UDFs, no driver state.
+
+Engine-exactness: counts are exact integers; α/β/γ default to exact
+binary fractions (0.5 / 0.25 / 0.25) so every smoothing update is a
+reproducible IEEE op; the fold accumulator is ONE FLAT array<double>
+``[level, trend, ewma_absdev] || (forecast, resid, flag)*`` mirrored
+verbatim by the DuckDB list_reduce replay (the burst_spans discipline
+— DuckDB 1.0 resets list-typed STRUCT fields between reduce
+iterations, bare lists carry), and every expensive intermediate is
+let-bound through single-element-array transforms so the optimizer
+cannot re-inline it per element (the textrank/changepoints lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def holt_forecast(
+    counts: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    k: float = 4.0,
+    warmup: int = 8,
+    max_points: int = 2048,
+    key_col: str = "key",
+    hour_col: str = "hour",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """One-step-ahead Holt forecasts + anomaly flags per (key, hour).
+
+    ``counts``: sparse (key, hour, cnt) — hour an integer bucket
+    index, cnt a non-negative integer. Missing hours are ZERO-FILLED
+    over each key's [min, max] hour span (an absent hour is a real
+    observation of 0, and skipping it would silently stretch time);
+    only the trailing ``max_points`` hours are modeled.
+
+    Per step t >= 2: forecast ``f = l + b`` (state BEFORE seeing x_t),
+    residual ``r = x_t − f``, flag = 1 iff ``|r| > k·a`` AND at least
+    ``warmup`` steps were already emitted (the EWMA deviation ``a``
+    starts at 0, so unwarmed flags would fire on any nonzero
+    residual); then ``l' = α·x + (1−α)(l+b)``,
+    ``b' = β(l'−l) + (1−β)b``, ``a' = γ|r| + (1−γ)a``. Step 1 only
+    seeds ``l = x_1, b = a = 0``.
+
+    Returns (key, hour, actual, forecast, resid, anomaly) for steps
+    2..n, forecast/resid rounded to 6, anomaly an int flag.
+    """
+    if not (0 < alpha < 1 and 0 <= beta < 1 and 0 < gamma < 1):
+        raise ValueError("holt_forecast: alpha/gamma in (0,1), beta in [0,1)")
+    if warmup < 1 or max_points < 4:
+        raise ValueError("holt_forecast: warmup >= 1 and max_points >= 4 required")
+    sparse = counts.select(
+        F.col(key_col).alias("_k"),
+        F.col(hour_col).cast("long").alias("_h"),
+        F.col(cnt_col).cast("long").alias("_x"),
+    )
+    bounds = sparse.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    grid = bounds.select(
+        "_k",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_mn"), F.col("_mx") - F.lit(int(max_points) - 1)),
+                F.col("_mx"),
+            )
+        ).alias("_h"),
+    )
+    dense = grid.join(sparse, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_x"), F.lit(0)).cast("long").alias("_x")
+    )
+    series = dense.groupBy("_k").agg(
+        F.sort_array(F.collect_list(F.struct("_h", "_x"))).alias("_c")
+    )
+    staged = series.select(
+        "_k",
+        F.transform(F.col("_c"), lambda c: c["_h"]).alias("_hs"),
+        F.transform(F.col("_c"), lambda c: c["_x"]).alias("_xs"),
+        F.size(F.col("_c")).alias("_n"),
+    ).filter(F.col("_n") >= 2)
+
+    a_, b_, g_, k_ = (float(alpha), float(beta), float(gamma), float(k))
+
+    def _fold(xs: Column) -> Column:
+        def step(A: Column, x: Column) -> Column:
+            xd = x.cast("double")
+            l, b, a = F.element_at(A, 1), F.element_at(A, 2), F.element_at(A, 3)
+            f = l + b
+            r = xd - f
+            emitted = ((F.size(A) - 3) / 3).cast("int")
+            flag = F.when(
+                (F.abs(r) > F.lit(k_) * a) & (emitted >= int(warmup)),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0))
+            newl = F.lit(a_) * xd + F.lit(1.0 - a_) * (l + b)
+            newb = (
+                F.lit(b_) * ((F.lit(a_) * xd + F.lit(1.0 - a_) * (l + b)) - l)
+                + F.lit(1.0 - b_) * b
+            )
+            newa = F.lit(g_) * F.abs(r) + F.lit(1.0 - g_) * a
+            return F.when(
+                F.size(A) == 0,
+                F.array(xd, F.lit(0.0), F.lit(0.0)),
+            ).otherwise(
+                F.concat(
+                    F.array(newl, newb, newa),
+                    F.slice(A, 4, F.size(A) - 3),
+                    F.array(f, r, flag),
+                )
+            )
+
+        return F.aggregate(xs, F.array().cast("array<double>"), step)
+
+    # the fold result feeds 3·(n−1) element_at lookups — let-bind it
+    # (and hs/xs) through nested single-element-array transforms so
+    # nothing re-inlines the smoothing pass per lookup
+    def _rows_of(s: Column) -> Column:
+        def _with_acc(acc: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.size(s["xs"]) - 1),
+                lambda i: F.struct(
+                    F.element_at(s["hs"], (i + 1).cast("int")).alias("hour"),
+                    F.element_at(s["xs"], (i + 1).cast("int")).alias("actual"),
+                    F.round(
+                        F.element_at(acc, (3 * i + 1).cast("int")), 6
+                    ).alias("forecast"),
+                    F.round(
+                        F.element_at(acc, (3 * i + 2).cast("int")), 6
+                    ).alias("resid"),
+                    F.element_at(acc, (3 * i + 3).cast("int"))
+                    .cast("int")
+                    .alias("anomaly"),
+                ),
+            )
+
+        return F.element_at(
+            F.transform(F.array(_fold(s["xs"])), _with_acc), 1
+        )
+
+    rows = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("_hs").alias("hs"), F.col("_xs").alias("xs"))),
+            _rows_of,
+        ),
+        1,
+    )
+    return staged.select("_k", F.explode(rows).alias("_r")).select(
+        F.col("_k").alias(key_col),
+        F.col("_r.hour").cast("long").alias("hour"),
+        F.col("_r.actual").cast("long").alias("actual"),
+        F.col("_r.forecast").alias("forecast"),
+        F.col("_r.resid").alias("resid"),
+        F.col("_r.anomaly").alias("anomaly"),
+    )
+
+
+def holt_forecast_sql(
+    sparse_sql: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    k: float = 4.0,
+    warmup: int = 8,
+    max_points: int = 2048,
+) -> str:
+    """DuckDB replay of :func:`holt_forecast`. ``sparse_sql`` must
+    select (k, h, x). Same dense-grid zero-fill, same flat DOUBLE[]
+    accumulator layout, same update order and parenthesization; the
+    emission offset arithmetic is identical index math on both sides.
+    Emission indices: after the fold, entry 3i+1..3i+3 (1-based) holds
+    step i+1's (forecast, resid, flag)."""
+    al, be, ga, kk = (
+        repr(float(alpha)),
+        repr(float(beta)),
+        repr(float(gamma)),
+        repr(float(k)),
+    )
+    one_m_al, one_m_be, one_m_ga = (
+        repr(1.0 - float(alpha)),
+        repr(1.0 - float(beta)),
+        repr(1.0 - float(gamma)),
+    )
+    newl = f"({al} * X[1] + {one_m_al} * (A[1] + A[2]))"
+    return f"""
+sparse AS ({sparse_sql}),
+fbounds AS (
+  SELECT k, min(h) AS mn, max(h) AS mx FROM sparse GROUP BY k
+),
+fgrid AS (
+  SELECT k, unnest(range(greatest(mn, mx - {int(max_points)} + 1), mx + 1)) AS h
+  FROM fbounds
+),
+fdense AS (
+  SELECT g.k, g.h, CAST(coalesce(s.x, 0) AS BIGINT) AS x
+  FROM fgrid g LEFT JOIN sparse s ON s.k = g.k AND s.h = g.h
+),
+fseries AS (
+  SELECT k, list(h ORDER BY h) AS hs, list(x ORDER BY h) AS xs
+  FROM fdense GROUP BY k HAVING count(*) >= 2
+),
+ffolded AS (
+  SELECT k, hs, xs,
+    list_reduce(
+      list_prepend(CAST([] AS DOUBLE[]),
+        list_transform(xs, x -> CAST([x] AS DOUBLE[]))),
+      (A, X) -> CASE WHEN len(A) = 0
+        THEN [X[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]
+        ELSE [
+          {newl},
+          {be} * ({newl} - A[1]) + {one_m_be} * A[2],
+          {ga} * abs(X[1] - (A[1] + A[2])) + {one_m_ga} * A[3]
+        ]
+        || A[4:len(A)]
+        || [
+          A[1] + A[2],
+          X[1] - (A[1] + A[2]),
+          CASE WHEN abs(X[1] - (A[1] + A[2])) > {kk} * A[3]
+                AND (len(A) - 3) // 3 >= {int(warmup)}
+               THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        ]
+      END
+    ) AS acc
+  FROM fseries
+)
+SELECT k, CAST(hs[CAST(i + 1 AS INT)] AS BIGINT) AS hour,
+  CAST(xs[CAST(i + 1 AS INT)] AS BIGINT) AS actual,
+  round(acc[CAST(3 * i + 1 AS INT)], 6) AS forecast,
+  round(acc[CAST(3 * i + 2 AS INT)], 6) AS resid,
+  CAST(acc[CAST(3 * i + 3 AS INT)] AS INT) AS anomaly
+FROM ffolded, unnest(range(1, len(xs))) AS t(i)
+"""

@@ -1,0 +1,77 @@
+"""Holt linear-trend forecasting + EWMA anomaly band — known-answer
+fixtures against a pure-Python replica (the driver oracle covers the
+testdata-scale replay; these pin the semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osprey_spark.operators.forecast import holt_forecast
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "key string, hour long, cnt long")
+
+
+def _holt_python(xs, alpha=0.5, beta=0.25, gamma=0.25, k=4.0, warmup=8):
+    l, b, a = float(xs[0]), 0.0, 0.0
+    out = []
+    for t, x in enumerate(xs[1:], start=1):
+        f = l + b
+        r = x - f
+        flag = 1 if (abs(r) > k * a and (t - 1) >= warmup) else 0
+        out.append((round(f, 6), round(r, 6), flag))
+        nl = alpha * x + (1.0 - alpha) * (l + b)
+        b = beta * (nl - l) + (1.0 - beta) * b
+        a = gamma * abs(r) + (1.0 - gamma) * a
+        l = nl
+    return out
+
+
+def test_holt_matches_python_replica(spark):
+    xs = [5, 7, 6, 9, 30, 8, 7, 10, 11, 9, 8, 50, 9, 10]
+    rows = [("a", 100 + i, x) for i, x in enumerate(xs)]
+    got = sorted(
+        (r.hour, r.actual, r.forecast, r.resid, r.anomaly)
+        for r in holt_forecast(_counts(spark, rows)).collect()
+    )
+    expect = [
+        (100 + i + 1, xs[i + 1], f, r, fl)
+        for i, (f, r, fl) in enumerate(_holt_python(xs))
+    ]
+    assert got == expect
+
+
+def test_holt_zero_fills_missing_hours(spark):
+    """A gap in the sparse counts is an observation of 0, not a skip:
+    the gap hours appear in the output with actual=0."""
+    rows = [("g", 10, 5), ("g", 11, 5), ("g", 15, 5)]
+    got = {r.hour: r.actual for r in holt_forecast(_counts(spark, rows)).collect()}
+    assert set(got) == {11, 12, 13, 14, 15}
+    assert got[12] == 0 and got[13] == 0 and got[14] == 0
+
+
+def test_holt_trend_absorbs_growth_but_spike_alarms(spark):
+    """A steady linear ramp never alarms (the trend term tracks it);
+    the same final value as a spike after a flat history does."""
+    ramp = [("r", i, 10 + 5 * i) for i in range(30)]
+    out_r = holt_forecast(_counts(spark, ramp)).collect()
+    assert all(r.anomaly == 0 for r in out_r)
+    flat = [("f", i, 10) for i in range(29)] + [("f", 29, 160)]
+    out_f = {r.hour: r.anomaly for r in holt_forecast(_counts(spark, flat)).collect()}
+    assert out_f[29] == 1 and all(v == 0 for h, v in out_f.items() if h != 29)
+
+
+def test_holt_trailing_max_points_cap(spark):
+    rows = [("c", i, i) for i in range(20)]
+    out = holt_forecast(_counts(spark, rows), max_points=6).collect()
+    # 6 trailing hours 14..19 -> emissions for 15..19
+    assert sorted(r.hour for r in out) == [15, 16, 17, 18, 19]
+
+
+def test_holt_validation(spark):
+    rows = [("v", 0, 1), ("v", 1, 2)]
+    with pytest.raises(ValueError, match="alpha"):
+        holt_forecast(_counts(spark, rows), alpha=1.0)
+    with pytest.raises(ValueError, match="warmup"):
+        holt_forecast(_counts(spark, rows), warmup=0)
