@@ -5518,6 +5518,30 @@ _LOGREG_FEATURES = ["n_tokens", "n_distinct", "n_data"]
 _LOGREG_CFG = dict(iterations=25, lr=0.5, feat_scale=100.0, quant=10**9)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit fraud screen (dq.benford_deviation,
+    Nigrini's forensic standard): per-user χ² of the first
+    significant digit of integer-cent amounts vs the log-uniform
+    Benford law — fabricated/constrained amounts deviate. ONE hash
+    aggregate per group (9 conditional digit counts, map-side
+    partials), expected probabilities are Python-computed literals
+    embedded identically in both engines, missing digits contribute
+    their full expectation."""
+    from .operators.dq import benford_deviation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = benford_deviation(ev, group_col="user_id", value_col="value", min_n=50)
+    return out.orderBy("user_id")
+
+
+def _o_benford() -> str:
+    from .operators.dq import benford_sql
+
+    sql = benford_sql("SELECT user_id AS grp, value FROM events", min_n=50)
+    head, tail = sql.rsplit("SELECT grp,", 1)
+    return "WITH " + (head + "SELECT grp AS user_id," + tail).lstrip() + " ORDER BY user_id"
+
+
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly forecast + anomaly flags
     (forecast.holt_forecast): Holt linear-trend double exponential
@@ -6504,6 +6528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_weights": q_logreg_weights,
     "changepoints": q_changepoints,
     "holt_forecast": q_holt_forecast,
+    "benford": q_benford,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6670,6 +6695,7 @@ ORACLES: dict[str, str] = {
     "logreg_weights": _o_logreg_weights(),
     "changepoints": _o_changepoints(),
     "holt_forecast": _o_holt_forecast(),
+    "benford": _o_benford(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

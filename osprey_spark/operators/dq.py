@@ -173,3 +173,107 @@ SELECT check_name, violations, total, violations = 0 AS passed FROM (
   UNION ALL SELECT 'ts_regression', ts_regression, total FROM tsc
 )
 """
+
+
+# Benford first-digit probabilities log10(1 + 1/d), computed once in
+# Python and embedded as IDENTICAL literals in both engines — the
+# constants never depend on either engine's log implementation.
+import math as _math
+
+BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+    min_n: int = 50,
+    chi2_crit: float = 20.09,
+) -> DataFrame:
+    """Benford's-law first-significant-digit screen (Newcomb 1881 /
+    Benford 1938; Nigrini's forensic-accounting standard) over
+    monetary amounts per group: fabricated or constrained amounts
+    (fixed price points, invented invoices, structuring under a
+    threshold) deviate from the log-uniform first-digit law that
+    organic multi-scale amounts follow. The classic cheap fraud
+    triage BEFORE entity-level rules run.
+
+    Determinism: amounts quantize to integer cents
+    (``round(value·100)`` → BIGINT, half-away-from-zero in both
+    engines); the first digit reads off the integer's decimal string
+    (plain-format in both engines for BIGINT — never the scientific
+    notation a raw DOUBLE cast risks); the 9 expected probabilities
+    are Python-computed literals embedded identically in both plans,
+    and χ² = Σ_d (c_d − n·p_d)²/(n·p_d) adds its 9 terms in fixed
+    digit order — missing digits contribute their full n·p_d
+    (dropping them would understate deviation exactly where it
+    matters).
+
+    Scale shape: ONE hash aggregate per group (9 conditional digit
+    counts + n as aggregate expressions — no digit-grid join, no
+    pivot shuffle), map-side partials; output is group-cardinality.
+
+    Returns (group, n, chi2, suspicious) for groups with at least
+    ``min_n`` positive amounts; ``suspicious`` = χ² above
+    ``chi2_crit`` (default: χ²₈ at p=0.99).
+    """
+    if min_n < 9:
+        raise ValueError("benford_deviation: min_n >= 9 required")
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+    base = df.select(F.col(group_col).alias("grp"), cents.alias("_c")).filter(
+        F.col("_c") > 0
+    )
+    digit = F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((digit == d).cast("long")).alias(f"c{d}") for d in range(1, 10)
+    ]
+    counted = base.groupBy("grp").agg(*aggs).filter(F.col("n") >= int(min_n))
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for d in range(1, 10):
+        exp = nd * F.lit(BENFORD_P[d - 1])
+        cd = F.col(f"c{d}").cast("double")
+        term = ((cd - exp) * (cd - exp)) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return counted.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(float(chi2_crit))).cast("int").alias("suspicious"),
+    )
+
+
+def benford_sql(
+    source_sql: str,
+    min_n: int = 50,
+    chi2_crit: float = 20.09,
+) -> str:
+    """DuckDB replay of :func:`benford_deviation`. ``source_sql`` must
+    select (grp, value). Identical cents quantization, digit-string
+    read, embedded probability literals, and fixed-order χ² chain."""
+    counts = ", ".join(
+        "CAST(sum(CASE WHEN substr(CAST(c AS VARCHAR), 1, 1) = '"
+        + str(d)
+        + "' THEN 1 ELSE 0 END) AS BIGINT) AS c"
+        + str(d)
+        for d in range(1, 10)
+    )
+    chi2 = None
+    for d in range(1, 10):
+        exp = f"(CAST(n AS DOUBLE) * {BENFORD_P[d - 1]!r})"
+        term = f"((CAST(c{d} AS DOUBLE) - {exp}) * (CAST(c{d} AS DOUBLE) - {exp})) / {exp}"
+        chi2 = term if chi2 is None else f"{chi2} + {term}"
+    return f"""
+bsource AS ({source_sql}),
+bcents AS (
+  SELECT grp, CAST(round(value * 100.0, 0) AS BIGINT) AS c FROM bsource
+  WHERE CAST(round(value * 100.0, 0) AS BIGINT) > 0
+),
+bcounted AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, {counts}
+  FROM bcents GROUP BY grp HAVING count(*) >= {int(min_n)}
+)
+SELECT grp, n, round({chi2}, 6) AS chi2,
+  CAST(({chi2}) > {float(chi2_crit)!r} AS INT) AS suspicious
+FROM bcounted
+"""

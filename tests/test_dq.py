@@ -110,3 +110,58 @@ def test_streaming_dq_observed_metrics(spark, tmp_path):
     assert agg["bad_role"] == 1
     assert agg["null_text"] == 1
     assert agg["null_conv_id"] == 0
+
+
+# --- Benford first-digit screen ----------------------------------------------
+
+
+def test_benford_flags_fabricated_amounts(spark):
+    """A Benford-conforming group stays quiet; a group of all-9xx
+    amounts (structuring under a 1000 threshold) lights up."""
+    import math
+
+    from osprey_spark.operators.dq import benford_deviation
+
+    rows = []
+    # organic: counts proportional to Benford probabilities (x100)
+    for d in range(1, 10):
+        n_d = round(100 * math.log10(1 + 1 / d))
+        rows += [("honest", float(f"{d}23.45"))] * n_d
+    rows += [("fraud", 9.99)] * 60  # every amount starts with 9
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    out = {r.user_id: r for r in benford_deviation(df, min_n=50).collect()}
+    assert out["honest"].suspicious == 0
+    assert out["fraud"].suspicious == 1
+    assert out["fraud"].chi2 > out["honest"].chi2
+
+
+def test_benford_chi2_known_answer_and_missing_digits(spark):
+    """Exact χ² replica including the full expectation of ABSENT
+    digits; groups under min_n and non-positive amounts drop."""
+    import math
+
+    from osprey_spark.operators.dq import benford_deviation
+
+    rows = [("g", 1.23)] * 30 + [("g", 2.50)] * 20  # only digits 1 and 2
+    rows += [("g", 0.0)] * 5 + [("g", -3.0)] * 5  # ignored: cents <= 0
+    rows += [("tiny", 5.0)] * 10  # under min_n
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    out = benford_deviation(df, min_n=50).collect()
+    assert len(out) == 1 and out[0].user_id == "g" and out[0].n == 50
+    n, counts = 50, {1: 30, 2: 20}
+    chi2 = 0.0
+    for d in range(1, 10):
+        exp = n * math.log10(1 + 1 / d)
+        c = counts.get(d, 0)
+        chi2 += (c - exp) * (c - exp) / exp
+    assert abs(out[0].chi2 - round(chi2, 6)) < 2e-6
+
+
+def test_benford_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.dq import benford_deviation
+
+    df = spark.createDataFrame([("a", 1.0)], "user_id string, value double")
+    with pytest.raises(ValueError, match="min_n"):
+        benford_deviation(df, min_n=5)
