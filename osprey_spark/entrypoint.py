@@ -5518,6 +5518,54 @@ _LOGREG_FEATURES = ["n_tokens", "n_distinct", "n_data"]
 _LOGREG_CFG = dict(iterations=25, lr=0.5, feat_scale=100.0, quant=10**9)
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→EVALUATE closer for the in-engine classifier
+    (curation.logreg_fit + classifier_eval): retrains the lang='en'
+    logistic regression, scores every doc with the raw weights, and
+    reports confusion counts, accuracy, and exact tie-credited
+    Mann-Whitney AUC — the rank statistic computed entirely in
+    integers (distinct-score groups, cumulative min+max ranks) with
+    ONE double division at the end. The scoring chain uses the
+    identical left-associated parenthesization as training, so both
+    engines group identical score doubles."""
+    from .operators.curation import classifier_eval, logreg_fit
+
+    toks = F.split(F.col("text"), " ")
+    feats = _docs(spark, sf_dir).select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t == F.lit("data"))).alias("n_data"),
+    )
+    w = logreg_fit(feats, _LOGREG_FEATURES, label_col="y", **_LOGREG_CFG)
+    z = F.lit(w[0])
+    for j, c in enumerate(_LOGREG_FEATURES):
+        z = z + F.lit(w[j + 1]) * (F.col(c).cast("double") / F.lit(100.0))
+    scored = feats.select(
+        F.col("y"), z.alias("s"), (z > 0).cast("int").alias("pred")
+    )
+    return classifier_eval(scored)
+
+
+def _o_classifier_eval() -> str:
+    from .operators.curation import classifier_eval_sql, logreg_ctes, logreg_z_sql
+
+    feats_sql = """
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    len(string_split(text, ' ')) AS x0,
+    len(list_distinct(string_split(text, ' '))) AS x1,
+    len(list_filter(string_split(text, ' '), t -> t = 'data')) AS x2
+  FROM documents
+"""
+    body, last = logreg_ctes(feats_sql, len(_LOGREG_FEATURES), **_LOGREG_CFG)
+    z = logreg_z_sql(last, len(_LOGREG_FEATURES), 100.0)
+    scored = (
+        f"SELECT y, {z} AS s, CASE WHEN {z} > 0 THEN 1 ELSE 0 END AS pred"
+        " FROM feats"
+    )
+    return "WITH " + body + ",\n" + classifier_eval_sql(scored).lstrip()
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit fraud screen (dq.benford_deviation,
     Nigrini's forensic standard): per-user χ² of the first
@@ -6529,6 +6577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoints": q_changepoints,
     "holt_forecast": q_holt_forecast,
     "benford": q_benford,
+    "classifier_eval": q_classifier_eval,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
 }
@@ -6696,6 +6745,7 @@ ORACLES: dict[str, str] = {
     "changepoints": _o_changepoints(),
     "holt_forecast": _o_holt_forecast(),
     "benford": _o_benford(),
+    "classifier_eval": _o_classifier_eval(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
 }

@@ -2110,11 +2110,34 @@ def logreg_train(
     Returns a (d+1)-row frame ``(feature, weight)``, weights rounded
     to 6 (Spark HALF_UP == DuckDB round — not Python's half-even).
     """
+    w = logreg_fit(
+        feats, feature_cols, label_col, iterations, lr, feat_scale, quant
+    )
+    d = len(feature_cols)
+    rows = [("intercept", w[0])] + [
+        (feature_cols[j], w[j + 1]) for j in range(d)
+    ]
+    out = feats.sparkSession.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+def logreg_fit(
+    feats: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "y",
+    iterations: int = 15,
+    lr: float = 0.5,
+    feat_scale: float = 100.0,
+    quant: int = 10**9,
+) -> "list[float]":
+    """The GD loop behind :func:`logreg_train`, returning the RAW
+    (unrounded) weight vector [intercept, w_1..w_d] — what
+    classifier-eval scoring needs, since the DuckDB replay's final
+    weights CTE is unrounded too."""
     if iterations < 1:
         raise ValueError("logreg_train: iterations must be >= 1")
     if not feature_cols:
         raise ValueError("logreg_train: need at least one feature column")
-    spark = feats.sparkSession
     base = feats.select(
         F.col(label_col).cast("int").alias("_y"),
         *[F.col(c).cast("long").alias(f"_x{j}") for j, c in enumerate(feature_cols)],
@@ -2148,34 +2171,27 @@ def logreg_train(
         for j in range(d + 1):
             w[j] = w[j] - float(lr) * (sums[j] / (n * qf))
     base.unpersist(blocking=True)
-    rows = [("intercept", w[0])] + [
-        (feature_cols[j], w[j + 1]) for j in range(d)
-    ]
-    out = spark.createDataFrame(rows, "feature string, weight double")
-    return out.select("feature", F.round("weight", 6).alias("weight"))
+    return w
 
 
-def logreg_oracle_sql(
+def logreg_ctes(
     feats_sql: str,
-    feature_names: Sequence[str],
+    n_features: int,
     iterations: int = 15,
     lr: float = 0.5,
     feat_scale: float = 100.0,
     quant: int = 10**9,
-) -> str:
-    """DuckDB replay of :func:`logreg_train`: one MATERIALIZED CTE per
-    GD iteration (the kmeans/pagerank unrolled discipline), weights
-    threaded as scalar subqueries, the identical left-associated
-    ``((w0 + w1·f1) + w2·f2) + …`` dot-product chain, the identical
-    ``round(resid·f·quant)``→BIGINT quantization, the identical
-    update arithmetic — every float op matches the Spark side's
-    literal-folded expression bit-for-bit because its operands are
-    bit-identical."""
-    d = len(feature_names)
+) -> "tuple[str, str]":
+    """The unrolled GD iteration CTE chain shared by
+    :func:`logreg_oracle_sql` (weights output) and the classifier-eval
+    oracle (which scores with the final weights). Returns
+    (comma-joined CTE definitions WITHOUT the leading WITH, name of
+    the final weights CTE)."""
+    d = int(n_features)
     qf = repr(float(quant))
     fs = repr(float(feat_scale))
     lrs = repr(float(lr))
-    parts = [f"WITH feats AS MATERIALIZED ({feats_sql})"]
+    parts = [f"feats AS MATERIALIZED ({feats_sql})"]
     parts.append(
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)"
     )
@@ -2186,12 +2202,7 @@ def logreg_oracle_sql(
     )
     for t in range(1, int(iterations) + 1):
         prev = f"w_{t - 1}"
-        z = f"(SELECT w0 FROM {prev})"
-        for j in range(d):
-            z = (
-                f"({z} + (SELECT w{j + 1} FROM {prev})"
-                f" * (CAST(x{j} AS DOUBLE) / {fs}))"
-            )
+        z = logreg_z_sql(prev, d, feat_scale)
         qs = [f"CAST(round(resid * {qf}, 0) AS BIGINT) AS q0"]
         for j in range(d):
             qs.append(
@@ -2214,7 +2225,43 @@ def logreg_oracle_sql(
             f"        (1.0 / (1.0 + exp(-({z})))) - CAST(y AS DOUBLE) AS resid\n"
             f"      FROM feats)))"
         )
-    last = f"w_{int(iterations)}"
+    return ",\n".join(parts), f"w_{int(iterations)}"
+
+
+def logreg_z_sql(weights_cte: str, n_features: int, feat_scale: float) -> str:
+    """The left-associated dot-product chain
+    ``((w0 + w1·f1) + w2·f2) + …`` with weights read from a 1-row CTE
+    — the exact parenthesization :func:`logreg_train` folds into its
+    literal Spark expression."""
+    fs = repr(float(feat_scale))
+    z = f"(SELECT w0 FROM {weights_cte})"
+    for j in range(int(n_features)):
+        z = (
+            f"({z} + (SELECT w{j + 1} FROM {weights_cte})"
+            f" * (CAST(x{j} AS DOUBLE) / {fs}))"
+        )
+    return z
+
+
+def logreg_oracle_sql(
+    feats_sql: str,
+    feature_names: Sequence[str],
+    iterations: int = 15,
+    lr: float = 0.5,
+    feat_scale: float = 100.0,
+    quant: int = 10**9,
+) -> str:
+    """DuckDB replay of :func:`logreg_train`: one MATERIALIZED CTE per
+    GD iteration (the kmeans/pagerank unrolled discipline), weights
+    threaded as scalar subqueries, the identical left-associated
+    ``((w0 + w1·f1) + w2·f2) + …`` dot-product chain, the identical
+    ``round(resid·f·quant)``→BIGINT quantization, the identical
+    update arithmetic — every float op matches the Spark side's
+    literal-folded expression bit-for-bit because its operands are
+    bit-identical."""
+    body, last = logreg_ctes(
+        feats_sql, len(feature_names), iterations, lr, feat_scale, quant
+    )
     sel = [
         f"SELECT 'intercept' AS feature, round((SELECT w0 FROM {last}), 6) AS weight"
     ]
@@ -2222,6 +2269,126 @@ def logreg_oracle_sql(
         sel.append(
             f"SELECT '{name}', round((SELECT w{j + 1} FROM {last}), 6)"
         )
-    body = ",\n".join(parts)
     union = "\nUNION ALL ".join(sel)
-    return f"{body}\nSELECT * FROM (\n{union}\n) ORDER BY feature"
+    return f"WITH {body}\nSELECT * FROM (\n{union}\n) ORDER BY feature"
+
+
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "s",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Binary-classifier evaluation over a scored frame → ONE row
+    ``(n, n_pos, n_neg, tp, fp, tn, fn, accuracy, auc)`` — the
+    train→calibrate→EVALUATE closer for the in-engine classifiers
+    (:func:`logreg_train`, :func:`nb_classifier`).
+
+    AUC is the exact Mann-Whitney rank statistic WITH tie credit,
+    computed entirely in integers: scores group to distinct values
+    (one hash aggregate), a cumulative count over the score order
+    gives each group's [min_rank, max_rank], every member of a tied
+    group takes the average rank — so ``2·Σ_pos ranks =
+    Σ_g pos_g·(min+max)`` stays an exact long — and
+    ``AUC = (2Σ − n_pos(n_pos+1)) / (2·n_pos·n_neg)`` is ONE double
+    division of exact integers. Degenerate single-class inputs return
+    NULL auc rather than a 0/0.
+
+    Scale note: the rank pass is a window over the DISTINCT-score
+    frame in one total order — a rank statistic is inherently a
+    global order; at extreme cardinality, bucket scores first (the
+    hist_quantiles discipline) and accept binned AUC. Confusion
+    counts are one map-side-partial aggregate over the full frame.
+    """
+    y = F.col(label_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    conf = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(p * y).cast("long").alias("tp"),
+        F.sum(p * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - p) * (1 - y)).cast("long").alias("tn"),
+        F.sum((1 - p) * y).cast("long").alias("fn"),
+    )
+    groups = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum(y).cast("long").alias("_pos"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = groups.select(
+        "_pos",
+        "_cnt",
+        F.sum("_cnt").over(w).cast("long").alias("_cum"),
+    )
+    rstat = ranked.agg(
+        F.sum(
+            F.col("_pos") * ((F.col("_cum") - F.col("_cnt") + 1) + F.col("_cum"))
+        )
+        .cast("long")
+        .alias("_two_sum")
+    )
+    joined = conf.join(rstat)
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") >= 1) & (n_neg >= 1),
+        F.round(
+            (
+                F.col("_two_sum") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2) * F.col("n_pos") * n_neg).cast("double"),
+            6,
+        ),
+    )
+    return joined.select(
+        "n",
+        "n_pos",
+        n_neg.cast("long").alias("n_neg"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("accuracy"),
+        auc.alias("auc"),
+    )
+
+
+def classifier_eval_sql(scored_sql: str) -> str:
+    """DuckDB replay of :func:`classifier_eval`. ``scored_sql`` must
+    select (y, s, pred). Same distinct-score grouping, cumulative
+    min/max rank arithmetic, and single-division metrics; DuckDB's
+    HUGEINT sums cast back to BIGINT before any arithmetic that must
+    match Spark's long math."""
+    return f"""
+escored AS ({scored_sql}),
+econf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    CAST(sum(pred * y) AS BIGINT) AS tp,
+    CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+    CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn,
+    CAST(sum((1 - pred) * y) AS BIGINT) AS fn
+  FROM escored
+),
+egroups AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM escored GROUP BY s
+),
+eranked AS (
+  SELECT pos, cnt,
+    CAST(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM egroups
+),
+erstat AS (
+  SELECT CAST(sum(pos * ((cum - cnt + 1) + cum)) AS BIGINT) AS two_sum FROM eranked
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, tp, fp, tn, fn,
+  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+  CASE WHEN n_pos >= 1 AND n - n_pos >= 1
+       THEN round(CAST(two_sum - n_pos * (n_pos + 1) AS DOUBLE)
+                  / CAST(2 * n_pos * (n - n_pos) AS DOUBLE), 6)
+  END AS auc
+FROM econf, erstat
+"""

@@ -1678,23 +1678,32 @@ def burst_spans(
         _step,
         lambda a: F.when(a["c0"] <= a["c1"], a["p0"]).otherwise(a["p1"]),
     )
-    labeled = staged.select(conv_col, "_g", states.alias("_st")).filter(
-        F.array_max(F.col("_st")) == 1
-    )
-    return labeled.select(
-        conv_col,
-        F.posexplode(
-            F.zip_with(
-                F.col("_g"),
-                F.col("_st"),
-                lambda gp, st: F.struct(gp.alias("g"), st.alias("st")),
-            )
-        ),
-    ).select(
-        conv_col,
-        (F.col("pos") + 1).cast("long").alias("gap_idx"),
-        F.col("col.g").cast("long").alias("gap_s"),
-        F.col("col.st").cast("int").alias("in_burst"),
+
+    # The DP fold must be evaluated ONCE: referenced by both a conv-level
+    # filter and the per-gap explode, CollapseProject would inline (and
+    # re-run) the whole Viterbi per consumer (measured 27 s at sf0.1).
+    # Instead the fold result rides a single-element-array walk that also
+    # precomputes the conv-level has-burst flag into every element, so ONE
+    # generator consumes one expression and the filter runs post-explode.
+    def _rows_of(st: Column) -> Column:
+        return F.zip_with(
+            F.col("_g"),
+            st,
+            lambda gp, s: F.struct(
+                gp.alias("g"), s.alias("st"), F.array_max(st).alias("has")
+            ),
+        )
+
+    rows = F.element_at(F.transform(F.array(states), _rows_of), 1)
+    return (
+        staged.select(conv_col, F.posexplode(rows))
+        .filter(F.col("col.has") == 1)
+        .select(
+            conv_col,
+            (F.col("pos") + 1).cast("long").alias("gap_idx"),
+            F.col("col.g").cast("long").alias("gap_s"),
+            F.col("col.st").cast("int").alias("in_burst"),
+        )
     )
 
 
@@ -1908,11 +1917,19 @@ def changepoints(
             cands = F.flatten(
                 F.transform(F.sequence(F.lit(1), nb - 1), _seg_cands)
             )
-            best = F.array_min(cands)
-            return F.when(
-                best.isNotNull() & ((-best["g"]) > thr),
-                F.sort_array(F.concat(acc, F.array(best["k"]))),
-            ).otherwise(acc)
+            # array_min(cands) is referenced three times (null test, gain
+            # test, winning k) — let-bind it or the whole candidate scan
+            # re-runs per reference (the same re-inline class as P/Q)
+            return F.element_at(
+                F.transform(
+                    F.array(F.array_min(cands)),
+                    lambda best: F.when(
+                        best.isNotNull() & ((-best["g"]) > thr),
+                        F.sort_array(F.concat(acc, F.array(best["k"]))),
+                    ).otherwise(acc),
+                ),
+                1,
+            )
 
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(int(max_cps))),
@@ -1920,20 +1937,24 @@ def changepoints(
             _round,
         )
 
-    cuts = F.element_at(F.transform(pq_arr, _cuts_of), 1)
-    labeled = staged.select(conv_col, "_idxs", cuts.alias("_cuts")).filter(
-        F.size(F.col("_cuts")) >= 1
-    )
-    return labeled.select(
+    # the recursion result feeds ONE generator (an empty cut array explodes
+    # to zero rows, so no pre-filter re-references the fold — the burst_spans
+    # single-consumer lesson); (cp, turn_idx) pairs build inside the same
+    # let-bound walk
+    def _rows_of(cuts: Column) -> Column:
+        return F.transform(
+            cuts,
+            lambda cp: F.struct(
+                cp.alias("cp"),
+                F.element_at(F.col("_idxs"), (cp + 1).cast("int")).alias("ti"),
+            ),
+        )
+
+    rows = F.flatten(F.transform(F.transform(pq_arr, _cuts_of), _rows_of))
+    return staged.select(conv_col, F.explode(rows).alias("_r")).select(
         conv_col,
-        F.explode(F.col("_cuts")).alias("_cp"),
-        F.col("_idxs"),
-    ).select(
-        conv_col,
-        F.col("_cp").cast("long").alias("cp_pos"),
-        F.element_at(F.col("_idxs"), (F.col("_cp") + 1).cast("int"))
-        .cast("int")
-        .alias("turn_idx"),
+        F.col("_r.cp").cast("long").alias("cp_pos"),
+        F.col("_r.ti").cast("int").alias("turn_idx"),
     )
 
 

@@ -181,3 +181,42 @@ def test_logreg_validation(spark):
         logreg_train(feats, [])
     with pytest.raises(ValueError, match="empty"):
         logreg_train(feats.filter("y = 9"), ["a"])
+
+
+# --- classifier evaluation (confusion + tie-credited AUC) ---------------------
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "y int, s double, pred int")
+
+
+def test_classifier_eval_perfect_and_inverted_auc(spark):
+    from osprey_spark.operators.curation import classifier_eval
+
+    perfect = [(1, 0.9, 1), (1, 0.8, 1), (0, 0.2, 0), (0, 0.1, 0)]
+    r = classifier_eval(_scored(spark, perfect)).collect()[0]
+    assert (r.auc, r.accuracy, r.tp, r.tn, r.fp, r.fn) == (1.0, 1.0, 2, 2, 0, 0)
+    inverted = [(0, 0.9, 1), (0, 0.8, 1), (1, 0.2, 0), (1, 0.1, 0)]
+    r = classifier_eval(_scored(spark, inverted)).collect()[0]
+    assert r.auc == 0.0 and r.accuracy == 0.0
+
+
+def test_classifier_eval_tie_credit_and_known_answer(spark):
+    """All-tied scores -> AUC exactly 0.5; a mixed set matches the
+    hand-computed Mann-Whitney-with-ties value."""
+    from osprey_spark.operators.curation import classifier_eval
+
+    tied = [(1, 0.5, 1), (0, 0.5, 0)] * 5
+    assert classifier_eval(_scored(spark, tied)).collect()[0].auc == 0.5
+    # scores: pos at {0.9, 0.5}, neg at {0.5, 0.1}; ranks 1:0.1 2.5:0.5(x2) 4:0.9
+    # sum pos ranks = 2.5 + 4 = 6.5 -> auc = (6.5 - 3) / (2*2) = 0.875
+    mixed = [(1, 0.9, 1), (1, 0.5, 1), (0, 0.5, 0), (0, 0.1, 0)]
+    assert classifier_eval(_scored(spark, mixed)).collect()[0].auc == 0.875
+
+
+def test_classifier_eval_degenerate_single_class(spark):
+    from osprey_spark.operators.curation import classifier_eval
+
+    r = classifier_eval(_scored(spark, [(1, 0.3, 0), (1, 0.7, 1)])).collect()[0]
+    assert r.auc is None and r.n_pos == 2 and r.n_neg == 0
+    assert r.accuracy == 0.5

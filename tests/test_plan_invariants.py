@@ -45,6 +45,7 @@ _CROSS_OK = {
     "mmr_rerank",  # wraps brute_force_topk: the bounded Q-row broadcast product
     "token_jaccard_topk",  # 1-row corpus-count frame broadcast for the max_df_pct cull
     "rrf_hybrid",  # wraps brute_force_topk + token_jaccard_topk (both classes above)
+    "classifier_eval",  # 1-row confusion frame x 1-row rank-stat frame broadcast
 }
 
 # Queries expected to broadcast at least one join side (small dim /
