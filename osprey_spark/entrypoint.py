@@ -6127,6 +6127,32 @@ from .operators.transcripts import conv_trend_sql as _trend_sql  # noqa: E402
 O_CONV_TREND = TURNS_CTE + " " + _trend_sql("turns")
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier conversation-lifetime curve (survival.km_survival,
+    Kaplan & Meier 1958): the right-censoring-aware duration statistic
+    — conversations active within 1 day of the global max ts are
+    censored, not dead. One conv-keyed hash aggregate + a 1-row
+    global-max broadcast + a bounded distinct-bucket frame whose
+    product-limit fold is a single fixed-order double chain, so the
+    DuckDB prefix-fold replay is hash-exact."""
+    from .operators.survival import km_survival
+
+    return km_survival(
+        turns_from_events(spark, sf_dir), horizon_s=86400, bucket_s=3600
+    )
+
+
+def _o_survival_km() -> str:
+    from .operators.survival import km_survival_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + km_survival_sql("turns", horizon_s=86400, bucket_s=3600)
+        + " ORDER BY t_bucket"
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -6580,6 +6606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_eval": q_classifier_eval,
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
+    "survival_km": q_survival_km,
 }
 
 ORACLES: dict[str, str] = {
@@ -6748,6 +6775,7 @@ ORACLES: dict[str, str] = {
     "classifier_eval": _o_classifier_eval(),
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
+    "survival_km": _o_survival_km(),
 }
 
 

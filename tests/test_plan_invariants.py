@@ -46,6 +46,7 @@ _CROSS_OK = {
     "token_jaccard_topk",  # 1-row corpus-count frame broadcast for the max_df_pct cull
     "rrf_hybrid",  # wraps brute_force_topk + token_jaccard_topk (both classes above)
     "classifier_eval",  # 1-row confusion frame x 1-row rank-stat frame broadcast
+    "survival_km",  # 1-row global-max-ts frame broadcast for the censoring test
 }
 
 # Queries expected to broadcast at least one join side (small dim /
