@@ -6142,6 +6142,32 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two rules feeding the 'review'
+    verdict (dq.cohens_kappa, Cohen 1960) — the chance-corrected
+    rule-redundancy check: SpamRule and LongToolRule both almost
+    never fire, so raw agreement is ~1 by accident; kappa near 0
+    says they are independent signals worth keeping both. ONE
+    map-side-partial aggregate over the compiled ruleset's output."""
+    from .operators.dq import cohens_kappa
+
+    out = rules_output(spark, sf_dir)
+    return cohens_kappa(out, "SpamRule", "LongToolRule")
+
+
+def _o_rule_kappa() -> str:
+    from .operators.dq import cohens_kappa_sql
+
+    scored = (
+        "SELECT CASE WHEN has_url AND has_spam_domain THEN 1 ELSE 0 END AS a,"
+        " CASE WHEN is_tool AND num_tokens >= 4 THEN 1 ELSE 0 END AS b"
+        " FROM feat"
+    )
+    return (
+        TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + cohens_kappa_sql(scored)
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6607,6 +6633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbscan_clusters": q_dbscan_clusters,
     "conv_trend": q_conv_trend,
     "survival_km": q_survival_km,
+    "rule_kappa": q_rule_kappa,
 }
 
 ORACLES: dict[str, str] = {
@@ -6776,6 +6803,7 @@ ORACLES: dict[str, str] = {
     "dbscan_clusters": O_DBSCAN_CLUSTERS,
     "conv_trend": O_CONV_TREND,
     "survival_km": _o_survival_km(),
+    "rule_kappa": _o_rule_kappa(),
 }
 
 

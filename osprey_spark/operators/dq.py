@@ -277,3 +277,92 @@ SELECT grp, n, round({chi2}, 6) AS chi2,
   CAST(({chi2}) > {float(chi2_crit)!r} AS INT) AS suspicious
 FROM bcounted
 """
+
+
+def cohens_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two binary raters — the
+    chance-corrected agreement statistic behind every "are these two
+    rules the same signal?" and inter-annotator-consistency question.
+    Raw percent agreement is inflated whenever one class dominates
+    (two rules that both almost never fire "agree" 99% of the time by
+    accident); kappa subtracts the agreement expected from the
+    raters' marginal rates alone: ``kappa = (po - pe) / (1 - pe)``.
+
+    Reads ±1 like a correlation: 1 = redundant rules (drop one),
+    ~0 = independent signals (keep both), <0 = systematic
+    disagreement (one of them is probably inverted).
+
+    ONE map-side-partial hash aggregate over the scored frame — the
+    2x2 contingency table is four conditional integer sums; po and pe
+    are then fixed-parenthesization doubles over exact longs (counts
+    cast to DOUBLE *before* any multiply, the collocations overflow
+    discipline — a1*b1 at 10^12 rows would overflow BIGINT). The
+    degenerate pe=1 case (both raters constant) returns NULL kappa.
+
+    Output: one row ``(n, n11, n10, n01, n00, po, pe, kappa)`` with
+    the three doubles rounded to 6.
+    """
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    conf = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    a1 = (F.col("n11") + F.col("n10")).cast("double")
+    a0 = (F.col("n01") + F.col("n00")).cast("double")
+    b1 = (F.col("n11") + F.col("n01")).cast("double")
+    b0 = (F.col("n10") + F.col("n00")).cast("double")
+    pe = (a1 * b1 + a0 * b0) / (nd * nd)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(scored_sql: str) -> str:
+    """DuckDB replay of :func:`cohens_kappa`. ``scored_sql`` must
+    select integer 0/1 columns ``a`` and ``b``. Identical contingency
+    sums (HUGEINT cast back to BIGINT), identical
+    cast-before-multiply parenthesization for po/pe/kappa."""
+    return f"""
+kscored AS ({scored_sql}),
+kconf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(a * b) AS BIGINT) AS n11,
+    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM kscored
+)
+SELECT n, n11, n10, n01, n00,
+  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+  round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+  round(CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                   + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+    THEN ((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                   + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+  END, 6) AS kappa
+FROM kconf
+"""

@@ -165,3 +165,63 @@ def test_benford_validation(spark):
     df = spark.createDataFrame([("a", 1.0)], "user_id string, value double")
     with pytest.raises(ValueError, match="min_n"):
         benford_deviation(df, min_n=5)
+
+
+# --- Cohen's kappa rule agreement ---------------------------------------------
+
+
+def _rated(spark, pairs):
+    return spark.createDataFrame(pairs, "a int, b int")
+
+
+def test_kappa_perfect_and_inverted(spark):
+    from osprey_spark.operators.dq import cohens_kappa
+
+    r = cohens_kappa(_rated(spark, [(1, 1)] * 3 + [(0, 0)] * 5), "a", "b").collect()[0]
+    assert (r.kappa, r.po) == (1.0, 1.0)
+    r = cohens_kappa(_rated(spark, [(1, 0)] * 4 + [(0, 1)] * 4), "a", "b").collect()[0]
+    assert r.kappa == -1.0 and r.po == 0.0
+
+
+def test_kappa_chance_inflated_agreement(spark):
+    """Two rare independent raters: raw agreement is high (n00
+    dominates) but kappa stays near zero — the exact 2x2 from Cohen's
+    formula, hand-computed."""
+    from osprey_spark.operators.dq import cohens_kappa
+
+    # n=100: n11=1, n10=9, n01=9, n00=81 -> marginals 10/90 each side
+    pairs = [(1, 1)] + [(1, 0)] * 9 + [(0, 1)] * 9 + [(0, 0)] * 81
+    r = cohens_kappa(_rated(spark, pairs), "a", "b").collect()[0]
+    assert r.po == 0.82
+    assert r.pe == round((10 * 10 + 90 * 90) / 10000, 6)  # 0.82
+    assert r.kappa == 0.0  # po == pe exactly by construction
+
+
+def test_kappa_known_answer(spark):
+    from osprey_spark.operators.dq import cohens_kappa
+
+    # classic: n=50, n11=20, n10=5, n01=10, n00=15
+    pairs = [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    r = cohens_kappa(_rated(spark, pairs), "a", "b").collect()[0]
+    po = 35 / 50
+    pe = (25 * 30 + 20 * 25) / 2500
+    assert r.kappa == round((po - pe) / (1 - pe), 6)
+
+
+def test_kappa_degenerate_constant_raters(spark):
+    from osprey_spark.operators.dq import cohens_kappa
+
+    r = cohens_kappa(_rated(spark, [(1, 1)] * 4), "a", "b").collect()[0]
+    assert r.kappa is None and r.po == 1.0 and r.pe == 1.0
+
+
+def test_kappa_accepts_boolean_columns(spark):
+    from pyspark.sql import functions as F
+
+    from osprey_spark.operators.dq import cohens_kappa
+
+    df = _rated(spark, [(1, 1), (0, 0), (1, 0)]).select(
+        F.col("a").cast("boolean").alias("a"), F.col("b").cast("boolean").alias("b")
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (1, 1, 0, 1)
