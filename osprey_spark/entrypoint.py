@@ -5566,6 +5566,59 @@ def _o_classifier_eval() -> str:
     return "WITH " + body + ",\n" + classifier_eval_sql(scored).lstrip()
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the GD-trained logreg
+    (curation.calibration_bins): AUC (classifier_eval) says the
+    ranking discriminates; this says whether the probabilities mean
+    what they claim. Per-row sigmoid probabilities quantize to BIGINT
+    before every reduction, so the whole diagram is hash-exact."""
+    from .operators.curation import calibration_bins, logreg_fit
+
+    toks = F.split(F.col("text"), " ")
+    feats = _docs(spark, sf_dir).select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t == F.lit("data"))).alias("n_data"),
+    )
+    w = logreg_fit(feats, _LOGREG_FEATURES, label_col="y", **_LOGREG_CFG)
+    z = F.lit(w[0])
+    for j, c in enumerate(_LOGREG_FEATURES):
+        z = z + F.lit(w[j + 1]) * (F.col(c).cast("double") / F.lit(100.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = feats.select(F.col("y"), prob.alias("p"))
+    # n_bins=100: the 25-iteration GD model is weakly separated (p in
+    # ~[0.42, 0.45]); centile bins resolve the diagram where decile
+    # bins would collapse it to one row
+    return calibration_bins(scored, n_bins=100)
+
+
+def _o_calibration() -> str:
+    from .operators.curation import (
+        calibration_bins_sql,
+        logreg_ctes,
+        logreg_z_sql,
+    )
+
+    feats_sql = """
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    len(string_split(text, ' ')) AS x0,
+    len(list_distinct(string_split(text, ' '))) AS x1,
+    len(list_filter(string_split(text, ' '), t -> t = 'data')) AS x2
+  FROM documents
+"""
+    body, last = logreg_ctes(feats_sql, len(_LOGREG_FEATURES), **_LOGREG_CFG)
+    z = logreg_z_sql(last, len(_LOGREG_FEATURES), 100.0)
+    scored = f"SELECT y, (1.0 / (1.0 + exp(-({z})))) AS p FROM feats"
+    return (
+        "WITH "
+        + body
+        + ",\n"
+        + calibration_bins_sql(scored, n_bins=100).lstrip()
+        + " ORDER BY bin"
+    )
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit fraud screen (dq.benford_deviation,
     Nigrini's forensic standard): per-user χ² of the first
@@ -6634,6 +6687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_trend": q_conv_trend,
     "survival_km": q_survival_km,
     "rule_kappa": q_rule_kappa,
+    "calibration": q_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -6804,6 +6858,7 @@ ORACLES: dict[str, str] = {
     "conv_trend": O_CONV_TREND,
     "survival_km": _o_survival_km(),
     "rule_kappa": _o_rule_kappa(),
+    "calibration": _o_calibration(),
 }
 
 

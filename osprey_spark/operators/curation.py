@@ -2392,3 +2392,126 @@ SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, tp, fp, tn, fn,
   END AS auc
 FROM econf, erstat
 """
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    label_col: str = "y",
+    prob_col: str = "p",
+    quant: int = 10**6,
+    ece_quant: int = 10**9,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE, Naeini
+    et al. AAAI 2015) over a probability-scored frame — the
+    calibration companion to :func:`classifier_eval`'s
+    discrimination metrics: AUC says the ranking is right, the
+    reliability curve says whether "0.9" actually means 90%.
+
+    ``scored`` must carry a label column and a probability column in
+    [0, 1]. Probabilities bin to ``floor(p * n_bins)`` (capped at the
+    top bin so p=1.0 lands in it); per bin, accuracy is the positive
+    fraction and confidence the mean probability.
+
+    Determinism discipline: per-row probabilities QUANTIZE to
+    ``round(p * quant)`` BIGINT before the bin sum, and each bin's
+    ECE contribution ``|acc - conf| * n_b`` quantizes to
+    ``round(... * ece_quant)`` BIGINT before the cross-bin sum — both
+    reductions are partition-order-independent sums of longs (the
+    kmeans/logreg integer-moment discipline), so every output double
+    is one fixed-shape division of exact integers and the DuckDB
+    replay is hash-exact.
+
+    Scale shape: ONE map-side-partial hash aggregate to ``n_bins``
+    rows; the ECE window runs over that bounded frame only.
+
+    Output: one row per non-empty bin —
+    ``(bin, n, n_pos, confidence, accuracy, gap, ece)`` (``ece`` is
+    the same scalar on every row, reported alongside for one-frame
+    reads; doubles rounded to 6).
+    """
+    if int(n_bins) < 1:
+        raise ValueError("calibration_bins: n_bins must be >= 1")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("long")
+    qf = float(quant)
+    eq = float(ece_quant)
+    binc = F.least(
+        F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    grp = scored.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(F.round(p * F.lit(qf), 0).cast("long")).cast("long").alias("_cq"),
+    )
+    nd = F.col("n").cast("double")
+    conf = F.col("_cq").cast("double") / (nd * F.lit(qf))
+    acc = F.col("n_pos").cast("double") / nd
+    gap = F.abs(acc - conf)
+    contrib = F.round((gap * nd) * F.lit(eq), 0).cast("long")
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = grp.select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("_conf"),
+        acc.alias("_acc"),
+        gap.alias("_gap"),
+        F.sum(contrib).over(w_all).cast("long").alias("_tc"),
+        F.sum("n").over(w_all).cast("long").alias("_tn"),
+    )
+    return staged.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("_conf"), 6).alias("confidence"),
+        F.round(F.col("_acc"), 6).alias("accuracy"),
+        F.round(F.col("_gap"), 6).alias("gap"),
+        F.round(
+            F.col("_tc").cast("double")
+            / (F.lit(eq) * F.col("_tn").cast("double")),
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
+def calibration_bins_sql(
+    scored_sql: str,
+    n_bins: int = 10,
+    quant: int = 10**6,
+    ece_quant: int = 10**9,
+) -> str:
+    """DuckDB replay of :func:`calibration_bins`. ``scored_sql`` must
+    select ``(y, p)``. Same quantized BIGINT reductions, same
+    fixed-shape divisions."""
+    qf = repr(float(quant))
+    eq = repr(float(ece_quant))
+    nb = repr(float(n_bins))
+    return f"""
+cscored AS ({scored_sql}),
+cgrp AS (
+  SELECT least(CAST(floor(p * CAST({nb} AS DOUBLE)) AS INT), {int(n_bins) - 1}) AS bin,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    CAST(sum(CAST(round(p * {qf}, 0) AS BIGINT)) AS BIGINT) AS cq
+  FROM cscored GROUP BY 1
+),
+cstaged AS (
+  SELECT bin, n, n_pos,
+    CAST(cq AS DOUBLE) / (CAST(n AS DOUBLE) * {qf}) AS conf,
+    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+    abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(cq AS DOUBLE) / (CAST(n AS DOUBLE) * {qf})) AS gap,
+    CAST(sum(CAST(round((abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(cq AS DOUBLE) / (CAST(n AS DOUBLE) * {qf}))
+        * CAST(n AS DOUBLE)) * {eq}, 0) AS BIGINT)) OVER () AS BIGINT) AS tc,
+    CAST(sum(n) OVER () AS BIGINT) AS tn
+  FROM cgrp
+)
+SELECT bin, n, n_pos, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+  round(gap, 6) AS gap,
+  round(CAST(tc AS DOUBLE) / ({eq} * CAST(tn AS DOUBLE)), 6) AS ece
+FROM cstaged
+"""

@@ -220,3 +220,55 @@ def test_classifier_eval_degenerate_single_class(spark):
     r = classifier_eval(_scored(spark, [(1, 0.3, 0), (1, 0.7, 1)])).collect()[0]
     assert r.auc is None and r.n_pos == 2 and r.n_neg == 0
     assert r.accuracy == 0.5
+
+
+# --- calibration bins + ECE ---------------------------------------------------
+
+
+def _probed(spark, rows):
+    return spark.createDataFrame(rows, "y int, p double")
+
+
+def test_calibration_known_answer(spark):
+    """Two bins with hand-computed confidence/accuracy/ECE."""
+    from osprey_spark.operators.curation import calibration_bins
+
+    rows = [(1, 0.95), (1, 0.95), (0, 0.90), (1, 0.15), (0, 0.15)]
+    out = calibration_bins(_probed(spark, rows), n_bins=10).collect()
+    by_bin = {r.bin: r for r in out}
+    assert set(by_bin) == {1, 9}
+    b9 = by_bin[9]
+    conf9 = (0.95 + 0.95 + 0.90) / 3
+    assert (b9.n, b9.n_pos) == (3, 2)
+    assert b9.confidence == round(conf9, 6)
+    assert b9.accuracy == round(2 / 3, 6)
+    b1 = by_bin[1]
+    assert (b1.n, b1.n_pos, b1.confidence, b1.accuracy) == (2, 1, 0.15, 0.5)
+    # ECE = (3*|2/3-conf9| + 2*|0.5-0.15|) / 5
+    ece = (3 * abs(2 / 3 - conf9) + 2 * abs(0.5 - 0.15)) / 5
+    assert abs(b9.ece - ece) < 1e-6 and b9.ece == b1.ece
+
+
+def test_calibration_top_bin_caps_p_equal_one(spark):
+    from osprey_spark.operators.curation import calibration_bins
+
+    out = calibration_bins(_probed(spark, [(1, 1.0), (1, 0.999)]), n_bins=10).collect()
+    assert [r.bin for r in out] == [9] and out[0].n == 2
+
+
+def test_calibration_perfectly_calibrated_ece_zero(spark):
+    from osprey_spark.operators.curation import calibration_bins
+
+    # bin 5: p=0.55 x20, 11 positives -> acc 0.55 == conf
+    rows = [(1, 0.55)] * 11 + [(0, 0.55)] * 9
+    out = calibration_bins(_probed(spark, rows), n_bins=10).collect()
+    assert len(out) == 1 and out[0].ece == 0.0 and out[0].gap == 0.0
+
+
+def test_calibration_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.curation import calibration_bins
+
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(_probed(spark, [(1, 0.5)]), n_bins=0)
