@@ -5619,6 +5619,26 @@ def _o_calibration() -> str:
     )
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by in-engine
+    power iteration (similarity.pca_power_fit): the dominant-direction
+    primitive under whitening and spectral outlier scoring. 8 fixed
+    rounds, each ONE map-side-partial hash aggregate of dim quantized
+    BIGINT sums; the driver holds only the 16-float vector. The first
+    16 dims keep the unrolled oracle compact; the operator is
+    dimension-generic."""
+    from .operators.similarity import pca_power
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_power(embs, dim=16, iterations=8)
+
+
+def _o_pca_power() -> str:
+    from .operators.similarity import pca_power_oracle_sql
+
+    return pca_power_oracle_sql(dim=16, iterations=8)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit fraud screen (dq.benford_deviation,
     Nigrini's forensic standard): per-user χ² of the first
@@ -6688,6 +6708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "survival_km": q_survival_km,
     "rule_kappa": q_rule_kappa,
     "calibration": q_calibration,
+    "pca_power": q_pca_power,
 }
 
 ORACLES: dict[str, str] = {
@@ -6859,6 +6880,7 @@ ORACLES: dict[str, str] = {
     "survival_km": _o_survival_km(),
     "rule_kappa": _o_rule_kappa(),
     "calibration": _o_calibration(),
+    "pca_power": _o_pca_power(),
 }
 
 

@@ -1674,3 +1674,204 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= topk)
         .orderBy(query_col, "fused_rank")
     )
+
+
+def pca_power_fit(
+    vectors: DataFrame,
+    dim: int,
+    iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+) -> "tuple[list[float], float]":
+    """Top principal component by fixed-round power iteration — the
+    in-engine linear-algebra primitive under embedding whitening,
+    dominant-direction removal (the "all embeddings share a huge
+    common component" pathology) and spectral outlier scoring.
+    Trained entirely inside the engine with no sampling, RNG, numpy
+    or MLlib: the kmeans/logreg integer-moment discipline extended to
+    eigenvector iteration.
+
+    Per round, the matrix-vector product ``u = (1/n)·Σ_i s_i·c_i``
+    (``s_i = v·c_i``, ``c_i`` the mean-centered row) needs ONE
+    map-side-partial hash aggregate: per-row ``s_i`` is a fixed
+    left-associated dot chain over the quantized components, and each
+    of the ``dim`` accumulations quantizes ``s_i·c_ij`` to BIGINT
+    micro-units before the corpus sum — a partition-order-independent
+    sum of longs, so the whole trajectory is bit-reproducible and the
+    DuckDB replay (one CTE per round, weights threaded as scalar
+    subqueries) matches every double exactly. The driver holds only
+    the dim-float vector between rounds.
+
+    Components quantize once at ingest (``round(x·1e6)``, the kmeans
+    ``_quantize``) and rescale to original units, so the centered
+    values both engines see are identical doubles. v0 = e_1
+    (deterministic); fixed round count, no convergence claim — the
+    LPA replay discipline.
+
+    Long-sum headroom: per-row quantized contributions are
+    ~|s·c|·quant ≲ dim·quant; at 10^12 rows lower ``quant`` to keep
+    n·dim·quant under 2^63 (documented trade, same as logreg).
+
+    Returns ``(v, eigval)`` — the unit top eigenvector and its
+    Rayleigh-quotient eigenvalue in original (covariance) units.
+    """
+    import math
+
+    if iterations < 1:
+        raise ValueError("pca_power: iterations must be >= 1")
+    if dim < 1:
+        raise ValueError("pca_power: dim must be >= 1")
+    vq = F.transform(
+        F.slice(F.col(vec_col), 1, int(dim)),
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    base = vectors.select(
+        *[F.element_at(vq, j + 1).alias(f"_x{j}") for j in range(dim)]
+    ).persist()
+    n = base.count()
+    if n == 0:
+        base.unpersist()
+        raise ValueError("pca_power: empty input frame")
+    msums = base.agg(
+        *[F.sum(F.col(f"_x{j}")).cast("long").alias(f"m{j}") for j in range(dim)]
+    ).collect()[0]
+    nd = float(n)
+    mean = [msums[j] / (nd * 1e6) for j in range(dim)]
+    qf = float(quant)
+    v = [0.0] * dim
+    v[0] = 1.0
+    u = list(v)
+    v_prev = list(v)
+    for _ in range(int(iterations)):
+        cent = [
+            (F.col(f"_x{j}").cast("double") / F.lit(1e6)) - F.lit(mean[j])
+            for j in range(dim)
+        ]
+        s: Column = F.lit(v[0]) * cent[0]
+        for j in range(1, dim):
+            s = s + F.lit(v[j]) * cent[j]
+        aggs = [
+            F.sum(F.round((s * cent[j]) * F.lit(qf), 0).cast("long")).alias(
+                f"q{j}"
+            )
+            for j in range(dim)
+        ]
+        sums = base.agg(*aggs).collect()[0]
+        u = [sums[j] / (nd * qf) for j in range(dim)]
+        ss = u[0] * u[0]
+        for j in range(1, dim):
+            ss = ss + u[j] * u[j]
+        norm = math.sqrt(ss)
+        if norm == 0.0:
+            base.unpersist(blocking=True)
+            raise ValueError("pca_power: zero-variance input (norm 0)")
+        v_prev = list(v)
+        v = [u[j] / norm for j in range(dim)]
+    base.unpersist(blocking=True)
+    lam = v_prev[0] * u[0]
+    for j in range(1, dim):
+        lam = lam + v_prev[j] * u[j]
+    return v, lam
+
+
+def pca_power(
+    vectors: DataFrame,
+    dim: int,
+    iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+) -> DataFrame:
+    """Frame view of :func:`pca_power_fit`: one row per dimension —
+    ``(dim_idx, loading, eigval)``, doubles rounded to 6."""
+    v, lam = pca_power_fit(vectors, dim, iterations, id_col, vec_col, quant)
+    spark = vectors.sparkSession
+    rows = [(j, v[j], lam) for j in range(dim)]
+    out = spark.createDataFrame(
+        rows, "dim_idx int, loading double, eigval double"
+    )
+    return out.select(
+        "dim_idx",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigval", 6).alias("eigval"),
+    ).orderBy("dim_idx")
+
+
+def pca_power_oracle_sql(
+    dim: int,
+    iterations: int = 8,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+) -> str:
+    """DuckDB replay of :func:`pca_power`: quantized base, one mean
+    CTE, one CTE per power-iteration round with the identical
+    left-associated dot/sum-of-squares chains. The previous round's
+    components, the means and n enter each round via ONE cross join
+    of the 1-row CTEs (a per-reference scalar subquery becomes a
+    separate 1-row join in DuckDB — at dim^2 references per round
+    that planned 512 joins and ran 68 s; the single cross join is
+    <1 s, bit-identical values). Every float op matches the driver's
+    Python arithmetic because its operands are bit-identical (the
+    logreg unrolled discipline)."""
+    qf = repr(float(quant))
+    xs = ",\n    ".join(
+        f"CAST(round(CAST({vec_col}[{j + 1}] AS DOUBLE) * 1e6, 0) AS BIGINT) AS x{j}"
+        for j in range(dim)
+    )
+    parts = [f"pbase AS MATERIALIZED (\n  SELECT {xs}\n  FROM {table}\n)"]
+    parts.append(
+        "pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pbase)"
+    )
+    msel = ", ".join(
+        f"CAST(sum(x{j}) AS BIGINT) AS s{j}" for j in range(dim)
+    )
+    parts.append(f"psums AS MATERIALIZED (SELECT {msel} FROM pbase)")
+    mm = ", ".join(
+        f"CAST(s{j} AS DOUBLE) / (pnn.n * 1e6) AS m{j}" for j in range(dim)
+    )
+    parts.append(f"pmm AS MATERIALIZED (SELECT {mm} FROM psums, pnn)")
+    v0 = ", ".join(
+        f"CAST({'1.0' if j == 0 else '0.0'} AS DOUBLE) AS v{j}"
+        for j in range(dim)
+    )
+    parts.append(f"pw_0 AS (SELECT {v0})")
+
+    def _cent(j: int) -> str:
+        return f"(CAST(x{j} AS DOUBLE) / 1e6 - pm.m{j})"
+
+    for t in range(1, int(iterations) + 1):
+        prev = f"pw_{t - 1}"
+        s = f"(pv.v0 * {_cent(0)})"
+        for j in range(1, dim):
+            s = f"({s} + pv.v{j} * {_cent(j)})"
+        qs = ", ".join(
+            f"CAST(sum(CAST(round(({s} * {_cent(j)}) * {qf}, 0) AS BIGINT)) AS BIGINT) AS q{j}"
+            for j in range(dim)
+        )
+        us = ", ".join(
+            f"CAST(q{j} AS DOUBLE) / (pnn.n * {qf}) AS u{j}" for j in range(dim)
+        )
+        ss = "(u0 * u0)"
+        for j in range(1, dim):
+            ss = f"({ss} + u{j} * u{j})"
+        vs = ", ".join(f"u{j} / sqrt({ss}) AS v{j}" for j in range(dim))
+        parts.append(
+            f"pw_{t} AS MATERIALIZED (\n"
+            f"  SELECT u0{''.join(f', u{j}' for j in range(1, dim))}, {vs}\n"
+            f"  FROM (SELECT {us}\n"
+            f"        FROM (SELECT {qs} FROM pbase, {prev} AS pv, pmm AS pm), pnn))"
+        )
+    last = f"pw_{int(iterations)}"
+    prevlast = f"pw_{int(iterations) - 1}"
+    lam = "(pl.v0 * ll.u0)"
+    for j in range(1, dim):
+        lam = f"({lam} + pl.v{j} * ll.u{j})"
+    sel = "\nUNION ALL ".join(
+        f"SELECT {j} AS dim_idx, round(ll.v{j}, 6) AS loading,"
+        f" round({lam}, 6) AS eigval FROM {last} ll, {prevlast} pl"
+        for j in range(dim)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT * FROM (\n{sel}\n) ORDER BY dim_idx"
