@@ -6241,6 +6241,47 @@ def _o_rule_kappa() -> str:
     )
 
 
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket A/B readout (dq.ab_test): conversations assign to
+    arms by the engine's deterministic md5 bucket (the sampling
+    roll's exact arithmetic), the per-conversation metric is 'any
+    verdict fired', and the two-proportion z-test says whether the
+    arms differ beyond chance — by construction they should NOT
+    (assignment is independent of content), so |z| small is the
+    correct answer and a large |z| would flag a broken bucketing
+    hash. One conv-keyed rollup + one 1-row aggregate."""
+    from .operators.dq import ab_test
+
+    out = rules_output(spark, sf_dir)
+    conv = out.groupBy("conv_id").agg(
+        F.max((F.size("__verdicts") >= 1).cast("long")).alias("m")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    scored = conv.select((bucket < 50).cast("long").alias("g"), "m")
+    return ab_test(scored, "g", "m")
+
+
+def _o_ab_lift() -> str:
+    from .operators.dq import ab_test_sql
+
+    scored = """
+  SELECT CASE WHEN CAST(('0x' || substr(md5(conv_id), 1, 4)) AS INT) % 100 < 50
+              THEN 1 ELSE 0 END AS g, m
+  FROM (
+    SELECT conv_id,
+      max(CASE WHEN has_hello OR ((has_url AND has_spam_domain)
+               OR (is_tool AND num_tokens >= 4)) THEN 1 ELSE 0 END) AS m
+    FROM feat GROUP BY conv_id
+  )
+"""
+    return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6709,6 +6750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_kappa": q_rule_kappa,
     "calibration": q_calibration,
     "pca_power": q_pca_power,
+    "ab_lift": q_ab_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -6881,6 +6923,7 @@ ORACLES: dict[str, str] = {
     "rule_kappa": _o_rule_kappa(),
     "calibration": _o_calibration(),
     "pca_power": _o_pca_power(),
+    "ab_lift": _o_ab_lift(),
 }
 
 

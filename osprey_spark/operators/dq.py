@@ -366,3 +366,82 @@ SELECT n, n11, n10, n01, n00,
   END, 6) AS kappa
 FROM kconf
 """
+
+
+def ab_test(df: DataFrame, group_col: str, metric_col: str) -> DataFrame:
+    """Two-proportion z-test (the standard normal-approximation A/B
+    readout) between treatment (``group_col`` = 1) and control (0)
+    over a binary per-unit metric — the experiment-analysis closer
+    for the engine's deterministic ``Experiment`` bucketing: rule
+    rollouts are assigned by hash bucket, and this answers "did the
+    new rule change the verdict rate, beyond what chance explains?".
+
+    ONE map-side-partial hash aggregate (four conditional integer
+    sums); rates, lift, the pooled standard error and z are
+    fixed-parenthesization doubles over the exact longs (one sqrt —
+    IEEE-deterministic on bit-identical operands). Degenerate cases
+    return NULL rather than 0/0: an empty arm nulls every rate-based
+    column, an all-converted or never-converted pool nulls z.
+
+    Output: one row
+    ``(n_c, n_t, x_c, x_t, p_c, p_t, lift, z)`` (doubles rounded 6).
+    """
+    g = F.col(group_col).cast("long")
+    m = F.col(metric_col).cast("long")
+    conf = df.agg(
+        F.sum(1 - g).cast("long").alias("n_c"),
+        F.sum(g).cast("long").alias("n_t"),
+        F.sum((1 - g) * m).cast("long").alias("x_c"),
+        F.sum(g * m).cast("long").alias("x_t"),
+    )
+    nc = F.col("n_c").cast("double")
+    nt = F.col("n_t").cast("double")
+    p_c = F.col("x_c").cast("double") / nc
+    p_t = F.col("x_t").cast("double") / nt
+    pd_ = (F.col("x_t") + F.col("x_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    ).cast("double")
+    se = F.sqrt(
+        (pd_ * (F.lit(1.0) - pd_)) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+    )
+    both = (F.col("n_c") >= 1) & (F.col("n_t") >= 1)
+    z = F.when(both & (pd_ > 0.0) & (pd_ < 1.0), (p_t - p_c) / se)
+    return conf.select(
+        "n_c",
+        "n_t",
+        "x_c",
+        "x_t",
+        F.round(F.when(F.col("n_c") >= 1, p_c), 6).alias("p_c"),
+        F.round(F.when(F.col("n_t") >= 1, p_t), 6).alias("p_t"),
+        F.round(F.when(both, p_t - p_c), 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def ab_test_sql(scored_sql: str) -> str:
+    """DuckDB replay of :func:`ab_test`. ``scored_sql`` must select
+    integer 0/1 columns ``g`` (arm) and ``m`` (metric)."""
+    p_c = "CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    p_t = "CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    pd_ = "CAST(x_t + x_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE)"
+    se = (
+        f"sqrt(({pd_} * (1.0 - {pd_}))"
+        f" * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))"
+    )
+    return f"""
+abscored AS ({scored_sql}),
+abconf AS (
+  SELECT CAST(sum(1 - g) AS BIGINT) AS n_c,
+    CAST(sum(g) AS BIGINT) AS n_t,
+    CAST(sum((1 - g) * m) AS BIGINT) AS x_c,
+    CAST(sum(g * m) AS BIGINT) AS x_t
+  FROM abscored
+)
+SELECT n_c, n_t, x_c, x_t,
+  round(CASE WHEN n_c >= 1 THEN {p_c} END, 6) AS p_c,
+  round(CASE WHEN n_t >= 1 THEN {p_t} END, 6) AS p_t,
+  round(CASE WHEN n_c >= 1 AND n_t >= 1 THEN {p_t} - {p_c} END, 6) AS lift,
+  round(CASE WHEN n_c >= 1 AND n_t >= 1 AND {pd_} > 0.0 AND {pd_} < 1.0
+        THEN ({p_t} - {p_c}) / {se} END, 6) AS z
+FROM abconf
+"""

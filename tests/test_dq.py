@@ -225,3 +225,45 @@ def test_kappa_accepts_boolean_columns(spark):
     )
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert (r.n11, r.n10, r.n01, r.n00) == (1, 1, 0, 1)
+
+
+# --- two-proportion A/B z-test ------------------------------------------------
+
+
+def _armed(spark, rows):
+    return spark.createDataFrame(rows, "g int, m int")
+
+
+def test_ab_known_answer(spark):
+    import math
+
+    from osprey_spark.operators.dq import ab_test
+
+    # control: 100 units, 20 convert; treatment: 100 units, 30 convert
+    rows = [(0, 1)] * 20 + [(0, 0)] * 80 + [(1, 1)] * 30 + [(1, 0)] * 70
+    r = ab_test(_armed(spark, rows), "g", "m").collect()[0]
+    assert (r.n_c, r.n_t, r.x_c, r.x_t) == (100, 100, 20, 30)
+    assert (r.p_c, r.p_t, r.lift) == (0.2, 0.3, round(0.3 - 0.2, 6))
+    pooled = 50 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    assert r.z == round((0.3 - 0.2) / se, 6)
+
+
+def test_ab_null_effect_z_zero(spark):
+    from osprey_spark.operators.dq import ab_test
+
+    rows = [(0, 1)] * 5 + [(0, 0)] * 5 + [(1, 1)] * 5 + [(1, 0)] * 5
+    r = ab_test(_armed(spark, rows), "g", "m").collect()[0]
+    assert r.z == 0.0 and r.lift == 0.0
+
+
+def test_ab_degenerate_cases(spark):
+    from osprey_spark.operators.dq import ab_test
+
+    # empty treatment arm
+    r = ab_test(_armed(spark, [(0, 1), (0, 0)]), "g", "m").collect()[0]
+    assert r.n_t == 0 and r.p_t is None and r.lift is None and r.z is None
+    assert r.p_c == 0.5
+    # nobody converts anywhere -> pooled 0 -> z NULL, lift defined
+    r = ab_test(_armed(spark, [(0, 0), (1, 0)]), "g", "m").collect()[0]
+    assert r.z is None and r.lift == 0.0
