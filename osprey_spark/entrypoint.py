@@ -5639,6 +5639,24 @@ def _o_pca_power() -> str:
     return pca_power_oracle_sql(dim=16, iterations=8)
 
 
+def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral outliers (similarity.pca_outliers): embeddings scored
+    by squared residual after removing the fitted top principal
+    component — the odd-ones-out a norm/centroid distance misses when
+    one dominant axis carries the spread. Fit + one scoring scan;
+    top-20 by (resid2 desc, id)."""
+    from .operators.similarity import pca_outliers
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_outliers(embs, dim=16, iterations=8, k=20)
+
+
+def _o_pca_outliers() -> str:
+    from .operators.similarity import pca_outliers_oracle_sql
+
+    return pca_outliers_oracle_sql(dim=16, iterations=8, k=20)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit fraud screen (dq.benford_deviation,
     Nigrini's forensic standard): per-user χ² of the first
@@ -6750,6 +6768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_kappa": q_rule_kappa,
     "calibration": q_calibration,
     "pca_power": q_pca_power,
+    "pca_outliers": q_pca_outliers,
     "ab_lift": q_ab_lift,
 }
 
@@ -6923,6 +6942,7 @@ ORACLES: dict[str, str] = {
     "rule_kappa": _o_rule_kappa(),
     "calibration": _o_calibration(),
     "pca_power": _o_pca_power(),
+    "pca_outliers": _o_pca_outliers(),
     "ab_lift": _o_ab_lift(),
 }
 

@@ -1713,8 +1713,9 @@ def pca_power_fit(
     ~|s·c|·quant ≲ dim·quant; at 10^12 rows lower ``quant`` to keep
     n·dim·quant under 2^63 (documented trade, same as logreg).
 
-    Returns ``(v, eigval)`` — the unit top eigenvector and its
-    Rayleigh-quotient eigenvalue in original (covariance) units.
+    Returns ``(v, eigval, mean)`` — the unit top eigenvector, its
+    Rayleigh-quotient eigenvalue in original (covariance) units, and
+    the per-dimension mean (original units) the centering used.
     """
     import math
 
@@ -1772,7 +1773,7 @@ def pca_power_fit(
     lam = v_prev[0] * u[0]
     for j in range(1, dim):
         lam = lam + v_prev[j] * u[j]
-    return v, lam
+    return v, lam, mean
 
 
 def pca_power(
@@ -1785,7 +1786,7 @@ def pca_power(
 ) -> DataFrame:
     """Frame view of :func:`pca_power_fit`: one row per dimension —
     ``(dim_idx, loading, eigval)``, doubles rounded to 6."""
-    v, lam = pca_power_fit(vectors, dim, iterations, id_col, vec_col, quant)
+    v, lam, _ = pca_power_fit(vectors, dim, iterations, id_col, vec_col, quant)
     spark = vectors.sparkSession
     rows = [(j, v[j], lam) for j in range(dim)]
     out = spark.createDataFrame(
@@ -1875,3 +1876,124 @@ def pca_power_oracle_sql(
     )
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT * FROM (\n{sel}\n) ORDER BY dim_idx"
+
+
+def pca_ctes(
+    dim: int,
+    iterations: int = 8,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+    id_col: "str | None" = None,
+) -> "tuple[str, str]":
+    """The quantize/mean/round CTE chain shared by
+    :func:`pca_power_oracle_sql` and the spectral-outlier oracle.
+    Returns (comma-joined CTEs without the leading WITH, name of the
+    final round CTE). With ``id_col`` set, ``pbase`` carries the id
+    through for per-row consumers."""
+    import re as _re
+
+    full = pca_power_oracle_sql(dim, iterations, table, vec_col, quant)
+    body = full[len("WITH ") : full.index("\nSELECT * FROM (")]
+    if id_col:
+        body = body.replace(
+            "pbase AS MATERIALIZED (\n  SELECT ",
+            f"pbase AS MATERIALIZED (\n  SELECT {id_col},\n    ",
+            1,
+        )
+    assert _re.search(r"pw_\d+ AS", body)
+    return body, f"pw_{int(iterations)}"
+
+
+def pca_outliers(
+    vectors: DataFrame,
+    dim: int,
+    iterations: int = 8,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+) -> DataFrame:
+    """Spectral outlier scoring — the :func:`pca_power_fit` consumer:
+    fit the top principal component, then score every embedding by
+    its squared residual after projecting out that component
+    (``resid2 = |c|^2 - (v . c)^2``, c mean-centered). Rows far from
+    the corpus's dominant direction are the odd-ones-out a plain
+    norm/centroid distance misses when one strong axis dominates the
+    spread (Shin et al.'s all-but-the-top observation for text
+    embeddings).
+
+    One extra scan after the fit: per-row proj/resid are fixed
+    left-associated chains over the same per-element quantized
+    components the fit used, with the fitted vector and means
+    embedded as literals — so the DuckDB replay (the fit's unrolled
+    CTE chain + one scoring scan cross-joined to the 1-row
+    vector/mean CTEs) is hash-exact. Top-k by (rounded resid2 desc,
+    id) — a bounded TakeOrdered, deterministic under ties.
+    """
+    if k < 1:
+        raise ValueError("pca_outliers: k must be >= 1")
+    v, _lam, mean = pca_power_fit(
+        vectors, dim, iterations, id_col, vec_col, quant
+    )
+    cent = [
+        (
+            F.round(
+                F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(1e6),
+                0,
+            ).cast("long")
+            .cast("double")
+            / F.lit(1e6)
+        )
+        - F.lit(mean[j])
+        for j in range(dim)
+    ]
+    proj: Column = F.lit(v[0]) * cent[0]
+    for j in range(1, dim):
+        proj = proj + F.lit(v[j]) * cent[j]
+    cc: Column = cent[0] * cent[0]
+    for j in range(1, dim):
+        cc = cc + cent[j] * cent[j]
+    resid2 = cc - proj * proj
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.round(proj, 6).alias("proj"),
+            F.round(resid2, 6).alias("resid2"),
+        )
+        .orderBy(F.desc("resid2"), id_col)
+        .limit(int(k))
+    )
+
+
+def pca_outliers_oracle_sql(
+    dim: int,
+    iterations: int = 8,
+    k: int = 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+) -> str:
+    """DuckDB replay of :func:`pca_outliers`: the fit's CTE chain
+    (``pca_ctes`` with the id threaded through pbase) + one scoring
+    scan cross-joined to the final-round vector and the mean CTE."""
+    body, last = pca_ctes(
+        dim, iterations, table, vec_col, quant, id_col=id_col
+    )
+
+    # pbase already holds round(x*1e6) as BIGINT; rescale only
+    def _centq(j: int) -> str:
+        return f"(CAST(x{j} AS DOUBLE) / 1e6 - pm.m{j})"
+
+    proj = f"(ll.v0 * {_centq(0)})"
+    for j in range(1, dim):
+        proj = f"({proj} + ll.v{j} * {_centq(j)})"
+    cc = f"({_centq(0)} * {_centq(0)})"
+    for j in range(1, dim):
+        cc = f"({cc} + {_centq(j)} * {_centq(j)})"
+    return f"""WITH {body}
+SELECT {id_col}, round({proj}, 6) AS proj,
+  round(({cc} - {proj} * {proj}), 6) AS resid2
+FROM pbase, {last} ll, pmm pm
+ORDER BY resid2 DESC, {id_col} LIMIT {int(k)}"""

@@ -23,7 +23,7 @@ def test_pca_dominant_direction_known_answer(spark):
         t = i / 10.0
         rows.append([0.6 * t + 0.001, 0.8 * t])
         rows.append([0.6 * t - 0.001, 0.8 * t])
-    v, lam = pca_power_fit(_vecs(spark, rows), dim=2, iterations=20)
+    v, lam, _ = pca_power_fit(_vecs(spark, rows), dim=2, iterations=20)
     assert abs(v[0] - 0.6) < 1e-3 and abs(v[1] - 0.8) < 1e-3
     # variance of t over i/10 grid, scaled by |dir|^2 = 1
     ts = [i / 10.0 for i in range(-5, 6) for _ in range(2)]
@@ -77,8 +77,8 @@ def test_pca_matches_python_replica_and_partition_invariance(spark):
 
     df1 = _vecs(spark, rows).coalesce(1)
     df7 = _vecs(spark, rows).repartition(7)
-    v1, _ = pca_power_fit(df1, dim=dim, iterations=iters, quant=quant)
-    v7, _ = pca_power_fit(df7, dim=dim, iterations=iters, quant=quant)
+    v1, _, _ = pca_power_fit(df1, dim=dim, iterations=iters, quant=quant)
+    v7, _, _ = pca_power_fit(df7, dim=dim, iterations=iters, quant=quant)
     assert v1 == v7  # partition-order independence, bitwise
     for j in range(dim):
         assert v1[j] == pytest.approx(v[j], abs=1e-12)
@@ -102,3 +102,33 @@ def test_pca_validation(spark):
         pca_power_fit(_vecs(spark, [[0.5, 0.5], [0.5, 0.5]]), dim=2)
     with pytest.raises(ValueError, match="empty"):
         pca_power_fit(df.filter("vec_id = 99"), dim=2)
+
+
+def test_pca_outliers_planted_orthogonal_point(spark):
+    """A cloud along one axis + one point far off-axis: the planted
+    point tops the residual ranking with resid2 ~ its offset^2."""
+    from osprey_spark.operators.similarity import pca_outliers
+
+    rows = [[i / 10.0, 0.001 * (i % 3 - 1)] for i in range(-5, 6)]
+    rows.append([0.0, 0.8])  # vec_id 11: orthogonal outlier
+    out = pca_outliers(_vecs(spark, rows), dim=2, iterations=15, k=3).collect()
+    assert out[0].vec_id == 11
+    # centered squared distance of the planted point, minus ~0 projection
+    mean_y = (sum(0.001 * (i % 3 - 1) for i in range(-5, 6)) + 0.8) / 12
+    assert abs(out[0].resid2 - (0.8 - mean_y) ** 2) < 0.01
+    assert out[0].resid2 > 10 * out[1].resid2
+
+
+def test_pca_outliers_k_and_determinism(spark):
+    from osprey_spark.operators.similarity import pca_outliers
+
+    rows = [[i / 10.0, ((i * 7) % 5 - 2) / 50.0] for i in range(20)]
+    a = pca_outliers(_vecs(spark, rows), dim=2, iterations=6, k=5).collect()
+    b = pca_outliers(
+        _vecs(spark, rows).repartition(7), dim=2, iterations=6, k=5
+    ).collect()
+    assert a == b and len(a) == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must"):
+        pca_outliers(_vecs(spark, rows), dim=2, k=0)
