@@ -6300,6 +6300,44 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule precision/recall/F1 against after-the-fact ground
+    truth (dq.rule_prf): the planted email marker stands in for a
+    confirmed-abuse label, and every flagship rule's 2x2 is computed
+    in ONE shared scan — which rules caught it, at what FP cost."""
+    from .operators.dq import rule_prf
+
+    out = rules_output(spark, sf_dir)
+    scored = out.select(
+        F.col("TurnText").contains("alice@evil.test").alias("truth"),
+        F.col("HelloRule"),
+        F.col("SpamRule"),
+        F.col("LongToolRule"),
+    )
+    return rule_prf(
+        scored, "truth", ["HelloRule", "LongToolRule", "SpamRule"]
+    )
+
+
+def _o_rule_backtest() -> str:
+    from .operators.dq import rule_prf_sql
+
+    scored = """
+  SELECT CASE WHEN contains(text, 'alice@evil.test') THEN 1 ELSE 0 END AS t,
+    CASE WHEN has_hello THEN 1 ELSE 0 END AS HelloRule,
+    CASE WHEN has_url AND has_spam_domain THEN 1 ELSE 0 END AS SpamRule,
+    CASE WHEN is_tool AND num_tokens >= 4 THEN 1 ELSE 0 END AS LongToolRule
+  FROM feat JOIN turns USING (conv_id, turn_idx)
+"""
+    return (
+        TURNS_CTE
+        + ","
+        + _FLAGSHIP_ORACLE_FEAT
+        + ","
+        + rule_prf_sql(scored, ["HelloRule", "LongToolRule", "SpamRule"])
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6770,6 +6808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_power": q_pca_power,
     "pca_outliers": q_pca_outliers,
     "ab_lift": q_ab_lift,
+    "rule_backtest": q_rule_backtest,
 }
 
 ORACLES: dict[str, str] = {
@@ -6944,6 +6983,7 @@ ORACLES: dict[str, str] = {
     "pca_power": _o_pca_power(),
     "pca_outliers": _o_pca_outliers(),
     "ab_lift": _o_ab_lift(),
+    "rule_backtest": _o_rule_backtest(),
 }
 
 

@@ -445,3 +445,104 @@ SELECT n_c, n_t, x_c, x_t,
         THEN ({p_t} - {p_c}) / {se} END, 6) AS z
 FROM abconf
 """
+
+
+def rule_prf(
+    df: DataFrame, truth_col: str, rule_cols: "Sequence[str]"
+) -> DataFrame:
+    """Rule backtest: precision / recall / F1 of each rule column
+    against a shared ground-truth column — the first report a safety
+    team pulls when labeled outcomes (chargebacks, confirmed abuse,
+    appeal reversals) arrive after the fact: which rules actually
+    caught the bad events, and at what false-positive cost.
+
+    ONE map-side-partial hash aggregate computes all rules'
+    2x2 tables at once (4 conditional integer sums per rule over a
+    single scan — not one job per rule); the 1-row result explodes to
+    one row per rule. Precision/recall are single divisions of exact
+    longs; F1 uses the one-division ``2tp / (2tp + fp + fn)`` form so
+    no intermediate double compounds. Zero denominators (a rule that
+    never fires, a truth that never occurs) yield NULL, not 0/0.
+
+    Output: ``(rule, tp, fp, fn, tn, precision, recall, f1)``
+    ordered by rule name.
+    """
+    if not rule_cols:
+        raise ValueError("rule_prf: need at least one rule column")
+    t = F.col(truth_col).cast("long")
+    aggs = []
+    for i, rc in enumerate(rule_cols):
+        r = F.col(rc).cast("long")
+        aggs += [
+            F.sum(r * t).cast("long").alias(f"_tp{i}"),
+            F.sum(r * (1 - t)).cast("long").alias(f"_fp{i}"),
+            F.sum((1 - r) * t).cast("long").alias(f"_fn{i}"),
+            F.sum((1 - r) * (1 - t)).cast("long").alias(f"_tn{i}"),
+        ]
+    conf = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(rc).alias("rule"),
+                F.col(f"_tp{i}").alias("tp"),
+                F.col(f"_fp{i}").alias("fp"),
+                F.col(f"_fn{i}").alias("fn"),
+                F.col(f"_tn{i}").alias("tn"),
+            )
+            for i, rc in enumerate(rule_cols)
+        ]
+    )
+    ex = conf.select(F.explode(entries).alias("_e")).select("_e.*")
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp >= 1, tp.cast("double") / (tp + fp).cast("double"))
+    rec = F.when(tp + fn >= 1, tp.cast("double") / (tp + fn).cast("double"))
+    f1 = F.when(
+        2 * tp + fp + fn >= 1,
+        (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"),
+    )
+    return ex.select(
+        "rule",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("rule")
+
+
+def rule_prf_sql(scored_sql: str, rule_names: "Sequence[str]") -> str:
+    """DuckDB replay of :func:`rule_prf`. ``scored_sql`` must select
+    an integer truth column ``t`` plus one integer 0/1 column per
+    entry of ``rule_names`` (same names). Same single-scan aggregate,
+    same one-division metrics."""
+    aggs = []
+    for i, rn in enumerate(rule_names):
+        aggs += [
+            f"CAST(sum({rn} * t) AS BIGINT) AS tp{i}",
+            f"CAST(sum({rn} * (1 - t)) AS BIGINT) AS fp{i}",
+            f"CAST(sum((1 - {rn}) * t) AS BIGINT) AS fn{i}",
+            f"CAST(sum((1 - {rn}) * (1 - t)) AS BIGINT) AS tn{i}",
+        ]
+    arms = []
+    for i, rn in enumerate(rule_names):
+        arms.append(
+            f"SELECT '{rn}' AS rule, tp{i} AS tp, fp{i} AS fp, fn{i} AS fn,"
+            f" tn{i} AS tn FROM prfconf"
+        )
+    union = "\nUNION ALL ".join(arms)
+    return f"""
+prfscored AS ({scored_sql}),
+prfconf AS (SELECT {', '.join(aggs)} FROM prfscored)
+SELECT rule, tp, fp, fn, tn,
+  round(CASE WHEN tp + fp >= 1
+        THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+  round(CASE WHEN tp + fn >= 1
+        THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+  round(CASE WHEN 2 * tp + fp + fn >= 1
+        THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 6) AS f1
+FROM (
+{union}
+)
+"""

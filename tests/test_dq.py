@@ -267,3 +267,37 @@ def test_ab_degenerate_cases(spark):
     # nobody converts anywhere -> pooled 0 -> z NULL, lift defined
     r = ab_test(_armed(spark, [(0, 0), (1, 0)]), "g", "m").collect()[0]
     assert r.z is None and r.lift == 0.0
+
+
+# --- rule precision/recall backtest -------------------------------------------
+
+
+def test_rule_prf_known_answer(spark):
+    from osprey_spark.operators.dq import rule_prf
+
+    rows = [
+        # (truth, ra, rb)
+        (1, 1, 0), (1, 1, 0), (1, 0, 1), (0, 1, 0), (0, 0, 0), (0, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "truth int, ra int, rb int")
+    out = {r.rule: r for r in rule_prf(df, "truth", ["ra", "rb"]).collect()}
+    a = out["ra"]
+    assert (a.tp, a.fp, a.fn, a.tn) == (2, 1, 1, 2)
+    assert a.precision == round(2 / 3, 6) == a.recall
+    assert a.f1 == round(4 / 6, 6)
+    b = out["rb"]
+    assert (b.tp, b.fp, b.fn, b.tn) == (1, 1, 2, 2)
+    assert b.precision == 0.5 and b.recall == round(1 / 3, 6)
+    assert b.f1 == round(2 / 5, 6)
+
+
+def test_rule_prf_degenerate_and_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.dq import rule_prf
+
+    df = spark.createDataFrame([(0, 0), (0, 0)], "truth int, ra int")
+    r = rule_prf(df, "truth", ["ra"]).collect()[0]
+    assert r.precision is None and r.recall is None and r.f1 is None
+    with pytest.raises(ValueError, match="at least one"):
+        rule_prf(df, "truth", [])
