@@ -6338,6 +6338,22 @@ def _o_rule_backtest() -> str:
     )
 
 
+def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of turn volume across conversations
+    (dq.gini_concentration): the one-number whale/bot-farm skew
+    readout that decides salting strategy. Exact tied-rank integer
+    algebra over the distinct-count-value frame."""
+    from .operators.dq import gini_concentration
+
+    return gini_concentration(turns_from_events(spark, sf_dir), "conv_id")
+
+
+def _o_gini_activity() -> str:
+    from .operators.dq import gini_concentration_sql
+
+    return TURNS_CTE + "," + gini_concentration_sql("turns", "conv_id")
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6809,6 +6825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_outliers": q_pca_outliers,
     "ab_lift": q_ab_lift,
     "rule_backtest": q_rule_backtest,
+    "gini_activity": q_gini_activity,
 }
 
 ORACLES: dict[str, str] = {
@@ -6984,6 +7001,7 @@ ORACLES: dict[str, str] = {
     "pca_outliers": _o_pca_outliers(),
     "ab_lift": _o_ab_lift(),
     "rule_backtest": _o_rule_backtest(),
+    "gini_activity": _o_gini_activity(),
 }
 
 

@@ -546,3 +546,81 @@ FROM (
 {union}
 )
 """
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Gini coefficient of per-key activity concentration — the
+    one-number inequality readout behind "is our traffic a broad base
+    or five whales?": 0 = everyone equally active, →1 = all activity
+    in one key. The skew statistic that decides salting strategy and
+    flags abuse farms (a bot ring pushes the activity Lorenz curve
+    toward the corner long before any single key tops a threshold).
+
+    Exact-integer discipline via the tied-rank trick (the
+    classifier_eval AUC machinery): per-key counts collapse to the
+    DISTINCT-count-value frame, where a group of ``k`` keys sharing
+    count ``c`` at cumulative offset ``m`` contributes exactly
+    ``c·(k·m + k(k+1)/2)`` to the rank-weighted sum — all BIGINT, so
+    ``G = 2·S2/(n·S) − (n+1)/n`` is two fixed divisions of exact
+    integers. Shape: one key-keyed hash aggregate (map-side partials),
+    one tiny distinct-value aggregate, one window over that bounded
+    frame, one 1-row reduce. Long-sum headroom: S2 ≲ S·n — at
+    extreme scale bucket counts first (the hist_quantiles trade).
+
+    Output: one row ``(n_keys, total, gini)``.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    vals = counts.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    w_cum = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, 0)
+    staged = vals.select(
+        "_c",
+        "_k",
+        (F.sum("_k").over(w_cum) - F.col("_k")).cast("long").alias("_m"),
+    )
+    half = F.expr("(_k * (_k + 1)) div 2")
+    red = staged.agg(
+        F.sum("_k").cast("long").alias("n_keys"),
+        F.sum(F.col("_c") * F.col("_k")).cast("long").alias("total"),
+        F.sum(F.col("_c") * (F.col("_k") * F.col("_m") + half))
+        .cast("long")
+        .alias("_s2"),
+    )
+    nd = F.col("n_keys").cast("double")
+    gini = (F.lit(2.0) * F.col("_s2").cast("double")) / (
+        nd * F.col("total").cast("double")
+    ) - (F.col("n_keys") + 1).cast("double") / nd
+    return red.select(
+        "n_keys",
+        "total",
+        F.round(F.when(F.col("total") >= 1, gini), 6).alias("gini"),
+    )
+
+
+def gini_concentration_sql(table: str, key_col: str) -> str:
+    """DuckDB replay of :func:`gini_concentration` — same tied-rank
+    integer algebra, same two fixed divisions."""
+    return f"""
+gcounts AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM {table} GROUP BY {key_col}
+),
+gvals AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS k FROM gcounts GROUP BY c
+),
+gstaged AS (
+  SELECT c, k,
+    CAST(sum(k) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - k AS BIGINT) AS m
+  FROM gvals
+),
+gred AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+    CAST(sum(c * k) AS BIGINT) AS total,
+    CAST(sum(c * (k * m + (k * (k + 1)) // 2)) AS BIGINT) AS s2
+  FROM gstaged
+)
+SELECT n_keys, total,
+  round(CASE WHEN total >= 1
+        THEN (2.0 * CAST(s2 AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+             - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) END, 6) AS gini
+FROM gred
+"""

@@ -301,3 +301,53 @@ def test_rule_prf_degenerate_and_validation(spark):
     assert r.precision is None and r.recall is None and r.f1 is None
     with pytest.raises(ValueError, match="at least one"):
         rule_prf(df, "truth", [])
+
+
+# --- Gini activity concentration ----------------------------------------------
+
+
+def _events_for(spark, counts):
+    rows = [(f"k{i}", j) for i, c in enumerate(counts) for j in range(c)]
+    return spark.createDataFrame(rows, "key string, x int")
+
+
+def test_gini_perfect_equality(spark):
+    from osprey_spark.operators.dq import gini_concentration
+
+    r = gini_concentration(_events_for(spark, [4, 4, 4, 4]), "key").collect()[0]
+    assert (r.n_keys, r.total, r.gini) == (4, 16, 0.0)
+
+
+def test_gini_known_answer_and_replica(spark):
+    from osprey_spark.operators.dq import gini_concentration
+
+    counts = [1, 1, 2, 3, 5, 8, 20]
+    xs = sorted(counts)
+    n, s = len(xs), sum(xs)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    r = gini_concentration(_events_for(spark, counts), "key").collect()[0]
+    assert (r.n_keys, r.total) == (n, s)
+    assert r.gini == round(g, 6)
+
+
+def test_gini_extreme_concentration(spark):
+    from osprey_spark.operators.dq import gini_concentration
+
+    # 9 keys with 1 event, 1 whale with 91: gini near (but below) 1
+    r = gini_concentration(_events_for(spark, [1] * 9 + [91]), "key").collect()[0]
+    xs = [1] * 9 + [91]
+    n, s = 10, 100
+    g = 2 * sum((i + 1) * x for i, x in enumerate(sorted(xs))) / (n * s) - (n + 1) / n
+    assert r.gini == round(g, 6) and r.gini > 0.8
+
+
+def test_gini_tie_groups_match_sorted_formula(spark):
+    """Heavy ties exercise the k·m + k(k+1)/2 rank algebra."""
+    from osprey_spark.operators.dq import gini_concentration
+
+    counts = [2] * 5 + [7] * 3 + [1] * 4
+    xs = sorted(counts)
+    n, s = len(xs), sum(xs)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    r = gini_concentration(_events_for(spark, counts), "key").collect()[0]
+    assert r.gini == round(g, 6)
