@@ -6354,6 +6354,26 @@ def _o_gini_activity() -> str:
     return TURNS_CTE + "," + gini_concentration_sql("turns", "conv_id")
 
 
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the global hourly turn-count series
+    (forecast.acf_hourly) at lags 1..36 — the PERIOD detector the
+    temporal family lacked: bursts find runs, changepoints find level
+    shifts, Holt absorbs trend; a lag-24 ACF peak is daily
+    seasonality a naive rate baseline would alarm on every morning."""
+    from .operators.forecast import acf_hourly
+
+    return acf_hourly(turns_from_events(spark, sf_dir), max_lag=36)
+
+
+def _o_acf_hourly() -> str:
+    from .operators.forecast import acf_hourly_sql
+
+    return (
+        TURNS_CTE + ",\n" + acf_hourly_sql("turns", max_lag=36)
+        + " ORDER BY lag"
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6826,6 +6846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_lift": q_ab_lift,
     "rule_backtest": q_rule_backtest,
     "gini_activity": q_gini_activity,
+    "acf_hourly": q_acf_hourly,
 }
 
 ORACLES: dict[str, str] = {
@@ -7002,6 +7023,7 @@ ORACLES: dict[str, str] = {
     "ab_lift": _o_ab_lift(),
     "rule_backtest": _o_rule_backtest(),
     "gini_activity": _o_gini_activity(),
+    "acf_hourly": _o_acf_hourly(),
 }
 
 

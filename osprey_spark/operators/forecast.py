@@ -249,3 +249,167 @@ SELECT k, CAST(hs[CAST(i + 1 AS INT)] AS BIGINT) AS hour,
   CAST(acc[CAST(3 * i + 3 AS INT)] AS INT) AS anomaly
 FROM ffolded, unnest(range(1, len(xs))) AS t(i)
 """
+
+
+def acf_hourly(
+    turns: DataFrame, max_lag: int = 36, ts_col: str = "ts"
+) -> DataFrame:
+    """Autocorrelation function of the global hourly event-count
+    series at lags 1..``max_lag`` — the periodicity detector the
+    temporal-anomaly family lacked: daily seasonality shows as a
+    lag-24 peak, weekly as lag-168, and a rate baseline that ignores
+    a strong ACF peak will alarm every morning at 9am. (Kleinberg
+    bursts find RUNS, changepoints find LEVEL SHIFTS, Holt absorbs
+    TREND — none of them sees PERIOD.)
+
+    The series zero-fills over the observed span (an absent hour is
+    an observation of 0 — the holt_forecast convention), so its
+    length is bounded by the observation span in hours, never the
+    corpus: ONE hour-keyed hash aggregate collapses 10^12 turns to
+    that bounded series, which then rides a single row through
+    pure-JVM HOF algebra (the textrank boundedness class).
+
+    Exact-integer discipline: per-lag cross products ``C_k``, prefix
+    sums and the global first/second moments are BIGINT; the centered
+    numerator/denominator expand algebraically so the only doubles
+    are the mean ``m = S/n`` and one fixed-parenthesization
+    combination per lag:
+    ``acf_k = ((C_k − m·(A_k+B_k)) + (n−k)·m²) / (Q − m·S)``.
+    Long-sum headroom: C_k ≲ n·max(x)² — at extreme per-hour volumes
+    pre-scale counts (the hist_quantiles trade), documented.
+
+    Output: one row per lag ``(lag, n_obs, acf)`` with
+    ``n_obs = n − lag`` pairs; lags with fewer than 2 pairs (or a
+    zero-variance series) are omitted.
+    """
+    if int(max_lag) < 1:
+        raise ValueError("acf_hourly: max_lag must be >= 1")
+    hour = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(3600.0)
+    ).cast("long")
+    cnts = turns.groupBy(hour.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    staged = cnts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_h"), F.col("_c")))
+        ).alias("_m"),
+        F.min("_h").alias("_lo"),
+        F.max("_h").alias("_hi"),
+    )
+    xs_expr = F.transform(
+        F.sequence(F.col("_lo"), F.col("_hi")),
+        lambda h: F.coalesce(F.element_at(F.col("_m"), h), F.lit(0).cast("long")),
+    )
+
+    L = int(max_lag)
+
+    def _body(xs: Column, ps: Column) -> Column:
+        n = F.size(xs)
+        # ps is seeded with a leading 0: ps[i + 1] = sum of first i
+        s_tot = F.element_at(ps, n + 1)
+        q_tot = F.aggregate(
+            xs, F.lit(0).cast("long"), lambda a, v: a + v * v
+        )
+        m = s_tot.cast("double") / n.cast("double")
+        den = q_tot.cast("double") - m * s_tot.cast("double")
+
+        def _lag(k: Column) -> Column:
+            nk = (n - k).cast("int")
+            ck = F.aggregate(
+                F.zip_with(
+                    F.slice(xs, 1, nk),
+                    F.slice(xs, (k + 1).cast("int"), nk),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            )
+            ak = F.element_at(ps, nk + 1)
+            bk = s_tot - F.element_at(ps, (k + 1).cast("int"))
+            num = (ck.cast("double") - m * (ak + bk).cast("double")) + (
+                nk.cast("double") * (m * m)
+            )
+            return F.struct(
+                k.cast("int").alias("lag"),
+                nk.cast("long").alias("n_obs"),
+                F.round(num / den, 6).alias("acf"),
+            )
+
+        kmax = F.least(F.lit(L), n - 2)
+        seq = F.when(
+            (n >= 3) & (den > 0.0) & (kmax >= 1),
+            F.sequence(F.lit(1).cast("long"), kmax.cast("long")),
+        ).otherwise(F.array().cast("array<long>"))
+        return F.transform(seq, _lag)
+
+    # nested single-element-array let-binding: xs and its prefix-sum
+    # array each evaluate ONCE (the changepoints re-inline lesson)
+    def _ps_of(xs: Column) -> Column:
+        # seeded with [0] so element_at(acc, size) is always valid
+        return F.aggregate(
+            xs,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, v: F.concat(
+                acc, F.array(F.element_at(acc, F.size(acc)) + v)
+            ),
+        )
+
+    rows = F.element_at(
+        F.transform(
+            F.array(xs_expr),
+            lambda xs: F.element_at(
+                F.transform(F.array(_ps_of(xs)), lambda ps: _body(xs, ps)), 1
+            ),
+        ),
+        1,
+    )
+    return (
+        staged.select(F.explode(rows).alias("_r"))
+        .select("_r.lag", "_r.n_obs", "_r.acf")
+        .orderBy("lag")
+    )
+
+
+def acf_hourly_sql(table: str, max_lag: int = 36) -> str:
+    """DuckDB replay of :func:`acf_hourly`: the zero-filled series
+    builds by a range LEFT join, per-lag integer sums by list
+    comprehensions over the one-row series, and the double
+    combination mirrors the Spark parenthesization verbatim."""
+    L = int(max_lag)
+    return f"""
+ahrs AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS h, count(*) AS c
+  FROM {table} GROUP BY 1
+),
+aspan AS (SELECT min(h) AS lo, max(h) AS hi FROM ahrs),
+axs AS (
+  SELECT list(CAST(coalesce(a.c, 0) AS BIGINT) ORDER BY g.h) AS x
+  FROM (SELECT unnest(range((SELECT lo FROM aspan), (SELECT hi FROM aspan) + 1)) AS h) g
+  LEFT JOIN ahrs a ON g.h = a.h
+),
+astat AS (
+  SELECT x, len(x) AS n,
+    CAST(list_sum(x) AS BIGINT) AS s,
+    CAST(list_sum(list_transform(x, v -> v * v)) AS BIGINT) AS q
+  FROM axs
+),
+alags AS (
+  SELECT x, n, s, q,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+    CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE) AS den,
+    unnest(CASE WHEN n >= 3 AND
+        CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE) > 0.0
+        AND least({L}, n - 2) >= 1
+      THEN range(1, least({L}, n - 2) + 1) ELSE CAST([] AS BIGINT[]) END) AS k
+  FROM astat
+)
+SELECT CAST(k AS INT) AS lag, CAST(n - k AS BIGINT) AS n_obs,
+  round((
+    (CAST(CAST(list_sum(list_transform(range(1, n - k + 1), i -> x[CAST(i AS INT)] * x[CAST(i + k AS INT)])) AS BIGINT) AS DOUBLE)
+     - m * CAST(CAST(list_sum(x[1 : CAST(n - k AS INT)]) AS BIGINT)
+                + (s - CAST(list_sum(x[1 : CAST(k AS INT)]) AS BIGINT)) AS DOUBLE))
+    + (CAST(n - k AS DOUBLE) * (m * m))
+  ) / den, 6) AS acf
+FROM alags
+"""
