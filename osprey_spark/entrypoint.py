@@ -6374,6 +6374,30 @@ def _o_acf_hourly() -> str:
     )
 
 
+def q_ccf_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between hourly user-turn and
+    tool-turn volumes (forecast.ccf_hourly, lags ±12): does tool
+    activity follow user activity, and by how many hours? The
+    positive-lag peak is the pipeline delay acf_hourly cannot see."""
+    from .operators.forecast import ccf_hourly
+
+    t = turns_from_events(spark, sf_dir)
+    return ccf_hourly(
+        t, F.col("role") == "user", F.col("role") == "tool", max_lag=12
+    )
+
+
+def _o_ccf_roles() -> str:
+    from .operators.forecast import ccf_hourly_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + ccf_hourly_sql("turns", "role = 'user'", "role = 'tool'", max_lag=12)
+        + " ORDER BY lag"
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6847,6 +6871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_backtest": q_rule_backtest,
     "gini_activity": q_gini_activity,
     "acf_hourly": q_acf_hourly,
+    "ccf_roles": q_ccf_roles,
 }
 
 ORACLES: dict[str, str] = {
@@ -7024,6 +7049,7 @@ ORACLES: dict[str, str] = {
     "rule_backtest": _o_rule_backtest(),
     "gini_activity": _o_gini_activity(),
     "acf_hourly": _o_acf_hourly(),
+    "ccf_roles": _o_ccf_roles(),
 }
 
 

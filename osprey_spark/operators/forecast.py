@@ -413,3 +413,218 @@ SELECT CAST(k AS INT) AS lag, CAST(n - k AS BIGINT) AS n_obs,
   ) / den, 6) AS acf
 FROM alags
 """
+
+
+def ccf_hourly(
+    turns: DataFrame,
+    left_filter: Column,
+    right_filter: Column,
+    max_lag: int = 12,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cross-correlation between two hourly event-count series at
+    lags −``max_lag``..+``max_lag`` — the LEAD-LAG question
+    :func:`acf_hourly` cannot answer: does tool activity follow user
+    activity, do errors lead complaint spikes, by how many hours? A
+    positive-lag peak means the LEFT series leads (right follows
+    ``lag`` hours later); the argmax lag is the pipeline delay.
+
+    Both series zero-fill over the SHARED observed span (union of
+    both series' active hours), so alignment is positional and exact.
+    Same engine shape as acf_hourly: ONE hour-keyed hash aggregate
+    with two conditional count columns collapses the corpus to a
+    span-bounded pair of series on a single row; per-lag sums are
+    exact BIGINT (cross products, prefix sums via [0]-seeded folds),
+    and the only doubles are the two means and one fixed
+    parenthesization per lag:
+    ``ccf_k = ((C_k − mx·By_k − my·Ax_k) + (n−|k|)·mx·my)
+    / sqrt((Qx − mx·Sx) · (Qy − my·Sy))``
+    — the normalization uses full-series variances (the standard CCF
+    convention), one IEEE sqrt on bit-identical operands.
+
+    Output: one row per lag ``(lag, n_obs, ccf)``; degenerate
+    (zero-variance either side, or span too short) yields no rows.
+    """
+    if int(max_lag) < 1:
+        raise ValueError("ccf_hourly: max_lag must be >= 1")
+    hour = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(3600.0)
+    ).cast("long")
+    cnts = turns.groupBy(hour.alias("_h")).agg(
+        F.sum(F.when(left_filter, 1).otherwise(0)).cast("long").alias("_cx"),
+        F.sum(F.when(right_filter, 1).otherwise(0)).cast("long").alias("_cy"),
+    )
+    staged = cnts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_h"), F.struct("_cx", "_cy")))
+        ).alias("_m"),
+        F.min("_h").alias("_lo"),
+        F.max("_h").alias("_hi"),
+    )
+    xs_expr = F.transform(
+        F.sequence(F.col("_lo"), F.col("_hi")),
+        lambda h: F.coalesce(
+            F.element_at(F.col("_m"), h)["_cx"], F.lit(0).cast("long")
+        ),
+    )
+    ys_expr = F.transform(
+        F.sequence(F.col("_lo"), F.col("_hi")),
+        lambda h: F.coalesce(
+            F.element_at(F.col("_m"), h)["_cy"], F.lit(0).cast("long")
+        ),
+    )
+
+    L = int(max_lag)
+
+    def _ps_of(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, v: F.concat(
+                acc, F.array(F.element_at(acc, F.size(acc)) + v)
+            ),
+        )
+
+    def _body(xs: Column, ys: Column, psx: Column, psy: Column) -> Column:
+        n = F.size(xs)
+        sx = F.element_at(psx, n + 1)
+        sy = F.element_at(psy, n + 1)
+        qx = F.aggregate(xs, F.lit(0).cast("long"), lambda a, v: a + v * v)
+        qy = F.aggregate(ys, F.lit(0).cast("long"), lambda a, v: a + v * v)
+        mx = sx.cast("double") / n.cast("double")
+        my = sy.cast("double") / n.cast("double")
+        denx = qx.cast("double") - mx * sx.cast("double")
+        deny = qy.cast("double") - my * sy.cast("double")
+        den = F.sqrt(denx * deny)
+
+        def _lag(k: Column) -> Column:
+            # lag k: pair x_t with y_{t+k}; negative k pairs x_{t-k}
+            # with y_t, i.e. the x slice starts at 1-k
+            ka = F.abs(k).cast("int")
+            nk = (n - ka).cast("int")
+            xoff = F.when(k >= 0, F.lit(1)).otherwise(1 - k).cast("int")
+            yoff = F.when(k >= 0, k + 1).otherwise(F.lit(1)).cast("int")
+            ck = F.aggregate(
+                F.zip_with(
+                    F.slice(xs, xoff, nk),
+                    F.slice(ys, yoff, nk),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            )
+            # window sum over [off, off+nk-1] with ps[i+1] = prefix(i):
+            # prefix(off+nk-1) - prefix(off-1) = ps[off+nk] - ps[off]
+            ax = F.element_at(psx, xoff + nk) - F.element_at(psx, xoff)
+            by = F.element_at(psy, yoff + nk) - F.element_at(psy, yoff)
+            num = (
+                ck.cast("double") - mx * by.cast("double") - my * ax.cast("double")
+            ) + (nk.cast("double") * (mx * my))
+            return F.struct(
+                k.cast("int").alias("lag"),
+                nk.cast("long").alias("n_obs"),
+                F.round(num / den, 6).alias("ccf"),
+            )
+
+        kmax = F.least(F.lit(L), n - 2)
+        seq = F.when(
+            (n >= 3) & (denx > 0.0) & (deny > 0.0) & (kmax >= 1),
+            F.sequence(-kmax.cast("long"), kmax.cast("long")),
+        ).otherwise(F.array().cast("array<long>"))
+        return F.transform(seq, _lag)
+
+    rows = F.element_at(
+        F.transform(
+            F.array(xs_expr),
+            lambda xs: F.element_at(
+                F.transform(
+                    F.array(ys_expr),
+                    lambda ys: F.element_at(
+                        F.transform(
+                            F.array(_ps_of(xs)),
+                            lambda psx: F.element_at(
+                                F.transform(
+                                    F.array(_ps_of(ys)),
+                                    lambda psy: _body(xs, ys, psx, psy),
+                                ),
+                                1,
+                            ),
+                        ),
+                        1,
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    return (
+        staged.select(F.explode(rows).alias("_r"))
+        .select("_r.lag", "_r.n_obs", "_r.ccf")
+        .orderBy("lag")
+    )
+
+
+def ccf_hourly_sql(
+    table: str, left_pred: str, right_pred: str, max_lag: int = 12
+) -> str:
+    """DuckDB replay of :func:`ccf_hourly`. ``left_pred`` /
+    ``right_pred`` are SQL boolean expressions over ``table``'s
+    columns. Integer sums may take any path (they are exact); the
+    double combination mirrors the Spark parenthesization verbatim."""
+    L = int(max_lag)
+    return f"""
+chrs AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS h,
+    CAST(sum(CASE WHEN {left_pred} THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+    CAST(sum(CASE WHEN {right_pred} THEN 1 ELSE 0 END) AS BIGINT) AS cy
+  FROM {table} GROUP BY 1
+),
+cspan AS (SELECT min(h) AS lo, max(h) AS hi FROM chrs),
+cxs AS (
+  SELECT list(CAST(coalesce(a.cx, 0) AS BIGINT) ORDER BY g.h) AS x,
+         list(CAST(coalesce(a.cy, 0) AS BIGINT) ORDER BY g.h) AS y
+  FROM (SELECT unnest(range((SELECT lo FROM cspan), (SELECT hi FROM cspan) + 1)) AS h) g
+  LEFT JOIN chrs a ON g.h = a.h
+),
+cstat AS (
+  SELECT x, y, len(x) AS n,
+    CAST(list_sum(x) AS BIGINT) AS sx, CAST(list_sum(y) AS BIGINT) AS sy,
+    CAST(list_sum(list_transform(x, v -> v * v)) AS BIGINT) AS qx,
+    CAST(list_sum(list_transform(y, v -> v * v)) AS BIGINT) AS qy
+  FROM cxs
+),
+cmeans AS (
+  SELECT x, y, n, sx, sy,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+    CAST(qx AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE) AS denx,
+    CAST(qy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE) AS deny
+  FROM cstat
+),
+clag AS (
+  SELECT x, y, n, mx, my, denx, deny,
+    unnest(CASE WHEN n >= 3 AND denx > 0.0 AND deny > 0.0 AND least({L}, n - 2) >= 1
+      THEN range(-least({L}, n - 2), least({L}, n - 2) + 1)
+      ELSE CAST([] AS BIGINT[]) END) AS k
+  FROM cmeans
+),
+coff AS (
+  SELECT *, n - abs(k) AS nk,
+    CASE WHEN k >= 0 THEN 1 ELSE 1 - k END AS xoff,
+    CASE WHEN k >= 0 THEN k + 1 ELSE 1 END AS yoff
+  FROM clag
+),
+csums AS (
+  SELECT k, nk, mx, my, denx, deny,
+    CAST(list_sum(list_transform(range(0, nk),
+      i -> x[CAST(xoff + i AS INT)] * y[CAST(yoff + i AS INT)])) AS BIGINT) AS ck,
+    CAST(list_sum(x[CAST(xoff AS INT) : CAST(xoff + nk - 1 AS INT)]) AS BIGINT) AS ax,
+    CAST(list_sum(y[CAST(yoff AS INT) : CAST(yoff + nk - 1 AS INT)]) AS BIGINT) AS by
+  FROM coff
+)
+SELECT CAST(k AS INT) AS lag, CAST(nk AS BIGINT) AS n_obs,
+  round(((CAST(ck AS DOUBLE) - mx * CAST(by AS DOUBLE) - my * CAST(ax AS DOUBLE))
+         + (CAST(nk AS DOUBLE) * (mx * my))) / sqrt(denx * deny), 6) AS ccf
+FROM csums
+"""
