@@ -6398,6 +6398,22 @@ def _o_ccf_roles() -> str:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the documents token-frequency head
+    (curation.zipf_fit): slope near -1 with high r² is the natural-
+    language signature; template spam and synthetic text bend or
+    flatten the line — a one-row whole-corpus quality fingerprint."""
+    from .operators.curation import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=500)
+
+
+def _o_zipf_fit() -> str:
+    from .operators.curation import zipf_fit_sql
+
+    return "WITH " + zipf_fit_sql("documents", top_n=500).lstrip()
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6872,6 +6888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_activity": q_gini_activity,
     "acf_hourly": q_acf_hourly,
     "ccf_roles": q_ccf_roles,
+    "zipf_fit": q_zipf_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7050,6 +7067,7 @@ ORACLES: dict[str, str] = {
     "gini_activity": _o_gini_activity(),
     "acf_hourly": _o_acf_hourly(),
     "ccf_roles": _o_ccf_roles(),
+    "zipf_fit": _o_zipf_fit(),
 }
 
 

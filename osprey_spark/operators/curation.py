@@ -2515,3 +2515,127 @@ SELECT bin, n, n_pos, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
   round(CAST(tc AS DOUBLE) / ({eq} * CAST(tn AS DOUBLE)), 6) AS ece
 FROM cstaged
 """
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 500,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Zipf power-law fit over the token frequency head — the
+    corpus-statistics signature check (Zipf 1949): natural language
+    shows ln(freq) ≈ a + s·ln(rank) with slope s near −1; template
+    spam, keyword stuffing and synthetic text bend or flatten the
+    line, so (slope, r²) is a cheap whole-corpus quality fingerprint
+    alongside per-doc gopher_quality gates.
+
+    Shape: one corpus-scale token hash aggregate (map-side partials)
+    → a bounded TakeOrdered head of ``top_n`` types (the fit uses the
+    head only — standard practice, and it keeps everything after the
+    vocab aggregate driver-bounded) → one window + one 1-row reduce
+    over that bounded frame.
+
+    Exactness: ln(rank)/ln(freq) quantize to BIGINT micro-units
+    before the OLS moment sums (partition-order-independent longs;
+    ln is IEEE-deterministic on identical inputs — the collocations
+    precedent), and slope/intercept/r² are fixed-parenthesization
+    combinations of those exact integers.
+
+    Output: one row ``(n_types, slope, intercept, r2)`` — intercept
+    in ln-frequency units at ln(rank)=0, doubles rounded to 6.
+    """
+    if int(top_n) < 3:
+        raise ValueError("zipf_fit: top_n must be >= 3")
+    qf = float(quant)
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    vocab = (
+        docs.select(toks)
+        .filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    head = vocab.orderBy(F.desc("_c"), "_t").limit(int(top_n))
+    w = Window.orderBy(F.desc("_c"), "_t")
+    ranked = head.select(
+        "_c", F.row_number().over(w).cast("long").alias("_r")
+    )
+    qx = F.round(F.log(F.col("_r").cast("double")) * F.lit(qf), 0).cast("long")
+    qy = F.round(F.log(F.col("_c").cast("double")) * F.lit(qf), 0).cast("long")
+    red = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(qx).cast("long").alias("_sx"),
+        F.sum(qy).cast("long").alias("_sy"),
+        F.sum(qx * qx).cast("long").alias("_sxx"),
+        F.sum(qy * qy).cast("long").alias("_syy"),
+        F.sum(qx * qy).cast("long").alias("_sxy"),
+    )
+    nd = F.col("n_types").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = cov / dx
+    inter = ((sy - (cov / dx) * sx) / nd) / F.lit(qf)
+    r2 = (cov * cov) / (dx * dy)
+    ok = (F.col("n_types") >= 3) & (dx > 0.0)
+    return red.select(
+        "n_types",
+        F.round(F.when(ok, slope), 6).alias("slope"),
+        F.round(F.when(ok, inter), 6).alias("intercept"),
+        F.round(F.when(ok & (dy > 0.0), r2), 6).alias("r2"),
+    )
+
+
+def zipf_fit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_n: int = 500,
+    quant: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`zipf_fit` — same head cut, same
+    quantized ln moments, same fixed parenthesization."""
+    qf = repr(float(quant))
+    return f"""
+zvocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split({text_col}, ' ')) AS t FROM {table}
+  ) WHERE t <> '' GROUP BY t
+),
+zhead AS (SELECT * FROM zvocab ORDER BY c DESC, t LIMIT {int(top_n)}),
+zranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS r
+  FROM zhead
+),
+zq AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * {qf}, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * {qf}, 0) AS BIGINT) AS y
+  FROM zranked
+),
+zred AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM zq
+)
+SELECT n_types,
+  round(CASE WHEN n_types >= 3 AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+    THEN (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS slope,
+  round(CASE WHEN n_types >= 3 AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+    THEN ((CAST(sy AS DOUBLE) - ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+          / CAST(n_types AS DOUBLE)) / {qf} END, 6) AS intercept,
+  round(CASE WHEN n_types >= 3 AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+         AND CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+    THEN ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS r2
+FROM zred
+"""

@@ -272,3 +272,64 @@ def test_calibration_validation(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(_probed(spark, [(1, 0.5)]), n_bins=0)
+
+
+# --- Zipf power-law fit -------------------------------------------------------
+
+
+def test_zipf_exact_power_law_slope(spark):
+    """A corpus engineered so freq(rank r) = round(1000 * r^-1):
+    slope ~ -1, r2 ~ 1."""
+    import math
+
+    from osprey_spark.operators.curation import zipf_fit
+
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for i, w in enumerate(words):
+        freq = round(1000 / (i + 1))
+        docs.extend([w] * freq)
+    # pack into a few documents
+    texts = [" ".join(docs[i::7]) for i in range(7)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    r = zipf_fit(df, top_n=30).collect()[0]
+    assert r.n_types == 30
+    assert abs(r.slope - (-1.0)) < 0.02
+    assert r.r2 > 0.999
+    assert abs(r.intercept - math.log(1000)) < 0.05
+
+
+def test_zipf_uniform_corpus_flat_slope(spark):
+    from osprey_spark.operators.curation import zipf_fit
+
+    text = " ".join(f"tok{i}" for i in range(50) for _ in range(5))
+    df = spark.createDataFrame([(text,)], "text string")
+    r = zipf_fit(df, top_n=50).collect()[0]
+    assert r.slope == 0.0 and r.r2 is None  # zero y-variance
+
+
+def test_zipf_matches_python_ols(spark):
+    import math
+
+    from osprey_spark.operators.curation import zipf_fit
+
+    freqs = [40, 22, 9, 9, 5, 3, 2, 2, 2, 1]
+    text = " ".join(f"t{i}" for i, c in enumerate(freqs) for _ in range(c))
+    df = spark.createDataFrame([(text,)], "text string")
+    # replica with the same quantization
+    pts = []
+    order = sorted(range(len(freqs)), key=lambda i: (-freqs[i], f"t{i}"))
+    for rank, i in enumerate(order, 1):
+        pts.append((round(math.log(rank) * 1e6), round(math.log(freqs[i]) * 1e6)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    dx = n * sxx - sx * sx; dy = n * syy - sy * sy; cov = n * sxy - sx * sy
+    r = zipf_fit(df, top_n=100).collect()[0]
+    assert r.slope == round(cov / dx, 6)
+    assert r.r2 == round((cov * cov) / (dx * dy), 6)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="top_n"):
+        zipf_fit(df, top_n=2)
