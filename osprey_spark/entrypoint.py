@@ -6414,6 +6414,28 @@ def _o_zipf_fit() -> str:
     return "WITH " + zipf_fit_sql("documents", top_n=500).lstrip()
 
 
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role-transition entropy
+    (transcripts.transition_entropy): the scripted-bot predictability
+    score — a paced automation loop has entropy near 0 while human
+    dialogue wanders; one lag window + two aggregates on the conv
+    shuffle key."""
+    from .operators.transcripts import transition_entropy
+
+    return transition_entropy(turns_from_events(spark, sf_dir))
+
+
+def _o_transition_entropy() -> str:
+    from .operators.transcripts import transition_entropy_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + transition_entropy_sql("turns")
+        + " ORDER BY conv_id"
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6889,6 +6911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf_hourly": q_acf_hourly,
     "ccf_roles": q_ccf_roles,
     "zipf_fit": q_zipf_fit,
+    "transition_entropy": q_transition_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -7068,6 +7091,7 @@ ORACLES: dict[str, str] = {
     "acf_hourly": _o_acf_hourly(),
     "ccf_roles": _o_ccf_roles(),
     "zipf_fit": _o_zipf_fit(),
+    "transition_entropy": _o_transition_entropy(),
 }
 
 

@@ -2032,3 +2032,108 @@ def changepoints_sql(
         .replace("MAX_CPS", str(int(max_cps)))
         .replace("PENALTY", repr(float(penalty)))
     )
+
+
+def transition_entropy(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    quant: int = 10**9,
+) -> DataFrame:
+    """Per-conversation transition-entropy predictability score: the
+    Shannon entropy of the conversation's (state → state) transition
+    distribution — the scripted-bot signal: a human dialogue wanders
+    (high entropy), a replay/automation loop cycles through the same
+    role/tool transitions deterministically (entropy near 0), and
+    neither a rate gate nor a repetition n-gram catches a bot that
+    paces itself but never varies its loop.
+
+    ``H = ln(n) − (Σ_pair c·ln c)/n`` over the conversation's
+    transition-pair counts (the algebraic identity avoids per-pair
+    probabilities entirely); ``evenness = H / ln(k)`` normalizes by
+    the observed pair vocabulary (1 = uniform over its own
+    transitions, 0 = fully deterministic; NULL when k = 1, where H is
+    exactly 0).
+
+    Shape: one conv-partitioned lag window + TWO conv-keyed hash
+    aggregates on the same shuffle key — no self-joins, state bounded
+    by the (state × state) vocabulary. Exactness: ``c·ln c``
+    quantizes to BIGINT before the per-conversation sum
+    (order-independent longs; ln on identical integer-derived doubles
+    is engine-deterministic — the collocations precedent), and H /
+    evenness are fixed-shape combinations. Output:
+    ``(conv_id, n_transitions, n_pairs, entropy, evenness)``.
+    """
+    w = Window.partitionBy("_cv").orderBy("_o")
+    pairs = (
+        turns.select(
+            F.col(conv_col).alias("_cv"),
+            F.col(order_col).alias("_o"),
+            F.col(state_col).alias("_s"),
+        )
+        .select(
+            "_cv", F.lag("_s").over(w).alias("_p"), F.col("_s")
+        )
+        .filter(F.col("_p").isNotNull())
+    )
+    cnts = pairs.groupBy("_cv", "_p", "_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    qf = float(quant)
+    qcl = F.round(
+        (F.col("_c").cast("double") * F.log(F.col("_c").cast("double")))
+        * F.lit(qf),
+        0,
+    ).cast("long")
+    agg = cnts.groupBy("_cv").agg(
+        F.sum("_c").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(qcl).cast("long").alias("_sq"),
+    )
+    nd = F.col("n_transitions").cast("double")
+    h = F.log(nd) - F.col("_sq").cast("double") / (F.lit(qf) * nd)
+    even = F.when(
+        F.col("n_pairs") >= 2, h / F.log(F.col("n_pairs").cast("double"))
+    )
+    return agg.select(
+        F.col("_cv").alias(conv_col),
+        "n_transitions",
+        "n_pairs",
+        F.round(h, 6).alias("entropy"),
+        F.round(even, 6).alias("evenness"),
+    ).orderBy(conv_col)
+
+
+def transition_entropy_sql(
+    table: str, state_col: str = "role", quant: int = 10**9
+) -> str:
+    """DuckDB replay of :func:`transition_entropy`."""
+    qf = repr(float(quant))
+    return f"""
+tepairs AS (
+  SELECT conv_id AS cv,
+    lag({state_col}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS p,
+    {state_col} AS s
+  FROM {table}
+),
+tecnts AS (
+  SELECT cv, p, s, CAST(count(*) AS BIGINT) AS c
+  FROM tepairs WHERE p IS NOT NULL GROUP BY cv, p, s
+),
+teagg AS (
+  SELECT cv, CAST(sum(c) AS BIGINT) AS n_transitions,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CAST(round((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) * {qf}, 0)
+             AS BIGINT)) AS BIGINT) AS sq
+  FROM tecnts GROUP BY cv
+)
+SELECT cv AS conv_id, n_transitions, n_pairs,
+  round(ln(CAST(n_transitions AS DOUBLE))
+        - CAST(sq AS DOUBLE) / ({qf} * CAST(n_transitions AS DOUBLE)), 6) AS entropy,
+  round(CASE WHEN n_pairs >= 2
+    THEN (ln(CAST(n_transitions AS DOUBLE))
+          - CAST(sq AS DOUBLE) / ({qf} * CAST(n_transitions AS DOUBLE)))
+         / ln(CAST(n_pairs AS DOUBLE)) END, 6) AS evenness
+FROM teagg
+"""

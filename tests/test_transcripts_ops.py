@@ -832,3 +832,69 @@ def test_changepoints_validation(spark):
         changepoints(t, max_cps=0)
     with pytest.raises(ValueError, match="max_cps"):
         changepoints(t, max_turns=3)
+
+
+# --- transition entropy (scripted-bot predictability) -------------------------
+
+
+def _role_turns(spark, convs):
+    rows = []
+    for cid, roles in convs.items():
+        for i, r in enumerate(roles):
+            rows.append((cid, i, r))
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+
+
+def test_transition_entropy_deterministic_loop_is_zero(spark):
+    from osprey_spark.operators.transcripts import transition_entropy
+
+    out = transition_entropy(
+        _role_turns(spark, {"bot": ["a", "b"] * 6})
+    ).collect()[0]
+    # transitions: a->b x6, b->a x5 -> two pair types, but each c>1:
+    # H = ln(11) - (6 ln 6 + 5 ln 5)/11
+    import math
+
+    h = math.log(11) - (6 * math.log(6) + 5 * math.log(5)) / 11
+    assert out.n_transitions == 11 and out.n_pairs == 2
+    assert out.entropy == round(h, 6)
+    assert out.evenness == round(h / math.log(2), 6)
+
+
+def test_transition_entropy_pure_cycle_vs_varied(spark):
+    """A strict 3-state cycle has far lower evenness than a varied
+    conversation with the same length."""
+    from osprey_spark.operators.transcripts import transition_entropy
+
+    cycle = ["u", "a", "t"] * 8
+    varied = ["u", "a", "u", "t", "a", "a", "u", "u", "t", "u", "a", "t",
+              "t", "u", "a", "t", "u", "u", "a", "t", "a", "u", "t", "a"]
+    out = {
+        r.conv_id: r
+        for r in transition_entropy(
+            _role_turns(spark, {"cycle": cycle, "varied": varied})
+        ).collect()
+    }
+    # the cycle uses exactly 3 pair types with near-equal counts ->
+    # evenness ~ 1 BUT only 3 pairs; the varied conv spreads over many
+    # pair types; its raw entropy is much higher
+    assert out["varied"].entropy > out["cycle"].entropy + 0.5
+    assert out["cycle"].n_pairs == 3
+
+
+def test_transition_entropy_singletons_and_replica(spark):
+    import math
+
+    from osprey_spark.operators.transcripts import transition_entropy
+
+    # all-distinct transitions: H = ln(n) exactly (c ln c = 0), evenness 1
+    out = transition_entropy(
+        _role_turns(spark, {"c": ["a", "b", "c", "d", "e"]})
+    ).collect()[0]
+    assert out.entropy == round(math.log(4), 6)
+    assert out.evenness == 1.0
+    # single-transition conv: H = 0, evenness NULL
+    out = transition_entropy(_role_turns(spark, {"c": ["a", "b"]})).collect()[0]
+    assert out.entropy == 0.0 and out.evenness is None
+    # single-turn conv: no transitions, no row
+    assert transition_entropy(_role_turns(spark, {"c": ["a"]})).count() == 0
