@@ -1211,6 +1211,72 @@ class CompiledRuleset:
         )
         return df.select("*", score.cast("long").alias(spec["name"]))
 
+    def _join_transition_entropy(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetTransitionEntropy on a BATCH frame via the
+        TELESCOPED two-window formulation: the per-pair running count
+        c (a (key, pair)-partitioned rows window) turns each row into
+        the exact-quantized delta ``r(c·ln c) − r((c−1)·ln(c−1))``,
+        whose key-running sum telescopes to ``Σ_pairs r(c·ln c)`` at
+        every row — so the running entropy needs NO per-row prefix
+        scan and no map state: two shuffles (key+pair, then key), all
+        JVM expressions, O(1) per row. First event of a key (no
+        transition yet) reads 0.0."""
+        from pyspark.sql import Window as W
+
+        qf = 1e9
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        order_cols = [sec] + (
+            [spec["order_col"]] if spec["order_col"] is not None else []
+        )
+        name = spec["name"]
+        p, d, v = f"{name}_p", f"{name}_d", f"{name}_v"
+        sym = spec["state_col"]
+        w_lag = W.partitionBy(spec["key_col"]).orderBy(*order_cols)
+        prev = F.lag(sym).over(w_lag)
+        pair = F.when(prev.isNotNull(), F.concat_ws("\x01", prev, sym))
+        df1 = df.select("*", pair.alias(p))
+        w_pair = (
+            W.partitionBy(spec["key_col"], F.col(p))
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        c = F.count(F.col(p)).over(w_pair)
+        cd = c.cast("double")
+        r1 = F.round(cd * F.log(cd) * F.lit(qf), 0).cast("long")
+        c0d = (c - 1).cast("double")
+        r0 = F.when(
+            c >= 2, F.round(c0d * F.log(c0d) * F.lit(qf), 0).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        delta = F.when(F.col(p).isNotNull(), r1 - r0).otherwise(
+            F.lit(0).cast("long")
+        )
+        df2 = df1.select(
+            "*",
+            delta.alias(d),
+            F.col(p).isNotNull().cast("long").alias(v),
+        )
+        w_key = (
+            W.partitionBy(spec["key_col"])
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        s_run = F.sum(F.col(d)).over(w_key)
+        n_run = F.sum(F.col(v)).over(w_key)
+        nd = n_run.cast("double")
+        # the feature is ROUNDED to 6 decimals by contract: JVM
+        # Math.log and CPython/libm log differ by 1 ulp on some
+        # inputs (measured: log(3.0)), so raw doubles cannot be
+        # equal across the batch (JVM) and streaming (Python) paths;
+        # 6-digit rounding absorbs that noise — the same absorption
+        # every ln-using DuckDB oracle in this repo relies on.
+        ent = F.when(
+            n_run >= 1,
+            F.round(
+                F.log(nd) - s_run.cast("double") / (F.lit(qf) * nd), 6
+            ),
+        ).otherwise(F.lit(0.0))
+        return df2.select("*", ent.alias(name)).drop(p, d, v)
+
     def _join_seen_before(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one SeenBefore on a BATCH frame: a conditional
         registration count over a (key, value)-partitioned RANGE
@@ -1567,7 +1633,7 @@ class CompiledRuleset:
 
         ord_expr = F.lit(0.0)
         for fam, sp in fspecs:
-            if fam in ("seq", "last", "rl") and sp["order_col"] is not None:
+            if fam in ("seq", "last", "rl", "tent") and sp["order_col"] is not None:
                 ord_expr = sp["order_col"].cast("double")
                 break
 
@@ -1723,6 +1789,10 @@ class CompiledRuleset:
                     }
                 )
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "tent":
+                proj.append(sp["state_col"].alias(f"__fs{i}_tsym"))
+                metas.append({"fam": "tent", "name": sp["name"], "i": i})
+                out_fields.append(T.StructField(sp["name"], T.DoubleType()))
             elif fam == "decay":
                 gate = sp["gate"]
                 amt = sp["value_col"]
@@ -1855,6 +1925,11 @@ class CompiledRuleset:
                         {"amt": pdf[f"__fs{m['i']}_amt"].to_numpy(dtype="int64")}
                     )
                     outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "tent":
+                    op_in.append(
+                        {"sym": pdf[f"__fs{m['i']}_tsym"].to_numpy(dtype=object)}
+                    )
+                    outs.append(np.empty(n, dtype="float64"))
                 elif m["fam"] == "decay":
                     op_in.append(
                         {"amt": pdf[f"__fs{m['i']}_dam"].to_numpy(dtype="int64")}
@@ -2299,6 +2374,45 @@ class CompiledRuleset:
                             smap[mk] = kept
                         elif mk in smap:
                             del smap[mk]
+                    elif m["fam"] == "tent":
+                        # running transition entropy: state =
+                        # [last_symbol, n, sq, {pair: count}]; the
+                        # quantized c*ln(c) deltas telescope exactly,
+                        # matching the batch two-window formulation
+                        # bit-for-bit under the same (sec, ord) order.
+                        # c*ln(c) >= 0, so floor(x + 0.5) == the JVM
+                        # HALF_UP round the batch path uses.
+                        import math as _math
+
+                        st = smap.get(mk) or [None, 0, 0, {}]
+                        last, ncnt, sq, cnts = st[0], st[1], st[2], st[3]
+                        syms = inp["sym"][s:e]
+                        seg_out = out_a[s:e]
+                        for j, ch in enumerate(syms):
+                            if last is not None:
+                                pr = last + "\x01" + ch
+                                cc = cnts.get(pr, 0) + 1
+                                cnts[pr] = cc
+                                r1 = _math.floor(cc * _math.log(cc) * 1e9 + 0.5)
+                                r0 = (
+                                    _math.floor(
+                                        (cc - 1) * _math.log(cc - 1) * 1e9 + 0.5
+                                    )
+                                    if cc >= 2
+                                    else 0
+                                )
+                                sq += r1 - r0
+                                ncnt += 1
+                                h = _math.log(ncnt) - sq / (1e9 * ncnt)
+                                # half-away round to 6, the batch
+                                # path's output contract
+                                seg_out[j] = (
+                                    _math.floor(h * 1e6 + 0.5) / 1e6
+                                )
+                            else:
+                                seg_out[j] = 0.0
+                            last = ch
+                        smap[mk] = [last, ncnt, sq, cnts]
                     elif m["fam"] == "seq":
                         k_len = m["k"]
                         rx = m["rx"]
@@ -2557,6 +2671,7 @@ class CompiledRuleset:
         wminmax_specs: dict | None = None,
         seen_specs: dict | None = None,
         decay_specs: dict | None = None,
+        tent_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2602,6 +2717,7 @@ class CompiledRuleset:
         wminmax_specs = wminmax_specs or {}
         seen_specs = seen_specs or {}
         decay_specs = decay_specs or {}
+        tent_specs = tent_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2626,6 +2742,12 @@ class CompiledRuleset:
                 cols = [s["key_col"], s["value_col"]]
                 if s["gate"] is not None:
                     cols.append(s["gate"])
+                return cols
+            if mangled in tent_specs:
+                s = tent_specs[mangled]
+                cols = [s["key_col"], s["state_col"]]
+                if s["order_col"] is not None:
+                    cols.append(s["order_col"])
                 return cols
             if mangled in age_specs:
                 return [age_specs[mangled]["key_col"]]
@@ -2703,6 +2825,7 @@ class CompiledRuleset:
                     or name in wminmax_specs
                     or name in seen_specs
                     or name in decay_specs
+                    or name in tent_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2795,6 +2918,7 @@ class CompiledRuleset:
         }
         seen_specs = {s["name"]: s for s in getattr(self.ctx, "seen_lookups", [])}
         decay_specs = {s["name"]: s for s in getattr(self.ctx, "decay_lookups", [])}
+        tent_specs = {s["name"]: s for s in getattr(self.ctx, "tent_lookups", [])}
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2851,6 +2975,7 @@ class CompiledRuleset:
                 "wminmax",
                 "seen",
                 "decay",
+                "tent",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -2906,6 +3031,10 @@ class CompiledRuleset:
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
+            elif fam == "tent":
+                cols.append(sp["state_col"])
+                if sp["order_col"] is not None:
+                    cols.append(sp["order_col"])
             else:  # cache
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
@@ -2933,10 +3062,10 @@ class CompiledRuleset:
                 for s in sp["sets"]:
                     if _node(s["key_col"]) != key_node:
                         return False
-            if fam in ("seq", "last", "rl") and sp["order_col"] is not None:
+            if fam in ("seq", "last", "rl", "tent") and sp["order_col"] is not None:
                 for pf, psp in pending:
                     if (
-                        pf in ("seq", "last", "rl")
+                        pf in ("seq", "last", "rl", "tent")
                         and psp["order_col"] is not None
                         and _node(psp["order_col"]) != _node(sp["order_col"])
                     ):
@@ -2958,6 +3087,7 @@ class CompiledRuleset:
             wminmax_specs,
             seen_specs,
             decay_specs,
+            tent_specs,
         ):
             if defn is None:
                 if streaming and mangled in rl_specs:
@@ -3001,6 +3131,12 @@ class CompiledRuleset:
                     if not _fusable("decay", sp):
                         df = _flush(df)
                     pending.append(("decay", sp))
+                    continue
+                if streaming and mangled in tent_specs:
+                    sp = tent_specs[mangled]
+                    if not _fusable("tent", sp):
+                        df = _flush(df)
+                    pending.append(("tent", sp))
                     continue
                 if streaming and mangled in last_specs:
                     sp = last_specs[mangled]
@@ -3077,6 +3213,8 @@ class CompiledRuleset:
                     df = self._join_seen_before(df, seen_specs[mangled])
                 elif mangled in decay_specs:
                     df = self._join_decay_score(df, decay_specs[mangled])
+                elif mangled in tent_specs:
+                    df = self._join_transition_entropy(df, tent_specs[mangled])
                 else:
                     df = self._join_label(df, labels_df, specs[mangled])
             else:

@@ -5853,6 +5853,87 @@ FROM t a
 )
 
 
+def q_entropy_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level running transition-entropy escalation signal
+    (GetTransitionEntropy, 14th stateful family — the first with
+    continuous distribution-shaped state): per turn, the entropy of
+    the conversation's role-transition distribution so far, plus a
+    Botlike flag for long low-entropy loops. Batch = two windows via
+    exact-quantized telescoping c·ln c deltas; streaming = the fused
+    state pass carrying (last_symbol, n, Σq, pair-count map)
+    (tests/test_entropy_rule.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+R: str = JsonData(path='$.role')
+T: int = JsonData(path='$.turn_idx')
+Ent = GetTransitionEntropy(key=K, state=R, order=T)
+Botlike: bool = (Ent < 0.6) and (T >= 8)
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("Ent").alias("entropy"),
+        F.col("Botlike").alias("botlike"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+O_ENTROPY_RULE = (
+    TURNS_CTE
+    + """,
+tepr AS (
+  SELECT conv_id, turn_idx,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    CASE WHEN lag(role) OVER (PARTITION BY conv_id
+           ORDER BY floor(epoch(ts)), turn_idx) IS NOT NULL
+      THEN lag(role) OVER (PARTITION BY conv_id
+             ORDER BY floor(epoch(ts)), turn_idx)
+           || chr(1) || role END AS pair
+  FROM turns
+),
+tedelta AS (
+  SELECT conv_id, turn_idx, sec, pair,
+    CASE WHEN pair IS NOT NULL THEN
+      CAST(round((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) * 1e9, 0) AS BIGINT)
+      - CASE WHEN c >= 2 THEN
+          CAST(round((CAST(c - 1 AS DOUBLE) * ln(CAST(c - 1 AS DOUBLE))) * 1e9, 0) AS BIGINT)
+        ELSE 0 END
+    ELSE 0 END AS delta,
+    CASE WHEN pair IS NOT NULL THEN 1 ELSE 0 END AS valid
+  FROM (
+    SELECT *, count(pair) OVER (PARTITION BY conv_id, pair
+      ORDER BY sec, turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS c
+    FROM tepr
+  )
+),
+terun AS (
+  SELECT conv_id, turn_idx,
+    CAST(sum(delta) OVER w AS BIGINT) AS s_run,
+    CAST(sum(valid) OVER w AS BIGINT) AS n_run
+  FROM tedelta
+  WINDOW w AS (PARTITION BY conv_id ORDER BY sec, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN n_run >= 1
+    THEN round(ln(CAST(n_run AS DOUBLE))
+               - CAST(s_run AS DOUBLE) / (1e9 * CAST(n_run AS DOUBLE)), 6)
+    ELSE 0.0 END AS entropy,
+  CASE WHEN n_run >= 1
+    THEN round(ln(CAST(n_run AS DOUBLE))
+               - CAST(s_run AS DOUBLE) / (1e9 * CAST(n_run AS DOUBLE)), 6)
+    ELSE 0.0 END < 0.6 AND turn_idx >= 8 AS botlike
+FROM terun ORDER BY conv_id, turn_idx
+"""
+)
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span-corruption example generation (curation.span_corruption):
     seeded md5 block-local masks so the corrupted/target pair is
@@ -6912,6 +6993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccf_roles": q_ccf_roles,
     "zipf_fit": q_zipf_fit,
     "transition_entropy": q_transition_entropy,
+    "entropy_rule": q_entropy_rule,
 }
 
 ORACLES: dict[str, str] = {
@@ -7092,6 +7174,7 @@ ORACLES: dict[str, str] = {
     "ccf_roles": _o_ccf_roles(),
     "zipf_fit": _o_zipf_fit(),
     "transition_entropy": _o_transition_entropy(),
+    "entropy_rule": O_ENTROPY_RULE,
 }
 
 

@@ -1120,3 +1120,53 @@ def experiment_when(ctx, call, args):
     if default is not None:
         col = col.otherwise(default.col)
     return Value(col=col, dtype=then_v.dtype)
+
+
+@register("GetTransitionEntropy")
+def get_transition_entropy(ctx, call, args):
+    """Running transition-entropy of the key's state sequence ("how
+    predictable is this conversation so far") — the scripted-bot
+    escalation signal: an automation loop cycling the same role/tool
+    transitions scores near 0 while human dialogue wanders high; a
+    rule like ``Botlike = Entropy < 0.5 and Turns >= 8`` escalates
+    loops no rate gate or repetition n-gram can see.
+
+    At each event the feature is the Shannon entropy (nats) of the
+    (previous state → state) transition counts observed for the key
+    UP TO AND INCLUDING this event, via the algebraic identity
+    ``H = ln(n) − (Σ_pair c·ln c)/n``; the first event of a key (no
+    transition yet) reads 0.0. NULL states count as their own symbol.
+
+    Fourteenth stateful family — the first with CONTINUOUS
+    distribution-shaped state. Exactness: each pair's ``c·ln c``
+    quantizes to a BIGINT at every count step and the running sum
+    telescopes exactly (``Σ_rows [r(c ln c) − r((c−1)ln(c−1))] =
+    Σ_pairs r(c_final ln c_final)``), so batch (two windows: a
+    (key, pair) running count + a key running sum — two shuffles) and
+    streaming (fused state pass carrying
+    ``(last_symbol, n, Σq, pair-count map)`` — state bounded by the
+    key's transition vocabulary) emit identical values given the same
+    (event time, ``order=``) total order. The feature is rounded to 6
+    decimals BY CONTRACT: JVM Math.log and CPython/libm log differ by
+    1 ulp on some inputs (measured: log(3.0)), and the rounding
+    absorbs that noise — the same absorption every ln-using DuckDB
+    oracle relies on. Pass ``order=`` (the turn index) or
+    equal-timestamp events order nondeterministically, the
+    SequenceMatches contract.
+    """
+    key_v = arg(ctx, call, args, "key")
+    state_v = arg(ctx, call, args, "state")
+    order_v = arg(ctx, call, args, "order", required=False)
+    if not hasattr(ctx, "tent_lookups"):
+        ctx.tent_lookups = []
+    name = f"__te_{len(ctx.tent_lookups)}"
+    ctx.tent_lookups.append(
+        {
+            "name": name,
+            "key_col": key_v.col,
+            "state_col": F.coalesce(state_v.col.cast("string"), F.lit("\x00")),
+            "order_col": order_v.col if order_v is not None else None,
+        }
+    )
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="float")
