@@ -6517,6 +6517,23 @@ def _o_transition_entropy() -> str:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass + Chao1 vocabulary-richness estimate
+    (curation.vocab_coverage): the capture-recapture 'is more
+    crawling worth it' readout; template/synthetic corpora show a
+    collapsed singleton tail. One vocab aggregate + one 1-row
+    reduce, all-integer inputs."""
+    from .operators.curation import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+def _o_vocab_coverage() -> str:
+    from .operators.curation import vocab_coverage_sql
+
+    return "WITH " + vocab_coverage_sql("documents").lstrip()
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -6994,6 +7011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "transition_entropy": q_transition_entropy,
     "entropy_rule": q_entropy_rule,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -7175,6 +7193,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit": _o_zipf_fit(),
     "transition_entropy": _o_transition_entropy(),
     "entropy_rule": O_ENTROPY_RULE,
+    "vocab_coverage": _o_vocab_coverage(),
 }
 
 

@@ -2639,3 +2639,80 @@ SELECT n_types,
             * (CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS r2
 FROM zred
 """
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good-Turing unseen-mass + Chao1 richness estimate over the
+    token vocabulary — the capture-recapture answer to "how much of
+    the language have we actually seen?": the Good-Turing estimator
+    (Good 1953) says the probability the NEXT token is a never-seen
+    type is ≈ singletons/N, and Chao1 (Chao 1984, bias-corrected)
+    extrapolates the total vocabulary from the singleton/doubleton
+    ratio. The pair drives "is more crawling worth it" calls and
+    flags synthetic corpora (template text has almost no singleton
+    tail, organic text keeps unseen_mass stubbornly high).
+
+    Shape: one corpus-scale token hash aggregate (map-side partials)
+    → one 1-row reduce over the vocab frame. All counts are BIGINT;
+    the two estimates are single fixed divisions of exact integers
+    (the bias-corrected Chao1 ``V + n1(n1−1)/(2(n2+1))`` is defined
+    even with zero doubletons).
+
+    Output: one row ``(n_tokens, vocab_size, singletons, doubletons,
+    unseen_mass, chao1)``.
+    """
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    vocab = (
+        docs.select(toks)
+        .filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    red = vocab.agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long").alias("singletons"),
+        F.sum((F.col("_c") == 2).cast("long")).cast("long").alias("doubletons"),
+    )
+    n1 = F.col("singletons")
+    n2 = F.col("doubletons")
+    unseen = F.when(
+        F.col("n_tokens") >= 1,
+        n1.cast("double") / F.col("n_tokens").cast("double"),
+    )
+    chao1 = F.col("vocab_size").cast("double") + (n1 * (n1 - 1)).cast(
+        "double"
+    ) / (F.lit(2.0) * (n2 + 1).cast("double"))
+    return red.select(
+        "n_tokens",
+        "vocab_size",
+        "singletons",
+        "doubletons",
+        F.round(unseen, 6).alias("unseen_mass"),
+        F.round(chao1, 6).alias("chao1"),
+    )
+
+
+def vocab_coverage_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB replay of :func:`vocab_coverage`."""
+    return f"""
+vcvocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split({text_col}, ' ')) AS t FROM {table}
+  ) WHERE t <> '' GROUP BY t
+),
+vcred AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab_size,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS doubletons
+  FROM vcvocab
+)
+SELECT n_tokens, vocab_size, singletons, doubletons,
+  round(CASE WHEN n_tokens >= 1
+    THEN CAST(singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6) AS unseen_mass,
+  round(CAST(vocab_size AS DOUBLE)
+        + CAST(singletons * (singletons - 1) AS DOUBLE)
+          / (2.0 * CAST(doubletons + 1 AS DOUBLE)), 6) AS chao1
+FROM vcred
+"""

@@ -333,3 +333,34 @@ def test_zipf_matches_python_ols(spark):
 
     with _pt.raises(ValueError, match="top_n"):
         zipf_fit(df, top_n=2)
+
+
+# --- Good-Turing / Chao1 vocabulary coverage ----------------------------------
+
+
+def test_vocab_coverage_known_answer(spark):
+    from osprey_spark.operators.curation import vocab_coverage
+
+    # tokens: a x4, b x2, c x1, d x1 -> N=8 V=4 n1=2 n2=1
+    df = spark.createDataFrame([("a a b c", ), ("a a b d",)], "text string")
+    r = vocab_coverage(df).collect()[0]
+    assert (r.n_tokens, r.vocab_size, r.singletons, r.doubletons) == (8, 4, 2, 1)
+    assert r.unseen_mass == 0.25
+    assert r.chao1 == round(4 + (2 * 1) / (2 * 2), 6)  # 4.5
+
+
+def test_vocab_coverage_template_vs_organic(spark):
+    """A template corpus (every doc identical) has zero singletons
+    and unseen_mass 0; an all-distinct corpus has unseen_mass 1."""
+    from osprey_spark.operators.curation import vocab_coverage
+
+    template = spark.createDataFrame([("buy now cheap",)] * 20, "text string")
+    r = vocab_coverage(template).collect()[0]
+    assert r.singletons == 0 and r.unseen_mass == 0.0 and r.chao1 == 3.0
+    organic = spark.createDataFrame(
+        [(f"tok{i} tok{i + 100}",) for i in range(10)], "text string"
+    )
+    r = vocab_coverage(organic).collect()[0]
+    assert r.unseen_mass == 1.0 and r.doubletons == 0
+    # bias-corrected chao1 stays defined with n2=0
+    assert r.chao1 == round(20 + 20 * 19 / 2, 6)
