@@ -6534,6 +6534,40 @@ def _o_vocab_coverage() -> str:
     return "WITH " + vocab_coverage_sql("documents").lstrip()
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (analytics.attribution):
+    purchases credited to the click/view touches that preceded them
+    under first-touch, last-touch and linear models at once — one
+    key-partitioned window pass + three small unioned aggregates."""
+    from .plans.analytics import attribution
+
+    t = turns_from_events(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+        (F.col("event_type") == "purchase").alias("is_conversion"),
+    )
+    return attribution(t, ["click", "view"])
+
+
+def _o_attribution() -> str:
+    from .plans.analytics import attribution_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + attribution_sql(
+            "turns",
+            ["click", "view"],
+            "CASE WHEN event_type IN ('click', 'view') THEN event_type END",
+            "event_type = 'purchase'",
+        )
+        + " ORDER BY model, touch"
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -7012,6 +7046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_entropy": q_transition_entropy,
     "entropy_rule": q_entropy_rule,
     "vocab_coverage": q_vocab_coverage,
+    "attribution": q_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -7194,6 +7229,7 @@ ORACLES: dict[str, str] = {
     "transition_entropy": _o_transition_entropy(),
     "entropy_rule": O_ENTROPY_RULE,
     "vocab_coverage": _o_vocab_coverage(),
+    "attribution": _o_attribution(),
 }
 
 

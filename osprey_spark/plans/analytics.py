@@ -477,3 +477,159 @@ FROM scored
 WHERE CASE WHEN mad > 0.0 THEN abs(mz) > {float(threshold)}
            ELSE v <> med END
 """
+
+
+def attribution(
+    turns,
+    touch_types,
+    touch_col: str = "touch",
+    conv_flag_col: str = "is_conversion",
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    quant: int = 10**6,
+):
+    """Multi-touch conversion attribution — the classic journey
+    question ("which touch gets credit for the purchase?") under the
+    three standard models at once: first-touch, last-touch, and
+    linear (every prior touch splits the conversion equally). The
+    safety-ops reading is identical mechanics: which upstream signal
+    preceded the flagged event, earliest, latest, or shared.
+
+    ``touch_col`` is the touch TYPE (NULL on non-touch rows);
+    ``conv_flag_col`` marks conversion rows; per conversion the
+    lookback is every prior same-key touch (current row inclusive —
+    a conversion row is never itself a touch). Conversions with no
+    prior touch earn no credit under any model.
+
+    Shape: ONE key-partitioned window pass (first/last
+    ignore-nulls + one running count per touch type + the running
+    total — all over the same window spec, one shuffle), then three
+    small aggregates over conversion rows unioned with a model
+    label. Linear credits quantize ``cnt_t/total`` to BIGINT
+    micro-units per conversion before the cross-conversion sum (the
+    calibration ECE discipline), so every model's credit column is
+    exact-integer-derived and the DuckDB replay is hash-exact.
+
+    Output: ``(model, touch, credit)`` rows, credit double (integer
+    counts for first/last, fractional for linear), ordered by
+    (model, touch).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if not touch_types:
+        raise ValueError("attribution: need at least one touch type")
+    qf = float(quant)
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    touch = F.col(touch_col)
+    staged = turns.select(
+        F.col(conv_flag_col).alias("_isc"),
+        F.first(touch, ignorenulls=True).over(w).alias("_ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("_lt"),
+        F.sum(touch.isNotNull().cast("long")).over(w).alias("_tot"),
+        *[
+            F.sum((touch == F.lit(t)).cast("long"))
+            .over(w)
+            .alias(f"_c{i}")
+            for i, t in enumerate(touch_types)
+        ],
+    ).filter(F.col("_isc") & (F.col("_tot") >= 1))
+    first = (
+        staged.groupBy(F.col("_ft").alias("touch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            F.lit("first_touch").alias("model"),
+            "touch",
+            F.col("_n").cast("double").alias("credit"),
+        )
+    )
+    last = (
+        staged.groupBy(F.col("_lt").alias("touch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            F.lit("last_touch").alias("model"),
+            "touch",
+            F.col("_n").cast("double").alias("credit"),
+        )
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), F.col(f"_c{i}").alias("c")
+            )
+            for i, t in enumerate(touch_types)
+        ]
+    )
+    lin = (
+        staged.select(F.col("_tot"), F.explode(entries).alias("_e"))
+        .filter(F.col("_e.c") >= 1)
+        .select(
+            F.col("_e.t").alias("touch"),
+            F.round(
+                (F.col("_e.c").cast("double") / F.col("_tot").cast("double"))
+                * F.lit(qf),
+                0,
+            )
+            .cast("long")
+            .alias("_q"),
+        )
+        .groupBy("touch")
+        .agg(F.sum("_q").cast("long").alias("_sq"))
+        .select(
+            F.lit("linear").alias("model"),
+            "touch",
+            F.round(F.col("_sq").cast("double") / F.lit(qf), 6).alias("credit"),
+        )
+    )
+    return first.unionByName(last).unionByName(lin).orderBy("model", "touch")
+
+
+def attribution_sql(
+    table: str,
+    touch_types,
+    touch_expr: str,
+    conv_expr: str,
+    quant: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`attribution`. ``touch_expr`` yields the
+    touch type (NULL for non-touches), ``conv_expr`` a boolean."""
+    qf = repr(float(quant))
+    cnt_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN ({touch_expr}) = '{t}' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS c{i}"
+        for i, t in enumerate(touch_types)
+    )
+    lin_entries = ", ".join(
+        f"{{'t': '{t}', 'c': c{i}}}" for i, t in enumerate(touch_types)
+    )
+    return f"""
+atstaged AS (
+  SELECT ({conv_expr}) AS isc,
+    first_value({touch_expr} IGNORE NULLS) OVER w AS ft,
+    last_value({touch_expr} IGNORE NULLS) OVER w AS lt,
+    CAST(sum(CASE WHEN ({touch_expr}) IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT) AS tot,
+    {cnt_cols}
+  FROM {table}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+atconv AS (SELECT * FROM atstaged WHERE isc AND tot >= 1),
+atlin AS (
+  SELECT e.t AS touch,
+    CAST(sum(CAST(round((CAST(e.c AS DOUBLE) / CAST(tot AS DOUBLE)) * {qf}, 0)
+             AS BIGINT)) AS BIGINT) AS sq
+  FROM atconv, unnest([{lin_entries}]) AS u(e)
+  WHERE e.c >= 1 GROUP BY e.t
+)
+SELECT model, touch, credit FROM (
+  SELECT 'first_touch' AS model, ft AS touch,
+    CAST(count(*) AS DOUBLE) AS credit FROM atconv GROUP BY ft
+  UNION ALL
+  SELECT 'last_touch', lt, CAST(count(*) AS DOUBLE) FROM atconv GROUP BY lt
+  UNION ALL
+  SELECT 'linear', touch, round(CAST(sq AS DOUBLE) / {qf}, 6) FROM atlin
+)
+"""

@@ -364,3 +364,62 @@ def test_vocab_coverage_template_vs_organic(spark):
     assert r.unseen_mass == 1.0 and r.doubletons == 0
     # bias-corrected chao1 stays defined with n2=0
     assert r.chao1 == round(20 + 20 * 19 / 2, 6)
+
+
+# --- multi-touch attribution --------------------------------------------------
+
+
+def _journey(spark, rows):
+    """rows: (conv, idx, touch_or_None, is_conv)"""
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, touch string, is_conversion boolean"
+    )
+
+
+def test_attribution_three_models_known_answer(spark):
+    from osprey_spark.plans.analytics import attribution
+
+    rows = [
+        ("c1", 0, "click", False),
+        ("c1", 1, "view", False),
+        ("c1", 2, "view", False),
+        ("c1", 3, None, True),      # conv: first=click last=view lin: click 1/3, view 2/3
+        ("c2", 0, "view", False),
+        ("c2", 1, None, True),      # conv: first=last=view, lin view 1.0
+        ("c3", 0, None, True),      # conversion with NO touch: no credit
+    ]
+    out = attribution(_journey(spark, rows), ["click", "view"]).collect()
+    got = {(r.model, r.touch): r.credit for r in out}
+    assert got[("first_touch", "click")] == 1.0
+    assert got[("first_touch", "view")] == 1.0
+    assert got[("last_touch", "view")] == 2.0
+    assert ("last_touch", "click") not in got
+    assert got[("linear", "click")] == round(1 / 3, 6)
+    assert abs(got[("linear", "view")] - (2 / 3 + 1.0)) < 2e-6
+
+
+def test_attribution_multiple_conversions_same_conv(spark):
+    from osprey_spark.plans.analytics import attribution
+
+    rows = [
+        ("c1", 0, "click", False),
+        ("c1", 1, None, True),      # first conv: click only
+        ("c1", 2, "view", False),
+        ("c1", 3, None, True),      # second conv: lookback sees click+view
+    ]
+    out = attribution(_journey(spark, rows), ["click", "view"]).collect()
+    got = {(r.model, r.touch): r.credit for r in out}
+    assert got[("first_touch", "click")] == 2.0  # click is first both times
+    assert got[("last_touch", "click")] == 1.0
+    assert got[("last_touch", "view")] == 1.0
+    assert got[("linear", "click")] == 1.5
+    assert got[("linear", "view")] == 0.5
+
+
+def test_attribution_validation(spark):
+    import pytest
+
+    from osprey_spark.plans.analytics import attribution
+
+    with pytest.raises(ValueError, match="touch type"):
+        attribution(_journey(spark, [("c", 0, None, True)]), [])
