@@ -6568,6 +6568,22 @@ def _o_attribution() -> str:
     )
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversation journey prefixes (transcripts.top_paths):
+    the dominant first-5-role templates with their share of all
+    conversations — the bot-farm 'every conversation opens the same
+    way' readout; one conv aggregate + bounded top-k."""
+    from .operators.transcripts import top_paths
+
+    return top_paths(turns_from_events(spark, sf_dir), depth=5, k=20)
+
+
+def _o_top_paths() -> str:
+    from .operators.transcripts import top_paths_sql
+
+    return TURNS_CTE + ",\n" + top_paths_sql("turns", depth=5, k=20)
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -7047,6 +7063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entropy_rule": q_entropy_rule,
     "vocab_coverage": q_vocab_coverage,
     "attribution": q_attribution,
+    "top_paths": q_top_paths,
 }
 
 ORACLES: dict[str, str] = {
@@ -7230,6 +7247,7 @@ ORACLES: dict[str, str] = {
     "entropy_rule": O_ENTROPY_RULE,
     "vocab_coverage": _o_vocab_coverage(),
     "attribution": _o_attribution(),
+    "top_paths": _o_top_paths(),
 }
 
 

@@ -2137,3 +2137,86 @@ SELECT cv AS conv_id, n_transitions, n_pairs,
          / ln(CAST(n_pairs AS DOUBLE)) END, 6) AS evenness
 FROM teagg
 """
+
+
+def top_paths(
+    turns: DataFrame,
+    depth: int = 5,
+    k: int = 20,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+) -> DataFrame:
+    """Top-k conversation journey prefixes: each conversation's first
+    ``depth`` states join into a path string and the most common
+    paths rank with their share of all conversations — the product
+    "top user journeys" report, and in safety clothing the dominant
+    automation templates (a bot farm's conversations all open with
+    the same path).
+
+    Shape: one conv-keyed hash aggregate building the ordered prefix
+    (sort_array over (order, state) structs — deterministic under any
+    partitioning), one path-keyed count, a 1-row total broadcast for
+    the share (the decay_score allowlisted class), and a bounded
+    top-k TakeOrdered on (count desc, path).
+
+    Output: ``(path, n_convs, share)`` — share of ALL conversations,
+    so the top-k shares sum to ≤ 1 and "how concentrated are
+    journeys" reads directly off the frame.
+    """
+    if int(depth) < 1 or int(k) < 1:
+        raise ValueError("top_paths: depth and k must be >= 1")
+    paths = (
+        turns.filter(F.col(order_col) < int(depth))
+        .groupBy(conv_col)
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(order_col), F.col(state_col))
+                        )
+                    ),
+                    lambda e: e[state_col],
+                ),
+            ).alias("_path")
+        )
+    )
+    cnts = paths.groupBy("_path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    tot = paths.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    return (
+        cnts.join(F.broadcast(tot))
+        .select(
+            F.col("_path").alias("path"),
+            "n_convs",
+            F.round(
+                F.col("n_convs").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_convs"), "path")
+        .limit(int(k))
+    )
+
+
+def top_paths_sql(
+    table: str, depth: int = 5, k: int = 20, state_col: str = "role"
+) -> str:
+    """DuckDB replay of :func:`top_paths`."""
+    return f"""
+tppaths AS (
+  SELECT conv_id,
+    array_to_string(list({state_col} ORDER BY turn_idx), '>') AS path
+  FROM {table} WHERE turn_idx < {int(depth)} GROUP BY conv_id
+),
+tpcnts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_convs FROM tppaths GROUP BY path
+)
+SELECT path, n_convs,
+  round(CAST(n_convs AS DOUBLE)
+        / CAST((SELECT count(*) FROM tppaths) AS DOUBLE), 6) AS share
+FROM tpcnts ORDER BY n_convs DESC, path LIMIT {int(k)}
+"""

@@ -47,6 +47,7 @@ _CROSS_OK = {
     "rrf_hybrid",  # wraps brute_force_topk + token_jaccard_topk (both classes above)
     "classifier_eval",  # 1-row confusion frame x 1-row rank-stat frame broadcast
     "survival_km",  # 1-row global-max-ts frame broadcast for the censoring test
+    "top_paths",  # 1-row total-conversations frame broadcast for the share
 }
 
 # Queries expected to broadcast at least one join side (small dim /

@@ -898,3 +898,40 @@ def test_transition_entropy_singletons_and_replica(spark):
     assert out.entropy == 0.0 and out.evenness is None
     # single-turn conv: no transitions, no row
     assert transition_entropy(_role_turns(spark, {"c": ["a"]})).count() == 0
+
+
+# --- top journey paths --------------------------------------------------------
+
+
+def test_top_paths_ranking_and_share(spark):
+    from osprey_spark.operators.transcripts import top_paths
+
+    convs = {
+        "a": ["u", "a", "u"],
+        "b": ["u", "a", "u"],
+        "c": ["u", "a", "t"],
+        "d": ["u"],
+    }
+    out = top_paths(_role_turns(spark, convs), depth=5, k=10).collect()
+    assert out[0].path == "u>a>u" and out[0].n_convs == 2
+    assert out[0].share == 0.5
+    got = {r.path: (r.n_convs, r.share) for r in out}
+    assert got["u>a>t"] == (1, 0.25) and got["u"] == (1, 0.25)
+
+
+def test_top_paths_depth_cap_and_tiebreak(spark):
+    import pytest
+
+    from osprey_spark.operators.transcripts import top_paths
+
+    convs = {
+        "a": ["u", "a", "t", "u", "a", "t", "t", "t"],  # depth 3 -> u>a>t
+        "b": ["x"],
+        "c": ["y"],
+    }
+    out = top_paths(_role_turns(spark, convs), depth=3, k=2).collect()
+    assert out[0].path == "u>a>t"
+    # tie between x and y resolves alphabetically; k caps at 2
+    assert [r.path for r in out] == ["u>a>t", "x"]
+    with pytest.raises(ValueError, match="depth"):
+        top_paths(_role_turns(spark, convs), depth=0)
