@@ -6584,6 +6584,31 @@ def _o_top_paths() -> str:
     return TURNS_CTE + ",\n" + top_paths_sql("turns", depth=5, k=20)
 
 
+def q_fano_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor regularity screen per conversation
+    (dq.fano_regularity): variance/mean of hourly counts — cron-like
+    automation sits far below 1 (too regular to be human, invisible
+    to rate thresholds), scrapers far above; zero hours enter the
+    statistic for free (they add 0 to both moments), so no dense
+    grid materializes."""
+    from .operators.dq import fano_regularity
+
+    return fano_regularity(
+        turns_from_events(spark, sf_dir), key_col="conv_id", bucket_s=3600
+    )
+
+
+def _o_fano_regularity() -> str:
+    from .operators.dq import fano_regularity_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + fano_regularity_sql("turns", key_col="conv_id", bucket_s=3600)
+        + " ORDER BY conv_id"
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -7064,6 +7089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "attribution": q_attribution,
     "top_paths": q_top_paths,
+    "fano_regularity": q_fano_regularity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7248,6 +7274,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": _o_vocab_coverage(),
     "attribution": _o_attribution(),
     "top_paths": _o_top_paths(),
+    "fano_regularity": _o_fano_regularity(),
 }
 
 

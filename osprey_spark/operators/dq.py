@@ -624,3 +624,104 @@ SELECT n_keys, total,
              - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) END, 6) AS gini
 FROM gred
 """
+
+
+def fano_regularity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    min_buckets: int = 6,
+    low: float = 0.2,
+    high: float = 4.0,
+) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of each key's
+    per-bucket event counts — the REGULARITY screen: a Poisson-ish
+    human rhythm sits near 1, a cron-driven bot that fires exactly k
+    events every hour sits far BELOW 1 (too regular to be human — the
+    signal rate thresholds cannot see, because its rate is modest),
+    and a bursty scraper sits far above. Flags both tails.
+
+    The zero-fill trick costs nothing: empty buckets contribute 0 to
+    both Σx and Σx², so the whole statistic reads off the NONZERO
+    bucket aggregate plus the span — ``n = span_buckets``,
+    ``μ = S/n``, ``σ² = Q/n − μ²`` (population variance) — no dense
+    grid is ever materialized. Shape: one (key, bucket) hash
+    aggregate, one key aggregate (integer S, Q, bounds — map-side
+    partials), fixed-parenthesization doubles.
+
+    Output: ``(key, n_buckets, n_events, mean, fano, flag)`` for keys
+    with ≥ ``min_buckets`` observed span; ``flag`` = 1 outside
+    [low, high], NULL fano for the degenerate zero-mean case.
+    """
+    if int(bucket_s) < 1:
+        raise ValueError("fano_regularity: bucket_s must be >= 1")
+    if int(min_buckets) < 2:
+        raise ValueError("fano_regularity: min_buckets must be >= 2")
+    b = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(float(bucket_s))
+    ).cast("long")
+    per = df.groupBy(F.col(key_col).alias("_k"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    agg = per.groupBy("_k").agg(
+        (F.max("_b") - F.min("_b") + 1).cast("long").alias("n_buckets"),
+        F.sum("_c").cast("long").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_q"),
+    )
+    nd = F.col("n_buckets").cast("double")
+    mean = F.col("n_events").cast("double") / nd
+    var = F.col("_q").cast("double") / nd - mean * mean
+    fano = F.when(F.col("n_events") >= 1, var / mean)
+    flag = F.when(
+        fano.isNotNull(),
+        ((fano < F.lit(float(low))) | (fano > F.lit(float(high)))).cast("int"),
+    )
+    return (
+        agg.filter(F.col("n_buckets") >= int(min_buckets))
+        .select(
+            F.col("_k").alias(key_col),
+            "n_buckets",
+            "n_events",
+            F.round(mean, 6).alias("mean"),
+            F.round(fano, 6).alias("fano"),
+            flag.alias("flag"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def fano_regularity_sql(
+    table: str,
+    key_col: str = "user_id",
+    bucket_s: int = 3600,
+    min_buckets: int = 6,
+    low: float = 0.2,
+    high: float = 4.0,
+) -> str:
+    """DuckDB replay of :func:`fano_regularity`."""
+    bs = repr(float(bucket_s))
+    mean = "CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)"
+    var = f"CAST(q AS DOUBLE) / CAST(n_buckets AS DOUBLE) - ({mean}) * ({mean})"
+    fano = f"({var}) / ({mean})"
+    return f"""
+fper AS (
+  SELECT {key_col} AS k,
+    CAST(floor(epoch(ts) / CAST({bs} AS DOUBLE)) AS BIGINT) AS b,
+    CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+fagg AS (
+  SELECT k, CAST(max(b) - min(b) + 1 AS BIGINT) AS n_buckets,
+    CAST(sum(c) AS BIGINT) AS n_events,
+    CAST(sum(c * c) AS BIGINT) AS q
+  FROM fper GROUP BY k
+)
+SELECT k AS {key_col}, n_buckets, n_events,
+  round({mean}, 6) AS mean,
+  round(CASE WHEN n_events >= 1 THEN {fano} END, 6) AS fano,
+  CASE WHEN n_events >= 1
+    THEN CAST(({fano}) < {float(low)!r} OR ({fano}) > {float(high)!r} AS INT)
+  END AS flag
+FROM fagg WHERE n_buckets >= {int(min_buckets)}
+"""

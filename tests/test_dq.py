@@ -351,3 +351,73 @@ def test_gini_tie_groups_match_sorted_formula(spark):
     g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
     r = gini_concentration(_events_for(spark, counts), "key").collect()[0]
     assert r.gini == round(g, 6)
+
+
+# --- Fano-factor regularity screen --------------------------------------------
+
+
+import datetime as _dt
+
+_F_T0 = _dt.datetime(2025, 5, 1)
+
+
+def _clocked(spark, spec):
+    """spec: {key: [(hour, n_events)]}"""
+    rows = []
+    for k, buckets in spec.items():
+        for h, n in buckets:
+            for j in range(n):
+                rows.append((k, _F_T0 + _dt.timedelta(hours=h, minutes=j % 55)))
+    return spark.createDataFrame(rows, "conv_id string, ts timestamp")
+
+
+def test_fano_cron_bot_vs_bursty(spark):
+    from osprey_spark.operators.dq import fano_regularity
+
+    spec = {
+        # exactly 3 events every hour for 12 hours: variance 0 -> fano 0
+        "cron": [(h, 3) for h in range(12)],
+        # all 36 events in one hour of a 12-hour span: fano huge
+        "burst": [(0, 36), (11, 1)],
+    }
+    out = {
+        r.conv_id: r
+        for r in fano_regularity(
+            _clocked(spark, spec), key_col="conv_id", min_buckets=6
+        ).collect()
+    }
+    assert out["cron"].fano == 0.0 and out["cron"].flag == 1
+    assert out["burst"].fano > 4.0 and out["burst"].flag == 1
+    assert out["cron"].mean == 3.0 and out["cron"].n_buckets == 12
+
+
+def test_fano_poissonish_not_flagged_and_zero_hours_count(spark):
+    from osprey_spark.operators.dq import fano_regularity
+
+    # counts [2,0,1,3,0,2,1,3] over span 8 (two EMPTY hours enter as 0)
+    spec = {"h": [(0, 2), (2, 1), (3, 3), (5, 2), (6, 1), (7, 3)]}
+    out = fano_regularity(
+        _clocked(spark, spec), key_col="conv_id", min_buckets=6
+    ).collect()[0]
+    xs = [2, 0, 1, 3, 0, 2, 1, 3]
+    mu = sum(xs) / 8
+    var = sum(x * x for x in xs) / 8 - mu * mu
+    assert out.n_buckets == 8 and out.mean == mu
+    assert out.fano == round(var / mu, 6)
+    assert out.flag == 0
+
+
+def test_fano_span_filter_and_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.dq import fano_regularity
+
+    spec = {"short": [(0, 5), (2, 5)]}
+    assert (
+        fano_regularity(
+            _clocked(spark, spec), key_col="conv_id", min_buckets=6
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="min_buckets"):
+        fano_regularity(_clocked(spark, spec), key_col="conv_id", min_buckets=1)
