@@ -6609,6 +6609,52 @@ def _o_fano_regularity() -> str:
     )
 
 
+def q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over the same user↔resource bipartite
+    graph as pagerank_centrality (graph.eigencentrality): the
+    no-vote-splitting centrality — an account touching one mega-hub
+    resource scores high even at degree 1; integer power iteration
+    with max-renormalization, top-50."""
+    from .operators.graph import eigencentrality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    scores = eigencentrality(edges, rounds=6)
+    out = scores.orderBy(F.desc("score"), "node").limit(50)
+    out.unpersist_base = scores.unpersist_base
+    return out
+
+
+def _o_eigencentrality() -> str:
+    from .operators.graph import eigencentrality_oracle_sql
+
+    edges_sql = """
+  SELECT src, dst FROM (
+    SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
+                    concat('r', json_extract_string(props, '$.k')) AS dst
+    FROM events
+  ) p
+  UNION ALL
+  SELECT dst, src FROM (
+    SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
+                    concat('r', json_extract_string(props, '$.k')) AS dst
+    FROM events
+  ) q
+"""
+    return (
+        eigencentrality_oracle_sql(edges_sql, rounds=6)
+        + " ORDER BY score DESC, node LIMIT 50"
+    )
+
+
 def _o_survival_km() -> str:
     from .operators.survival import km_survival_sql
 
@@ -7090,6 +7136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "top_paths": q_top_paths,
     "fano_regularity": q_fano_regularity,
+    "eigencentrality": q_eigencentrality,
 }
 
 ORACLES: dict[str, str] = {
@@ -7275,6 +7322,7 @@ ORACLES: dict[str, str] = {
     "attribution": _o_attribution(),
     "top_paths": _o_top_paths(),
     "fano_regularity": _o_fano_regularity(),
+    "eigencentrality": _o_eigencentrality(),
 }
 
 

@@ -447,3 +447,120 @@ FROM e
 WHERE src IN (SELECT node FROM {prev}) AND dst IN (SELECT node FROM {prev})
 GROUP BY src
 """
+
+
+def eigencentrality(
+    edges: DataFrame, rounds: int = 6, scale: int = RANK_SCALE
+) -> DataFrame:
+    """Integer-exact eigenvector centrality (Bonacich 1972) by power
+    iteration with max-renormalization — the centrality the family
+    still lacked: degree counts neighbors, PageRank divides influence
+    by out-degree (a hub's vote is diluted), but eigenvector
+    centrality lets a hub amplify every neighbor — "important because
+    connected to the important" with no vote splitting, which is
+    exactly the fraud-ring reading (an account touching one mega-hub
+    resource scores high even with degree 1).
+
+    ``edges`` (src, dst) string columns, both directions for
+    undirected graphs. Per round: ONE edges⋈scores equi-join + ONE
+    dst-keyed integer-sum aggregate + ONE self-vote join (the
+    iteration runs on A + I — a bare power iteration OSCILLATES on
+    bipartite graphs like a star, the same two-coloring failure
+    LPA's self-vote damps; the shift moves the spectrum positive and
+    leaves the eigenvector unchanged), then renormalize by the
+    round's max via a 1-row broadcast —
+    ``r' = ((r + Σ_in) · scale) DIV max`` — the multiply routed
+    through DECIMAL(38) (DuckDB: HUGEINT) since in_sum·scale
+    overflows BIGINT for any hub. Every score is a bounded exact
+    LONG (no float anywhere, the pagerank discipline),
+    partitioning-independent, and the DuckDB oracle statically
+    unrolls the same rounds. Fixed round count, no convergence claim
+    (the LPA replay discipline); the max node pins at ``scale``.
+
+    Returns (node, score) with integer scores.
+    """
+    if rounds < 1:
+        raise ValueError("eigencentrality: rounds must be >= 1")
+    sc = edges.sparkSession.sparkContext
+    nodes = edges.select("src").distinct()
+    e = edges.persist()
+    scores = nodes.select(
+        F.col("src").alias("node"), F.lit(int(scale)).cast("long").alias("score")
+    )
+    freed: list = []
+    for _ in range(rounds):
+        # each round references `sums` twice (the max and the join);
+        # without truncation the lineage subtree doubles per round and
+        # Catalyst planning goes exponential (the kcore/lpa lesson) —
+        # localCheckpoint keeps every round O(1) plan nodes
+        nbr = (
+            e.join(scores, e.src == scores.node)
+            .select(F.col("dst").alias("n2"), F.col("score").alias("c"))
+            .groupBy("n2")
+            .agg(F.sum("c").cast("long").alias("nbr_sum"))
+        )
+        sums, ids = _checkpointed(
+            sc,
+            scores.join(nbr, scores.node == nbr.n2, "left").select(
+                scores.node.alias("n2"),
+                (F.col("score") + F.coalesce(F.col("nbr_sum"), F.lit(0)))
+                .cast("long")
+                .alias("in_sum"),
+            ),
+        )
+        freed.extend(ids)
+        mx = sums.agg(F.max("in_sum").alias("_mx"))
+        # in_sum*scale exceeds BIGINT for any hub of degree > 1 —
+        # route the renorm through DECIMAL(38) (DuckDB mirrors with
+        # HUGEINT); both floor on positives, result fits a long since
+        # in_sum <= mx
+        scores = sums.join(F.broadcast(mx)).select(
+            F.col("n2").alias("node"),
+            F.expr(
+                f"CAST((CAST(in_sum AS DECIMAL(38,0)) * {int(scale)})"
+                " DIV CAST(_mx AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("score"),
+        )
+
+    def _release() -> None:
+        e.unpersist(blocking=True)
+        _free(sc, freed)
+
+    scores.unpersist_base = _release
+    return scores
+
+
+def eigencentrality_oracle_sql(
+    edges_sql: str, rounds: int = 6, scale: int = RANK_SCALE
+) -> str:
+    """DuckDB replay of :func:`eigencentrality`: one MATERIALIZED CTE
+    per round, the max entering via a cross join of the 1-row CTE
+    (the pca_power scalar-subquery lesson). Integer floor division
+    matches Spark's DIV exactly."""
+    parts = [f"ecedges AS MATERIALIZED ({edges_sql})"]
+    parts.append(
+        "ecr0 AS MATERIALIZED (SELECT DISTINCT src AS node,"
+        f" CAST({int(scale)} AS BIGINT) AS score FROM ecedges)"
+    )
+    prev = "ecr0"
+    for t in range(1, int(rounds) + 1):
+        parts.append(
+            f"""ecn{t} AS (
+  SELECT e.dst AS node, CAST(sum(r.score) AS BIGINT) AS nbr_sum
+  FROM ecedges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+),
+ecs{t} AS MATERIALIZED (
+  SELECT r.node, CAST(r.score + coalesce(n.nbr_sum, 0) AS BIGINT) AS in_sum
+  FROM {prev} r LEFT JOIN ecn{t} n USING (node)
+),
+ecm{t} AS (SELECT max(in_sum) AS mx FROM ecs{t}),
+ecr{t} AS MATERIALIZED (
+  SELECT node,
+    CAST((CAST(in_sum AS HUGEINT) * {int(scale)}) // mx AS BIGINT) AS score
+  FROM ecs{t}, ecm{t}
+)"""
+        )
+        prev = f"ecr{t}"
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, score FROM {prev}"
+    )

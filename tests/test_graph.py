@@ -322,3 +322,59 @@ def test_lpa_rejects_bad_rounds(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match=">= 1"):
         lpa(edges, rounds=0)
+
+
+# --- eigenvector centrality ---------------------------------------------------
+
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_eigencentrality_star_hub_dominates(spark):
+    """A star: the hub pins at scale; leaves all tie below it; a
+    degree-1 node attached to the hub outscores members of a
+    separate triangle (the no-vote-splitting property)."""
+    from osprey_spark.operators.graph import eigencentrality
+
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    tri = [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    out = eigencentrality(_sym_edges(spark, star + tri), rounds=8)
+    got = {r.node: r.score for r in out.collect()}
+    out.unpersist_base()
+    assert got["hub"] == max(got.values())
+    leaf_scores = {got[f"leaf{i}"] for i in range(6)}
+    assert len(leaf_scores) == 1  # symmetric leaves tie exactly
+    assert got["leaf0"] > got["t1"]
+
+
+def test_eigencentrality_matches_python_replica(spark):
+    """Exact integer agreement with a pure-Python replica of the
+    max-renormalized power iteration."""
+    from osprey_spark.operators.graph import eigencentrality
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e")]
+    scale = 10**12
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    score = {n: scale for n in adj}
+    for _ in range(6):
+        sums = {n: score[n] + sum(score[m] for m in nbrs) for n, nbrs in adj.items()}
+        mx = max(sums.values())
+        score = {n: (v * scale) // mx for n, v in sums.items()}  # exact int
+    out = eigencentrality(_sym_edges(spark, pairs), rounds=6)
+    got = {r.node: r.score for r in out.collect()}
+    out.unpersist_base()
+    assert got == score
+
+
+def test_eigencentrality_validation(spark):
+    import pytest
+
+    from osprey_spark.operators.graph import eigencentrality
+
+    with pytest.raises(ValueError, match="rounds"):
+        eigencentrality(_sym_edges(spark, [("a", "b")]), rounds=0)

@@ -48,6 +48,7 @@ _CROSS_OK = {
     "classifier_eval",  # 1-row confusion frame x 1-row rank-stat frame broadcast
     "survival_km",  # 1-row global-max-ts frame broadcast for the censoring test
     "top_paths",  # 1-row total-conversations frame broadcast for the share
+    "eigencentrality",  # 1-row per-round max frame broadcast for the renorm
 }
 
 # Queries expected to broadcast at least one join side (small dim /
