@@ -6952,6 +6952,95 @@ ORDER BY g2 DESC, w1, w2 LIMIT 50
 """
 
 
+_LP_PAIRS_SQL = """
+lppairs AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+         json_extract_string(props, '$.k') AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+)"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user link prediction through shared resources
+    (graph.link_prediction): common-neighbor count, Jaccard and
+    resource-allocation index per candidate pair — the
+    Liben-Nowell/Kleinberg scorers with RA's 1/deg kept RATIONAL
+    (exact BIGINT quantization, no ln) so the whole board is
+    hash-exact; per-item fan-out capped at 20 via seeded-md5
+    subsample. Top-50 by evidence mass."""
+    from .operators.graph import link_prediction
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = (
+        ev.select(
+            F.col("user_id").cast("string").alias("user"),
+            F.get_json_object(F.col("props"), "$.k").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    scored = link_prediction(pairs, cap=20, min_cn=2)
+    out = scored.orderBy(
+        F.desc("cn"), F.desc("jaccard"), "user_a", "user_b"
+    ).limit(50)
+    out.unpersist_base = scored.unpersist_base
+    return out
+
+
+def _o_link_prediction() -> str:
+    from .operators.graph import link_prediction_sql
+
+    return (
+        "WITH "
+        + _LP_PAIRS_SQL.strip()
+        + ",\n"
+        + link_prediction_sql("lppairs", cap=20, min_cn=2)
+        + " ORDER BY cn DESC, jaccard DESC, user_a, user_b LIMIT 50"
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user↔resource interaction graph
+    (graph.assortativity, Newman 2002): one number — negative means
+    star-shaped wiring (throwaway accounts around shared hub
+    resources, the fraud topology), positive means hub-to-hub; six
+    BIGINT moments in one aggregate, fixed-order double algebra."""
+    from .operators.graph import assortativity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return assortativity(edges)
+
+
+def _o_assortativity() -> str:
+    from .operators.graph import assortativity_sql
+
+    edges_cte = """
+aspairs AS (
+  SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
+                  concat('r', json_extract_string(props, '$.k')) AS dst
+  FROM events
+),
+asedges AS (
+  SELECT src, dst FROM aspairs UNION ALL SELECT dst, src FROM aspairs
+)"""
+    return (
+        "WITH "
+        + edges_cte.strip()
+        + ",\n"
+        + assortativity_sql("asedges")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_eval": q_rule_eval,
     "sampling": q_sampling,
@@ -7137,6 +7226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_paths": q_top_paths,
     "fano_regularity": q_fano_regularity,
     "eigencentrality": q_eigencentrality,
+    "link_prediction": q_link_prediction,
+    "assortativity": q_assortativity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7323,6 +7414,8 @@ ORACLES: dict[str, str] = {
     "top_paths": _o_top_paths(),
     "fano_regularity": _o_fano_regularity(),
     "eigencentrality": _o_eigencentrality(),
+    "link_prediction": _o_link_prediction(),
+    "assortativity": _o_assortativity(),
 }
 
 

@@ -564,3 +564,274 @@ ecr{t} AS MATERIALIZED (
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node, score FROM {prev}"
     )
+
+
+# --------------------------------------------------------------------------
+# link prediction over the shared-resource bipartite projection
+# --------------------------------------------------------------------------
+
+RA_SCALE = 10**12
+
+
+def link_prediction(
+    pairs: DataFrame,
+    cap: int = 20,
+    min_cn: int = 2,
+    user_col: str = "user",
+    item_col: str = "item",
+    seed: str = "lp1",
+    scale: int = RA_SCALE,
+) -> DataFrame:
+    """User-user link prediction through shared resources — the
+    "which accounts are about to be (or secretly already are)
+    connected?" scorer (Liben-Nowell & Kleinberg 2003). Three
+    classical indices per candidate pair, each with a fraud reading:
+
+    - ``cn`` (common neighbors): raw count of shared resources — the
+      ring-evidence mass.
+    - ``jaccard``: cn normalized by the union of the two accounts'
+      resource sets — high when two accounts' footprints are mostly
+      the SAME footprint (sockpuppets), low for two busy accounts
+      that merely brush once.
+    - ``ra`` (resource allocation, Zhou-Lü-Zhang 2009): Σ 1/deg(w)
+      over shared resources w — a resource touched by only these two
+      accounts contributes 1/2; a resource half the internet touches
+      contributes ~0. The index that makes RARE shared instruments
+      (one payment card, two accounts) scream while popular media
+      stays silent. Chosen over Adamic-Adar's 1/ln(deg) because 1/deg
+      is RATIONAL: each contribution quantizes exactly to
+      ``scale DIV deg(w)`` in BIGINT, so the per-pair sum is
+      partition-order independent and the DuckDB replay is
+      hash-exact (no transcendental, no float accumulation — the
+      pagerank discipline; ln-based AA would hit the JVM-vs-libm
+      1-ulp divergence this codebase pins in round(…,6) elsewhere).
+
+    ``pairs`` must be DISTINCT (user, item) observations. The scale
+    hazard is PER-ITEM fan-out: one hub resource with 10^5 users
+    emits C(10^5,2) ≈ 5·10^9 candidate pairs alone. ``cap`` bounds
+    it the cooccurrence way — each item keeps at most ``cap`` users,
+    the cap smallest seeded-md5 draws (unbiased, engine-replayable);
+    degrees and indices are computed on the capped frame so the
+    algebra stays internally consistent (jaccard ≤ 1 always). Hub
+    resources contribute ~0 to RA anyway (1/deg), so the subsample
+    loses only what the index already discounts.
+
+    Plan shape: one row_number window on the item shuffle, a
+    self-equi-join on item with ``a < b`` canonicalization, one hash
+    aggregate per pair (cn + RA units, map-side partials), two
+    broadcast-size degree joins. Returns
+    ``(user_a, user_b, cn, deg_a, deg_b, jaccard, ra)`` for pairs
+    with cn ≥ ``min_cn``; jaccard/ra are exact-integer-derived
+    doubles rounded to 6.
+    """
+    if cap < 2:
+        raise ValueError("link_prediction: cap must be >= 2")
+    if min_cn < 1:
+        raise ValueError("link_prediction: min_cn must be >= 1")
+    draw = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col(item_col).cast("string"),
+            F.lit(":"),
+            F.col(user_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(item_col).orderBy(draw, user_col)
+    capped = (
+        pairs.select(user_col, item_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(cap))
+        .select(user_col, item_col)
+        # referenced by item-degree, user-degree and both join sides —
+        # without persist Catalyst replays the window per branch
+        .persist()
+    )
+    item_deg = capped.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_dw")
+    )
+    user_deg = capped.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_du")
+    )
+    ra_unit = F.expr(f"CAST({int(scale)} AS BIGINT) DIV _dw")
+    wi = capped.join(item_deg, item_col).filter(F.col("_dw") >= 2)
+    a = wi.select(
+        F.col(item_col).alias("_i"),
+        F.col(user_col).alias("user_a"),
+        ra_unit.alias("_ra"),
+    )
+    b = wi.select(
+        F.col(item_col).alias("_i"), F.col(user_col).alias("user_b")
+    )
+    co = (
+        a.join(b, "_i")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("_ra").cast("long").alias("_ra_units"),
+        )
+        .filter(F.col("cn") >= int(min_cn))
+    )
+    out = (
+        co.join(
+            user_deg.select(
+                F.col(user_col).alias("user_a"), F.col("_du").alias("deg_a")
+            ),
+            "user_a",
+        )
+        .join(
+            user_deg.select(
+                F.col(user_col).alias("user_b"), F.col("_du").alias("deg_b")
+            ),
+            "user_b",
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("_ra_units").cast("double") / F.lit(float(scale)), 6
+            ).alias("ra"),
+        )
+    )
+    out.unpersist_base = lambda: capped.unpersist(blocking=True)
+    return out
+
+
+def link_prediction_sql(
+    pairs_table: str,
+    cap: int = 20,
+    min_cn: int = 2,
+    seed: str = "lp1",
+    scale: int = RA_SCALE,
+) -> str:
+    """DuckDB replay of :func:`link_prediction`. ``pairs_table`` must
+    expose DISTINCT (u, item) VARCHAR rows. Same capped frame (md5
+    rank per item), same BIGINT RA quantization (`//` == Spark `DIV`
+    on positives), same two fixed divisions."""
+    return f"""lpcap AS (
+  SELECT u, item FROM (
+    SELECT u, item,
+      row_number() OVER (
+        PARTITION BY item ORDER BY md5('{seed}:' || item || ':' || u), u
+      ) AS rn
+    FROM {pairs_table}
+  ) WHERE rn <= {int(cap)}
+),
+lpideg AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS dw FROM lpcap GROUP BY item
+),
+lpudeg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS du FROM lpcap GROUP BY u
+),
+lpwi AS (
+  SELECT c.item, c.u, CAST({int(scale)} AS BIGINT) // d.dw AS ra_u
+  FROM lpcap c JOIN lpideg d ON c.item = d.item WHERE d.dw >= 2
+),
+lpco AS (
+  SELECT a.u AS user_a, b.u AS user_b,
+    CAST(count(*) AS BIGINT) AS cn,
+    CAST(sum(a.ra_u) AS BIGINT) AS ra_units
+  FROM lpwi a JOIN lpwi b ON a.item = b.item AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_cn)}
+)
+SELECT user_a, user_b, cn, da.du AS deg_a, db.du AS deg_b,
+  round(CAST(cn AS DOUBLE) / CAST(da.du + db.du - cn AS DOUBLE), 6) AS jaccard,
+  round(CAST(ra_units AS DOUBLE) / {float(scale)!r}, 6) AS ra
+FROM lpco
+JOIN lpudeg da ON lpco.user_a = da.u
+JOIN lpudeg db ON lpco.user_b = db.u"""
+
+
+def assortativity(
+    edges: DataFrame, a_col: str = "src", b_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002) — ONE
+    number answering "do hubs connect to hubs?": social graphs run
+    positive (celebrities follow celebrities), infrastructure and
+    FRAUD topologies run negative (many throwaway degree-1 accounts
+    all wired to one shared hub resource — the star motif). A sudden
+    drop in assortativity on the interaction graph is a
+    structure-level alarm no per-node threshold sees.
+
+    ``edges`` is a DIRECTED list; pass both directions for an
+    undirected graph (then the formula reduces to Newman's
+    undirected r). r is the Pearson correlation of (deg(src),
+    deg(dst)) over edges: with M edges and per-edge degrees x, y —
+    ``r = (M·Σxy − Σx·Σy) / sqrt((M·Σx² − (Σx)²)·(M·Σy² − (Σy)²))``.
+
+    Exact-integer discipline: all six moments are BIGINT sums of
+    BIGINT products in one hash-free global aggregate (map-side
+    partials), and r is a fixed parenthesization of double casts —
+    sqrt is IEEE-correctly-rounded in both engines, so the replay is
+    hash-exact. Long-sum headroom: Σx² ≤ M·dmax²; at extreme hub
+    degrees route the moments through DECIMAL(38,0) (the
+    eigencentrality trade). Output: one row ``(m_edges, r)``; r NULL
+    for degenerate (constant-degree) graphs.
+    """
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    ed = e.join(
+        deg.select(F.col("src").alias("src"), F.col("_d").alias("_x")), "src"
+    ).join(
+        deg.select(F.col("src").alias("dst"), F.col("_d").alias("_y")), "dst"
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    md = F.col("m_edges").cast("double")
+    num = md * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    vx = md * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    vy = md * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    r = F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+    return m.select("m_edges", F.round(r, 6).alias("r"))
+
+
+def assortativity_sql(edges_table: str) -> str:
+    """DuckDB replay of :func:`assortativity` over a directed
+    (src, dst) table — same six BIGINT moments, same fixed-order
+    double algebra."""
+    return f"""asdeg AS (
+  SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM {edges_table} GROUP BY src
+),
+asmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges,
+    CAST(sum(dx.d) AS BIGINT) AS sx, CAST(sum(dy.d) AS BIGINT) AS sy,
+    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+    CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+  FROM {edges_table} e
+  JOIN asdeg dx ON e.src = dx.n
+  JOIN asdeg dy ON e.dst = dy.n
+)
+SELECT m_edges,
+  round(CASE WHEN (CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+              AND (CAST(m_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(m_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS r
+FROM asmom"""

@@ -378,3 +378,132 @@ def test_eigencentrality_validation(spark):
 
     with pytest.raises(ValueError, match="rounds"):
         eigencentrality(_sym_edges(spark, [("a", "b")]), rounds=0)
+
+
+# --------------------------------------------------------------------------
+# link prediction + assortativity
+# --------------------------------------------------------------------------
+
+
+def _lp_pairs(spark, rows):
+    return spark.createDataFrame(rows, "user string, item string")
+
+
+def test_link_prediction_known_answer(spark):
+    """Hand graph: u1,u2 share {i1,i2}; u3 shares only i1 with them.
+    item degrees: i1→3, i2→2, i3→1 (u3 private, never shared).
+    u1={i1,i2}, u2={i1,i2}, u3={i1,i3}.
+    (u1,u2): cn=2, jaccard=2/(2+2-2)=1.0, ra=1/3+1/2.
+    (u1,u3): cn=1 (below min_cn=2 → absent at default, present at 1).
+    """
+    from osprey_spark.operators.graph import link_prediction
+
+    rows = [
+        ("u1", "i1"), ("u1", "i2"),
+        ("u2", "i1"), ("u2", "i2"),
+        ("u3", "i1"), ("u3", "i3"),
+    ]
+    out = link_prediction(_lp_pairs(spark, rows), cap=20, min_cn=1)
+    got = {(r["user_a"], r["user_b"]): r for r in out.collect()}
+    out.unpersist_base()
+    assert set(got) == {("u1", "u2"), ("u1", "u3"), ("u2", "u3")}
+    r12 = got[("u1", "u2")]
+    assert r12["cn"] == 2 and r12["deg_a"] == 2 and r12["deg_b"] == 2
+    assert r12["jaccard"] == 1.0
+    # exact quantized RA: floor(1e12/3) + floor(1e12/2), /1e12 rounded 6
+    assert r12["ra"] == round((10**12 // 3 + 10**12 // 2) / 1e12, 6)
+    r13 = got[("u1", "u3")]
+    assert r13["cn"] == 1 and r13["jaccard"] == round(1 / 3, 6)
+    assert r13["ra"] == round((10**12 // 3) / 1e12, 6)
+
+
+def test_link_prediction_min_cn_filters(spark):
+    from osprey_spark.operators.graph import link_prediction
+
+    rows = [("u1", "i1"), ("u2", "i1"), ("u1", "i2"), ("u2", "i2"), ("u3", "i1")]
+    out = link_prediction(_lp_pairs(spark, rows), cap=20, min_cn=2)
+    got = {(r["user_a"], r["user_b"]) for r in out.collect()}
+    out.unpersist_base()
+    assert got == {("u1", "u2")}
+
+
+def test_link_prediction_cap_bounds_hub_fanout(spark):
+    """A hub item with 10 users capped at 3 yields at most C(3,2)
+    pairs from that item, and degrees are computed on the capped
+    frame (internal consistency: jaccard <= 1)."""
+    from osprey_spark.operators.graph import link_prediction
+
+    rows = [(f"u{i}", "hub") for i in range(10)]
+    out = link_prediction(_lp_pairs(spark, rows), cap=3, min_cn=1)
+    pairs = out.collect()
+    out.unpersist_base()
+    assert len(pairs) == 3  # C(3,2)
+    for r in pairs:
+        assert r["jaccard"] <= 1.0
+
+
+def test_link_prediction_validation(spark):
+    from osprey_spark.operators.graph import link_prediction
+
+    with pytest.raises(ValueError):
+        link_prediction(_lp_pairs(spark, [("u", "i")]), cap=1)
+    with pytest.raises(ValueError):
+        link_prediction(_lp_pairs(spark, [("u", "i")]), min_cn=0)
+
+
+def _assort_r(edges):
+    """Pure-python Newman r over a directed edge list."""
+    from collections import Counter
+    import math
+
+    deg = Counter(s for s, _ in edges)
+    xs = [deg[s] for s, d in edges]
+    ys = [deg[d] for s, d in edges]
+    m = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return round((m * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)), 6)
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star is maximally dissortative: every edge pairs degree 1
+    with degree N. Exact value matches the python replica."""
+    from osprey_spark.operators.graph import assortativity
+
+    pairs = [("h", f"l{i}") for i in range(1, 6)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = assortativity(df).collect()[0]
+    assert row["m_edges"] == 10
+    assert row["r"] == _assort_r(edges)
+    assert row["r"] == -1.0  # two-valued degree sequence, perfect anti-correlation
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """Constant degree (a 4-cycle) → zero variance → NULL r."""
+    from osprey_spark.operators.graph import assortativity
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = assortativity(df).collect()[0]
+    assert row["m_edges"] == 8
+    assert row["r"] is None
+
+
+def test_assortativity_mixed_graph_matches_replica(spark):
+    from osprey_spark.operators.graph import assortativity
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("b", "d"), ("a", "c"), ("e", "f"),
+    ]
+    edges = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = assortativity(df).collect()[0]
+    assert row["r"] == _assort_r(edges)
