@@ -6666,6 +6666,31 @@ def _o_survival_km() -> str:
     )
 
 
+def q_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same censored
+    conversation lifetimes as survival_km (survival.nelson_aalen):
+    H(t) = Σ d/n, the additive dual of the product-limit curve —
+    a bump in dH after a rule ships is the direct 'conversations now
+    die at hour 3' readout; plus the Fleming-Harrington exp(−H)
+    survival. One packed fixed-order fold, hash-exact replay."""
+    from .operators.survival import nelson_aalen
+
+    return nelson_aalen(
+        turns_from_events(spark, sf_dir), horizon_s=86400, bucket_s=3600
+    )
+
+
+def _o_hazard_na() -> str:
+    from .operators.survival import nelson_aalen_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + nelson_aalen_sql("turns", horizon_s=86400, bucket_s=3600)
+        + " ORDER BY t_bucket"
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -7228,6 +7253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eigencentrality": q_eigencentrality,
     "link_prediction": q_link_prediction,
     "assortativity": q_assortativity,
+    "hazard_na": q_hazard_na,
 }
 
 ORACLES: dict[str, str] = {
@@ -7416,6 +7442,7 @@ ORACLES: dict[str, str] = {
     "eigencentrality": _o_eigencentrality(),
     "link_prediction": _o_link_prediction(),
     "assortativity": _o_assortativity(),
+    "hazard_na": _o_hazard_na(),
 }
 
 

@@ -102,3 +102,78 @@ def test_km_validation(spark):
         km_survival(df, bucket_s=0)
     with pytest.raises(ValueError, match="horizon_s"):
         km_survival(df, horizon_s=-1)
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# --------------------------------------------------------------------------
+
+
+def _na(spark, rows, **kw):
+    from osprey_spark.operators.survival import nelson_aalen
+
+    out = nelson_aalen(_turns(spark, rows), **kw).collect()
+    return {
+        r.t_bucket: (r.n_risk, r.d_events, r.c_censored, r.cum_hazard, r.fh_survival)
+        for r in out
+    }
+
+
+def test_na_known_answer_classic(spark):
+    """Same frame as the KM classic: H steps 0 -> 1/3 -> 1/3+1/2 ->
+    1/3+1/2+1, each increment one d/n division in fixed order."""
+    import math
+
+    rows = [
+        ("a", 0), ("a", 60),
+        ("b", 0), ("b", 120),
+        ("c", 0), ("c", 180),
+        ("d", 1000),
+    ]
+    got = _na(spark, rows, horizon_s=120, bucket_s=60)
+    h1 = 0.0 + 1 / 3
+    h2 = h1 + 1 / 2
+    h3 = h2 + 1 / 1
+    assert got[0] == (4, 0, 1, 0.0, 1.0)
+    assert got[1] == (3, 1, 0, round(h1, 6), round(math.exp(-h1), 6))
+    assert got[2] == (2, 1, 0, round(h2, 6), round(math.exp(-h2), 6))
+    assert got[3] == (1, 1, 0, round(h3, 6), round(math.exp(-h3), 6))
+
+
+def test_na_dominates_km_log(spark):
+    """H(t) >= -ln(S_KM(t)) pointwise (Jensen: -ln(1-x) >= x), and the
+    FH survival exp(-H) >= KM survival... actually exp(-H) >= S_KM
+    because each exp(-d/n) >= 1 - d/n. Checked on the classic frame
+    where S_KM > 0."""
+    rows = [
+        ("a", 0), ("a", 60),
+        ("b", 0), ("b", 120),
+        ("c", 0), ("c", 180),
+        ("d", 1000),
+    ]
+    km = _km(spark, rows, horizon_s=120, bucket_s=60)
+    na = _na(spark, rows, horizon_s=120, bucket_s=60)
+    for t in km:
+        assert na[t][4] >= km[t][3]
+
+
+def test_na_same_bucket_ties(spark):
+    rows = [
+        ("a", 0), ("a", 30),
+        ("b", 0), ("b", 45),
+        ("c", 900), ("c", 930),
+        ("d", 0), ("d", 70),
+        ("e", 1000),
+    ]
+    got = _na(spark, rows, horizon_s=100, bucket_s=60)
+    assert got[0][:4] == (5, 2, 2, round(2 / 5, 6))
+    assert got[1][:4] == (1, 1, 0, round(2 / 5 + 1 / 1, 6))
+
+
+def test_na_validation(spark):
+    from osprey_spark.operators.survival import nelson_aalen
+
+    with pytest.raises(ValueError):
+        nelson_aalen(_turns(spark, [("a", 0)]), bucket_s=0)
+    with pytest.raises(ValueError):
+        nelson_aalen(_turns(spark, [("a", 0)]), horizon_s=-1)
