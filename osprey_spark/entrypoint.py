@@ -6691,6 +6691,34 @@ def _o_hazard_na() -> str:
     )
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust activity trend per conversation
+    (forecast.theil_sen): median of pairwise hourly-count slopes —
+    the ramp-up detector one burst cannot drag (29.3% breakdown),
+    complementing Holt smoothing and MAD point flags; per-key pair
+    fan-out capped via seeded-md5 bucket subsample; the two-middle-
+    row median keeps every double IEEE-exact."""
+    from .operators.forecast import theil_sen
+
+    return theil_sen(
+        turns_from_events(spark, sf_dir),
+        key_col="conv_id",
+        bucket_s=3600,
+        min_points=3,
+    )
+
+
+def _o_theil_sen() -> str:
+    from .operators.forecast import theil_sen_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + theil_sen_sql("turns", key_col="conv_id", bucket_s=3600, min_points=3)
+        + " ORDER BY conv_id"
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -7254,6 +7282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_prediction": q_link_prediction,
     "assortativity": q_assortativity,
     "hazard_na": q_hazard_na,
+    "theil_sen_trend": q_theil_sen,
 }
 
 ORACLES: dict[str, str] = {
@@ -7443,6 +7472,7 @@ ORACLES: dict[str, str] = {
     "link_prediction": _o_link_prediction(),
     "assortativity": _o_assortativity(),
     "hazard_na": _o_hazard_na(),
+    "theil_sen_trend": _o_theil_sen(),
 }
 
 

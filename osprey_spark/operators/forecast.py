@@ -30,7 +30,7 @@ cannot re-inline it per element (the textrank/changepoints lesson).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -628,3 +628,166 @@ SELECT CAST(k AS INT) AS lag, CAST(nk AS BIGINT) AS n_obs,
          + (CAST(nk AS DOUBLE) * (mx * my))) / sqrt(denx * deny), 6) AS ccf
 FROM csums
 """
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    min_points: int = 3,
+    cap: int = 128,
+    seed: str = "ts1",
+) -> DataFrame:
+    """Theil-Sen robust trend (Theil 1950, Sen 1968) per key over its
+    per-bucket event-count series: the MEDIAN of all pairwise slopes
+    (cⱼ−cᵢ)/(bⱼ−bᵢ) — the trend line one outlier burst cannot drag
+    (29.3% breakdown point), where an OLS slope moves with every
+    spike. The 'is this account actually ramping up, or did it have
+    one bad hour?' discriminator, complementing Holt (which smooths)
+    and the MAD z (which flags single points).
+
+    Series support: OBSERVED buckets only (the ACF/Fano discipline —
+    empty hours never materialize; the estimate is the trend of
+    activity WHEN ACTIVE, documented semantics). Pair fan-out is the
+    scale hazard: n observed buckets emit C(n,2) pairs, so ``cap``
+    bounds each key to the cap smallest seeded-md5 bucket draws
+    (unbiased, engine-replayable — the cooccurrence subsample):
+    ≤ C(cap,2) pairs per key, linear in keys overall.
+
+    Exactness: each slope is ONE IEEE double division of integer
+    differences (bit-identical across engines); the median picks the
+    two middle rows of the (slope, b1, b2)-ordered pair frame via
+    row_number and averages them as (s_lo + s_hi)/2 — odd n_pairs
+    makes the rows coincide so the halving is exact, and the
+    selection sum only ever adds exact-zero products (x + 0.0 == x),
+    so the statistic is partition-order independent and the DuckDB
+    replay is hash-exact.
+
+    Plan shape: one (key, bucket) hash aggregate, one cap window on
+    the key shuffle, one key-equi self-join (b1 < b2), one ranking
+    window + one partition-count window over the per-key pair frame,
+    one final key aggregate. Output: ``(key, n_points, n_pairs,
+    slope)`` (events/bucket, rounded 6) for keys with ≥
+    ``min_points`` observed buckets, ordered by key.
+    """
+    if int(bucket_s) < 1:
+        raise ValueError("theil_sen: bucket_s must be >= 1")
+    if int(min_points) < 2:
+        raise ValueError("theil_sen: min_points must be >= 2")
+    if int(cap) < int(min_points):
+        raise ValueError("theil_sen: cap must be >= min_points")
+    b = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(float(bucket_s))
+    ).cast("long")
+    per = df.groupBy(F.col(key_col).alias("_k"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    draw = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("_k").cast("string"),
+            F.lit(":"),
+            F.col("_b").cast("string"),
+        )
+    )
+    w_cap = Window.partitionBy("_k").orderBy(draw, "_b")
+    capped = (
+        per.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= int(cap))
+        .select("_k", "_b", "_c")
+    )
+    a = capped.select("_k", F.col("_b").alias("_b1"), F.col("_c").alias("_c1"))
+    bb = capped.select("_k", F.col("_b").alias("_b2"), F.col("_c").alias("_c2"))
+    pairs = (
+        a.join(bb, "_k")
+        .filter(F.col("_b1") < F.col("_b2"))
+        .select(
+            "_k",
+            "_b1",
+            "_b2",
+            (
+                (F.col("_c2") - F.col("_c1")).cast("double")
+                / (F.col("_b2") - F.col("_b1")).cast("double")
+            ).alias("_s"),
+        )
+    )
+    w_rank = Window.partitionBy("_k").orderBy("_s", "_b1", "_b2")
+    w_all = Window.partitionBy("_k")
+    ranked = pairs.select(
+        "_k",
+        "_s",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_np"),
+    )
+    lo = F.expr("(_np + 1) div 2")
+    hi = F.expr("(_np + 2) div 2")
+    pick = (F.col("_rn") == lo).cast("int") + (F.col("_rn") == hi).cast("int")
+    med = ranked.groupBy("_k").agg(
+        F.max("_np").alias("n_pairs"),
+        (F.sum(F.col("_s") * pick.cast("double")) / F.lit(2.0)).alias("_med"),
+    )
+    npts = capped.groupBy("_k").agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        npts.filter(F.col("n_points") >= int(min_points))
+        .join(med, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_points",
+            "n_pairs",
+            F.round("_med", 6).alias("slope"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def theil_sen_sql(
+    table: str,
+    key_col: str = "conv_id",
+    bucket_s: int = 3600,
+    min_points: int = 3,
+    cap: int = 128,
+    seed: str = "ts1",
+) -> str:
+    """DuckDB replay of :func:`theil_sen` — same capped frame, same
+    IEEE slope divisions, same two-middle-row median selection."""
+    bs = repr(float(bucket_s))
+    return f"""tsper AS (
+  SELECT {key_col} AS k,
+    CAST(floor(epoch(ts) / CAST({bs} AS DOUBLE)) AS BIGINT) AS b,
+    CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+tscap AS (
+  SELECT k, b, c FROM (
+    SELECT k, b, c,
+      row_number() OVER (
+        PARTITION BY k
+        ORDER BY md5('{seed}:' || CAST(k AS VARCHAR) || ':' || CAST(b AS VARCHAR)), b
+      ) AS rn
+    FROM tsper
+  ) WHERE rn <= {int(cap)}
+),
+tspairs AS (
+  SELECT a.k, a.b AS b1, p.b AS b2,
+    CAST(p.c - a.c AS DOUBLE) / CAST(p.b - a.b AS DOUBLE) AS s
+  FROM tscap a JOIN tscap p ON a.k = p.k AND a.b < p.b
+),
+tsranked AS (
+  SELECT k, s,
+    row_number() OVER (PARTITION BY k ORDER BY s, b1, b2) AS rn,
+    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS np
+  FROM tspairs
+),
+tsmed AS (
+  SELECT k, CAST(max(np) AS BIGINT) AS n_pairs,
+    sum(s * CAST((CAST(rn = (np + 1) // 2 AS INT)
+                  + CAST(rn = (np + 2) // 2 AS INT)) AS DOUBLE)) / 2.0 AS med
+  FROM tsranked GROUP BY k
+),
+tsnpts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM tscap GROUP BY k
+)
+SELECT n.k AS {key_col}, n.n_points, m.n_pairs, round(m.med, 6) AS slope
+FROM tsnpts n JOIN tsmed m ON n.k = m.k
+WHERE n.n_points >= {int(min_points)}"""

@@ -75,3 +75,87 @@ def test_holt_validation(spark):
         holt_forecast(_counts(spark, rows), alpha=1.0)
     with pytest.raises(ValueError, match="warmup"):
         holt_forecast(_counts(spark, rows), warmup=0)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend
+# --------------------------------------------------------------------------
+
+
+def _ts_turns(spark, rows):
+    """rows: (key, hour_offset) — one event per row."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    data = [(k, t0 + dt.timedelta(hours=h)) for k, h in rows]
+    return spark.createDataFrame(data, "conv_id string, ts timestamp")
+
+
+def _theil_python(points):
+    """points: [(bucket, count)] — median of pairwise slopes with the
+    (slope, b1, b2) tie-break and two-middle-row averaging."""
+    ps = sorted(points)
+    slopes = []
+    for i in range(len(ps)):
+        for j in range(i + 1, len(ps)):
+            b1, c1 = ps[i]
+            b2, c2 = ps[j]
+            slopes.append(((c2 - c1) / (b2 - b1), b1, b2))
+    slopes.sort()
+    n = len(slopes)
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    return round((slopes[lo - 1][0] + slopes[hi - 1][0]) / 2.0, 6)
+
+
+def test_theil_sen_linear_series_exact_slope(spark):
+    """Counts 1,2,3,4 at hours 0..3: every pairwise slope is 1."""
+    from osprey_spark.operators.forecast import theil_sen
+
+    rows = []
+    for h, c in enumerate([1, 2, 3, 4]):
+        rows += [("a", h)] * c
+    out = theil_sen(_ts_turns(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_points"], r["n_pairs"], r["slope"]) == (4, 6, 1.0)
+
+
+def test_theil_sen_outlier_resistant(spark):
+    """A flat series with one 50x spike: OLS would report a big
+    positive slope; the pairwise-slope median stays ~0 (exact value
+    pinned by the python replica)."""
+    from osprey_spark.operators.forecast import theil_sen
+
+    counts = [(0, 2), (1, 2), (2, 100), (3, 2), (4, 2), (5, 2), (6, 2)]
+    rows = []
+    for h, c in counts:
+        rows += [("a", h)] * c
+    out = theil_sen(_ts_turns(spark, rows)).collect()[0]
+    expect = _theil_python(counts)
+    assert out["slope"] == expect
+    assert abs(out["slope"]) <= 0.5
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    from osprey_spark.operators.forecast import theil_sen
+
+    counts = [(0, 1), (1, 3), (2, 4), (10, 5)]
+    rows = []
+    for h, c in counts:
+        rows += [("b", h)] * c
+    out = theil_sen(_ts_turns(spark, rows)).collect()[0]
+    assert out["n_pairs"] == 6
+    assert out["slope"] == _theil_python(counts)
+
+
+def test_theil_sen_min_points_filter_and_validation(spark):
+    from osprey_spark.operators.forecast import theil_sen
+
+    rows = [("a", 0), ("a", 1)]  # 2 observed buckets < 3
+    assert theil_sen(_ts_turns(spark, rows)).count() == 0
+    with pytest.raises(ValueError):
+        theil_sen(_ts_turns(spark, rows), bucket_s=0)
+    with pytest.raises(ValueError):
+        theil_sen(_ts_turns(spark, rows), min_points=1)
+    with pytest.raises(ValueError):
+        theil_sen(_ts_turns(spark, rows), cap=2, min_points=3)
