@@ -6719,6 +6719,22 @@ def _o_theil_sen() -> str:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document
+    (curation.readability): the curation dial gopher_quality's
+    length/punct ratios miss — deterministic vowel-group syllable
+    heuristic, pure JVM regex/array map, no shuffle."""
+    from .operators.curation import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def _o_readability() -> str:
+    from .operators.curation import readability_sql
+
+    return "WITH " + readability_sql("documents") + " ORDER BY doc_id"
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -7283,6 +7299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "hazard_na": q_hazard_na,
     "theil_sen_trend": q_theil_sen,
+    "readability": q_readability,
 }
 
 ORACLES: dict[str, str] = {
@@ -7473,6 +7490,7 @@ ORACLES: dict[str, str] = {
     "assortativity": _o_assortativity(),
     "hazard_na": _o_hazard_na(),
     "theil_sen_trend": _o_theil_sen(),
+    "readability": _o_readability(),
 }
 
 

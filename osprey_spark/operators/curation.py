@@ -2716,3 +2716,93 @@ SELECT n_tokens, vocab_size, singletons, doubletons,
           / (2.0 * CAST(doubletons + 1 AS DOUBLE)), 6) AS chao1
 FROM vcred
 """
+
+
+def readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade (Flesch 1948,
+    Kincaid 1975) per document with a deterministic vowel-group
+    syllable heuristic — the curation axis the length/punct ratios
+    (gopher_quality) miss: two documents with identical token counts
+    can sit 40 Flesch points apart, and a pretraining mix wants that
+    dial (filter unreadable boilerplate, stratify by grade level).
+
+    Heuristic conventions (pinned by tests, shared verbatim by the
+    oracle): words = nonempty ``\\s+`` splits of the lowercased
+    text; syllables per word = max(1, count of ``[aeiouy]+`` runs)
+    (the floor makes vowel-less tokens — numbers, 'hmm' — count 1);
+    sentences = max(1, count of ``[.!?]+`` runs). Then
+    ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)`` and
+    ``fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59`` as fixed
+    parenthesizations of exact-integer-derived doubles, rounded 6;
+    NULL for word-less documents.
+
+    Engine shape: pure JVM array/regex expressions in one projection
+    — no Python, no shuffle, whole-stage codegen; scales as a map.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    syl_of = lambda w: F.greatest(  # noqa: E731
+        F.lit(1), F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), F.lit(0)))
+    )
+    n_words = F.size(words).cast("long")
+    n_syll = F.aggregate(
+        F.transform(words, syl_of), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))),
+    ).cast("long")
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    ok = n_words >= 1
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        F.when(ok, n_syll).otherwise(F.lit(0)).cast("long").alias("n_syllables"),
+        F.round(F.when(ok, flesch), 6).alias("flesch"),
+        F.round(F.when(ok, fk), 6).alias("fk_grade"),
+    ).orderBy(id_col)
+
+
+def readability_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`readability` — same split/regex
+    conventions, same fixed-order double algebra."""
+    return f"""rwords AS (
+  SELECT {id_col},
+    list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                w -> w <> '') AS ws,
+    CAST(greatest(1, len(regexp_extract_all({text_col}, '[.!?]+'))) AS BIGINT)
+      AS n_sentences
+  FROM {table}
+),
+rsyl AS (
+  SELECT {id_col}, CAST(len(ws) AS BIGINT) AS n_words, n_sentences,
+    CAST(coalesce(list_sum(list_transform(ws,
+      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT)
+      AS n_syllables
+  FROM rwords
+)
+SELECT {id_col}, n_words, n_sentences, n_syllables,
+  round(CASE WHEN n_words >= 1 THEN
+    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+  END, 6) AS flesch,
+  round(CASE WHEN n_words >= 1 THEN
+    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+  END, 6) AS fk_grade
+FROM rsyl"""

@@ -423,3 +423,45 @@ def test_attribution_validation(spark):
 
     with pytest.raises(ValueError, match="touch type"):
         attribution(_journey(spark, [("c", 0, None, True)]), [])
+
+
+# --------------------------------------------------------------------------
+# readability (Flesch / FK)
+# --------------------------------------------------------------------------
+
+
+def test_readability_known_answer(spark):
+    """'the cat sat on the mat.' — 6 words, 1 sentence, 6 syllables
+    (every word one vowel run) → flesch = 206.835 − 1.015·6 − 84.6·1."""
+    from osprey_spark.operators.curation import readability
+
+    df = spark.createDataFrame(
+        [("d1", "the cat sat on the mat.")], "doc_id string, text string"
+    )
+    r = readability(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 1, 6)
+    assert r["flesch"] == round(206.835 - 1.015 * 6.0 - 84.6 * 1.0, 6)
+    assert r["fk_grade"] == round(0.39 * 6.0 + 11.8 * 1.0 - 15.59, 6)
+
+
+def test_readability_syllable_and_sentence_conventions(spark):
+    """Vowel-less tokens floor at 1 syllable; '...' counts as ONE
+    sentence run; multisyllable words count vowel groups
+    ('beautiful' → eau+i+u = 3)."""
+    from osprey_spark.operators.curation import readability
+
+    df = spark.createDataFrame(
+        [
+            ("a", "hmm 123 beautiful... ok?! done"),
+            ("b", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    a = got["a"]
+    # words: hmm(1) 123(1) beautiful...(3) ok?!(1) done(2: o,e) = 8
+    assert a["n_words"] == 5
+    assert a["n_syllables"] == 1 + 1 + 3 + 1 + 2
+    assert a["n_sentences"] == 2  # '...' and '?!'
+    b = got["b"]
+    assert b["n_words"] == 0 and b["flesch"] is None and b["fk_grade"] is None
