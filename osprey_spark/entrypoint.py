@@ -6735,6 +6735,29 @@ def _o_readability() -> str:
     return "WITH " + readability_sql("documents") + " ORDER BY doc_id"
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin' Words weighted log-odds (curation.distinctive_terms,
+    Monroe-Colaresi-Quinn 2008): which words make the user side sound
+    like the user and the assistant like the assistant — pooled
+    Dirichlet prior shrinks thin evidence, variance z-scoring demands
+    volume behind the skew; the label-vs-clean variant surfaces an
+    automation campaign's template words. Top-25 each side."""
+    from .operators.curation import distinctive_terms
+
+    return distinctive_terms(turns_from_events(spark, sf_dir))
+
+
+def _o_distinctive_terms() -> str:
+    from .operators.curation import distinctive_terms_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + distinctive_terms_sql("turns")
+        + " ORDER BY side, z DESC, term"
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -7300,6 +7323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hazard_na": q_hazard_na,
     "theil_sen_trend": q_theil_sen,
     "readability": q_readability,
+    "distinctive_terms": q_distinctive_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -7491,6 +7515,7 @@ ORACLES: dict[str, str] = {
     "hazard_na": _o_hazard_na(),
     "theil_sen_trend": _o_theil_sen(),
     "readability": _o_readability(),
+    "distinctive_terms": _o_distinctive_terms(),
 }
 
 

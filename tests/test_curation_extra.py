@@ -465,3 +465,67 @@ def test_readability_syllable_and_sentence_conventions(spark):
     assert a["n_sentences"] == 2  # '...' and '?!'
     b = got["b"]
     assert b["n_words"] == 0 and b["flesch"] is None and b["fk_grade"] is None
+
+
+# --------------------------------------------------------------------------
+# distinctive terms (weighted log-odds)
+# --------------------------------------------------------------------------
+
+
+def _dt_turns(spark, rows):
+    return spark.createDataFrame(rows, "role string, text string")
+
+
+def _logodds_python(y_a, y_b, na, nb, a0=100.0):
+    import math
+
+    n = float(na + nb)
+    aw = float(y_a + y_b) * a0 / n
+    la = math.log((y_a + aw) / (na + a0 - y_a - aw))
+    lb = math.log((y_b + aw) / (nb + a0 - y_b - aw))
+    delta = la - lb
+    var = 1.0 / (y_a + aw) + 1.0 / (y_b + aw)
+    return round(delta, 6), round(delta / math.sqrt(var), 6)
+
+
+def test_distinctive_terms_skewed_word_scores_high(spark):
+    """'please' dominated by user side, 'certainly' by assistant;
+    shared filler is near zero. z values match a python replica."""
+    from osprey_spark.operators.curation import distinctive_terms
+
+    rows = (
+        [("user", "please please help now")] * 10
+        + [("assistant", "certainly certainly here now")] * 10
+    )
+    out = distinctive_terms(
+        _dt_turns(spark, rows), min_count=5, k=3
+    ).collect()
+    by_side = {}
+    for r in out:
+        by_side.setdefault(r["side"], []).append(r)
+    # counts: user words: please=20, help=10, now=10; asst: certainly=20, here=10, now=10
+    na, nb = 40, 40
+    assert by_side["a"][0]["term"] == "please"
+    d, z = _logodds_python(20, 0, na, nb)
+    assert (by_side["a"][0]["delta"], by_side["a"][0]["z"]) == (d, z)
+    assert by_side["b"][0]["term"] == "certainly"
+    d2, z2 = _logodds_python(0, 20, na, nb)
+    assert (by_side["b"][0]["delta"], by_side["b"][0]["z"]) == (d2, z2)
+    # the shared word ranks with |z| below both champions
+    shared = [r for r in out if r["term"] == "now"]
+    for s in shared:
+        assert abs(s["z"]) < abs(z)
+
+
+def test_distinctive_terms_min_count_and_validation(spark):
+    from osprey_spark.operators.curation import distinctive_terms
+
+    rows = [("user", "rare word word word word"), ("assistant", "word word")]
+    out = distinctive_terms(_dt_turns(spark, rows), min_count=2, k=10).collect()
+    assert all(r["term"] != "rare" for r in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        distinctive_terms(_dt_turns(spark, rows), a0=0)
+    with _pt.raises(ValueError):
+        distinctive_terms(_dt_turns(spark, rows), k=0)
