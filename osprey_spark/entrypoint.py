@@ -6758,6 +6758,24 @@ def _o_distinctive_terms() -> str:
     )
 
 
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent gap-allowed role subsequences (cep.sequential_patterns,
+    PrefixSpan existence semantics): enumerate and rank the len-2/3
+    conversation templates instead of matching one known pattern —
+    per-conv occurrence profiles make it |alphabet|³ joins, never a
+    turn-count scan; a bot fleet's shared choreography is a
+    high-support pattern organic traffic doesn't have."""
+    from .operators.cep import sequential_patterns
+
+    return sequential_patterns(turns_from_events(spark, sf_dir))
+
+
+def _o_seq_patterns() -> str:
+    from .operators.cep import sequential_patterns_sql
+
+    return TURNS_CTE + ",\n" + sequential_patterns_sql("turns")
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness (similarity.retrieval_eval): recall@5 and
     reciprocal rank of the LSH top-k against the exact brute-force
@@ -7324,6 +7342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_trend": q_theil_sen,
     "readability": q_readability,
     "distinctive_terms": q_distinctive_terms,
+    "seq_patterns": q_seq_patterns,
 }
 
 ORACLES: dict[str, str] = {
@@ -7516,6 +7535,7 @@ ORACLES: dict[str, str] = {
     "theil_sen_trend": _o_theil_sen(),
     "readability": _o_readability(),
     "distinctive_terms": _o_distinctive_terms(),
+    "seq_patterns": _o_seq_patterns(),
 }
 
 

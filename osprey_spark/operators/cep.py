@@ -720,3 +720,156 @@ def stream_response_absence(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sequential_patterns(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    state_col: str = "role",
+    min_support: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Frequent gap-allowed subsequence patterns of length 2 and 3
+    over per-conversation state sequences — the PrefixSpan question
+    (Pei et al. 2001) answered with EXISTENCE semantics: a
+    conversation supports ``a>b>c`` iff SOME occurrence of b sits
+    strictly between some a and some c (gaps allowed, one count per
+    conversation). The sequence-template miner: where cep_sequence
+    matches ONE known pattern, this ENUMERATES the templates and
+    ranks them — a bot fleet's shared choreography surfaces as a
+    high-support pattern organic traffic doesn't have.
+
+    The engine trick that makes it joins-not-scans: collapse each
+    conversation to its per-state occurrence profile — first index,
+    last index, sorted index list (ONE hash aggregate; the frame is
+    |conv| × |alphabet|, tiny for role/tool alphabets). Then
+    - ``a>b`` is supported iff ``first(a) < last(b)`` — a pure
+      column predicate on the pair join, and
+    - ``a>b>c`` iff ∃ j ∈ idx(b): ``first(a) < j < last(c)`` — one
+      array EXISTS per triple row.
+    Per-conversation fan-out is |alphabet|² + |alphabet|³, bounded
+    by the state-alphabet size, never the turn count; repeated
+    states need no special cases (strict inequalities force distinct
+    occurrences automatically — test-pinned).
+
+    Support counts are exact BIGINTs; ``share`` = support/n_convs is
+    one fixed division off a 1-row broadcast (the decay_score
+    class). Output: top-``k`` patterns by (support desc, pattern)
+    across both lengths: ``(pattern, length, support, share)``.
+    """
+    if int(min_support) < 1:
+        raise ValueError("sequential_patterns: min_support must be >= 1")
+    if int(k) < 1:
+        raise ValueError("sequential_patterns: k must be >= 1")
+    prof = turns.groupBy(
+        F.col(conv_col).alias("_cv"), F.col(state_col).alias("_s")
+    ).agg(
+        F.min(idx_col).cast("long").alias("_f"),
+        F.max(idx_col).cast("long").alias("_l"),
+        F.array_sort(F.collect_list(F.col(idx_col).cast("long"))).alias("_ix"),
+    )
+    packed = prof.groupBy("_cv").agg(
+        F.collect_list(F.struct("_s", "_f", "_l", "_ix")).alias("_p")
+    )
+    P = F.col("_p")
+    p2 = F.flatten(
+        F.transform(
+            P,
+            lambda a: F.transform(
+                P,
+                lambda b: F.when(
+                    a["_f"] < b["_l"], F.concat_ws(">", a["_s"], b["_s"])
+                ),
+            ),
+        )
+    )
+    p3 = F.flatten(
+        F.transform(
+            P,
+            lambda a: F.flatten(
+                F.transform(
+                    P,
+                    lambda b: F.transform(
+                        P,
+                        lambda c: F.when(
+                            F.exists(
+                                b["_ix"],
+                                lambda j: (j > a["_f"]) & (j < c["_l"]),
+                            ),
+                            F.concat_ws(">", a["_s"], b["_s"], c["_s"]),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    notnull = lambda x: x.isNotNull()  # noqa: E731
+    pats = packed.select(
+        F.explode(
+            F.concat(F.filter(p2, notnull), F.filter(p3, notnull))
+        ).alias("pattern")
+    )
+    n_convs = packed.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    allp = (
+        pats.groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
+    out = (
+        allp.join(F.broadcast(n_convs))
+        .select(
+            "pattern",
+            (F.size(F.split(F.col("pattern"), ">")) ).cast("int").alias("length"),
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("support"), "pattern")
+        .limit(int(k))
+    )
+    return out
+
+
+def sequential_patterns_sql(
+    table: str,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    state_col: str = "role",
+    min_support: int = 2,
+    k: int = 50,
+) -> str:
+    """DuckDB replay of :func:`sequential_patterns` — same occurrence
+    profiles, same predicates (list_filter length > 0 for EXISTS)."""
+    return f"""spst AS (
+  SELECT {conv_col} AS cv, {state_col} AS s,
+    CAST(min({idx_col}) AS BIGINT) AS f,
+    CAST(max({idx_col}) AS BIGINT) AS l,
+    list_sort(list(CAST({idx_col} AS BIGINT))) AS ix
+  FROM {table} GROUP BY 1, 2
+),
+spn AS (SELECT CAST(count(DISTINCT cv) AS BIGINT) AS n FROM spst),
+spp2 AS (
+  SELECT a.s || '>' || b.s AS pattern, 2 AS length,
+    CAST(count(*) AS BIGINT) AS support
+  FROM spst a JOIN spst b ON a.cv = b.cv AND a.f < b.l
+  GROUP BY 1
+),
+spp3 AS (
+  SELECT a.s || '>' || b.s || '>' || c.s AS pattern, 3 AS length,
+    CAST(count(*) AS BIGINT) AS support
+  FROM spst a
+  JOIN spst b ON a.cv = b.cv
+  JOIN spst c ON a.cv = c.cv
+  WHERE len(list_filter(b.ix, j -> j > a.f AND j < c.l)) > 0
+  GROUP BY 1
+),
+spall AS (
+  SELECT * FROM spp2 UNION ALL SELECT * FROM spp3
+)
+SELECT pattern, length, support,
+  round(CAST(support AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+FROM spall, spn
+WHERE support >= {int(min_support)}
+ORDER BY support DESC, pattern LIMIT {int(k)}"""

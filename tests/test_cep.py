@@ -342,3 +342,80 @@ def test_stream_anchor_rejected(spark):
         cep.stream_sequence_match(
             df, "^at", cep.symbols_from_map(F.col("role"), SYMS)
         )
+
+
+# --------------------------------------------------------------------------
+# sequential pattern mining
+# --------------------------------------------------------------------------
+
+
+def _sp_turns(spark, convs):
+    """convs: {conv_id: [state, state, ...]} — turn_idx = position."""
+    rows = [
+        (cv, i, s) for cv, seq in convs.items() for i, s in enumerate(seq)
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx long, role string")
+
+
+def _sp(spark, convs, **kw):
+    from osprey_spark.operators.cep import sequential_patterns
+
+    out = sequential_patterns(_sp_turns(spark, convs), **kw)
+    return {
+        r["pattern"]: (r["length"], r["support"], r["share"]) for r in out.collect()
+    }
+
+
+def test_seq_patterns_gap_allowed_existence(spark):
+    """u>t supported with a gap (u,a,t); one count per conversation
+    no matter how many embeddings of the pattern exist."""
+    got = _sp(
+        spark,
+        {
+            "c1": ["u", "a", "t"],
+            "c2": ["u", "u", "t", "t"],
+            "c3": ["t", "u"],
+        },
+        min_support=1,
+    )
+    # u>t in c1 (gap) and c2 (multiple embeddings) but NOT c3 (order)
+    assert got["u>t"] == (2, 2, round(2 / 3, 6))
+    # t>u only in c3
+    assert got["t>u"] == (2, 1, round(1 / 3, 6))
+
+
+def test_seq_patterns_repeated_state_needs_two_occurrences(spark):
+    """a>a requires two distinct occurrences (strict f<l); a>a>a
+    requires a middle index strictly inside."""
+    got = _sp(
+        spark,
+        {"c1": ["a"], "c2": ["a", "a"], "c3": ["a", "a", "a"]},
+        min_support=1,
+    )
+    assert got["a>a"] == (2, 2, round(2 / 3, 6))  # c2, c3
+    assert got["a>a>a"] == (3, 1, round(1 / 3, 6))  # only c3
+    assert "a>a>a>a" not in got
+
+
+def test_seq_patterns_three_step_strict_between(spark):
+    """u>a>t needs an 'a' strictly between the first u and last t:
+    ['a','u','t'] does NOT support it, ['u','a','t'] does."""
+    got = _sp(
+        spark,
+        {"c1": ["a", "u", "t"], "c2": ["u", "a", "t"]},
+        min_support=1,
+    )
+    assert got["u>a>t"] == (3, 1, round(1 / 2, 6))
+
+
+def test_seq_patterns_min_support_and_topk_and_validation(spark):
+    import pytest as _pt
+
+    got = _sp(spark, {"c1": ["u", "a"], "c2": ["u", "a"]}, min_support=2)
+    assert all(s >= 2 for (_l, s, _sh) in got.values())
+    from osprey_spark.operators.cep import sequential_patterns
+
+    with _pt.raises(ValueError):
+        sequential_patterns(_sp_turns(spark, {"c": ["u"]}), min_support=0)
+    with _pt.raises(ValueError):
+        sequential_patterns(_sp_turns(spark, {"c": ["u"]}), k=0)
