@@ -2307,6 +2307,28 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_EMBEDDING_LSH_TOPK = similarity.lsh_topk_oracle_sql(dim=64, k=5, n_planes=6)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives,
+    the ANCE recipe): per query, the top-5 most-similar vectors with
+    a DIFFERENT label — the near-misses where the margin lives, and
+    the confusable-pair audit list; LSH-bucket candidates, exact
+    cosine rank, label filter before ranking."""
+    from .operators.similarity import hard_negatives
+
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("embedding")
+    )
+    return hard_negatives(
+        emb, dim=64, k=5, n_planes=6, query_pred=F.col("vec_id") < 20
+    )
+
+
+def _o_hard_negatives() -> str:
+    from .operators.similarity import hard_negatives_oracle_sql
+
+    return hard_negatives_oracle_sql(dim=64, k=5, n_planes=6, query_pred="vec_id < 20")
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the second scale path beside LSH): deterministic
     md5-sampled codebook, nearest-cell inverted file, n_probe cell
@@ -7343,6 +7365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "distinctive_terms": q_distinctive_terms,
     "seq_patterns": q_seq_patterns,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -7536,6 +7559,7 @@ ORACLES: dict[str, str] = {
     "readability": _o_readability(),
     "distinctive_terms": _o_distinctive_terms(),
     "seq_patterns": _o_seq_patterns(),
+    "hard_negatives": _o_hard_negatives(),
 }
 
 

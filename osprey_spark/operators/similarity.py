@@ -1997,3 +1997,117 @@ SELECT {id_col}, round({proj}, 6) AS proj,
   round(({cc} - {proj} * {proj}), 6) AS resid2
 FROM pbase, {last} ll, pmm pm
 ORDER BY resid2 DESC, {id_col} LIMIT {int(k)}"""
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_planes: int = 6,
+    query_pred: "Optional[Column]" = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE recipe, Xiong et al. 2021): for each query item, the top-k
+    most-cosine-similar items with a DIFFERENT label — the negatives
+    that actually teach (a random negative is trivially far; the
+    near-miss with the wrong label is where the margin lives).
+    Equally the confusable-pair auditor: items whose nearest
+    neighbors keep crossing label boundaries are the mislabel/overlap
+    candidates a curation pass should look at.
+
+    Engine shape = the ANN scale path (:func:`lsh_topk`): candidates
+    from the same sign-hyperplane LSH bucket (equi-join, never a
+    cross product), exact cosine + bounded rank window within
+    candidates, label-mismatch filter BEFORE ranking so the k slots
+    are all negatives. Deterministic planes → the DuckDB replay is
+    hash-exact, making the 'approximate' miner exactly checkable.
+
+    Output: ``(query_id, neg_id, query_label, neg_label, cosine,
+    rank)``, rank 1..k per query.
+    """
+    if int(k) < 1:
+        raise ValueError("hard_negatives: k must be >= 1")
+    base = vectors.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lab"),
+        F.col(vec_col).alias("_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bkt"),
+    )
+    q = base if query_pred is None else base.filter(query_pred)
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_lab").alias("query_label"),
+        F.col("_vec").alias("_qvec"),
+        "_bkt",
+    )
+    v = base.select(
+        F.col(id_col).alias("neg_id"),
+        F.col("_lab").alias("neg_label"),
+        F.col("_vec").alias("_nvec"),
+        "_bkt",
+    )
+    scored = (
+        q.join(v, "_bkt")
+        .filter(F.col("query_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "neg_id",
+            "query_label",
+            "neg_label",
+            F.round(cosine(F.col("_qvec"), F.col("_nvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB replay of :func:`hard_negatives` — identical buckets,
+    exact cosine, label-mismatch before ranking."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(list_extract({{a}}, i) AS DOUBLE) * CAST(list_extract({{b}}, i) AS DOUBLE)))"
+    )
+    return f"""
+WITH hnbk AS (
+  SELECT v.{id_col}, v.{label_col} AS lab, v.{vec_col},
+    {lsh_bucket_sql('v.' + vec_col, dim, n_planes)} AS _bkt
+  FROM {table} v
+),
+hnq AS (
+  SELECT {id_col} AS query_id, lab AS query_label, {vec_col} AS qe, _bkt
+  FROM hnbk WHERE {query_pred}
+),
+hnscored AS (
+  SELECT q.query_id, v.{id_col} AS neg_id, q.query_label, v.lab AS neg_label,
+    round({dot.format(a='q.qe', b='v.' + vec_col)}
+      / (sqrt({dot.format(a='q.qe', b='q.qe')})
+         * sqrt({dot.format(a='v.' + vec_col, b='v.' + vec_col)})), 6) AS cosine
+  FROM hnq q JOIN hnbk v ON q._bkt = v._bkt AND q.query_label <> v.lab
+),
+hnranked AS (
+  SELECT query_id, neg_id, query_label, neg_label, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank
+  FROM hnscored
+)
+SELECT query_id, neg_id, query_label, neg_label, cosine, rank
+FROM hnranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -589,3 +589,60 @@ def test_rrf_fuse_topk_and_channel_count(spark):
     assert len(out) == 2 and [r.fused_rank for r in out] == [1, 2]
     with pytest.raises(ValueError, match=">= 2"):
         similarity.rrf_fuse([a])
+
+
+# --------------------------------------------------------------------------
+# hard-negative mining
+# --------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_cosine(spark):
+    """4 near-identical vectors: q(label 0), n1/n2 (label 1, n1
+    closer), s (label 0, closest of all — must be EXCLUDED)."""
+    from osprey_spark.operators.similarity import hard_negatives
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.999, 0.01, 0.0, 0.0]),   # same label: excluded
+        (2, 1, [0.9, 0.1, 0.0, 0.0]),      # hard negative (closer)
+        (3, 1, [0.5, 0.5, 0.0, 0.0]),      # softer negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    # n_planes=1 on 4 dims puts everything in <=2 buckets; use a plane
+    # count low enough that these similar vectors co-bucket
+    out = hard_negatives(
+        df, dim=4, k=5, n_planes=1, query_pred=F.col("vec_id") == 0
+    ).collect()
+    ids = [r["neg_id"] for r in out]
+    assert 1 not in ids
+    assert ids == sorted(
+        ids,
+        key=lambda i: -[r["cosine"] for r in out if r["neg_id"] == i][0],
+    )
+    if set(ids) >= {2, 3}:  # co-bucketed
+        r2 = [r for r in out if r["neg_id"] == 2][0]
+        r3 = [r for r in out if r["neg_id"] == 3][0]
+        assert r2["rank"] < r3["rank"]
+        assert r2["query_label"] == 0 and r2["neg_label"] == 1
+
+
+def test_hard_negatives_k_bounds_and_validation(spark):
+    from osprey_spark.operators.similarity import hard_negatives
+
+    import pytest as _pt
+
+    rows = [(i, i % 2, [1.0, float(i) / 100, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = hard_negatives(df, dim=4, k=3, n_planes=1)
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in out.collect())
+    assert all(c <= 3 for c in per_q.values())
+    with _pt.raises(ValueError):
+        hard_negatives(df, dim=4, k=0)
