@@ -6631,6 +6631,56 @@ def _o_fano_regularity() -> str:
     )
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness per conversation (dq.burstiness):
+    B=(σ−μ)/(σ+μ) over inter-turn gaps — the timing-texture dual of
+    the Fano screen: cron metronomes → −1, Poisson humans → 0,
+    scraper bursts → +1; one lag window + integer moments."""
+    from .operators.dq import burstiness
+
+    return burstiness(
+        turns_from_events(spark, sf_dir), key_col="conv_id", min_gaps=5
+    )
+
+
+def _o_burstiness() -> str:
+    from .operators.dq import burstiness_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + burstiness_sql("turns", key_col="conv_id", min_gaps=5)
+        + " ORDER BY conv_id"
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (dq.k_anonymity, Sweeney 2002) over the
+    (event_type, resource) quasi-identifier: the class-size histogram
+    with sub-k classes flagged — the privacy gate before a data
+    release; one QI hash aggregate + a tiny size rollup."""
+    from .operators.dq import k_anonymity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").alias("resource"),
+    )
+    return k_anonymity(ev, ["event_type", "resource"], k=5)
+
+
+def _o_k_anonymity() -> str:
+    from .operators.dq import k_anonymity_sql
+
+    return (
+        """WITH kaqi AS (
+  SELECT event_type, json_extract_string(props, '$.k') AS resource
+  FROM events
+),
+"""
+        + k_anonymity_sql("kaqi", ["event_type", "resource"], k=5)
+    )
+
+
 def q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality over the same user↔resource bipartite
     graph as pagerank_centrality (graph.eigencentrality): the
@@ -7366,6 +7416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinctive_terms": q_distinctive_terms,
     "seq_patterns": q_seq_patterns,
     "hard_negatives": q_hard_negatives,
+    "burstiness": q_burstiness,
+    "k_anonymity": q_k_anonymity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7560,6 +7612,8 @@ ORACLES: dict[str, str] = {
     "distinctive_terms": _o_distinctive_terms(),
     "seq_patterns": _o_seq_patterns(),
     "hard_negatives": _o_hard_negatives(),
+    "burstiness": _o_burstiness(),
+    "k_anonymity": _o_k_anonymity(),
 }
 
 

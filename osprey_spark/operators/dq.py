@@ -725,3 +725,155 @@ SELECT k AS {key_col}, n_buckets, n_events,
   END AS flag
 FROM fagg WHERE n_buckets >= {int(min_buckets)}
 """
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 5,
+    low: float = -0.5,
+    high: float = 0.5,
+) -> DataFrame:
+    """Goh-Barabási burstiness (EPL 2008): ``B = (σ−μ)/(σ+μ)`` over
+    each key's INTER-EVENT GAPS — the timing-texture dual of the
+    Fano screen (which reads per-bucket counts): B → −1 for
+    metronome-periodic cron traffic, ≈ 0 for Poisson-ish human
+    arrivals, → +1 for heavy-tailed human/scraper bursts. The pair
+    (fano, burstiness) separates what either alone confuses: a
+    slow cron and a slow human both have low rates, but the cron's
+    gaps have (near-)zero variance.
+
+    Gap extraction is ONE lag window on the key shuffle; the gap
+    multiset depends only on each key's sorted timestamps, so ties
+    need no tie-break (equal ts → zero gaps either way) and the
+    statistic is partition-order independent: per-key moments
+    (n, Σg, Σg²) are exact BIGINTs with map-side partials, then
+    μ = S/n, σ = sqrt(Q/n − μ²) (population), B one fixed division;
+    sqrt is IEEE-exact in both engines. Flags outside [low, high];
+    B is NULL when σ+μ = 0 (a key of all-simultaneous events).
+
+    Output: ``(key, n_gaps, mean_gap, b, flag)`` for keys with ≥
+    ``min_gaps`` gaps, doubles rounded 6, ordered by key.
+    """
+    if int(min_gaps) < 2:
+        raise ValueError("burstiness: min_gaps must be >= 2")
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(key_col).orderBy(sec)
+    g = (sec - F.lag(sec).over(w)).alias("_g")
+    gaps = df.select(F.col(key_col).alias("_k"), g).filter(
+        F.col("_g").isNotNull()
+    )
+    agg = gaps.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_g").cast("long").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).cast("long").alias("_q"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    sigma = F.sqrt(F.col("_q").cast("double") / nd - mu * mu)
+    b = F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu))
+    flag = F.when(
+        b.isNotNull(),
+        ((b < F.lit(float(low))) | (b > F.lit(float(high)))).cast("int"),
+    )
+    return (
+        agg.filter(F.col("n_gaps") >= int(min_gaps))
+        .select(
+            F.col("_k").alias(key_col),
+            "n_gaps",
+            F.round(mu, 6).alias("mean_gap"),
+            F.round(b, 6).alias("b"),
+            flag.alias("flag"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def burstiness_sql(
+    table: str,
+    key_col: str = "user_id",
+    min_gaps: int = 5,
+    low: float = -0.5,
+    high: float = 0.5,
+) -> str:
+    """DuckDB replay of :func:`burstiness` — same lag window, same
+    integer moments, same fixed-order algebra."""
+    mu = "CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)"
+    sig = f"sqrt(CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE) - ({mu}) * ({mu}))"
+    bexpr = f"(({sig}) - ({mu})) / (({sig}) + ({mu}))"
+    guard = f"({sig}) + ({mu}) > 0"
+    return f"""bgaps AS (
+  SELECT k, g FROM (
+    SELECT {key_col} AS k,
+      CAST(floor(epoch(ts)) AS BIGINT)
+        - lag(CAST(floor(epoch(ts)) AS BIGINT))
+            OVER (PARTITION BY {key_col} ORDER BY CAST(floor(epoch(ts)) AS BIGINT)) AS g
+    FROM {table}
+  ) WHERE g IS NOT NULL
+),
+bagg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+    CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS q
+  FROM bgaps GROUP BY k
+)
+SELECT k AS {key_col}, n_gaps,
+  round({mu}, 6) AS mean_gap,
+  round(CASE WHEN {guard} THEN {bexpr} END, 6) AS b,
+  CASE WHEN {guard}
+    THEN CAST(({bexpr}) < {float(low)!r} OR ({bexpr}) > {float(high)!r} AS INT)
+  END AS flag
+FROM bagg WHERE n_gaps >= {int(min_gaps)}
+"""
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: "Sequence[str]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a chosen
+    quasi-identifier tuple: every row whose QI equivalence class has
+    fewer than ``k`` members is re-identifiable by linking — the
+    privacy gate a training-data release runs before shipping, and
+    the dual of the dedup question (there, big classes are the
+    problem; here, SMALL ones are).
+
+    ONE hash aggregate over the QI tuple (map-side partials), one
+    tiny distinct-size rollup: output is the class-size histogram
+    ``(class_size, n_classes, n_rows, violating)`` — violating = 1
+    for class_size < k — from which min class size, violation counts
+    and re-identification risk all read directly; no row-level
+    explode, scales as a count.
+    """
+    if int(k) < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    return (
+        classes.groupBy(F.col("_sz").alias("class_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("long").alias("n_rows"),
+            (F.col("class_size") < int(k)).cast("int").alias("violating"),
+        )
+        .orderBy("class_size")
+    )
+
+
+def k_anonymity_sql(table: str, quasi_cols: "Sequence[str]", k: int = 5) -> str:
+    """DuckDB replay of :func:`k_anonymity`."""
+    qi = ", ".join(quasi_cols)
+    return f"""kacls AS (
+  SELECT CAST(count(*) AS BIGINT) AS sz FROM {table} GROUP BY {qi}
+)
+SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sz * count(*) AS BIGINT) AS n_rows,
+  CAST(sz < {int(k)} AS INT) AS violating
+FROM kacls GROUP BY sz ORDER BY sz
+"""

@@ -421,3 +421,75 @@ def test_fano_span_filter_and_validation(spark):
     )
     with pytest.raises(ValueError, match="min_buckets"):
         fano_regularity(_clocked(spark, spec), key_col="conv_id", min_buckets=1)
+
+
+# --------------------------------------------------------------------------
+# burstiness + k-anonymity
+# --------------------------------------------------------------------------
+
+
+def _bt_turns(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    data = [(k, t0 + dt.timedelta(seconds=s)) for k, s in rows]
+    return spark.createDataFrame(data, "conv_id string, ts timestamp")
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """Exact metronome gaps → σ=0 → B=-1 (flagged); one huge gap in a
+    run of tiny ones → B near +1 (flagged); moderate jitter → no flag."""
+    from osprey_spark.operators.dq import burstiness
+
+    import math
+
+    rows = [("cron", 10 * i) for i in range(8)]          # gaps all 10
+    # 20 unit gaps + one 99980 gap: B -> (sqrt(20)-1)/(sqrt(20)+1) ~ 0.63
+    rows += [("burst", s) for s in list(range(21)) + [100000]]
+    # Poisson-like (exponential-ish) gaps 2,1,30,7,18,4: sigma ~ mu -> B ~ 0
+    jitter = [0, 2, 3, 33, 40, 58, 62]
+    rows += [("human", s) for s in jitter]
+    out = {r["conv_id"]: r for r in burstiness(_bt_turns(spark, rows), key_col="conv_id").collect()}
+    assert out["cron"]["b"] == -1.0 and out["cron"]["flag"] == 1
+    assert out["burst"]["b"] > 0.5 and out["burst"]["flag"] == 1
+    # replica check for the jitter series
+    gaps = [b - a for a, b in zip(jitter, jitter[1:])]
+    n = len(gaps)
+    mu = sum(gaps) / n
+    sig = math.sqrt(sum(g * g for g in gaps) / n - mu * mu)
+    assert out["human"]["b"] == round((sig - mu) / (sig + mu), 6)
+    assert out["human"]["flag"] == 0
+
+
+def test_burstiness_min_gaps_and_degenerate(spark):
+    from osprey_spark.operators.dq import burstiness
+
+    rows = [("few", 0), ("few", 10), ("few", 20)]  # 2 gaps < 5
+    rows += [("zero", 0)] * 7                      # all-simultaneous: gaps 0
+    out = {r["conv_id"]: r for r in burstiness(_bt_turns(spark, rows), key_col="conv_id").collect()}
+    assert "few" not in out
+    assert out["zero"]["b"] is None and out["zero"]["flag"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        burstiness(_bt_turns(spark, rows), key_col="conv_id", min_gaps=1)
+
+
+def test_k_anonymity_histogram_and_violations(spark):
+    from osprey_spark.operators.dq import k_anonymity
+
+    rows = (
+        [("a", "x")] * 7 + [("a", "y")] * 2 + [("b", "x")] * 1 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "t string, r string")
+    got = {r["class_size"]: r for r in k_anonymity(df, ["t", "r"], k=5).collect()}
+    assert got[1]["n_classes"] == 1 and got[1]["violating"] == 1
+    assert got[2]["n_classes"] == 1 and got[2]["violating"] == 1
+    assert got[5]["n_classes"] == 1 and got[5]["violating"] == 0
+    assert got[7]["n_rows"] == 7 and got[7]["violating"] == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_anonymity(df, ["t"], k=1)
+    with _pt.raises(ValueError):
+        k_anonymity(df, [], k=5)
