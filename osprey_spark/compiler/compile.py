@@ -1423,6 +1423,53 @@ class CompiledRuleset:
         age = sec - F.min(sec).over(w)
         return df.select("*", age.cast("long").alias(spec["name"]))
 
+    def _join_burstiness(self, df: DataFrame, spec: dict) -> DataFrame:
+        """Resolve one GetBurstiness on a BATCH frame: per-key gap
+        moments over a RANGE window to the current second. The lag
+        that extracts each gap is tie-order dependent row-by-row, but
+        a tie group's gap MULTISET is invariant (first row carries
+        sec-prev, the rest carry 0) and the RANGE aggregate always
+        sees the whole group, so every row's B is tie-independent.
+        Moments are exact longs; B = (sigma-mu)/(sigma+mu) with the
+        variance clamped at 0 (float dust) and ROUNDED to 6 by
+        contract (the tent family's batch/stream equality contract).
+        Keys with no gaps yet read the 0.0 Poisson-neutral default.
+        Streaming frames route through the fused state pass carrying
+        four ints per key."""
+        from pyspark.sql import Window as W
+
+        name = spec["name"]
+        sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
+        g, sc = f"__bs_{name}_g", f"__bs_{name}_sec"
+        tmp = df.select(
+            "*",
+            sec.alias(sc),
+            spec["key_col"].cast("string").alias(f"__bs_{name}_key"),
+        )
+        w_rows = W.partitionBy(f"__bs_{name}_key").orderBy(sc)
+        tmp = tmp.select(
+            "*", (F.col(sc) - F.lag(sc).over(w_rows)).alias(g)
+        )
+        w_range = (
+            W.partitionBy(f"__bs_{name}_key")
+            .orderBy(sc)
+            .rangeBetween(W.unboundedPreceding, 0)
+        )
+        n_run = F.count(F.col(g)).over(w_range)
+        s_run = F.sum(F.col(g)).over(w_range)
+        q_run = F.sum(F.col(g) * F.col(g)).over(w_range)
+        nd = n_run.cast("double")
+        mu = s_run.cast("double") / nd
+        var = q_run.cast("double") / nd - mu * mu
+        sig = F.sqrt(F.greatest(F.lit(0.0), var))
+        den = sig + mu
+        b = F.when(
+            (n_run >= 1) & (den > 0), F.round((sig - mu) / den, 6)
+        ).otherwise(F.lit(0.0))
+        return tmp.select("*", b.alias(name)).drop(
+            g, sc, f"__bs_{name}_key"
+        )
+
     def _join_session_count(self, df: DataFrame, spec: dict) -> DataFrame:
         """Resolve one GetSessionCount on a BATCH frame: lag-gap
         session break → running-sum session id → RANGE count within
@@ -1760,6 +1807,9 @@ class CompiledRuleset:
             elif fam == "age":
                 metas.append({"fam": "age", "name": sp["name"], "i": i})
                 out_fields.append(T.StructField(sp["name"], T.LongType()))
+            elif fam == "burst":
+                metas.append({"fam": "burst", "name": sp["name"], "i": i})
+                out_fields.append(T.StructField(sp["name"], T.DoubleType()))
             elif fam == "rl":
                 metas.append(
                     {
@@ -1917,6 +1967,9 @@ class CompiledRuleset:
                 elif m["fam"] == "age":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.empty(n, dtype="int64"))
+                elif m["fam"] == "burst":
+                    op_in.append({})  # only needs (key, sec), already shared
+                    outs.append(np.empty(n, dtype="float64"))
                 elif m["fam"] == "rl":
                     op_in.append({})  # only needs (key, sec), already shared
                     outs.append(np.zeros(n, dtype=bool))
@@ -2294,6 +2347,62 @@ class CompiledRuleset:
                         )
                         out_a[s:e] = seg_sec - first
                         smap[mk] = [first]
+                    elif m["fam"] == "burst":
+                        # Goh-Barabasi B over the key's inter-event
+                        # gaps so far, judged like the batch RANGE
+                        # window: a tie group (equal sec) folds ALL
+                        # its gaps (first row sec-last, rest 0)
+                        # before any row reads B, so every tie row
+                        # reports the same value. State is four ints
+                        # [last_sec, n_gaps, S, Q]; moments exact,
+                        # B = (sigma-mu)/(sigma+mu) in IEEE doubles
+                        # identical to the JVM expression, rounded 6
+                        # half-away (the tent output contract).
+                        # Cross-batch LATE rows clamp gap to 0 (batch
+                        # would re-sort history; documented
+                        # watermark-respecting equivalence).
+                        import math as _math
+
+                        st = smap.get(mk) or [None, 0, 0, 0]
+                        last, ng, sg, qg = st[0], st[1], st[2], st[3]
+                        seg_out = out_a[s:e]
+                        n_seg = e - s
+                        j = 0
+                        while j < n_seg:
+                            hi = j
+                            while (
+                                hi + 1 < n_seg
+                                and seg_sec[hi + 1] == seg_sec[j]
+                            ):
+                                hi += 1
+                            t = int(seg_sec[j])
+                            g_sz = hi - j + 1
+                            if last is None:
+                                ng += g_sz - 1
+                            else:
+                                gap = t - last
+                                if gap < 0:
+                                    gap = 0
+                                ng += g_sz
+                                sg += gap
+                                qg += gap * gap
+                            last = t
+                            if ng >= 1:
+                                mu = sg / ng
+                                var = qg / ng - mu * mu
+                                if var < 0.0:
+                                    var = 0.0
+                                sig = _math.sqrt(var)
+                                den = sig + mu
+                                b = (sig - mu) / den if den > 0 else 0.0
+                            else:
+                                b = 0.0
+                            rb = _math.floor(abs(b) * 1e6 + 0.5) / 1e6
+                            if b < 0:
+                                rb = -rb
+                            seg_out[j : hi + 1] = rb
+                            j = hi + 1
+                        smap[mk] = [last, ng, sg, qg]
                     elif m["fam"] == "wsum":
                         # trailing-window SUM, judged like the batch
                         # RANGE window: all visible same-key amounts
@@ -2672,6 +2781,7 @@ class CompiledRuleset:
         seen_specs: dict | None = None,
         decay_specs: dict | None = None,
         tent_specs: dict | None = None,
+        burst_specs: dict | None = None,
     ) -> list[tuple[str, Optional[Column]]]:
         """Feature materialization order with STATE OPS HOISTED as
         early as their dependencies allow.
@@ -2718,6 +2828,7 @@ class CompiledRuleset:
         seen_specs = seen_specs or {}
         decay_specs = decay_specs or {}
         tent_specs = tent_specs or {}
+        burst_specs = burst_specs or {}
         entries = list(self.ctx.feature_exprs)
         pos = {name: i for i, (name, _) in enumerate(entries)}
         label_specs = {s["name"]: s for s in self.ctx.label_lookups}
@@ -2751,6 +2862,8 @@ class CompiledRuleset:
                 return cols
             if mangled in age_specs:
                 return [age_specs[mangled]["key_col"]]
+            if mangled in burst_specs:
+                return [burst_specs[mangled]["key_col"]]
             if mangled in rl_specs:
                 s = rl_specs[mangled]
                 cols = [s["key_col"]]
@@ -2826,6 +2939,7 @@ class CompiledRuleset:
                     or name in seen_specs
                     or name in decay_specs
                     or name in tent_specs
+                    or name in burst_specs
                 ):
                     state_ops.append(name)
             else:
@@ -2919,6 +3033,9 @@ class CompiledRuleset:
         seen_specs = {s["name"]: s for s in getattr(self.ctx, "seen_lookups", [])}
         decay_specs = {s["name"]: s for s in getattr(self.ctx, "decay_lookups", [])}
         tent_specs = {s["name"]: s for s in getattr(self.ctx, "tent_lookups", [])}
+        burst_specs = {
+            s["name"]: s for s in getattr(self.ctx, "burst_lookups", [])
+        }
         # STATE-OP FUSION (streaming only): a maximal run of
         # consecutive window/seq state ops sharing one key expression
         # resolves through a single applyInPandasWithState — one
@@ -2976,6 +3093,7 @@ class CompiledRuleset:
                 "seen",
                 "decay",
                 "tent",
+                "burst",
             ):
                 fam, sp = pending[0]
                 if fam == "window":
@@ -3018,7 +3136,7 @@ class CompiledRuleset:
                 cols.append(sp["value_col"])
                 if sp["gate"] is not None:
                     cols.append(sp["gate"])
-            elif fam in ("sess", "age"):
+            elif fam in ("sess", "age", "burst"):
                 pass  # only the key
             elif fam == "rl":
                 if sp["order_col"] is not None:
@@ -3088,6 +3206,7 @@ class CompiledRuleset:
             seen_specs,
             decay_specs,
             tent_specs,
+            burst_specs,
         ):
             if defn is None:
                 if streaming and mangled in rl_specs:
@@ -3137,6 +3256,12 @@ class CompiledRuleset:
                     if not _fusable("tent", sp):
                         df = _flush(df)
                     pending.append(("tent", sp))
+                    continue
+                if streaming and mangled in burst_specs:
+                    sp = burst_specs[mangled]
+                    if not _fusable("burst", sp):
+                        df = _flush(df)
+                    pending.append(("burst", sp))
                     continue
                 if streaming and mangled in last_specs:
                     sp = last_specs[mangled]
@@ -3203,6 +3328,8 @@ class CompiledRuleset:
                     df = self._join_window_sum(df, wsum_specs[mangled])
                 elif mangled in age_specs:
                     df = self._join_key_age(df, age_specs[mangled])
+                elif mangled in burst_specs:
+                    df = self._join_burstiness(df, burst_specs[mangled])
                 elif mangled in rl_specs:
                     df = self._join_rate_limit(df, rl_specs[mangled])
                 elif mangled in unique_specs:

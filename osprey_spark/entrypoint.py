@@ -2746,6 +2746,65 @@ FROM t
 )
 
 
+def q_burst_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SML-level running burstiness (GetBurstiness, FIFTEENTH
+    stateful family): Goh-Barabási B over the conversation's
+    inter-turn gaps so far — the live metronome/burst gate (B near
+    −1 = cron-regular). Batch = gap moments over a key RANGE window
+    (one shuffle, tie-group invariant); streaming = fused state pass
+    carrying four ints per key (tests/test_fused_state.py)."""
+    env = with_envelope(turns_from_events(spark, sf_dir))
+    rs = _compiled(
+        spark,
+        """
+K: str = JsonData(path='$.conv_id')
+ConvB = GetBurstiness(key=K)
+Metronome: bool = ConvB < -0.9
+""",
+        bindings=TURN_BINDINGS,
+    )
+    out = rs.apply(env, passthrough=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ConvB").alias("conv_b"),
+        F.col("Metronome").alias("metronome"),
+    )
+
+
+def _o_burst_rule() -> str:
+    mu = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    sig = (
+        f"sqrt(greatest(CAST(0 AS DOUBLE),"
+        f" CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - ({mu}) * ({mu})))"
+    )
+    b = (
+        f"CASE WHEN n >= 1 AND ({sig}) + ({mu}) > 0"
+        f" THEN round((({sig}) - ({mu})) / (({sig}) + ({mu})), 6)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+    )
+    return (
+        TURNS_CTE
+        + f""",
+bt AS (SELECT conv_id, turn_idx,
+              CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       FROM turns),
+bg AS (SELECT conv_id, turn_idx, sec,
+              sec - lag(sec) OVER (PARTITION BY conv_id ORDER BY sec) AS gp
+       FROM bt),
+bm AS (SELECT conv_id, turn_idx,
+              CAST(count(gp) OVER w AS BIGINT) AS n,
+              CAST(sum(gp) OVER w AS BIGINT) AS s,
+              CAST(sum(gp * gp) OVER w AS BIGINT) AS q
+       FROM bg
+       WINDOW w AS (PARTITION BY conv_id ORDER BY sec
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT conv_id, turn_idx, {b} AS conv_b, ({b}) < -0.9 AS metronome
+FROM bm ORDER BY conv_id, turn_idx
+"""
+    )
+
+
 def q_unique_count_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SML-level lifetime distinct-value counter (GetUniqueCount,
     tenth stateful family): distinct tools a conversation has EVER
@@ -7418,6 +7477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "burstiness": q_burstiness,
     "k_anonymity": q_k_anonymity,
+    "burst_rule": q_burst_rule,
 }
 
 ORACLES: dict[str, str] = {
@@ -7614,6 +7674,7 @@ ORACLES: dict[str, str] = {
     "hard_negatives": _o_hard_negatives(),
     "burstiness": _o_burstiness(),
     "k_anonymity": _o_k_anonymity(),
+    "burst_rule": _o_burst_rule(),
 }
 
 

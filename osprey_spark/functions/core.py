@@ -815,6 +815,34 @@ def get_key_age(ctx, call, args):
     return Value(col=F.col(name), dtype="int")
 
 
+@register("GetBurstiness")
+def get_burstiness(ctx, call, args):
+    """Goh-Barabasi burstiness of the key's inter-event gaps so far
+    (north_star: per-conversation state for stateful rule
+    escalation): B = (sigma-mu)/(sigma+mu) over every gap between
+    same-key events up to and including this one — the live
+    timing-texture primitive: ``ConvB = GetBurstiness(key=ConvId)``
+    gates metronome-cron rules (B near -1) and burst-storm rules
+    (B near +1) without a self-join or an offline pass; pairs with
+    the batch dq.burstiness screen.
+
+    Fifteenth stateful family. Batch = gap moments over a key RANGE
+    window (one key shuffle; tie groups share one value, so results
+    are tie-order independent); streaming = the fused state pass
+    carrying FOUR ints per key (last_sec, n_gaps, sum, sum-sq).
+    Output is rounded to 6 by contract; 0.0 (Poisson-neutral) until
+    the key has a gap. Cross-batch late rows clamp their gap at 0 —
+    batch equivalence holds for watermark-respecting streams.
+    """
+    key_v = arg(ctx, call, args, "key")
+    if not hasattr(ctx, "burst_lookups"):
+        ctx.burst_lookups = []
+    name = f"__bs_{len(ctx.burst_lookups)}"
+    ctx.burst_lookups.append({"name": name, "key_col": key_v.col})
+    ctx.feature_exprs.append((name, None))
+    return Value(col=F.col(name), dtype="float")
+
+
 @register("GetLastValue")
 def get_last_value(ctx, call, args):
     """Previous-event value carry (north_star: "keeping

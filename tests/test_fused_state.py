@@ -317,3 +317,73 @@ def test_new_families_survive_restart(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) == 32
+
+
+# --------------------------------------------------------------------------
+# fifteenth family: GetBurstiness
+# --------------------------------------------------------------------------
+
+BURST_SML = """
+K: str = JsonData(path='$.conv_id')
+ConvB = GetBurstiness(key=K)
+N = IncrementWindow(key=K, window_seconds=3600.0)
+Metronome = ConvB < -0.9
+"""
+
+
+def test_burstiness_batch_known_answer(spark):
+    """Per-event B over a hand series matches a python replica of the
+    running gap moments, including the 0.0 cold default, the
+    metronome -1 limit, and tie-group sharing."""
+    import datetime as dt
+    import json
+    import math
+
+    t0 = dt.datetime(2025, 1, 1)
+    # conv a: events at 0,10,20,30 (metronome); conv b: 0,0,5 (tie)
+    rows = []
+    for cid, offs in [("a", [0, 10, 20, 30]), ("b", [0, 0, 5])]:
+        for i, off in enumerate(offs):
+            rows.append(
+                (cid, i, "user", "x", None, t0 + dt.timedelta(seconds=off))
+            )
+    del json  # envelope is derived by with_envelope, not hand-built
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    rs = compile_ruleset({"main.sml": BURST_SML}, bindings=TURN_BINDINGS)
+    out = rs.apply(with_envelope(df), passthrough=["conv_id", "turn_idx"])
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["ConvB"] for r in out.collect()
+    }
+
+    def replica(gaps):
+        if not gaps:
+            return 0.0
+        n = len(gaps)
+        mu = sum(gaps) / n
+        var = max(0.0, sum(g * g for g in gaps) / n - mu * mu)
+        sig = math.sqrt(var)
+        return round((sig - mu) / (sig + mu), 6) if sig + mu > 0 else 0.0
+
+    assert got[("a", 0)] == 0.0
+    assert got[("a", 1)] == replica([10]) == -1.0
+    assert got[("a", 3)] == replica([10, 10, 10]) == -1.0
+    # conv b: ties at sec 0 share one value (one zero gap), then gap 5
+    assert got[("b", 0)] == got[("b", 1)] == replica([0]) == 0.0
+    assert got[("b", 2)] == replica([0, 5])
+
+
+def test_burstiness_fuses_and_matches_batch(spark, tmp_path):
+    """GetBurstiness + IncrementWindow on one key: ONE state pass,
+    streaming outputs equal to batch for every event."""
+    rs, in_dir = _stream_vs_batch(
+        spark, tmp_path, BURST_SML, ["ConvB", "N", "Metronome"]
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    out = rs().apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
+    assert _n_state_nodes(out) == 1

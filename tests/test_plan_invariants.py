@@ -49,6 +49,9 @@ _CROSS_OK = {
     "survival_km",  # 1-row global-max-ts frame broadcast for the censoring test
     "top_paths",  # 1-row total-conversations frame broadcast for the share
     "eigencentrality",  # 1-row per-round max frame broadcast for the renorm
+    "hazard_na",  # 1-row global-max-ts frame broadcast for the censoring test
+    "seq_patterns",  # 1-row total-conversations frame broadcast for the share
+    "distinctive_terms",  # 1-row pooled-totals frame broadcast into the prior
 }
 
 # Queries expected to broadcast at least one join side (small dim /
