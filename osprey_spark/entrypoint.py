@@ -6740,6 +6740,31 @@ def _o_k_anonymity() -> str:
     )
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the tool/role transition chain
+    (transcripts.markov_stationary): where conversations spend their
+    time at equilibrium — the left eigenvector of the observed
+    kernel via integer power iteration (DECIMAL(38) routing,
+    dangling self-loops, no float), a drift toward a tool state is
+    the 'conversations now loop in tool X' alarm."""
+    from .operators.transcripts import markov_stationary, transition_counts
+
+    counts = transition_counts(turns_from_events(spark, sf_dir))
+    return markov_stationary(counts, rounds=8)
+
+
+def _o_markov_stationary() -> str:
+    from .operators.transcripts import (
+        markov_stationary_sql,
+        transition_counts_sql,
+    )
+
+    inner = transition_counts_sql("turns")
+    return markov_stationary_sql(inner, rounds=8).replace(
+        "WITH ", TURNS_CTE + ",\n", 1
+    )
+
+
 def q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality over the same user↔resource bipartite
     graph as pagerank_centrality (graph.eigencentrality): the
@@ -7478,6 +7503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness": q_burstiness,
     "k_anonymity": q_k_anonymity,
     "burst_rule": q_burst_rule,
+    "markov_stationary": q_markov_stationary,
 }
 
 ORACLES: dict[str, str] = {
@@ -7675,6 +7701,7 @@ ORACLES: dict[str, str] = {
     "burstiness": _o_burstiness(),
     "k_anonymity": _o_k_anonymity(),
     "burst_rule": _o_burst_rule(),
+    "markov_stationary": _o_markov_stationary(),
 }
 
 

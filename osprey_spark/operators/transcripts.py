@@ -2220,3 +2220,135 @@ SELECT path, n_convs,
         / CAST((SELECT count(*) FROM tppaths) AS DOUBLE), 6) AS share
 FROM tpcnts ORDER BY n_convs DESC, path LIMIT {int(k)}
 """
+
+
+def markov_stationary(
+    counts: DataFrame,
+    rounds: int = 8,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Stationary distribution of the first-order state chain by
+    integer power iteration over :func:`transition_counts` output —
+    "where does a conversation SPEND its time in the long run?": the
+    equilibrium share of each state under the observed transition
+    kernel, which weighting raw state frequencies cannot give when
+    chains differ in length (the stationary π is the left
+    eigenvector of the row-stochastic P, not the empirical mix). A
+    drift of π toward a tool state between releases is the
+    'conversations now loop in tool X' alarm.
+
+    Integer-exact discipline (the eigencentrality family): π lives
+    in micro-units of 1/scale; each round routes
+    ``π(a)·n(a,b) DIV out_total(a)`` through DECIMAL(38) (DuckDB
+    HUGEINT — π·n overflows BIGINT once counts pass ~10^6), then one
+    dst-keyed integer sum. Row-stochastic P keeps Σπ ≈ scale (floor
+    loss only), so NO renormalization round is needed — each round
+    references its predecessor ONCE, so no localCheckpoint either
+    (the pagerank shape, not the eigencentrality one). Dangling
+    states (no outgoing transition) get a self-loop so their mass
+    doesn't evaporate (the PageRank dangling fix, chosen over
+    teleport to keep the kernel exactly the observed one).
+
+    The frame is |alphabet|-sized — dimension-table class — but the
+    identical joins-and-aggregates shape runs unchanged when states
+    are (role, tool, verdict) triples at cardinality 10^5. Returns
+    ``(state, pi, share)``: pi the exact integer mass, share one
+    fixed division by the 1-row total broadcast, rounded 6. States
+    whose mass reaches exactly 0 drop out of the frame (the dst-sum
+    emits no row for them) — transient sources vanish rather than
+    reporting pi=0, identically in the oracle.
+    """
+    if int(rounds) < 1:
+        raise ValueError("markov_stationary: rounds must be >= 1")
+    states = (
+        counts.select(F.col("src").alias("state"))
+        .union(counts.select(F.col("dst").alias("state")))
+        .distinct()
+    )
+    dangling = states.join(
+        counts.select(F.col("src").alias("state")).distinct(),
+        "state",
+        "left_anti",
+    ).select(
+        F.col("state").alias("src"),
+        F.col("state").alias("dst"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(1).cast("long").alias("out_total"),
+    )
+    e = counts.select("src", "dst", "n", "out_total").unionByName(
+        dangling
+    ).persist()
+    pi = states.select(
+        "state", F.lit(int(scale)).cast("long").alias("pi")
+    )
+    for _ in range(rounds):
+        pi = (
+            e.join(pi, e.src == pi.state)
+            .select(
+                F.col("dst").alias("s2"),
+                F.expr(
+                    "CAST((CAST(pi AS DECIMAL(38,0)) * n)"
+                    " DIV CAST(out_total AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("c"),
+            )
+            .groupBy("s2")
+            .agg(F.sum("c").cast("long").alias("pi"))
+            .select(F.col("s2").alias("state"), "pi")
+        )
+    tot = pi.agg(F.sum("pi").cast("long").alias("_t"))
+    out = (
+        pi.join(F.broadcast(tot))
+        .select(
+            "state",
+            "pi",
+            F.round(
+                F.col("pi").cast("double") / F.col("_t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("pi"), "state")
+    )
+    out.unpersist_base = lambda: e.unpersist(blocking=True)
+    return out
+
+
+def markov_stationary_sql(
+    counts_cte: str, rounds: int = 8, scale: int = 10**12
+) -> str:
+    """DuckDB replay of :func:`markov_stationary` — statically
+    unrolled rounds over MATERIALIZED CTEs, HUGEINT floor division
+    matching Spark's DECIMAL(38) DIV."""
+    parts = [
+        f"mkc AS MATERIALIZED ({counts_cte})",
+        """mkstates AS MATERIALIZED (
+  SELECT src AS state FROM mkc UNION SELECT dst FROM mkc
+)""",
+        """mke AS MATERIALIZED (
+  SELECT src, dst, n, out_total FROM mkc
+  UNION ALL
+  SELECT state, state, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  FROM mkstates
+  WHERE state NOT IN (SELECT src FROM mkc)
+)""",
+        f"""mkr0 AS MATERIALIZED (
+  SELECT state, CAST({int(scale)} AS BIGINT) AS pi FROM mkstates
+)""",
+    ]
+    prev = "mkr0"
+    for t in range(1, int(rounds) + 1):
+        parts.append(
+            f"""mkr{t} AS MATERIALIZED (
+  SELECT e.dst AS state,
+    CAST(sum((CAST(r.pi AS HUGEINT) * e.n) // e.out_total) AS BIGINT) AS pi
+  FROM mke e JOIN {prev} r ON e.src = r.state GROUP BY e.dst
+)"""
+        )
+        prev = f"mkr{t}"
+    parts.append(f"mkt AS (SELECT CAST(sum(pi) AS BIGINT) AS t FROM {prev})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT state, pi,
+  round(CAST(pi AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM {prev}, mkt ORDER BY pi DESC, state"""
+    )

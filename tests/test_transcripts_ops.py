@@ -935,3 +935,85 @@ def test_top_paths_depth_cap_and_tiebreak(spark):
     assert [r.path for r in out] == ["u>a>t", "x"]
     with pytest.raises(ValueError, match="depth"):
         top_paths(_role_turns(spark, convs), depth=0)
+
+
+# --------------------------------------------------------------------------
+# markov stationary distribution
+# --------------------------------------------------------------------------
+
+
+def _mk_counts(spark, rows):
+    """rows: (src, dst, n); out_total derived."""
+    from collections import Counter
+
+    tot = Counter()
+    for s, _d, n in rows:
+        tot[s] += n
+    data = [(s, d, n, tot[s]) for s, d, n in rows]
+    return spark.createDataFrame(
+        data, "src string, dst string, n long, out_total long"
+    )
+
+
+def _mk_replica(rows, rounds=8, scale=10**12):
+    """Pure-python integer power iteration with the self-loop fix."""
+    from collections import Counter, defaultdict
+
+    tot = Counter()
+    states = set()
+    for s, d, n in rows:
+        tot[s] += n
+        states |= {s, d}
+    e = list(rows)
+    for st in sorted(states):
+        if tot[st] == 0:
+            e.append((st, st, 1))
+            tot[st] = 1
+    pi = {st: scale for st in states}
+    for _ in range(rounds):
+        nxt = defaultdict(int)
+        for s, d, n in e:
+            nxt[d] += (pi[s] * n) // tot[s]
+        pi = dict(nxt)
+    return pi
+
+
+def test_markov_stationary_two_state_chain(spark):
+    """P = [[0,1],[1/2,1/2]] has stationary (1/3, 2/3); the integer
+    iteration converges to it within rounding and matches a python
+    replica exactly."""
+    from osprey_spark.operators.transcripts import markov_stationary
+
+    rows = [("A", "B", 2), ("B", "A", 1), ("B", "B", 1)]
+    out = markov_stationary(_mk_counts(spark, rows), rounds=8)
+    got = {r["state"]: (r["pi"], r["share"]) for r in out.collect()}
+    out.unpersist_base()
+    want = _mk_replica(rows, rounds=8)
+    assert {s: p for s, (p, _sh) in got.items()} == want
+    assert abs(got["A"][1] - 1 / 3) < 1e-3
+    assert abs(got["B"][1] - 2 / 3) < 1e-3
+
+
+def test_markov_stationary_dangling_self_loop(spark):
+    """A->B with B dangling: the self-loop absorbs all mass in B
+    instead of evaporating it."""
+    from osprey_spark.operators.transcripts import markov_stationary
+
+    rows = [("A", "B", 3)]
+    out = markov_stationary(_mk_counts(spark, rows), rounds=6)
+    got = {r["state"]: r for r in out.collect()}
+    out.unpersist_base()
+    # states that receive zero mass drop out of the frame entirely
+    # (groupBy dst), in Spark, the oracle, and the replica alike
+    assert "A" not in got
+    assert got["B"]["share"] == 1.0
+    assert got["B"]["pi"] == _mk_replica(rows, rounds=6)["B"]
+
+
+def test_markov_stationary_validation(spark):
+    from osprey_spark.operators.transcripts import markov_stationary
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        markov_stationary(_mk_counts(spark, [("A", "B", 1)]), rounds=0)
