@@ -973,7 +973,8 @@ def _mk_replica(rows, rounds=8, scale=10**12):
     for _ in range(rounds):
         nxt = defaultdict(int)
         for s, d, n in e:
-            nxt[d] += (pi[s] * n) // tot[s]
+            if s in pi:  # dropped states emit no join rows in Spark
+                nxt[d] += (pi[s] * n) // tot[s]
         pi = dict(nxt)
     return pi
 
