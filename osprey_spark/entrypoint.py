@@ -6740,6 +6740,30 @@ def _o_k_anonymity() -> str:
     )
 
 
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency per hour
+    (windows.interval_concurrency): peak simultaneous open
+    conversations — the live-load/fleet-operator signal — via the
+    distributed two-phase prefix sum (per-bucket partials + bounded
+    base rollup + bucket-partitioned running sums), never a global
+    single-partition window."""
+    from .operators.windows import interval_concurrency
+
+    return interval_concurrency(
+        turns_from_events(spark, sf_dir), key_col="conv_id", bucket_s=3600
+    )
+
+
+def _o_concurrency() -> str:
+    from .operators.windows import interval_concurrency_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + interval_concurrency_sql("turns", key_col="conv_id", bucket_s=3600)
+    )
+
+
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the tool/role transition chain
     (transcripts.markov_stationary): where conversations spend their
@@ -7504,6 +7528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "burst_rule": q_burst_rule,
     "markov_stationary": q_markov_stationary,
+    "concurrency": q_concurrency,
 }
 
 ORACLES: dict[str, str] = {
@@ -7702,6 +7727,7 @@ ORACLES: dict[str, str] = {
     "k_anonymity": _o_k_anonymity(),
     "burst_rule": _o_burst_rule(),
     "markov_stationary": _o_markov_stationary(),
+    "concurrency": _o_concurrency(),
 }
 
 

@@ -147,3 +147,62 @@ def test_window_sum_streams_fused(spark, tmp_path):
     }
     assert got == want and len(want) == 80
     assert any(v[0] > 0 for v in want.values())
+
+
+# --------------------------------------------------------------------------
+# sweep-line interval concurrency
+# --------------------------------------------------------------------------
+
+
+def _ic_turns(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    data = [(k, t0 + dt.timedelta(seconds=s)) for k, s in rows]
+    return spark.createDataFrame(data, "conv_id string, ts timestamp")
+
+
+def test_interval_concurrency_known_answer(spark):
+    """Three overlapping conversations within one hour + one in the
+    next hour: peak 3 in hour 1, base carries into hour 2."""
+    from osprey_spark.operators.windows import interval_concurrency
+
+    rows = [
+        ("a", 0), ("a", 100),      # open [0, 101)
+        ("b", 50), ("b", 300),     # open [50, 301)
+        ("c", 90), ("c", 95),      # open [90, 96) -> all three at t=90..95
+        ("d", 3700), ("d", 3800),  # next hour
+    ]
+    out = {
+        r["bucket_start"]: (r["max_concurrent"], r["end_concurrent"])
+        for r in interval_concurrency(_ic_turns(spark, rows), bucket_s=3600).collect()
+    }
+    base = int(
+        __import__("datetime").datetime(2025, 1, 1).timestamp()
+    )
+    h0 = (base // 3600) * 3600
+    assert out[h0] == (3, 0)          # peak 3, all closed by hour end
+    assert out[h0 + 3600] == (1, 0)
+
+
+def test_interval_concurrency_cross_bucket_carry(spark):
+    """A conversation spanning two hours keeps the second hour's base
+    at 1 even before its own events there."""
+    from osprey_spark.operators.windows import interval_concurrency
+
+    rows = [
+        ("long", 100), ("long", 7000),   # open across hours 0 and 1
+        ("x", 3700), ("x", 3710),
+    ]
+    out = {
+        r["bucket_start"]: (r["max_concurrent"], r["end_concurrent"])
+        for r in interval_concurrency(_ic_turns(spark, rows), bucket_s=3600).collect()
+    }
+    base = int(__import__("datetime").datetime(2025, 1, 1).timestamp())
+    h0 = (base // 3600) * 3600
+    assert out[h0] == (1, 1)             # long still open at hour end
+    assert out[h0 + 3600] == (2, 0)      # long + x overlap in hour 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        interval_concurrency(_ic_turns(spark, rows), bucket_s=0)
