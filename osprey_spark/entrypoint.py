@@ -6462,6 +6462,74 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (dq.did_lift): the treated arm's
+    pre→post change minus the control arm's — the causal readout
+    when assignment isn't randomized; here an A/A-shaped check over
+    the deterministic md5 arms and a span-midpoint period split, so
+    did ≈ 0 is the correct answer and a large |z| flags drift in the
+    bucketing, not the metric. One global integer-cell aggregate."""
+    from .operators.dq import did_lift
+
+    out = rules_output(spark, sf_dir)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    conv = out.groupBy("conv_id").agg(
+        F.max((F.size("__verdicts") >= 1).cast("long")).alias("m"),
+        F.min(sec).cast("long").alias("_fs"),
+    )
+    glob = conv.agg(
+        F.min("_fs").cast("long").alias("_a"), F.max("_fs").cast("long").alias("_b")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    scored = conv.join(F.broadcast(glob)).select(
+        (bucket < 50).cast("long").alias("g"),
+        (F.col("_fs") >= F.expr("(_a + _b) DIV 2")).cast("long").alias("p"),
+        "m",
+    )
+    return did_lift(scored)
+
+
+def _o_did_lift() -> str:
+    from .operators.dq import did_lift_sql
+
+    scored = """
+  SELECT CASE WHEN CAST(('0x' || substr(md5(conv_id), 1, 4)) AS INT) % 100 < 50
+              THEN 1 ELSE 0 END AS g,
+         CASE WHEN fs >= (a + b) // 2 THEN 1 ELSE 0 END AS p,
+         m
+  FROM convj, didglob
+"""
+    return (
+        TURNS_CTE
+        + ","
+        + _FLAGSHIP_ORACLE_FEAT
+        + """,
+convm AS (
+  SELECT conv_id,
+    max(CASE WHEN has_hello OR ((has_url AND has_spam_domain)
+             OR (is_tool AND num_tokens >= 4)) THEN 1 ELSE 0 END) AS m
+  FROM feat GROUP BY conv_id
+),
+convt AS (
+  SELECT conv_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS fs
+  FROM turns GROUP BY conv_id
+),
+convj AS (
+  SELECT c.conv_id, c.m, t.fs FROM convm c JOIN convt t USING (conv_id)
+),
+didglob AS (
+  SELECT CAST(min(fs) AS BIGINT) AS a, CAST(max(fs) AS BIGINT) AS b FROM convj
+),
+"""
+        + did_lift_sql(scored)
+    )
+
+
 def q_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule precision/recall/F1 against after-the-fact ground
     truth (dq.rule_prf): the planted email marker stands in for a
@@ -7529,6 +7597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_rule": q_burst_rule,
     "markov_stationary": q_markov_stationary,
     "concurrency": q_concurrency,
+    "did_lift": q_did_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -7728,6 +7797,7 @@ ORACLES: dict[str, str] = {
     "burst_rule": _o_burst_rule(),
     "markov_stationary": _o_markov_stationary(),
     "concurrency": _o_concurrency(),
+    "did_lift": _o_did_lift(),
 }
 
 

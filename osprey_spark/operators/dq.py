@@ -877,3 +877,122 @@ SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
   CAST(sz < {int(k)} AS INT) AS violating
 FROM kacls GROUP BY sz ORDER BY sz
 """
+
+
+def did_lift(
+    scored: DataFrame,
+    group_col: str = "g",
+    period_col: str = "p",
+    metric_col: str = "m",
+) -> DataFrame:
+    """Difference-in-differences (Card & Krueger 1994 lineage): the
+    causal-reading companion to :func:`ab_test` when assignment is
+    NOT randomized — compare the treated group's pre→post change
+    against the control group's, so any time trend common to both
+    cancels: ``DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)``.
+    The 'did the rule change actually move the metric, or did
+    everything drift together?' readout.
+
+    Inputs: one row per unit with integer/0-1 ``metric_col``, a 0/1
+    ``group_col`` (1 = treated) and a 0/1 ``period_col`` (1 = post).
+    ONE hash-free global aggregate produces all four cells' exact
+    integer (n, Σm) pairs via conditional sums (map-side partials);
+    the estimate and its binomial-variance z are fixed
+    parenthesizations of those integers. Output: one row with the
+    four cell means, ``did``, and ``z`` (NULL when any cell is
+    empty), doubles rounded 6.
+    """
+    g = F.col(group_col).cast("long")
+    p = F.col(period_col).cast("long")
+    m = F.col(metric_col).cast("long")
+    cells = scored.agg(
+        *[
+            c
+            for gi, pi, tag in [
+                (1, 0, "tp"),  # treated pre
+                (1, 1, "tq"),  # treated post
+                (0, 0, "cp"),  # control pre
+                (0, 1, "cq"),  # control post
+            ]
+            for c in (
+                F.sum(
+                    (g.eqNullSafe(F.lit(gi)) & p.eqNullSafe(F.lit(pi))).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias(f"n_{tag}"),
+                F.sum(
+                    F.when(
+                        g.eqNullSafe(F.lit(gi)) & p.eqNullSafe(F.lit(pi)), m
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"s_{tag}"),
+            )
+        ]
+    )
+
+    def mean(tag: str):
+        # per-cell guard, not just the outer `ok` gate: ANSI mode
+        # evaluates the division inside the z column's `se > 0`
+        # CONDITION before the gate can mask it
+        return F.when(
+            F.col(f"n_{tag}") >= 1,
+            F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast("double"),
+        )
+
+    def var(tag: str):
+        mu = mean(tag)
+        return mu * (F.lit(1.0) - mu) / F.col(f"n_{tag}").cast("double")
+
+    did = (mean("tq") - mean("tp")) - (mean("cq") - mean("cp"))
+    se = F.sqrt(var("tq") + var("tp") + var("cq") + var("cp"))
+    ok = (
+        (F.col("n_tp") >= 1)
+        & (F.col("n_tq") >= 1)
+        & (F.col("n_cp") >= 1)
+        & (F.col("n_cq") >= 1)
+    )
+    return cells.select(
+        "n_tp",
+        "n_tq",
+        "n_cp",
+        "n_cq",
+        F.round(F.when(ok, mean("tp")), 6).alias("mean_t_pre"),
+        F.round(F.when(ok, mean("tq")), 6).alias("mean_t_post"),
+        F.round(F.when(ok, mean("cp")), 6).alias("mean_c_pre"),
+        F.round(F.when(ok, mean("cq")), 6).alias("mean_c_post"),
+        F.round(F.when(ok, did), 6).alias("did"),
+        F.round(F.when(ok & (se > 0), did / se), 6).alias("z"),
+    )
+
+
+def did_lift_sql(scored_sql: str) -> str:
+    """DuckDB replay of :func:`did_lift` over a (g, p, m) SELECT —
+    same four integer cells, same fixed-order algebra."""
+    cells = []
+    for gi, pi, tag in [(1, 0, "tp"), (1, 1, "tq"), (0, 0, "cp"), (0, 1, "cq")]:
+        cells.append(
+            f"CAST(sum(CASE WHEN g = {gi} AND p = {pi} THEN 1 ELSE 0 END) AS BIGINT) AS n_{tag}"
+        )
+        cells.append(
+            f"CAST(sum(CASE WHEN g = {gi} AND p = {pi} THEN m ELSE 0 END) AS BIGINT) AS s_{tag}"
+        )
+    mean = lambda t: f"(CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE))"  # noqa: E731
+    var = (
+        lambda t: f"({mean(t)} * (1.0 - {mean(t)}) / CAST(n_{t} AS DOUBLE))"
+    )  # noqa: E731
+    did = f"(({mean('tq')} - {mean('tp')}) - ({mean('cq')} - {mean('cp')}))"
+    se = f"sqrt({var('tq')} + {var('tp')} + {var('cq')} + {var('cp')})"
+    ok = "n_tp >= 1 AND n_tq >= 1 AND n_cp >= 1 AND n_cq >= 1"
+    return f"""didscored AS ({scored_sql}),
+didcells AS (SELECT {', '.join(cells)} FROM didscored)
+SELECT n_tp, n_tq, n_cp, n_cq,
+  round(CASE WHEN {ok} THEN {mean('tp')} END, 6) AS mean_t_pre,
+  round(CASE WHEN {ok} THEN {mean('tq')} END, 6) AS mean_t_post,
+  round(CASE WHEN {ok} THEN {mean('cp')} END, 6) AS mean_c_pre,
+  round(CASE WHEN {ok} THEN {mean('cq')} END, 6) AS mean_c_post,
+  round(CASE WHEN {ok} THEN {did} END, 6) AS did,
+  round(CASE WHEN {ok} AND {se} > 0 THEN {did} / {se} END, 6) AS z
+FROM didcells"""

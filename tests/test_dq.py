@@ -493,3 +493,32 @@ def test_k_anonymity_histogram_and_violations(spark):
         k_anonymity(df, ["t"], k=1)
     with _pt.raises(ValueError):
         k_anonymity(df, [], k=5)
+
+
+def test_did_lift_known_answer(spark):
+    """Hand cells: treated 10%->40%, control 10%->20% -> DiD = 0.2;
+    z matches a python replica; empty-cell guard nulls everything."""
+    from osprey_spark.operators.dq import did_lift
+
+    import math
+
+    rows = (
+        [(1, 0, 1)] * 1 + [(1, 0, 0)] * 9      # treated pre: 10%
+        + [(1, 1, 1)] * 4 + [(1, 1, 0)] * 6    # treated post: 40%
+        + [(0, 0, 1)] * 1 + [(0, 0, 0)] * 9    # control pre: 10%
+        + [(0, 1, 1)] * 2 + [(0, 1, 0)] * 8    # control post: 20%
+    )
+    df = spark.createDataFrame(rows, "g long, p long, m long")
+    r = did_lift(df).collect()[0]
+    assert (r["n_tp"], r["n_tq"], r["n_cp"], r["n_cq"]) == (10, 10, 10, 10)
+    did = (0.4 - 0.1) - (0.2 - 0.1)
+    assert r["did"] == round(did, 6)
+    v = lambda mu: mu * (1 - mu) / 10  # noqa: E731
+    se = math.sqrt(v(0.4) + v(0.1) + v(0.2) + v(0.1))
+    assert r["z"] == round(did / se, 6)
+    # empty treated-post cell -> all NULL
+    df2 = spark.createDataFrame(
+        [(1, 0, 1), (0, 0, 0), (0, 1, 1)], "g long, p long, m long"
+    )
+    r2 = did_lift(df2).collect()[0]
+    assert r2["did"] is None and r2["z"] is None

@@ -52,6 +52,7 @@ _CROSS_OK = {
     "hazard_na",  # 1-row global-max-ts frame broadcast for the censoring test
     "seq_patterns",  # 1-row total-conversations frame broadcast for the share
     "distinctive_terms",  # 1-row pooled-totals frame broadcast into the prior
+    "did_lift",  # 1-row span-midpoint frame broadcast for the period split
 }
 
 # Queries expected to broadcast at least one join side (small dim /
