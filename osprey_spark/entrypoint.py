@@ -6462,6 +6462,24 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic baseline with robust outliers
+    (forecast.seasonal_profile): per-phase MEDIAN load across days +
+    the days that blow past 3× it — the 'is 3am supposed to look
+    like this?' corpus readout a mean hides and per-key z-scores
+    can't see (a coordinated burst is each key behaving modestly)."""
+    from .operators.forecast import seasonal_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_profile(ev, bucket_s=3600, period=24)
+
+
+def _o_seasonal_profile() -> str:
+    from .operators.forecast import seasonal_profile_sql
+
+    return "WITH " + seasonal_profile_sql("events", bucket_s=3600, period=24)
+
+
 def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences (dq.did_lift): the treated arm's
     pre→post change minus the control arm's — the causal readout
@@ -7598,6 +7616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_stationary": q_markov_stationary,
     "concurrency": q_concurrency,
     "did_lift": q_did_lift,
+    "seasonal_profile": q_seasonal_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -7798,6 +7817,7 @@ ORACLES: dict[str, str] = {
     "markov_stationary": _o_markov_stationary(),
     "concurrency": _o_concurrency(),
     "did_lift": _o_did_lift(),
+    "seasonal_profile": _o_seasonal_profile(),
 }
 
 

@@ -791,3 +791,123 @@ tsnpts AS (
 SELECT n.k AS {key_col}, n.n_points, m.n_pairs, round(m.med, 6) AS slope
 FROM tsnpts n JOIN tsmed m ON n.k = m.k
 WHERE n.n_points >= {int(min_points)}"""
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    period: int = 24,
+    outlier_mult: float = 3.0,
+) -> DataFrame:
+    """Seasonal (time-of-day) traffic baseline with robust outliers:
+    the corpus's per-phase MEDIAN load and the occurrences that blow
+    past it — the 'is 3am traffic supposed to look like this?'
+    readout that a global mean hides (one hot day drags a mean; the
+    median doesn't budge) and per-key z-scores can't see (a
+    coordinated burst is each key behaving modestly). Default phase
+    = hour-of-day over hourly buckets.
+
+    Shape: one (cycle, phase) hash aggregate over the event stream
+    (map-side partials), then ALL statistics on the bounded
+    phase-profile frame (≤ period × observed-cycles rows): the
+    median picks the two middle rows per phase via row_number + a
+    partition count (the theil_sen selection — nothing
+    order-dependent floats), outliers compare each occurrence
+    against ``outlier_mult ×`` the phase median. Output per phase:
+    ``(phase, n_cycles, median_cnt, max_cnt, n_outliers)``.
+    """
+    if int(bucket_s) < 1:
+        raise ValueError("seasonal_profile: bucket_s must be >= 1")
+    if int(period) < 2:
+        raise ValueError("seasonal_profile: period must be >= 2")
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    per = (
+        df.select(sec.alias("__sp_sec"))
+        .select(
+            F.expr(f"(__sp_sec DIV {int(bucket_s)}) DIV {int(period)}").alias(
+                "_cyc"
+            ),
+            F.expr(
+                f"(__sp_sec DIV {int(bucket_s)}) % {int(period)}"
+            ).alias("_ph"),
+        )
+        .groupBy("_cyc", "_ph")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w_rank = Window.partitionBy("_ph").orderBy("_c", "_cyc")
+    w_all = Window.partitionBy("_ph")
+    ranked = per.select(
+        "_ph",
+        "_cyc",
+        "_c",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_np"),
+    )
+    lo = F.expr("(_np + 1) div 2")
+    hi = F.expr("(_np + 2) div 2")
+    pick = (F.col("_rn") == lo).cast("int") + (F.col("_rn") == hi).cast("int")
+    med = ranked.groupBy("_ph").agg(
+        F.max("_np").alias("n_cycles"),
+        (
+            F.sum(F.col("_c").cast("double") * pick.cast("double")) / F.lit(2.0)
+        ).alias("_med"),
+        F.max("_c").cast("long").alias("max_cnt"),
+    )
+    joined = per.join(med, "_ph")
+    out = joined.groupBy("_ph").agg(
+        F.max("n_cycles").cast("long").alias("n_cycles"),
+        F.max("_med").alias("_medv"),
+        F.max("max_cnt").cast("long").alias("max_cnt"),
+        F.sum(
+            (
+                F.col("_c").cast("double")
+                > F.lit(float(outlier_mult)) * F.col("_med")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out.select(
+        F.col("_ph").cast("long").alias("phase"),
+        "n_cycles",
+        F.round(F.col("_medv"), 6).alias("median_cnt"),
+        "max_cnt",
+        "n_outliers",
+    ).orderBy("phase")
+
+
+def seasonal_profile_sql(
+    table: str,
+    bucket_s: int = 3600,
+    period: int = 24,
+    outlier_mult: float = 3.0,
+) -> str:
+    """DuckDB replay of :func:`seasonal_profile`."""
+    return f"""spper AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {int(bucket_s)}) // {int(period)} AS cyc,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {int(bucket_s)}) % {int(period)} AS ph,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+spranked AS (
+  SELECT ph, cyc, c,
+    row_number() OVER (PARTITION BY ph ORDER BY c, cyc) AS rn,
+    CAST(count(*) OVER (PARTITION BY ph) AS BIGINT) AS np
+  FROM spper
+),
+spmed AS (
+  SELECT ph, CAST(max(np) AS BIGINT) AS n_cycles,
+    sum(CAST(c AS DOUBLE) * CAST((CAST(rn = (np + 1) // 2 AS INT)
+        + CAST(rn = (np + 2) // 2 AS INT)) AS DOUBLE)) / 2.0 AS med,
+    CAST(max(c) AS BIGINT) AS max_cnt
+  FROM spranked GROUP BY ph
+)
+SELECT p.ph AS phase,
+  CAST(max(m.n_cycles) AS BIGINT) AS n_cycles,
+  round(max(m.med), 6) AS median_cnt,
+  CAST(max(m.max_cnt) AS BIGINT) AS max_cnt,
+  CAST(sum(CAST(CAST(p.c AS DOUBLE) > {float(outlier_mult)!r} * m.med AS BIGINT)) AS BIGINT)
+    AS n_outliers
+FROM spper p JOIN spmed m ON p.ph = m.ph
+GROUP BY p.ph ORDER BY phase"""

@@ -159,3 +159,51 @@ def test_theil_sen_min_points_filter_and_validation(spark):
         theil_sen(_ts_turns(spark, rows), min_points=1)
     with pytest.raises(ValueError):
         theil_sen(_ts_turns(spark, rows), cap=2, min_points=3)
+
+
+# --------------------------------------------------------------------------
+# seasonal (time-of-day) profile
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_profile_median_and_outlier(spark):
+    """Phase 3 sees counts [2, 2, 2, 20] across four cycles: median
+    2, max 20, one outlier (> 3x median). Phase 5 sees [4, 6]:
+    median 5.0 (even split), no outlier."""
+    import datetime as dt
+
+    from osprey_spark.operators.forecast import seasonal_profile
+
+    t0 = dt.datetime(2025, 1, 5)  # midnight UTC
+    rows = []
+    for cyc, c in enumerate([2, 2, 2, 20]):
+        for i in range(c):
+            rows.append((t0 + dt.timedelta(days=cyc, hours=3, seconds=i),))
+    for cyc, c in enumerate([4, 6]):
+        for i in range(c):
+            rows.append((t0 + dt.timedelta(days=cyc, hours=5, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["phase"]: r for r in seasonal_profile(df).collect()}
+    # phase index depends on epoch alignment: hour-of-day of t0+3h
+    ph3 = (int(t0.timestamp()) // 3600 + 3) % 24
+    ph5 = (int(t0.timestamp()) // 3600 + 5) % 24
+    r3 = got[ph3]
+    assert (r3["n_cycles"], r3["median_cnt"], r3["max_cnt"], r3["n_outliers"]) == (
+        4, 2.0, 20, 1,
+    )
+    r5 = got[ph5]
+    assert (r5["n_cycles"], r5["median_cnt"], r5["max_cnt"], r5["n_outliers"]) == (
+        2, 5.0, 6, 0,
+    )
+
+
+def test_seasonal_profile_validation(spark):
+    import datetime as dt
+
+    from osprey_spark.operators.forecast import seasonal_profile
+
+    df = spark.createDataFrame([(dt.datetime(2025, 1, 1),)], "ts timestamp")
+    with pytest.raises(ValueError):
+        seasonal_profile(df, bucket_s=0)
+    with pytest.raises(ValueError):
+        seasonal_profile(df, period=1)
