@@ -6462,6 +6462,42 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping sets: the (event_type × hour-of-day) CUBE with
+    subtotals and grand total in ONE pass — the classic drill-down
+    report Catalyst expands into a single multi-grouping aggregate
+    (no N separate scans); grouping_id disambiguates a NULL data
+    value from a subtotal row. Exact counts + exact distinct-user
+    counts per cell."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hod = F.expr(
+        "(CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600) % 24"
+    ).cast("long")
+    base = ev.select(
+        "event_type", hod.alias("hod"), "user_id"
+    )
+    return (
+        base.cube("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "event_type", "hod")
+    )
+
+
+def _o_cube_report() -> str:
+    return """SELECT event_type,
+  (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(grouping_id(event_type, hod) AS BIGINT) AS gid
+FROM (SELECT event_type, ts, user_id FROM events)
+GROUP BY CUBE(event_type, hod)
+ORDER BY gid, event_type, hod"""
+
+
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day traffic baseline with robust outliers
     (forecast.seasonal_profile): per-phase MEDIAN load across days +
@@ -7617,6 +7653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "concurrency": q_concurrency,
     "did_lift": q_did_lift,
     "seasonal_profile": q_seasonal_profile,
+    "cube_report": q_cube_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -7818,6 +7855,7 @@ ORACLES: dict[str, str] = {
     "concurrency": _o_concurrency(),
     "did_lift": _o_did_lift(),
     "seasonal_profile": _o_seasonal_profile(),
+    "cube_report": _o_cube_report(),
 }
 
 
