@@ -6462,6 +6462,22 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (curation.heaps_fit): V(n)≈K·n^β
+    read at md5-bucket prefix checkpoints — no corpus sort, one
+    term-min aggregate — answering 'how much more vocab does 10×
+    more data buy?'; template corpora saturate (β→0)."""
+    from .operators.curation import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir), n_buckets=16)
+
+
+def _o_heaps_fit() -> str:
+    from .operators.curation import heaps_fit_sql
+
+    return "WITH " + heaps_fit_sql("documents", n_buckets=16)
+
+
 def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP grouping sets: the (event_type × hour-of-day) CUBE with
     subtotals and grand total in ONE pass — the classic drill-down
@@ -7654,6 +7670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "did_lift": q_did_lift,
     "seasonal_profile": q_seasonal_profile,
     "cube_report": q_cube_report,
+    "heaps_fit": q_heaps_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7856,6 +7873,7 @@ ORACLES: dict[str, str] = {
     "did_lift": _o_did_lift(),
     "seasonal_profile": _o_seasonal_profile(),
     "cube_report": _o_cube_report(),
+    "heaps_fit": _o_heaps_fit(),
 }
 
 

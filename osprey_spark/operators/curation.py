@@ -2954,3 +2954,167 @@ SELECT side, term, y_a, y_b, delta, z FROM (
   SELECT 'b' AS side, term, y_a, y_b, delta, z
   FROM dscored ORDER BY z ASC, term LIMIT {int(k)}
 )"""
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 16,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): ``V(n) ≈ K·n^β``
+    — how fast NEW types keep appearing as the corpus grows. Natural
+    corpora sit at β ≈ 0.4–0.6; template/duplicated text saturates
+    (β → 0) and randomized/noisy text runs high — the growth-curve
+    complement to zipf_fit's static head, and the practical answer
+    to 'how much more vocab will 10× more data buy?'.
+
+    The scale trick: the textbook curve needs documents in a global
+    ORDER (a corpus-scale sort). Instead, docs assign to
+    ``n_buckets`` pseudo-random md5 buckets and the growth curve is
+    read at bucket-prefix checkpoints: V(k) = types whose MINIMUM
+    bucket ≤ k — ONE term-keyed min aggregate, one bounded
+    per-bucket rollup, cumulative sums over the ≤ n_buckets frame.
+    No global sort, no row_number over the corpus; the md5 order is
+    deterministic and exchangeable, which is exactly what a growth
+    curve wants (any fixed random order estimates the same β).
+
+    Exactness: the zipf_fit discipline verbatim — ln(docs_cum),
+    ln(vocab_cum) quantize to BIGINT micro-units before the OLS
+    moment sums; β/lnK/r² are fixed parenthesizations of exact
+    integers. Output one row: ``(n_checkpoints, n_docs, vocab,
+    beta, ln_k, r2)``.
+    """
+    if int(n_buckets) < 3:
+        raise ValueError("heaps_fit: n_buckets must be >= 3")
+    qf = float(quant)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % int(n_buckets)
+    )
+    base = docs.select(bucket.alias("_b"), F.col(text_col).alias("_x"))
+    docs_per = base.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_dn")
+    )
+    toks = base.select(
+        "_b", F.explode(F.split(F.col("_x"), " ")).alias("_t")
+    ).filter(F.col("_t") != "")
+    firstb = toks.groupBy("_t").agg(F.min("_b").cast("long").alias("_mb"))
+    vocab_per = firstb.groupBy("_mb").agg(
+        F.count(F.lit(1)).cast("long").alias("_vn")
+    )
+    w_cum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        docs_per.join(
+            vocab_per.select(F.col("_mb").alias("_b"), "_vn"), "_b", "left"
+        )
+        .select(
+            "_b",
+            F.sum("_dn").over(w_cum).cast("long").alias("_dc"),
+            F.sum(F.coalesce(F.col("_vn"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("_vc"),
+        )
+        .filter((F.col("_dc") >= 1) & (F.col("_vc") >= 1))
+    )
+    qx = F.round(F.log(F.col("_dc").cast("double")) * F.lit(qf), 0).cast("long")
+    qy = F.round(F.log(F.col("_vc").cast("double")) * F.lit(qf), 0).cast("long")
+    red = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checkpoints"),
+        F.max("_dc").cast("long").alias("n_docs"),
+        F.max("_vc").cast("long").alias("vocab"),
+        F.sum(qx).cast("long").alias("_sx"),
+        F.sum(qy).cast("long").alias("_sy"),
+        F.sum(qx * qx).cast("long").alias("_sxx"),
+        F.sum(qy * qy).cast("long").alias("_syy"),
+        F.sum(qx * qy).cast("long").alias("_sxy"),
+    )
+    nd = F.col("n_checkpoints").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    beta = cov / dx
+    lnk = ((sy - (cov / dx) * sx) / nd) / F.lit(qf)
+    r2 = (cov * cov) / (dx * dy)
+    ok = (F.col("n_checkpoints") >= 3) & (dx > 0.0)
+    return red.select(
+        "n_checkpoints",
+        "n_docs",
+        "vocab",
+        F.round(F.when(ok, beta), 6).alias("beta"),
+        F.round(F.when(ok, lnk), 6).alias("ln_k"),
+        F.round(F.when(ok & (dy > 0.0), r2), 6).alias("r2"),
+    )
+
+
+def heaps_fit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    quant: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`heaps_fit` — same md5 buckets, same
+    min-bucket vocabulary prefix counts, same quantized OLS."""
+    qf = repr(float(quant))
+    b = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {int(n_buckets)}"
+    )
+    dxe = "CAST(n_checkpoints AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    dye = "CAST(n_checkpoints AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    cove = "CAST(n_checkpoints AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    return f"""hbase AS (
+  SELECT {b} AS b, {text_col} AS x FROM {table}
+),
+hdocs AS (SELECT b, CAST(count(*) AS BIGINT) AS dn FROM hbase GROUP BY b),
+htoks AS (
+  SELECT b, t FROM (
+    SELECT b, unnest(string_split(x, ' ')) AS t FROM hbase
+  ) WHERE t <> ''
+),
+hfirst AS (SELECT t, CAST(min(b) AS BIGINT) AS mb FROM htoks GROUP BY t),
+hvocab AS (SELECT mb AS b, CAST(count(*) AS BIGINT) AS vn FROM hfirst GROUP BY mb),
+hstaged AS (
+  SELECT d.b,
+    CAST(sum(d.dn) OVER (ORDER BY d.b ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS dc,
+    CAST(sum(coalesce(v.vn, 0)) OVER (ORDER BY d.b ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS BIGINT) AS vc
+  FROM hdocs d LEFT JOIN hvocab v ON d.b = v.b
+),
+hq AS (
+  SELECT CAST(round(ln(CAST(dc AS DOUBLE)) * {qf}, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(vc AS DOUBLE)) * {qf}, 0) AS BIGINT) AS y,
+         dc, vc
+  FROM hstaged WHERE dc >= 1 AND vc >= 1
+),
+hred AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+    CAST(max(dc) AS BIGINT) AS n_docs, CAST(max(vc) AS BIGINT) AS vocab,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM hq
+)
+SELECT n_checkpoints, n_docs, vocab,
+  round(CASE WHEN n_checkpoints >= 3 AND {dxe} > 0.0
+        THEN ({cove}) / ({dxe}) END, 6) AS beta,
+  round(CASE WHEN n_checkpoints >= 3 AND {dxe} > 0.0
+        THEN ((CAST(sy AS DOUBLE) - (({cove}) / ({dxe})) * CAST(sx AS DOUBLE))
+              / CAST(n_checkpoints AS DOUBLE)) / {qf} END, 6) AS ln_k,
+  round(CASE WHEN n_checkpoints >= 3 AND {dxe} > 0.0 AND {dye} > 0.0
+        THEN (({cove}) * ({cove})) / (({dxe}) * ({dye})) END, 6) AS r2
+FROM hred"""

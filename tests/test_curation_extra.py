@@ -529,3 +529,75 @@ def test_distinctive_terms_min_count_and_validation(spark):
         distinctive_terms(_dt_turns(spark, rows), a0=0)
     with _pt.raises(ValueError):
         distinctive_terms(_dt_turns(spark, rows), k=0)
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth
+# --------------------------------------------------------------------------
+
+
+def test_heaps_fit_template_corpus_saturates(spark):
+    """All-identical docs: vocabulary stops growing after the first
+    bucket -> beta near 0. Distinct-vocab docs: every doc brings new
+    types -> beta near 1. The fits bracket accordingly."""
+    from osprey_spark.operators.curation import heaps_fit
+
+    same = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma") for i in range(60)],
+        "doc_id string, text string",
+    )
+    r_same = heaps_fit(same, n_buckets=8).collect()[0]
+    assert r_same["vocab"] == 3
+    assert r_same["beta"] is not None and r_same["beta"] < 0.1
+
+    fresh = spark.createDataFrame(
+        [(f"d{i}", f"tok{i}a tok{i}b tok{i}c") for i in range(60)],
+        "doc_id string, text string",
+    )
+    r_fresh = heaps_fit(fresh, n_buckets=8).collect()[0]
+    assert r_fresh["vocab"] == 180
+    assert r_fresh["beta"] > 0.9
+    assert r_fresh["r2"] > 0.99
+
+
+def test_heaps_fit_matches_python_replica(spark):
+    """Exact beta agreement with a replica of the bucketed curve +
+    quantized OLS."""
+    import hashlib
+    import math
+
+    from osprey_spark.operators.curation import heaps_fit
+
+    docs = [(f"doc{i}", " ".join(f"w{(i * j) % 37}" for j in range(5))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = heaps_fit(df, n_buckets=8).collect()[0]
+
+    B = 8
+    buck = {
+        d: int(hashlib.md5(d.encode()).hexdigest()[:8], 16) % B for d, _ in docs
+    }
+    dn = [0] * B
+    first = {}
+    for d, t in docs:
+        dn[buck[d]] += 1
+        for w in t.split(" "):
+            if w:
+                first[w] = min(first.get(w, B), buck[d])
+    vn = [0] * B
+    for w, b in first.items():
+        vn[b] += 1
+    pts = []
+    dc = vc = 0
+    for b in range(B):
+        dc += dn[b]
+        vc += vn[b]
+        if dc >= 1 and vc >= 1:
+            x = round(math.log(dc) * 1e6)
+            y = round(math.log(vc) * 1e6)
+            pts.append((x, y))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got["n_checkpoints"] == n
+    assert got["beta"] == round(beta, 6)

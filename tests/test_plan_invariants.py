@@ -53,6 +53,7 @@ _CROSS_OK = {
     "seq_patterns",  # 1-row total-conversations frame broadcast for the share
     "distinctive_terms",  # 1-row pooled-totals frame broadcast into the prior
     "did_lift",  # 1-row span-midpoint frame broadcast for the period split
+    "markov_stationary",  # 1-row total-mass frame broadcast for the share
 }
 
 # Queries expected to broadcast at least one join side (small dim /
