@@ -6462,6 +6462,36 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry (transcripts.burrows_delta, Burrows
+    2002): z-scored function-word profiles, Delta = mean |z_a − z_b|
+    — the 'same hand behind two conversations?' sockpuppet candidate
+    list content matching misses (different topics, same style);
+    everything bounded after the first aggregate, all sums over
+    quantized integers. Top-20 most-alike pairs."""
+    from .operators.transcripts import burrows_delta
+
+    return burrows_delta(
+        turns_from_events(spark, sf_dir),
+        author_col="conv_id",
+        top_words=50,
+        n_authors=30,
+        k=20,
+    )
+
+
+def _o_burrows_delta() -> str:
+    from .operators.transcripts import burrows_delta_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + burrows_delta_sql(
+            "turns", author_col="conv_id", top_words=50, n_authors=30, k=20
+        )
+    )
+
+
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth (curation.heaps_fit): V(n)≈K·n^β
     read at md5-bucket prefix checkpoints — no corpus sort, one
@@ -7671,6 +7701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_profile": q_seasonal_profile,
     "cube_report": q_cube_report,
     "heaps_fit": q_heaps_fit,
+    "burrows_delta": q_burrows_delta,
 }
 
 ORACLES: dict[str, str] = {
@@ -7874,6 +7905,7 @@ ORACLES: dict[str, str] = {
     "seasonal_profile": _o_seasonal_profile(),
     "cube_report": _o_cube_report(),
     "heaps_fit": _o_heaps_fit(),
+    "burrows_delta": _o_burrows_delta(),
 }
 
 

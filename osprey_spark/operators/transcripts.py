@@ -2352,3 +2352,178 @@ SELECT state, pi,
   round(CAST(pi AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
 FROM {prev}, mkt ORDER BY pi DESC, state"""
     )
+
+
+def burrows_delta(
+    turns: DataFrame,
+    author_col: str = "conv_id",
+    text_col: str = "text",
+    top_words: int = 50,
+    n_authors: int = 30,
+    k: int = 20,
+    quant: int = 10**9,
+    zquant: int = 10**6,
+) -> DataFrame:
+    """Burrows' Delta authorship distance (Burrows 2002) — the
+    classic stylometric 'same hand?' statistic: z-score each
+    author's relative use of the corpus's top function words against
+    the author population, then Delta(a,b) = mean |z_a − z_b|. LOW
+    delta pairs write alike — the sockpuppet/ghost-account candidate
+    list content matching misses entirely (different topics, same
+    style: the most-frequent words ARE the style, not the topic).
+
+    Engine shape, all bounded after the first aggregate: one corpus
+    token aggregate → TakeOrdered top-``top_words`` function words;
+    one (author, word) count + author totals → TakeOrdered
+    top-``n_authors`` by volume; everything after lives on the
+    A×W frame. Exactness discipline: relative frequencies quantize
+    to integer units via ``(c · quant) DIV total`` BEFORE any sum
+    (per-word mean/std come from exact BIGINT moments over authors),
+    z-scores are fixed-parenthesization doubles then quantize to
+    ``zquant`` units, so the per-pair |Δz| sum is an exact integer
+    and Delta is ONE final division. Author pairs join word-wise
+    (A²·W rows, capped by ``n_authors``) — never a row-scale cross
+    product. Output: top-``k`` most-similar pairs
+    ``(author_a, author_b, n_words, delta)``.
+    """
+    if int(top_words) < 5:
+        raise ValueError("burrows_delta: top_words must be >= 5")
+    if int(n_authors) < 3:
+        raise ValueError("burrows_delta: n_authors must be >= 3")
+    toks = turns.select(
+        F.col(author_col).alias("_a"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+            )
+        ).alias("_w"),
+    )
+    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    head = vocab.orderBy(F.desc("_c"), "_w").limit(int(top_words)).select("_w")
+    atot = toks.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    akeep = atot.orderBy(F.desc("_t"), "_a").limit(int(n_authors))
+    aw = (
+        toks.join(F.broadcast(head), "_w")
+        .groupBy("_a", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    # dense A x W grid (missing counts are real zeros in the z-space)
+    grid = akeep.select("_a", "_t").crossJoin(F.broadcast(head))
+    relq = F.expr(f"(coalesce(_c, 0) * CAST({int(quant)} AS BIGINT)) DIV _t")
+    rel = (
+        grid.join(aw, ["_a", "_w"], "left")
+        .select("_a", "_w", relq.cast("long").alias("_rq"))
+    )
+    stats = rel.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_rq").cast("long").alias("_s"),
+        F.sum(F.col("_rq") * F.col("_rq")).cast("long").alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    sd = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.col("_q").cast("double") / nd - mu * mu
+        )
+    )
+    z = F.when(sd > 0, (F.col("_rq").cast("double") - mu) / sd).otherwise(
+        F.lit(0.0)
+    )
+    zq = rel.join(F.broadcast(stats), "_w").select(
+        "_a",
+        "_w",
+        F.round(z * F.lit(float(zquant)), 0).cast("long").alias("_zq"),
+    )
+    a1 = zq.select(
+        F.col("_a").alias("author_a"), "_w", F.col("_zq").alias("_z1")
+    )
+    a2 = zq.select(
+        F.col("_a").alias("author_b"), "_w", F.col("_zq").alias("_z2")
+    )
+    pairs = (
+        a1.join(a2, "_w")
+        .filter(F.col("author_a") < F.col("author_b"))
+        .groupBy("author_a", "author_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.abs(F.col("_z1") - F.col("_z2"))).cast("long").alias("_d"),
+        )
+    )
+    delta = F.col("_d").cast("double") / (
+        F.col("n_words").cast("double") * F.lit(float(zquant))
+    )
+    return (
+        pairs.select(
+            "author_a", "author_b", "n_words", F.round(delta, 6).alias("delta")
+        )
+        .orderBy("delta", "author_a", "author_b")
+        .limit(int(k))
+    )
+
+
+def burrows_delta_sql(
+    table: str,
+    author_col: str = "conv_id",
+    text_col: str = "text",
+    top_words: int = 50,
+    n_authors: int = 30,
+    k: int = 20,
+    quant: int = 10**9,
+    zquant: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`burrows_delta` — same bounded heads,
+    same integer quantizations, same fixed-order z algebra."""
+    mu = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    sd = (
+        f"sqrt(greatest(CAST(0 AS DOUBLE),"
+        f" CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - ({mu}) * ({mu})))"
+    )
+    return f"""bdtoks AS (
+  SELECT {author_col} AS a, t.w AS w
+  FROM {table},
+    unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS t(w)
+),
+bdhead AS (
+  SELECT w FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM bdtoks GROUP BY w
+  ) ORDER BY c DESC, w LIMIT {int(top_words)}
+),
+bdatot AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS tt FROM bdtoks GROUP BY a
+),
+bdakeep AS (
+  SELECT a, tt FROM bdatot ORDER BY tt DESC, a LIMIT {int(n_authors)}
+),
+bdaw AS (
+  SELECT a, w, CAST(count(*) AS BIGINT) AS c
+  FROM bdtoks JOIN bdhead USING (w) GROUP BY a, w
+),
+bdrel AS (
+  SELECT g.a, g.w,
+    (coalesce(x.c, 0) * CAST({int(quant)} AS BIGINT)) // g.tt AS rq
+  FROM (SELECT k2.a, k2.tt, h.w FROM bdakeep k2, bdhead h) g
+  LEFT JOIN bdaw x ON g.a = x.a AND g.w = x.w
+),
+bdstats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(rq) AS BIGINT) AS s,
+    CAST(sum(rq * rq) AS BIGINT) AS q
+  FROM bdrel GROUP BY w
+),
+bdz AS (
+  SELECT r.a, r.w,
+    CAST(round(CASE WHEN {sd} > 0
+         THEN ((CAST(r.rq AS DOUBLE) - ({mu})) / ({sd})) ELSE CAST(0 AS DOUBLE)
+         END * {float(zquant)!r}, 0) AS BIGINT) AS zq
+  FROM bdrel r JOIN bdstats st ON r.w = st.w
+),
+bdpairs AS (
+  SELECT x.a AS author_a, y.a AS author_b,
+    CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(abs(x.zq - y.zq)) AS BIGINT) AS d
+  FROM bdz x JOIN bdz y ON x.w = y.w AND x.a < y.a
+  GROUP BY 1, 2
+)
+SELECT author_a, author_b, n_words,
+  round(CAST(d AS DOUBLE) / (CAST(n_words AS DOUBLE) * {float(zquant)!r}), 6)
+    AS delta
+FROM bdpairs ORDER BY delta, author_a, author_b LIMIT {int(k)}"""

@@ -54,6 +54,7 @@ _CROSS_OK = {
     "distinctive_terms",  # 1-row pooled-totals frame broadcast into the prior
     "did_lift",  # 1-row span-midpoint frame broadcast for the period split
     "markov_stationary",  # 1-row total-mass frame broadcast for the share
+    "burrows_delta",  # bounded top-words frame broadcast grid (A x W dense z-space)
 }
 
 # Queries expected to broadcast at least one join side (small dim /

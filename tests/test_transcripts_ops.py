@@ -1018,3 +1018,61 @@ def test_markov_stationary_validation(spark):
 
     with _pt.raises(ValueError):
         markov_stationary(_mk_counts(spark, [("A", "B", 1)]), rounds=0)
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometry
+# --------------------------------------------------------------------------
+
+
+def test_burrows_delta_same_style_pairs_rank_first(spark):
+    """Two authors with identical function-word profiles score delta
+    0 together and far from a third author with an inverted profile."""
+    from osprey_spark.operators.transcripts import burrows_delta
+
+    rows = []
+    # a1/a2: heavy 'the', light 'of'; a3: inverted
+    for a in ("a1", "a2"):
+        rows += [(a, "the the the the of filler")] * 5
+    rows += [("a3", "of of of of the filler")] * 5
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = burrows_delta(
+        df, author_col="conv_id", top_words=5, n_authors=3, k=10
+    ).collect()
+    first = out[0]
+    assert (first["author_a"], first["author_b"]) == ("a1", "a2")
+    assert first["delta"] == 0.0
+    others = [r["delta"] for r in out[1:]]
+    assert all(d > 0.5 for d in others)
+
+
+def test_burrows_delta_missing_word_is_zero_not_absent(spark):
+    """An author who never uses a head word gets a real z for count
+    0 (the dense-grid contract), so the pair frame always has
+    top_words rows per pair."""
+    from osprey_spark.operators.transcripts import burrows_delta
+
+    rows = [
+        ("x", "alpha alpha beta"),
+        ("y", "alpha beta beta"),
+        ("z", "alpha gamma gamma"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = burrows_delta(
+        df, author_col="conv_id", top_words=5, n_authors=3, k=10
+    ).collect()
+    # vocab: alpha(3) beta(3) gamma(2) -> only 3 head words exist
+    assert all(r["n_words"] == 3 for r in out)
+    assert len(out) == 3
+
+
+def test_burrows_delta_validation(spark):
+    from osprey_spark.operators.transcripts import burrows_delta
+
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a", "x")], "conv_id string, text string")
+    with _pt.raises(ValueError):
+        burrows_delta(df, top_words=2)
+    with _pt.raises(ValueError):
+        burrows_delta(df, n_authors=2)
