@@ -6462,6 +6462,86 @@ def _o_ab_lift() -> str:
     return TURNS_CTE + "," + _FLAGSHIP_ORACLE_FEAT + "," + ab_test_sql(scored)
 
 
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reputation rollup: every domain the rules engine
+    extracted, scored by spread (turns, distinct conversations) and
+    the verdict rate of the turns carrying it — the blocklist
+    candidate feed (a domain appearing in many convs with a high
+    verdict rate is infrastructure, not chatter); one explode + one
+    domain-keyed aggregate over the compiled ruleset's output."""
+    out = rules_output(spark, sf_dir)
+    dom = out.select(
+        F.explode("Domains").alias("domain"),
+        "conv_id",
+        (F.size("__verdicts") >= 1).cast("long").alias("_v"),
+    )
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum("_v").cast("long").alias("n_verdict"),
+        )
+        .select(
+            "domain",
+            "n_turns",
+            "n_convs",
+            "n_verdict",
+            F.round(
+                F.col("n_verdict").cast("double") / F.col("n_turns").cast("double"),
+                6,
+            ).alias("verdict_rate"),
+        )
+        .orderBy(F.desc("n_turns"), "domain")
+        .limit(50)
+    )
+
+
+def _o_domain_reputation() -> str:
+    return (
+        TURNS_CTE
+        + ","
+        + _FLAGSHIP_ORACLE_FEAT
+        + r""",
+domx AS (
+  SELECT t.conv_id, t.turn_idx, dd.domain
+  FROM turns t,
+    unnest(regexp_extract_all(lower(t.text), 'https?://([\w\-\.]+)', 1))
+      AS dd(domain)
+),
+domv AS (
+  SELECT d.domain, d.conv_id,
+    CASE WHEN f.has_hello OR ((f.has_url AND f.has_spam_domain)
+         OR (f.is_tool AND f.num_tokens >= 4)) THEN 1 ELSE 0 END AS v
+  FROM domx d JOIN feat f
+    ON d.conv_id = f.conv_id AND d.turn_idx = f.turn_idx
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(sum(v) AS BIGINT) AS n_verdict,
+  round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS verdict_rate
+FROM domv GROUP BY domain
+ORDER BY n_turns DESC, domain LIMIT 50"""
+    )
+
+
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling DAU/7-day-active curve (dq.rolling_active): each
+    distinct user-day supports exactly 7 window ends, so the sliding
+    distinct is explode + re-distinct + count — hash aggregates all
+    the way down, no HLL, no quadratic self-join."""
+    from .operators.dq import rolling_active
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_active(ev, key_col="user_id", window_days=7)
+
+
+def _o_rolling_active() -> str:
+    from .operators.dq import rolling_active_sql
+
+    return "WITH " + rolling_active_sql("events", key_col="user_id", window_days=7)
+
+
 def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows' Delta stylometry (transcripts.burrows_delta, Burrows
     2002): z-scored function-word profiles, Delta = mean |z_a − z_b|
@@ -7702,6 +7782,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_report": q_cube_report,
     "heaps_fit": q_heaps_fit,
     "burrows_delta": q_burrows_delta,
+    "rolling_active": q_rolling_active,
+    "domain_reputation": q_domain_reputation,
 }
 
 ORACLES: dict[str, str] = {
@@ -7906,6 +7988,8 @@ ORACLES: dict[str, str] = {
     "cube_report": _o_cube_report(),
     "heaps_fit": _o_heaps_fit(),
     "burrows_delta": _o_burrows_delta(),
+    "rolling_active": _o_rolling_active(),
+    "domain_reputation": _o_domain_reputation(),
 }
 
 

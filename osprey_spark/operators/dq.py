@@ -996,3 +996,93 @@ SELECT n_tp, n_tq, n_cp, n_cq,
   round(CASE WHEN {ok} THEN {did} END, 6) AS did,
   round(CASE WHEN {ok} AND {se} > 0 THEN {did} / {se} END, 6) AS z
 FROM didcells"""
+
+
+def rolling_active(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling DAU/WAU — distinct active keys per day and per
+    trailing ``window_days`` window, EXACT (no HLL): the engagement
+    curve every product review opens with, and the denominator
+    behind 'what fraction of this week's actives fired a rule?'.
+
+    The exact-rolling-distinct trick: a sliding distinct cannot be
+    composed from per-day distincts (users overlap), but each
+    (key, active-day) pair SUPPORTS exactly ``window_days`` window
+    ends — so explode the distinct user-day frame by the windows it
+    feeds, distinct again on (window_end, key), and count. Work =
+    window_days × |distinct user-days| with hash aggregates all the
+    way down (map-side partials), never a quadratic self-join, and
+    fully streaming-shardable by key. Trailing windows whose end-day
+    has no activity still appear if ANY of their days had activity.
+
+    Output per day: ``(day, dau, rolling_active)`` — dau for days
+    with direct activity (0 if the day only closes a window), day as
+    epoch days.
+    """
+    if int(window_days) < 1:
+        raise ValueError("rolling_active: window_days must be >= 1")
+    day = F.expr(
+        f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) DIV 86400"
+    ).cast("long")
+    ud = df.select(
+        F.col(key_col).alias("_k"), day.alias("_d")
+    ).distinct()
+    dau = ud.groupBy("_d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    spread = ud.select(
+        "_k",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.col("_d") + F.lit(int(window_days) - 1)
+            )
+        ).alias("_w"),
+    ).distinct()
+    # clip windows that extend past the observed span (their end-day
+    # is in the future); the 1-row max-day frame is the decay_score
+    # broadcast class
+    mx = ud.agg(F.max("_d").alias("_mx"))
+    wau = (
+        spread.join(F.broadcast(mx))
+        .filter(F.col("_w") <= F.col("_mx"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("rolling_active"))
+    )
+    return (
+        wau.join(dau.select(F.col("_d").alias("_w"), "dau"), "_w", "left")
+        .select(
+            F.col("_w").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "rolling_active",
+        )
+        .orderBy("day")
+    )
+
+
+def rolling_active_sql(
+    table: str, key_col: str = "user_id", window_days: int = 7
+) -> str:
+    """DuckDB replay of :func:`rolling_active` — same user-day
+    explode, same window clip."""
+    w = int(window_days)
+    return f"""raud AS (
+  SELECT DISTINCT {key_col} AS k,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM {table}
+),
+radau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM raud GROUP BY d),
+raspread AS (
+  SELECT DISTINCT k, d + g.x AS w
+  FROM raud, (SELECT unnest(range(0, {w})) AS x) g
+),
+ramax AS (SELECT CAST(max(d) AS BIGINT) AS mx FROM raud),
+rawau AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS rolling_active
+  FROM raspread, ramax WHERE w <= mx GROUP BY w
+)
+SELECT r.w AS day, CAST(coalesce(d2.dau, 0) AS BIGINT) AS dau,
+  r.rolling_active
+FROM rawau r LEFT JOIN radau d2 ON r.w = d2.d
+ORDER BY day"""

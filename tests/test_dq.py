@@ -522,3 +522,37 @@ def test_did_lift_known_answer(spark):
     )
     r2 = did_lift(df2).collect()[0]
     assert r2["did"] is None and r2["z"] is None
+
+
+def test_rolling_active_known_answer(spark):
+    """Users u1 (days 0,1), u2 (day 0), u3 (day 8): dau per day and
+    the 3-day rolling distinct include cross-day dedup (u1 counted
+    once in a window covering both its days) and the span clip (no
+    windows past the max observed day)."""
+    import datetime as dt
+
+    from osprey_spark.operators.dq import rolling_active
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("u1", 0), ("u1", 0), ("u1", 1),
+        ("u2", 0),
+        ("u3", 8),
+    ]
+    df = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(days=d)) for u, d in rows],
+        "user_id string, ts timestamp",
+    )
+    out = {r["day"]: (r["dau"], r["rolling_active"]) for r in
+           rolling_active(df, window_days=3).collect()}
+    d0 = int(t0.timestamp()) // 86400
+    assert out[d0] == (2, 2)            # u1, u2
+    assert out[d0 + 1] == (1, 2)        # dau u1; window {u1,u2}
+    assert out[d0 + 2] == (0, 2)        # no direct activity; window still covers day 0+1
+    assert d0 + 3 in out and out[d0 + 3] == (0, 1)  # only u1's day-1 remains
+    assert out[d0 + 8] == (1, 1)
+    assert max(out) == d0 + 8           # clipped at max observed day
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rolling_active(df, window_days=0)

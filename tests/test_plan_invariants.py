@@ -55,6 +55,7 @@ _CROSS_OK = {
     "did_lift",  # 1-row span-midpoint frame broadcast for the period split
     "markov_stationary",  # 1-row total-mass frame broadcast for the share
     "burrows_delta",  # bounded top-words frame broadcast grid (A x W dense z-space)
+    "rolling_active",  # 1-row max-day frame broadcast for the window clip
 }
 
 # Queries expected to broadcast at least one join side (small dim /
