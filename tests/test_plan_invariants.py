@@ -56,6 +56,7 @@ _CROSS_OK = {
     "markov_stationary",  # 1-row total-mass frame broadcast for the share
     "burrows_delta",  # bounded top-words frame broadcast grid (A x W dense z-space)
     "rolling_active",  # 1-row max-day frame broadcast for the window clip
+    "markov_attribution",  # 1-row full-chain P(conv) frame broadcast onto the arms
 }
 
 # Queries expected to broadcast at least one join side (small dim /
