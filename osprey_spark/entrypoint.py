@@ -6525,6 +6525,63 @@ ORDER BY n_turns DESC, domain LIMIT 50"""
     )
 
 
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response-latency SLA percentiles by hour of day:
+    the p50/p90/p99 of user→assistant reply gaps per hour bucket —
+    the 'are replies slower at 3am?' dashboard row, composing the
+    response_latency pair extraction with the exact percentile
+    aggregate (per-group sorted state over bounded 24-phase groups;
+    the approx_percentile sketch is the high-cardinality path)."""
+    from pyspark.sql import Window
+
+    t = turns_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    base = t.select("conv_id", "turn_idx", "role", sec.alias("_sec"))
+    gap = F.when(
+        (F.col("role") == "user") & (F.lead("role").over(w) == "assistant"),
+        F.lead("_sec").over(w) - F.col("_sec"),
+    )
+    gaps = base.select(
+        F.expr("(_sec DIV 3600) % 24").cast("long").alias("hod"),
+        gap.alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.percentile(F.col("gap"), F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(F.col("gap"), F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile(F.col("gap"), F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("hod")
+    )
+
+
+def _o_latency_percentiles() -> str:
+    return (
+        TURNS_CTE
+        + """,
+lpg AS (
+  SELECT (sec // 3600) % 24 AS hod,
+         CASE WHEN role = 'user' AND nrole = 'assistant'
+              THEN nsec - sec END AS gap
+  FROM (
+    SELECT role, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+      lead(CAST(floor(epoch(ts)) AS BIGINT))
+        OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nsec
+    FROM turns
+  )
+)
+SELECT hod, CAST(count(*) AS BIGINT) AS n,
+  round(quantile_cont(gap, 0.5), 6) AS p50,
+  round(quantile_cont(gap, 0.9), 6) AS p90,
+  round(quantile_cont(gap, 0.99), 6) AS p99
+FROM lpg WHERE gap IS NOT NULL GROUP BY hod ORDER BY hod"""
+    )
+
+
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain removal-effect attribution
     (analytics.markov_attribution, Anderl et al. 2014): the
@@ -7822,6 +7879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active": q_rolling_active,
     "domain_reputation": q_domain_reputation,
     "markov_attribution": q_markov_attribution,
+    "latency_percentiles": q_latency_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -8029,6 +8087,7 @@ ORACLES: dict[str, str] = {
     "rolling_active": _o_rolling_active(),
     "domain_reputation": _o_domain_reputation(),
     "markov_attribution": _o_markov_attribution(),
+    "latency_percentiles": _o_latency_percentiles(),
 }
 
 
