@@ -387,3 +387,42 @@ def test_burstiness_fuses_and_matches_batch(spark, tmp_path):
     ).parquet(in_dir)
     out = rs().apply(with_envelope(stream), passthrough=["conv_id", "turn_idx"])
     assert _n_state_nodes(out) == 1
+
+
+def test_burstiness_survives_restart(spark, tmp_path):
+    """Kill after batch 1, restart a NEW engine on the same
+    checkpoint: the four-int gap-moment state resumes and every
+    post-restart B equals the batch value."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t = generate_turns(
+        spark, n_convs=4, turns_per_conv=8, hot_convs=0, late_fraction=0.0
+    )
+
+    def rs():
+        return compile_ruleset({"main.sml": BURST_SML}, bindings=TURN_BINDINGS)
+
+    t.filter(F.col("turn_idx") < 4).coalesce(1).write.mode("append").parquet(in_dir)
+    eng = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+    )
+    eng.run_to_completion()
+    t.filter(F.col("turn_idx") >= 4).coalesce(1).write.mode("append").parquet(in_dir)
+    eng2 = StreamingRuleEngine(
+        spark, rs(), in_dir, out_dir, passthrough=("conv_id", "turn_idx")
+    )
+    eng2.run_to_completion()
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["ConvB"], r["N"], r["Metronome"])
+        for r in eng2.results().collect()
+    }
+    batch = rs().apply(
+        with_envelope(spark.read.parquet(in_dir)),
+        passthrough=["conv_id", "turn_idx"],
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["ConvB"], r["N"], r["Metronome"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 32
