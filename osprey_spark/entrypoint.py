@@ -1572,10 +1572,10 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q12 = """
 SELECT l_returnflag AS ship_group,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -5055,7 +5055,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_SALTED_JOIN = """
 SELECT o.o_orderpriority, count(*) AS n_items,
-       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
