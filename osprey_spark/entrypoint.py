@@ -3862,6 +3862,31 @@ FROM staged ORDER BY lang
 """
 
 
+def _ur_edges(ev: DataFrame) -> DataFrame:
+    """Symmetric user↔resource bipartite edge list from events, shared
+    by the graph-family queries. NULL-shields the extracted resource
+    key (ADVICE r3): Spark ``concat`` returns NULL on a NULL arg (edge
+    silently dropped at downstream degree joins) while DuckDB
+    ``concat`` skips NULL args (edge kept as a bare ``'r'``), so
+    oracle parity must not depend on the fixture never missing
+    ``props.$.k``. The filter also reaches the parquet scan."""
+    pairs = (
+        ev.select(
+            F.col("user_id"),
+            F.get_json_object(F.col("props"), "$.k").alias("_k"),
+        )
+        .filter(F.col("_k").isNotNull())
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("r"), F.col("_k")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank centrality over the user↔resource
     interaction graph (fraud rings share resources — a
@@ -3876,14 +3901,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pairs = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
-        F.concat(
-            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
-        ).alias("dst"),
-    ).distinct()
-    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, rounds=5)
+    ranks = pagerank(_ur_edges(ev), rounds=5)
     out = ranks.orderBy(F.desc("rank"), "node").limit(50)
     out.unpersist_base = ranks.unpersist_base
     return out
@@ -3902,15 +3920,7 @@ def q_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import khop_distance
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pairs = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
-        F.concat(
-            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
-        ).alias("dst"),
-    ).distinct()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _ur_edges(ev)
     seeds = (
         ev.filter(F.col("user_id") % 17 == 0)
         .select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"))
@@ -4019,6 +4029,7 @@ WITH pairs AS (
   SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
                   concat('r', json_extract_string(props, '$.k')) AS dst
   FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
 ),
 edges AS (
   SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
@@ -4064,6 +4075,7 @@ WITH pairs AS (
   SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
                   concat('r', json_extract_string(props, '$.k')) AS dst
   FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
 ),
 edges AS (
   SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
@@ -7140,16 +7152,7 @@ def q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import eigencentrality
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pairs = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
-        F.concat(
-            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
-        ).alias("dst"),
-    ).distinct()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    scores = eigencentrality(edges, rounds=6)
+    scores = eigencentrality(_ur_edges(ev), rounds=6)
     out = scores.orderBy(F.desc("score"), "node").limit(50)
     out.unpersist_base = scores.unpersist_base
     return out
@@ -7163,12 +7166,14 @@ def _o_eigencentrality() -> str:
     SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
                     concat('r', json_extract_string(props, '$.k')) AS dst
     FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
   ) p
   UNION ALL
   SELECT dst, src FROM (
     SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
                     concat('r', json_extract_string(props, '$.k')) AS dst
     FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
   ) q
 """
     return (
@@ -7641,16 +7646,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import assortativity
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pairs = ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
-        F.concat(
-            F.lit("r"), F.get_json_object(F.col("props"), "$.k")
-        ).alias("dst"),
-    ).distinct()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return assortativity(edges)
+    return assortativity(_ur_edges(ev))
 
 
 def _o_assortativity() -> str:
@@ -7661,6 +7657,7 @@ aspairs AS (
   SELECT DISTINCT concat('u', CAST(user_id AS VARCHAR)) AS src,
                   concat('r', json_extract_string(props, '$.k')) AS dst
   FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
 ),
 asedges AS (
   SELECT src, dst FROM aspairs UNION ALL SELECT dst, src FROM aspairs
@@ -8089,6 +8086,74 @@ ORACLES: dict[str, str] = {
     "markov_attribution": _o_markov_attribution(),
     "latency_percentiles": _o_latency_percentiles(),
 }
+
+# ---------------------------------------------------------------------------
+# Registry rotation (round 4): the external correctness gate verifies only
+# the FIRST 50 insertion-order entries per round.  Rounds 1-3 verified the
+# same 50 (core analytics + TPC-H + dedup); everything from entry 51 onward
+# had never received an external CORRECTNESS row.  Lead with a hand-picked
+# 50 of the never-checked operators (stateful rule-UDF families, subword
+# tokenizers, mergeable sketches, the graph family, ANN, and the heaviest
+# statistics-tail queries), follow with the remaining never-checked entries
+# in their original order, and park the thrice-verified 50 at the end where
+# the local replica (tools/check_parity.py, run on the full board every
+# round) still protects them.
+# ---------------------------------------------------------------------------
+
+_GATE_PRIORITY_R4 = [
+    # stateful rule-UDF families (applyInPandasWithState twins)
+    "increment_window_rule", "window_distinct_rule", "session_count_rule",
+    "last_value_rule", "window_sum_rule", "key_age_rule", "unique_count_rule",
+    "window_minmax_rule", "seen_before_rule", "rate_limit_rule", "seq_rule",
+    "decay_rule", "burst_rule", "entropy_rule",
+    # subword tokenizer training/encoding
+    "bpe_merges", "bpe_encode", "unigram_encode", "wordpiece_merges",
+    "wordpiece_encode",
+    # mergeable sketches
+    "cms_heavy_hitters", "hll_distinct", "hist_quantiles", "kmv_set_ops",
+    # graph analytics
+    "pagerank_centrality", "ring_expansion", "triangle_count", "kcore",
+    "lpa_communities", "eigencentrality", "link_prediction", "assortativity",
+    "cooccurrence",
+    # embeddings / ANN
+    "embedding_topk", "embedding_near_dup", "embedding_lsh_topk",
+    "embedding_ivf_topk", "embedding_pq_topk", "kmeans_clusters",
+    # label pipeline + language id
+    "label_state", "bulk_label", "has_label_roundtrip", "lang_id",
+    # heaviest statistics-tail queries
+    "changepoints", "textrank_turns", "dbscan_clusters",
+    "latency_percentiles", "markov_attribution", "concurrency",
+    "burstiness", "theil_sen_trend",
+]
+
+_VERIFIED_R123 = [
+    "rule_eval", "sampling", "verdict_counts", "json_extract", "sml_filter",
+    "topn", "topn_pop", "timeseries", "rollup_timeseries", "response_absence",
+    "paginated_scan", "count_distinct", "approx_distinct", "entity_filter",
+    "tumbling_window", "sliding_window", "session_window", "rate_rule",
+    "escalation_state", "stream_join", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q18", "tpch_q6", "tpch_q4", "tpch_q14", "tpch_q10", "tpch_q13",
+    "tpch_q19", "tpch_q7", "tpch_q15", "tpch_q17", "tpch_q21", "tpch_q22",
+    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q20", "dedup_exact", "dedup_fingerprint", "minhash_lsh_pairs",
+    "near_dup_flags", "dedup_groups", "ngram_jaccard", "simhash_pairs",
+    "doc_stats",
+]
+
+
+def _rotate_registry(reg: dict) -> dict:
+    head = [k for k in _GATE_PRIORITY_R4 if k in reg]
+    parked = set(_VERIFIED_R123) | set(head)
+    mid = [k for k in reg if k not in parked]
+    tail = [k for k in _VERIFIED_R123 if k in reg]
+    assert len(head) == len(_GATE_PRIORITY_R4), sorted(
+        set(_GATE_PRIORITY_R4) - set(reg)
+    )
+    return {k: reg[k] for k in head + mid + tail}
+
+
+QUERIES = _rotate_registry(QUERIES)
+ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -762,9 +762,13 @@ def assortativity(
     structure-level alarm no per-node threshold sees.
 
     ``edges`` is a DIRECTED list; pass both directions for an
-    undirected graph (then the formula reduces to Newman's
-    undirected r). r is the Pearson correlation of (deg(src),
-    deg(dst)) over edges: with M edges and per-edge degrees x, y —
+    undirected graph (then out-degree == in-degree per node and the
+    formula reduces to Newman's undirected r). r is the Pearson
+    correlation of (out-deg(src), in-deg(dst)) over edges — the
+    out/in directed formulation, so a genuinely directed list keeps
+    EVERY edge (a dst that never appears as src contributes its
+    in-degree instead of being dropped at the join; ADVICE r3): with
+    M edges and per-edge degrees x, y —
     ``r = (M·Σxy − Σx·Σy) / sqrt((M·Σx² − (Σx)²)·(M·Σy² − (Σy)²))``.
 
     Exact-integer discipline: all six moments are BIGINT sums of
@@ -777,11 +781,14 @@ def assortativity(
     for degenerate (constant-degree) graphs.
     """
     e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("_d"))
     ed = e.join(
-        deg.select(F.col("src").alias("src"), F.col("_d").alias("_x")), "src"
+        outdeg.select(F.col("src").alias("src"), F.col("_d").alias("_x")),
+        "src",
     ).join(
-        deg.select(F.col("src").alias("dst"), F.col("_d").alias("_y")), "dst"
+        indeg.select(F.col("dst").alias("dst"), F.col("_d").alias("_y")),
+        "dst",
     )
     m = ed.agg(
         F.count(F.lit(1)).cast("long").alias("m_edges"),
@@ -807,10 +814,13 @@ def assortativity(
 
 def assortativity_sql(edges_table: str) -> str:
     """DuckDB replay of :func:`assortativity` over a directed
-    (src, dst) table — same six BIGINT moments, same fixed-order
-    double algebra."""
-    return f"""asdeg AS (
+    (src, dst) table — same six BIGINT moments (x = out-degree of
+    src, y = in-degree of dst), same fixed-order double algebra."""
+    return f"""asodeg AS (
   SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM {edges_table} GROUP BY src
+),
+asideg AS (
+  SELECT dst AS n, CAST(count(*) AS BIGINT) AS d FROM {edges_table} GROUP BY dst
 ),
 asmom AS (
   SELECT CAST(count(*) AS BIGINT) AS m_edges,
@@ -819,8 +829,8 @@ asmom AS (
     CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
     CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
   FROM {edges_table} e
-  JOIN asdeg dx ON e.src = dx.n
-  JOIN asdeg dy ON e.dst = dy.n
+  JOIN asodeg dx ON e.src = dx.n
+  JOIN asideg dy ON e.dst = dy.n
 )
 SELECT m_edges,
   round(CASE WHEN (CAST(m_edges AS DOUBLE) * CAST(sxx AS DOUBLE)

@@ -193,9 +193,15 @@ def interval_concurrency(
         run.join(bases, "_b")
         .groupBy("_b")
         .agg(
-            F.max(F.col("_base") + F.col("_run")).cast("long").alias(
-                "max_concurrent"
-            ),
+            # peak = greatest of the carried-in level (the concurrency
+            # held from bucket start until the first delta — a bucket
+            # whose only deltas are closings peaks AT that carry-in)
+            # and the post-delta running levels
+            F.greatest(
+                F.max("_base"), F.max(F.col("_base") + F.col("_run"))
+            )
+            .cast("long")
+            .alias("max_concurrent"),
             F.max("_end").cast("long").alias("end_concurrent"),
         )
         .select(
@@ -246,7 +252,7 @@ icrun AS (
   FROM icstaged
 )
 SELECT r.b AS bucket_start,
-  CAST(max(s.base + r.run) AS BIGINT) AS max_concurrent,
+  CAST(greatest(max(s.base), max(s.base + r.run)) AS BIGINT) AS max_concurrent,
   CAST(max(s."end") AS BIGINT) AS end_concurrent
 FROM icrun r JOIN icbase s ON r.b = s.b
 GROUP BY r.b ORDER BY bucket_start"""

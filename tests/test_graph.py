@@ -452,13 +452,17 @@ def test_link_prediction_validation(spark):
 
 
 def _assort_r(edges):
-    """Pure-python Newman r over a directed edge list."""
+    """Pure-python Newman r over a directed edge list — out/in
+    formulation: x = out-degree(src), y = in-degree(dst). For the
+    symmetrized lists these tests build, out == in per node, so this
+    equals the undirected replica too."""
     from collections import Counter
     import math
 
-    deg = Counter(s for s, _ in edges)
-    xs = [deg[s] for s, d in edges]
-    ys = [deg[d] for s, d in edges]
+    odeg = Counter(s for s, _ in edges)
+    ideg = Counter(d for _, d in edges)
+    xs = [odeg[s] for s, d in edges]
+    ys = [ideg[d] for s, d in edges]
     m = len(edges)
     sx, sy = sum(xs), sum(ys)
     sxy = sum(x * y for x, y in zip(xs, ys))
@@ -506,4 +510,22 @@ def test_assortativity_mixed_graph_matches_replica(spark):
     edges = pairs + [(b, a) for a, b in pairs]
     df = spark.createDataFrame(edges, "src string, dst string")
     row = assortativity(df).collect()[0]
+    assert row["r"] == _assort_r(edges)
+
+
+def test_assortativity_directed_keeps_sink_only_nodes(spark):
+    """ADVICE r3: on a genuinely directed list, an edge whose dst
+    never appears as src must still count — y is the dst's IN-degree,
+    not a src-side degree inner-joined on dst (which silently dropped
+    such edges and shrank m_edges)."""
+    from osprey_spark.operators.graph import assortativity
+
+    # 'sink' and 'z' never appear as src: pre-fix these 3 edges vanished
+    edges = [
+        ("a", "sink"), ("b", "sink"), ("c", "z"),
+        ("a", "b"), ("b", "c"), ("c", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = assortativity(df).collect()[0]
+    assert row["m_edges"] == 6
     assert row["r"] == _assort_r(edges)

@@ -206,3 +206,23 @@ def test_interval_concurrency_cross_bucket_carry(spark):
 
     with _pt.raises(ValueError):
         interval_concurrency(_ic_turns(spark, rows), bucket_s=0)
+
+
+def test_interval_concurrency_closing_only_bucket_peaks_at_carry_in(spark):
+    """ADVICE r3: a bucket whose ONLY delta is a closing must report
+    the carried-in level as its peak — the conversation was open from
+    bucket start until its close, so max_concurrent is the carry-in
+    (1), not carry-in + the -1 delta (0)."""
+    from osprey_spark.operators.windows import interval_concurrency
+
+    rows = [("span", 100), ("span", 7300)]  # open [100, 7301): closes in hour 2
+    out = {
+        r["bucket_start"]: (r["max_concurrent"], r["end_concurrent"])
+        for r in interval_concurrency(_ic_turns(spark, rows), bucket_s=3600).collect()
+    }
+    base = int(__import__("datetime").datetime(2025, 1, 1).timestamp())
+    h0 = (base // 3600) * 3600
+    assert out[h0] == (1, 1)
+    # hour 1 has no deltas -> absent by contract
+    assert h0 + 3600 not in out
+    assert out[h0 + 7200] == (1, 0)  # pre-fix this read (0, 0)
