@@ -194,6 +194,10 @@ class CompilerContext:
         self.label_lookups: list[dict] = []
         self.verdict_conditions: list[tuple[Column, str]] = []
         self.label_effects: list[dict] = []
+        # AtprotoList-class effects → the 'atproto_list' custom
+        # extracted feature (ref: example_plugins/src/udfs/atproto/
+        # list.py:40-49 serializes fired effects as 'did|list_uri')
+        self.list_effects: list[tuple[Column, Column]] = []
         self.rule_descriptions: dict[str, Column] = {}
         self._compiled_paths: set[str] = set()
         self._compiling_stack: list[str] = []
@@ -472,6 +476,22 @@ class CompilerContext:
                     "status": eff.status or "added",
                     "expires_after": eff.expires_after_seconds,
                 }
+            )
+            return
+        if eff.kind == "list":
+            # ref: example_plugins/src/udfs/atproto/list.py:52-62 —
+            # the effect carries (did, list_uri); serialization is
+            # 'did|list_uri' (to_str, list.py:31-32). A NULL did or
+            # uri makes the concat NULL and the entry drops from the
+            # array — the Err→no-effect analogue of the reference's
+            # raising UDF.
+            self.list_effects.append(
+                (
+                    cond,
+                    F.concat(
+                        eff.extra["did"], F.lit("|"), eff.extra["list_uri"]
+                    ),
+                )
             )
             return
         raise self.error(f"unknown effect kind {eff.kind}", span)
@@ -832,6 +852,17 @@ class CompiledRuleset:
                 ),
             )
             for e in self.ctx.label_effects
+        ]
+        return F.filter(F.array(*parts), lambda x: x.isNotNull())
+
+    def atproto_list_column(self) -> Column:
+        """``'did|list_uri'`` strings for fired AtprotoList effects —
+        the 'atproto_list' custom extracted feature (ref:
+        example_plugins/src/udfs/atproto/list.py:38-49)."""
+        if not self.ctx.list_effects:
+            return F.array().cast("array<string>")
+        parts = [
+            F.when(cond, entry) for cond, entry in self.ctx.list_effects
         ]
         return F.filter(F.array(*parts), lambda x: x.isNotNull())
 
@@ -3387,6 +3418,10 @@ class CompiledRuleset:
         cols.append(self.verdicts_column().alias(VERDICTS))
         cols.append(self.label_mutations_column().alias(LABEL_MUTATIONS))
         cols.append(self.label_effects_column().alias(LABEL_EFFECTS))
+        if self.ctx.list_effects:
+            # present only when the ruleset uses AtprotoList, matching
+            # the reference's conditional custom extracted feature
+            cols.append(self.atproto_list_column().alias("atproto_list"))
         # failed-node counter: the JVM-computable subset is required
         # extraction misses (ref counts every raised UDF; our Err→NULL
         # collapse keeps values identical and this keeps the count)

@@ -62,6 +62,30 @@ def tags_from_facets(ctx, call, args):
     return Value(col=_facet_values(ctx, "app.bsky.richtext.facet#tag", "tag"), dtype="list:str")
 
 
+@register("AtprotoList")
+def atproto_list(ctx, call, args):
+    """List effect: add ``did`` to the moderation list at
+    ``list_uri`` when the enclosing WhenRules fires (ref:
+    example_plugins/src/udfs/atproto/list.py:59-62). Fired effects
+    serialize into the ``atproto_list`` extracted-feature column as
+    ``'did|list_uri'`` (to_str, list.py:31-32)."""
+    from ..compiler.values import Effect
+
+    did = arg(ctx, call, args, "did")
+    list_uri = arg(ctx, call, args, "list_uri")
+    return Value(
+        col=F.lit(None),
+        dtype="effect",
+        effect=Effect(
+            kind="list",
+            extra={
+                "did": did.col.cast("string"),
+                "list_uri": list_uri.col.cast("string"),
+            },
+        ),
+    )
+
+
 @register("DidFromUri")
 def did_from_uri(ctx, call, args):
     """``at://<did>/<collection>/<rkey>`` → did

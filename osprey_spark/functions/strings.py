@@ -98,6 +98,27 @@ def string_replace(ctx, call, args):
     return Value(col=F.replace(s.col, old.col, new.col), dtype="str")
 
 
+@register("SubstrCount")
+def substr_count(ctx, call, args):
+    """Non-overlapping substring occurrence count — Python
+    ``s.count(substr)`` semantics (ref:
+    example_plugins/src/udfs/string.py:130). JVM-side length
+    arithmetic: ``(len(s) - len(replace(s, substr, ''))) /
+    len(substr)`` — replace consumes non-overlapping matches left to
+    right, exactly str.count's scan. Empty substr returns
+    ``len(s) + 1`` (CPython's contract)."""
+    s = arg(ctx, call, args, "s")
+    sub = arg(ctx, call, args, "substr")
+    n = (
+        (F.length(s.col) - F.length(F.replace(s.col, sub.col, F.lit(""))))
+        / F.length(sub.col)
+    ).cast("long")
+    return Value(
+        col=F.when(F.length(sub.col) == 0, F.length(s.col) + F.lit(1)).otherwise(n),
+        dtype="int",
+    )
+
+
 @register("StringJoin")
 def string_join(ctx, call, args):
     """ref: stdlib/udfs/string.py:110."""
