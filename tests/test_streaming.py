@@ -1406,12 +1406,22 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
         join_verdicts_to_turns(None, None, how="full_outer")
 
 
-def test_snapshot_time_travel(spark, tmp_path):
+@pytest.mark.parametrize("fmt_name", ["parquet_markers", "sqlite_manifest"])
+def test_snapshot_time_travel(spark, tmp_path, fmt_name):
     """Iceberg VERSION AS OF analogue: read_snapshot(as_of) returns
     exactly the union of batches committed with id <= as_of; a data
     write whose commit marker never landed is invisible at every
-    snapshot; snapshot_history surfaces the commit metadata."""
-    sink = ExactlyOnceParquetSink(str(tmp_path / "tt"), bucket_col=None)
+    snapshot; snapshot_history surfaces the commit metadata.
+
+    Parameterized over BOTH TableFormat implementations (marker-file
+    renames vs the ACID SQLite manifest catalog) — the same invariant
+    suite over two structurally different commit layers is the n=2
+    evidence for the Iceberg swap-point claim."""
+    from osprey_spark.streaming.sink import SqliteManifestFormat
+
+    root = str(tmp_path / "tt")
+    fmt = SqliteManifestFormat(root) if fmt_name == "sqlite_manifest" else None
+    sink = ExactlyOnceParquetSink(root, bucket_col=None, table_format=fmt)
 
     def batch(tag, n):
         return spark.range(n).select(
@@ -1440,3 +1450,53 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         sink.read_snapshot(spark, -1)
+
+
+@pytest.mark.parametrize("fmt_name", ["parquet_markers", "sqlite_manifest"])
+def test_table_format_invariants_both_formats(spark, tmp_path, fmt_name):
+    """The three contract invariants (TableFormat docstring) driven
+    directly against each implementation: (1) per-batch overwrite is
+    idempotent and isolated, (2) a commit flips visibility atomically
+    and at-most-once, (3) scan() is exactly the committed union."""
+    from osprey_spark.streaming.sink import ParquetDirFormat, SqliteManifestFormat
+
+    root = str(tmp_path / "fmt")
+    fmt = (
+        SqliteManifestFormat(root)
+        if fmt_name == "sqlite_manifest"
+        else ParquetDirFormat(root)
+    )
+
+    def df(tag, n):
+        return spark.range(n).select(
+            F.lit(tag).alias("tag"), F.col("id").cast("long").alias("v")
+        )
+
+    # (1) idempotent + isolated overwrite
+    fmt.overwrite_batch_partition(df("a", 3), 0, [])
+    fmt.overwrite_batch_partition(df("b", 4), 1, [])
+    fmt.overwrite_batch_partition(df("a2", 5), 0, [])  # replay batch 0
+    assert not fmt.is_committed(0) and not fmt.is_committed(1)
+
+    # (2) commit visibility flips exactly at commit()
+    fmt.commit(0, {"batch_id": 0, "rows": 5})
+    assert fmt.is_committed(0) and not fmt.is_committed(1)
+    assert fmt.committed_batches() == [0]
+    fmt.commit(1, {"batch_id": 1, "rows": 4})
+    assert fmt.committed_batches() == [0, 1]
+
+    # (3) scan = committed union; replayed batch 0 shows ONLY its
+    # replacement rows (overwrite replaced, never appended), batch 1
+    # untouched by the replay
+    out = fmt.scan(spark, fmt.committed_batches())
+    tags = {r["tag"] for r in out.collect()}
+    assert tags == {"a2", "b"}
+    assert out.count() == 9
+
+    # commit metadata roundtrip
+    assert fmt.commit_metadata(1)["rows"] == 4
+
+    # replayed COMMIT is idempotent too (metadata follows the data)
+    fmt.commit(0, {"batch_id": 0, "rows": 5, "replayed": True})
+    assert fmt.committed_batches() == [0, 1]
+    assert fmt.commit_metadata(0).get("replayed") is True
