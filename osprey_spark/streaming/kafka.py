@@ -57,11 +57,15 @@ def decode_kafka_turns(raw: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 def kafka_reader(
-    spark: SparkSession, schema: T.StructType, options: dict
+    spark: SparkSession, schema: T.StructType, options: dict, fmt: str = "kafka"
 ) -> DataFrame:
     """readStream.format('kafka') -> decoded turns. Raises
-    DATA_SOURCE_NOT_FOUND without the connector jars."""
-    raw = spark.readStream.format("kafka").options(**options).load()
+    DATA_SOURCE_NOT_FOUND without the connector jars; pass
+    ``fmt="kafka_file"`` (streaming.kafka_file, registered via
+    ``register_kafka_file``) to execute the identical plan against the
+    file-backed wire-compatible source — the decode stage and
+    everything downstream are the same Column objects either way."""
+    raw = spark.readStream.format(fmt).options(**options).load()
     return decode_kafka_turns(raw, schema)
 
 
@@ -83,16 +87,25 @@ class KafkaSink:
     carries. Use inside MultiSink alongside the exactly-once parquet
     tables when both delivery modes are needed."""
 
-    def __init__(self, bootstrap_servers: str, topic: str, key_col: Optional[str] = "conv_id"):
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        key_col: Optional[str] = "conv_id",
+        fmt: str = "kafka",
+        extra_options: Optional[dict] = None,
+    ):
         self.options = {
             "kafka.bootstrap.servers": bootstrap_servers,
             "topic": topic,
         }
+        self.options.update(extra_options or {})
         self.key_col = key_col
+        self.fmt = fmt
 
     def write_data(self, df: DataFrame, batch_id: int) -> dict:
         out = kafka_produce_frame(df, self.key_col)
-        out.write.format("kafka").options(**self.options).save()
+        out.write.mode("append").format(self.fmt).options(**self.options).save()
         return {"rows": None, "topic": self.options["topic"]}
 
     # foreachBatch-compatible
