@@ -254,6 +254,97 @@ def _bench_streaming(spark, work_dir: str) -> dict:
         "join_turns_per_sec": round(n_rows / wall3, 1),
         "join_wall_s": round(wall3, 3),
         "join_verdict_rows": n_verdicts,
+        "batch_latency_p95_s": lat[min(len(lat) - 1, int(len(lat) * 0.95))],
+    }
+
+
+def _bench_backpressure(spark, work_dir: str) -> dict:
+    """Sustained-backpressure SLO surface (round-3 verdict item 9):
+    the entire backlog is queued while admission is capped to a small
+    files-per-trigger, so input pressure exceeds drain capacity for
+    >=20 consecutive micro-batches — the failure mode a 100-TB
+    cluster hits first. Runs the FUSED 3-family stateful pipeline
+    WITH watermarked ingest dedup and reports the per-batch duration
+    distribution (p50/p95/max) plus the watermark-lag trajectory:
+    bounded lag (settling near the dedup delay instead of growing
+    with the backlog) is the pass signal, asserted in
+    tests/test_backpressure.py and reported here for the record."""
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.rulesets import BENCH_SML
+    from osprey_spark.streaming.metrics import JsonMetricsListener, read_metrics
+    from osprey_spark.streaming.pipeline import StreamingRuleEngine
+    from osprey_spark.turns import TURN_BINDINGS
+
+    n_convs = int(os.environ.get("BENCH_TURN_CONVS", "40000"))
+    tpc = int(os.environ.get("BENCH_TURNS_PER_CONV", "30"))
+    n_files = 256
+    files_per_trigger = int(os.environ.get("BENCH_BP_FILES_PER_TRIGGER", "8"))
+    input_dir, n_rows = _turns_input(spark, work_dir, n_convs, tpc, n_files)
+
+    fused_sml = BENCH_SML + (
+        "\nWcKey: str = JsonData(path='$.conv_id')"
+        "\nTurnRate = IncrementWindow(key=WcKey, window_seconds=600.0)"
+        "\nHourRate = IncrementWindow(key=WcKey, window_seconds=3600.0)"
+        "\nRoleSym: str = JsonData(path='$.role')"
+        "\nToolLoop = SequenceMatches(key=WcKey, symbol=RoleSym, pattern='tooltool', last_k=24)"
+        "\nBurstConv = TurnRate >= 20\n"
+    )
+    out_dir = os.path.join("/dev/shm/osprey_bench", "stream_out_bp")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mpath = os.path.join(out_dir, "metrics.jsonl")
+    listener = JsonMetricsListener(mpath)
+    spark.streams.addListener(listener)
+    try:
+        engine = StreamingRuleEngine(
+            spark,
+            compile_ruleset({"main.sml": fused_sml}, bindings=TURN_BINDINGS),
+            input_dir=input_dir,
+            output_dir=out_dir,
+            max_files_per_trigger=files_per_trigger,
+            repartition_buckets=False,
+            dedup_ids=("conv_id", "turn_idx"),
+            dedup_watermark="10 minutes",
+        )
+        t0 = time.perf_counter()
+        engine.run_to_completion()
+        wall = time.perf_counter() - t0
+        # listener bus is async; wait for the progress records to land
+        for _ in range(60):
+            recs = [
+                r
+                for r in read_metrics(mpath)
+                if r.get("event") == "progress" and r.get("num_input_rows")
+            ]
+            if sum(r["num_input_rows"] for r in recs) >= n_rows:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    durs = sorted(
+        r["batch_duration_ms"] / 1000.0
+        for r in recs
+        if r.get("batch_duration_ms")
+    )
+    lags = [
+        r["watermark_lag_ms"] for r in recs if r.get("watermark_lag_ms") is not None
+    ]
+    state_rows = max((r.get("state_rows") or 0) for r in recs) if recs else 0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "turns": n_rows,
+        "wall_s": round(wall, 3),
+        "turns_per_sec": round(n_rows / wall, 1),
+        "n_microbatches": len(recs),
+        "batch_duration_p50_s": round(durs[len(durs) // 2], 3) if durs else None,
+        "batch_duration_p95_s": round(
+            durs[min(len(durs) - 1, int(len(durs) * 0.95))], 3
+        )
+        if durs
+        else None,
+        "batch_duration_max_s": round(durs[-1], 3) if durs else None,
+        "watermark_lag_ms_max": max(lags) if lags else None,
+        "watermark_lag_ms_final": lags[-1] if lags else None,
+        "state_rows_max": state_rows,
     }
 
 
@@ -278,6 +369,7 @@ def main() -> None:
     try:
         qtimes = _bench_queries(spark, sf_dir)
         streaming = _bench_streaming(spark, work_dir)
+        backpressure = _bench_backpressure(spark, work_dir)
     finally:
         spark.stop()
 
@@ -293,6 +385,7 @@ def main() -> None:
         "failed_queries": failed,
         "sf": sf,
         "throughput": streaming,
+        "backpressure": backpressure,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
