@@ -216,3 +216,136 @@ def stream_latest_snapshot(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    version_col: str = "version",
+    payload_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: the revision changelog
+    becomes validity-interval rows — per logical key, each version
+    carries ``(valid_from_version, valid_to_version, is_current)``
+    where valid_to is the NEXT revision's version (NULL while
+    current). The upsert snapshot (:func:`latest_snapshot`) answers
+    "what is the row now"; SCD2 answers "what was the row at any
+    version" — the audit/time-travel shape warehouses materialize
+    beside every mutable dimension.
+
+    One key-partitioned ``lead`` window; partitions are bounded by
+    revisions-per-key (the CDC boundedness contract), so this rides
+    the same key shuffle as the snapshot compaction.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    return (
+        changelog.select(
+            *keys,
+            F.col(version_col).alias("valid_from_version"),
+            *[F.col(c) for c in payload_cols],
+        )
+        .withColumn("valid_to_version", F.lead("valid_from_version").over(
+            Window.partitionBy(*key_cols).orderBy("valid_from_version")
+        ))
+        .withColumn("is_current", F.col("valid_to_version").isNull())
+    )
+
+
+def scd2_history_sql(
+    changelog_sql: str,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    version_col: str = "version",
+    payload_cols: Sequence[str] = ("text",),
+) -> str:
+    keys = ", ".join(key_cols)
+    pay = ", ".join(payload_cols)
+    return f"""scd AS (
+  SELECT {keys}, {version_col} AS valid_from_version, {pay},
+    lead({version_col}) OVER (PARTITION BY {keys} ORDER BY {version_col})
+      AS valid_to_version
+  FROM ({changelog_sql})
+)
+SELECT {keys}, valid_from_version, {pay}, valid_to_version,
+       valid_to_version IS NULL AS is_current
+FROM scd"""
+
+
+def snapshot_diff(
+    changelog: DataFrame,
+    v_old: int,
+    v_new: int,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    version_col: str = "version",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot change summary (the Iceberg
+    changelog-scan / ``table_changes`` shape): compact the changelog
+    to its state at version <= v_old and at version <= v_new, full
+    outer join on the key, and classify every key as
+    added / removed / changed / unchanged. Output one row per class
+    with its count — the "what did this commit actually do" audit a
+    100-TB table needs before anyone trusts a backfill.
+
+    Both snapshots ride the SAME max(struct) hash-aggregate shape as
+    :func:`latest_snapshot` (map-side partials, keys-not-history on
+    the shuffle); the diff join is key-cardinality class.
+    """
+    def snap(v: int, alias: str) -> DataFrame:
+        filtered = changelog.filter(F.col(version_col) <= int(v))
+        agg = filtered.groupBy(*[F.col(k) for k in key_cols]).agg(
+            F.max(
+                F.struct(F.col(version_col), F.col(payload_col))
+            ).alias("_s")
+        )
+        return agg.select(
+            *key_cols, F.col(f"_s.{payload_col}").alias(alias)
+        )
+
+    old = snap(v_old, "_old")
+    new = snap(v_new, "_new")
+    j = old.join(new, list(key_cols), "full_outer")
+    cls = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy("change_type")
+    )
+
+
+def snapshot_diff_sql(
+    changelog_sql: str,
+    v_old: int,
+    v_new: int,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    version_col: str = "version",
+    payload_col: str = "text",
+) -> str:
+    keys = ", ".join(key_cols)
+    join_on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    def snap(v: int) -> str:
+        return f"""
+  SELECT {keys}, {payload_col} FROM (
+    SELECT {keys}, {version_col}, {payload_col},
+           row_number() OVER (PARTITION BY {keys}
+             ORDER BY {version_col} DESC, {payload_col} DESC) AS rn
+    FROM ({changelog_sql}) WHERE {version_col} <= {int(v)}
+  ) WHERE rn = 1"""
+    return f"""sdo AS ({snap(v_old)}),
+sdn AS ({snap(v_new)}),
+sdj AS (
+  SELECT CASE WHEN o.{payload_col} IS NULL AND o.{key_cols[0]} IS NULL THEN 'added'
+              WHEN n.{payload_col} IS NULL AND n.{key_cols[0]} IS NULL THEN 'removed'
+              WHEN o.{payload_col} <> n.{payload_col} THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM sdo o FULL OUTER JOIN sdn n ON {join_on}
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
+FROM sdj GROUP BY change_type ORDER BY change_type"""

@@ -2133,7 +2133,17 @@ def logreg_fit(
     """The GD loop behind :func:`logreg_train`, returning the RAW
     (unrounded) weight vector [intercept, w_1..w_d] — what
     classifier-eval scoring needs, since the DuckDB replay's final
-    weights CTE is unrounded too."""
+    weights CTE is unrounded too.
+
+    Fixed-small-rounds contract (the iterative-op discipline shared by
+    pagerank/eigencentrality/kmeans/pca_power): ``iterations`` is a
+    FIXED bounded constant, each round is ONE full-scan aggregate of
+    d+1 quantized BIGINT sums, and the only driver state is the
+    (d+1)-float weight vector — so cost is iterations × one
+    map-side-combined scan job, independent of row count in driver
+    memory and linear in data. Standard for distributed GD; at 100 TB
+    the knob to turn is iterations (or mini-batch sampling), never the
+    per-round shape."""
     if iterations < 1:
         raise ValueError("logreg_train: iterations must be >= 1")
     if not feature_cols:

@@ -911,3 +911,122 @@ SELECT p.ph AS phase,
     AS n_outliers
 FROM spper p JOIN spmed m ON p.ph = m.ph
 GROUP BY p.ph ORDER BY phase"""
+
+
+def cusum_drift(
+    hourly: DataFrame,
+    ts_col: str = "hour_ts",
+    cnt_col: str = "cnt",
+    warmup: int = 24,
+    k_pct: int = 10,
+    h_mult: int = 3,
+) -> DataFrame:
+    """One-sided positive CUSUM drift alarms over an hourly count
+    series (Page 1954) — "the rate has SHIFTED", the sustained-drift
+    complement to rate_anomaly's spike z-scores (a +15% drift never
+    trips a 3-sigma spike test; CUSUM accumulates it).
+
+    INTEGER-exact throughout: the reference level is the quantized
+    warmup mean ``mu_q = (sum(first warmup hours) * 10^6) DIV warmup``,
+    allowance ``k_q = mu_q * k_pct DIV 100``, threshold ``h_q = mu_q *
+    h_mult``. The clamp fold ``s_i = max(0, s_{i-1} + x_i - mu - k)``
+    is computed WITHOUT a sequential fold via the prefix-sum identity
+    ``s_i = P_i - min(0, min_{j<=i} P_j)`` with ``P`` the plain
+    cumulative sum of deviations — two window passes over the BOUNDED
+    hour frame (the hist_quantiles frame class), no HOF state, same
+    SQL in DuckDB.
+
+    Output: alarm rows ``(hour_ts, cusum_q)`` where the statistic
+    exceeds h_q, cusum_q in mu-quanta (BIGINT — exact, no doubles).
+    """
+    q = 10**6
+    w_ord = Window.orderBy(ts_col)
+    wu = hourly.orderBy(ts_col).limit(int(warmup)).agg(
+        (F.sum(cnt_col) * q).cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).select(
+        F.expr(f"_s DIV greatest(_n, 1)").alias("_mu_q")
+    ).select(
+        "_mu_q",
+        F.expr(f"_mu_q * {int(k_pct)} DIV 100").alias("_k_q"),
+        (F.col("_mu_q") * int(h_mult)).alias("_h_q"),
+    )
+    dev = hourly.join(F.broadcast(wu)).select(
+        F.col(ts_col),
+        (F.col(cnt_col).cast("long") * q - F.col("_mu_q") - F.col("_k_q"))
+        .cast("long")
+        .alias("_dx"),
+        "_h_q",
+    )
+    cum = dev.select(
+        ts_col,
+        F.sum("_dx").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_p"),
+        "_h_q",
+    )
+    s = cum.select(
+        ts_col,
+        (
+            F.col("_p")
+            - F.least(
+                F.lit(0).cast("long"),
+                F.min("_p").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        .cast("long")
+        .alias("cusum_q"),
+        "_h_q",
+    )
+    return (
+        s.filter(F.col("cusum_q") > F.col("_h_q"))
+        .select(ts_col, "cusum_q")
+        .orderBy(ts_col)
+    )
+
+
+def cusum_drift_sql(
+    hourly_sql: str,
+    ts_col: str = "hour_ts",
+    cnt_col: str = "cnt",
+    warmup: int = 24,
+    k_pct: int = 10,
+    h_mult: int = 3,
+) -> str:
+    """DuckDB replay of :func:`cusum_drift` over a subquery producing
+    the hourly frame — same quantized reference, same prefix-sum
+    identity."""
+    q = 10**6
+    return f"""cuh AS (SELECT {ts_col}, {cnt_col} FROM ({hourly_sql})),
+cuwu AS (
+  SELECT CAST(sum({cnt_col}) * {q} AS BIGINT) // greatest(count(*), 1) AS mu_q
+  FROM (SELECT {cnt_col} FROM cuh ORDER BY {ts_col} LIMIT {int(warmup)})
+),
+cuk AS (
+  SELECT mu_q, mu_q * {int(k_pct)} // 100 AS k_q,
+         mu_q * {int(h_mult)} AS h_q
+  FROM cuwu
+),
+cud AS (
+  SELECT {ts_col},
+    CAST(CAST({cnt_col} AS BIGINT) * {q} - mu_q - k_q AS BIGINT) AS dx, h_q
+  FROM cuh CROSS JOIN cuk
+),
+cup AS (
+  SELECT {ts_col},
+    CAST(sum(dx) OVER (ORDER BY {ts_col} ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS p, h_q
+  FROM cud
+),
+cus AS (
+  SELECT {ts_col},
+    CAST(p - least(CAST(0 AS BIGINT),
+                   min(p) OVER (ORDER BY {ts_col} ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW)) AS BIGINT)
+      AS cusum_q,
+    h_q
+  FROM cup
+)
+SELECT {ts_col}, cusum_q FROM cus WHERE cusum_q > h_q ORDER BY {ts_col}"""

@@ -200,3 +200,105 @@ k AS (
 SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows, {stats}
 FROM k GROUP BY zbucket ORDER BY zbucket
 """
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str = "part",
+    order_cols: Sequence[str] = ("file_id",),
+    bytes_col: str = "bytes",
+    target_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE /
+    ``rewrite_data_files`` bin-packer): given a file inventory
+    (partition, file, bytes), assign files to target-sized output bins
+    and report per-partition compaction stats. Small files are THE
+    silent 100-TB scan killer — a table with 10^6 half-MB files pays
+    per-file open/footer costs that dwarf the data read; the fix is a
+    deterministic plan every executor can compute independently.
+
+    Bin assignment is NEXT-FIT over the partition's deterministic file
+    order: ``bin = cum_bytes_before DIV target_bytes`` — one window
+    per partition (bounded by files-per-partition), pure BIGINT math,
+    identical in SQL. Next-fit is within 2x of optimal bin count and,
+    unlike first-fit-decreasing, needs no per-bin driver state —
+    that's the trade a distributed planner wants.
+
+    Output per partition: ``(part, n_files, total_bytes, n_bins,
+    small_files, fill_pct)`` where small_files counts inputs under
+    half the target and fill_pct = total/(bins*target) rounded 6.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    staged = files.select(
+        F.col(partition_col).alias("part"),
+        F.col(bytes_col).cast("long").alias("_b"),
+        *[F.col(c) for c in order_cols],
+    ).withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    binned = staged.select(
+        "part",
+        "_b",
+        F.expr(f"_cum_before DIV {int(target_bytes)}").alias("_bin"),
+    )
+    return (
+        binned.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("_b").cast("long").alias("total_bytes"),
+            (F.max("_bin") + 1).cast("long").alias("n_bins"),
+            F.sum((F.col("_b") < int(target_bytes) // 2).cast("long"))
+            .cast("long")
+            .alias("small_files"),
+        )
+        .select(
+            "part",
+            "n_files",
+            "total_bytes",
+            "n_bins",
+            "small_files",
+            F.round(
+                F.col("total_bytes").cast("double")
+                / (F.col("n_bins").cast("double") * float(target_bytes)),
+                6,
+            ).alias("fill_pct"),
+        )
+        .orderBy("part")
+    )
+
+
+def compaction_plan_sql(
+    files_sql: str,
+    partition_col: str = "part",
+    order_cols: Sequence[str] = ("file_id",),
+    bytes_col: str = "bytes",
+    target_bytes: int = 1 << 20,
+) -> str:
+    """DuckDB replay of :func:`compaction_plan`."""
+    order = ", ".join(order_cols)
+    t = int(target_bytes)
+    return f"""cpf AS (
+  SELECT {partition_col} AS part, CAST({bytes_col} AS BIGINT) AS b, {order}
+  FROM ({files_sql})
+),
+cpc AS (
+  SELECT part, b,
+    CAST(coalesce(sum(b) OVER (PARTITION BY part ORDER BY {order}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM cpf
+),
+cpb AS (SELECT part, b, cum_before // {t} AS bin FROM cpc)
+SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(b) AS BIGINT) AS total_bytes,
+  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+  CAST(sum(CAST(b < {t // 2} AS BIGINT)) AS BIGINT) AS small_files,
+  round(CAST(sum(b) AS DOUBLE) / (CAST(max(bin) + 1 AS DOUBLE) * {float(t)!r}), 6)
+    AS fill_pct
+FROM cpb GROUP BY part ORDER BY part"""

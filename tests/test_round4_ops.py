@@ -1,0 +1,298 @@
+"""Known-answer tests for the round-4 operator additions:
+hypothesis tests (Mann-Whitney U, Spearman), CUSUM drift, the
+compaction planner, SCD2 history, snapshot diff, association rules,
+RFM segmentation, and funnel timing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -------------------------------------------------------------------------
+# Mann-Whitney
+# -------------------------------------------------------------------------
+
+
+def _mw_reference(a, b):
+    """Textbook U with average ranks + tie-corrected normal z."""
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    n = len(pooled)
+    ranks = {}
+    i = 0
+    vals = [v for v, _ in pooled]
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        avg = (i + 1 + j) / 2  # average of ranks i+1..j
+        ranks[vals[i]] = avg
+        i = j
+    r_a = sum(ranks[v] for v in a)
+    n_a, n_b = len(a), len(b)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(vals).values())
+    var = n_a * n_b / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / math.sqrt(var) if var > 0 else None
+    return u_a, (round(z, 6) if z is not None else None)
+
+
+def test_mann_whitney_matches_textbook(spark):
+    from osprey_spark.operators.hypothesis import mann_whitney
+
+    a = [3, 5, 5, 7, 9, 11, 11, 11]
+    b = [1, 2, 5, 6, 6, 8]
+    rows = [(v, "A") for v in a] + [(v, "B") for v in b] + [(99, "C")]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    out = mann_whitney(df, "v", "grp", "A", "B").collect()[0]
+    u_ref, z_ref = _mw_reference(a, b)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert out["u_a"] == u_ref
+    assert out["z"] == z_ref
+
+
+def test_mann_whitney_no_variance_is_null(spark):
+    from osprey_spark.operators.hypothesis import mann_whitney
+
+    df = spark.createDataFrame(
+        [(5, "A"), (5, "A"), (5, "B")], "v long, grp string"
+    )
+    out = mann_whitney(df, "v", "grp", "A", "B").collect()[0]
+    assert out["z"] is None
+
+
+# -------------------------------------------------------------------------
+# Spearman
+# -------------------------------------------------------------------------
+
+
+def _spearman_reference(xs, ys):
+    def avg_ranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and vals[s[j]] == vals[s[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[s[k]] = avg
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    return round(num / den, 6)
+
+
+def test_spearman_matches_textbook(spark):
+    from osprey_spark.operators.hypothesis import spearman_corr
+
+    xs = [1, 4, 4, 9, 16, 25, 2]
+    ys = [2, 3, 5, 9, 10, 30, 3]
+    df = spark.createDataFrame(
+        [(f"k{i}", x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "k string, x long, y long",
+    )
+    out = spearman_corr(df, "x", "y", "k").collect()[0]
+    assert out["n_keys"] == len(xs)
+    assert out["rho"] == _spearman_reference(xs, ys)
+
+
+def test_spearman_perfect_monotone(spark):
+    from osprey_spark.operators.hypothesis import spearman_corr
+
+    df = spark.createDataFrame(
+        [(f"k{i}", i, i * i) for i in range(10)], "k string, x long, y long"
+    )
+    assert spearman_corr(df, "x", "y", "k").collect()[0]["rho"] == 1.0
+
+
+# -------------------------------------------------------------------------
+# CUSUM
+# -------------------------------------------------------------------------
+
+
+def test_cusum_drift_detects_sustained_shift(spark):
+    from osprey_spark.operators.forecast import cusum_drift
+
+    # 24 warmup hours at ~10/hr, then a +40% sustained drift
+    base = [10, 11, 9, 10] * 6
+    drift = [14] * 20
+    rows = [(i, c) for i, c in enumerate(base + drift)]
+    df = spark.createDataFrame(rows, "hour_ts long, cnt long")
+    out = cusum_drift(df, warmup=24).collect()
+
+    # sequential clamp-fold replica with the same quantization
+    q = 10**6
+    mu = sum(base) * q // 24
+    k = mu * 10 // 100
+    h = mu * 3
+    s, alarms = 0, []
+    for i, c in enumerate(base + drift):
+        s = max(0, s + c * q - mu - k)
+        if s > h:
+            alarms.append((i, s))
+    assert [(r["hour_ts"], r["cusum_q"]) for r in out] == alarms
+    assert alarms, "the drift must actually alarm"
+    # every alarm is in the drift region: no false alarm during warmup
+    assert min(a[0] for a in alarms) >= 24
+
+
+def test_cusum_no_drift_no_alarms(spark):
+    from osprey_spark.operators.forecast import cusum_drift
+
+    rows = [(i, 10 + (i % 3) - 1) for i in range(48)]
+    df = spark.createDataFrame(rows, "hour_ts long, cnt long")
+    assert cusum_drift(df, warmup=24).count() == 0
+
+
+# -------------------------------------------------------------------------
+# Compaction planner
+# -------------------------------------------------------------------------
+
+
+def test_compaction_plan_next_fit_known_answer(spark):
+    from osprey_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("d1", 1, 600), ("d1", 2, 600), ("d1", 3, 600),  # bins 0,1,1 @1000
+        ("d2", 1, 100), ("d2", 2, 100), ("d2", 3, 100), ("d2", 4, 100),
+    ]
+    df = spark.createDataFrame(rows, "part string, file_id long, bytes long")
+    out = {
+        r["part"]: r
+        for r in compaction_plan(df, target_bytes=1000).collect()
+    }
+    # d1: cum_before 0,600,1200 -> bins 0,0,1 -> 2 bins
+    assert out["d1"]["n_bins"] == 2 and out["d1"]["n_files"] == 3
+    assert out["d1"]["total_bytes"] == 1800
+    assert out["d1"]["fill_pct"] == 0.9
+    # d2: all 4 tiny files pack into one bin; all are "small"
+    assert out["d2"]["n_bins"] == 1 and out["d2"]["small_files"] == 4
+    assert out["d2"]["fill_pct"] == 0.4
+
+
+# -------------------------------------------------------------------------
+# SCD2 + snapshot diff
+# -------------------------------------------------------------------------
+
+
+def _changelog(spark):
+    rows = [
+        ("c1", 0, 0, "hello"),
+        ("c1", 0, 1, "hello [edited]"),
+        ("c1", 0, 2, "[redacted]"),
+        ("c1", 1, 0, "stable"),
+        ("c2", 0, 0, "orig"),
+        ("c2", 0, 1, "orig [edited]"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, version int, text string"
+    )
+
+
+def test_scd2_history_validity_intervals(spark):
+    from osprey_spark.operators.cdc import scd2_history
+
+    out = {
+        (r["conv_id"], r["turn_idx"], r["valid_from_version"]): r
+        for r in scd2_history(_changelog(spark)).collect()
+    }
+    assert out[("c1", 0, 0)]["valid_to_version"] == 1
+    assert out[("c1", 0, 1)]["valid_to_version"] == 2
+    assert out[("c1", 0, 2)]["valid_to_version"] is None
+    assert out[("c1", 0, 2)]["is_current"] is True
+    assert out[("c1", 1, 0)]["is_current"] is True
+    assert sum(1 for r in out.values() if r["is_current"]) == 3
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from osprey_spark.operators.cdc import snapshot_diff
+
+    out = {
+        r["change_type"]: r["n_keys"]
+        for r in snapshot_diff(_changelog(spark), v_old=0, v_new=2).collect()
+    }
+    # c1/0 and c2/0 changed; c1/1 unchanged; nothing added/removed
+    assert out == {"changed": 2, "unchanged": 1}
+
+
+# -------------------------------------------------------------------------
+# Association rules / RFM / funnel
+# -------------------------------------------------------------------------
+
+
+def test_assoc_rules_known_answer(spark):
+    from osprey_spark.operators.journeys import assoc_rules
+
+    rows = (
+        [(u, "view") for u in (1, 2, 3, 4)]
+        + [(u, "click") for u in (1, 2, 3)]
+        + [(u, "purchase") for u in (1, 2)]
+        + [(1, "click")]  # duplicate event — baskets are distinct
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in assoc_rules(df, min_support=2).collect()
+    }
+    r = out[("click", "purchase")]
+    assert r["support_users"] == 2
+    assert r["confidence"] == round(2 / 3, 6)
+    assert r["lift"] == round(4 * 2 / (3 * 2), 6)
+    # view -> click: support 3, conf 3/4, lift 4*3/(4*3) = 1
+    assert out[("view", "click")]["lift"] == 1.0
+
+
+def test_rfm_segments_partitions_all_users(spark):
+    from osprey_spark.operators.journeys import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(days=u % 7, hours=k), float(u * 2 + k))
+        for u in range(25)
+        for k in range(1 + u % 4)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 25
+    for r in out:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
+
+
+def test_funnel_timing_known_answer(spark):
+    from osprey_spark.operators.journeys import funnel_timing
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, typ, s):
+        return (u, typ, t0 + dt.timedelta(seconds=s))
+
+    rows = [
+        ev(10, "click", 0), ev(10, "purchase", 100),      # cohort 0: 100 s
+        ev(20, "click", 0), ev(20, "purchase", 300),      # cohort 0: 300 s
+        ev(30, "click", 50), ev(30, "purchase", 40),      # purchase BEFORE click -> no conversion
+        ev(11, "click", 0),                               # cohort 1: never converts
+        ev(21, "click", 0), ev(21, "purchase", 60),       # cohort 1: 60 s
+        ev(99, "view", 0),                                # never enters
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["cohort"]: r for r in funnel_timing(df).collect()}
+    assert out[0]["n_entered"] == 3 and out[0]["n_converted"] == 2
+    assert out[0]["median_delta_s"] == 200.0  # two middle rows of [100, 300]
+    assert out[1]["n_entered"] == 2 and out[1]["n_converted"] == 1
+    assert out[1]["median_delta_s"] == 60.0
+    assert 9 not in out  # user 99 entered nothing
