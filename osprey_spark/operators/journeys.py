@@ -162,7 +162,7 @@ def rfm_segments(
 def rfm_segments_sql(events_table: str) -> str:
     return f"""rfu AS (
   SELECT user_id AS u,
-    CAST(max(epoch(ts)) AS BIGINT) AS last_e,
+    CAST(max(floor(epoch(ts))) AS BIGINT) AS last_e,
     CAST(count(*) AS BIGINT) AS freq,
     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mon_cents
   FROM {events_table} GROUP BY user_id
