@@ -918,3 +918,104 @@ def stream_drift_psi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_cusum(
+    hourly: DataFrame,
+    mu_q: int,
+    k_q: int,
+    h_q: int,
+    key_cols: tuple[str, ...] = (),
+    ts_col: str = "hour_ts",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Streaming twin of ``operators.forecast.cusum_drift``: one-sided
+    CUSUM drift alarms maintained incrementally per series key.
+
+    Input is a stream of FINALIZED per-hour counts (feed it the
+    ``is_final`` rows of a windowed count, or any monotone hourly
+    rollup); reference level/allowance/threshold come in as the same
+    mu-quanta integers the batch op derives from its warmup — the
+    production split: a batch job learns the reference, the stream
+    applies it.
+
+    State per key is FOUR integers — the prefix sum ``p``, the
+    clamped running minimum ``min(0, min p_j)``, the last applied
+    hour, and the update seq — so state size is traffic-independent
+    by construction (the decay-counter boundedness class). The
+    prefix-sum identity makes the fold associative-with-order: rows
+    are sorted per batch and an hour at or before the last applied
+    one is DROPPED (replay/at-least-once protection), so any
+    batch-boundary chunking yields the identical alarm stream
+    (stream == batch is tested).
+
+    Emits one row per ALARM hour: ``key..., hour_ts, cusum_q`` with
+    ``cusum_q > h_q`` — exactly the batch op's output.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    keys = list(key_cols)
+    key_sel = (
+        [F.col(k).cast("string").alias(k) for k in keys]
+        if keys
+        else [F.lit("all").alias("_series")]
+    )
+    src = hourly.select(
+        *key_sel,
+        F.col(ts_col).cast("long").alias("_h"),
+        F.col(cnt_col).cast("long").alias("_c"),
+    )
+    group_keys = keys if keys else ["_series"]
+    out_schema = StructType(
+        [StructField(k, StringType()) for k in group_keys]
+        + [StructField(ts_col, LongType()), StructField("cusum_q", LongType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("p", LongType()),
+            StructField("pmin0", LongType()),
+            StructField("last_h", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    mu, k, h = int(mu_q), int(k_q), int(h_q)
+
+    def fn(key_tuple, pdf_iter, state):
+        p, pmin0, last_h, seq = (
+            state.get if state.exists else (0, 0, -(1 << 62), 0)
+        )
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks).sort_values("_h")
+            for hh, cc in zip(allrows["_h"], allrows["_c"]):
+                hh, cc = int(hh), int(cc)
+                if hh <= last_h:
+                    continue  # replayed/duplicate hour
+                last_h = hh
+                p += cc * (10**6) - mu - k
+                if p < pmin0:
+                    pmin0 = p
+                s = p - min(0, pmin0)
+                if s > h:
+                    rows.append((hh, s))
+        seq += 1
+        state.update((p, pmin0, last_h, seq))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    **{kk: [kv] * len(rows) for kk, kv in zip(group_keys, key_tuple)},
+                    ts_col: pd.array([r[0] for r in rows], dtype="int64"),
+                    "cusum_q": pd.array([r[1] for r in rows], dtype="int64"),
+                }
+            )
+
+    return src.groupBy(*group_keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

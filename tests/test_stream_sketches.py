@@ -637,3 +637,63 @@ def test_stream_drift_psi_matches_batch(spark, tmp_path):
     # 45 of 60) — its latest drift merged cross-batch state
     first = [r for r in emitted if r.win_start == min(s[0] for s in slots)]
     assert max(r.upd_seq for r in first) >= 2
+
+
+def test_stream_cusum_matches_batch(spark, tmp_path):
+    """stream_cusum over chunked micro-batches == batch cusum_drift
+    with the same quantized reference, including a replayed hour
+    (dropped by the last-applied guard)."""
+    from osprey_spark.operators.forecast import cusum_drift
+    from osprey_spark.streaming.sketches import stream_cusum
+
+    base = [10, 11, 9, 10] * 6
+    drift = [14] * 20
+    series = base + drift
+    rows = [(i * 3600, c) for i, c in enumerate(series)]
+
+    bdf = spark.createDataFrame(rows, "hour_ts long, cnt long")
+    batch = [
+        (r["hour_ts"], r["cusum_q"])
+        for r in cusum_drift(bdf, warmup=24).collect()
+    ]
+    assert batch, "fixture must alarm"
+
+    # same reference the batch op derives from its warmup
+    q = 10**6
+    mu_q = sum(base) * q // 24
+    k_q = mu_q * 10 // 100
+    h_q = mu_q * 3
+
+    src = str(tmp_path / "hourly")
+    # three files split mid-drift + a REPLAY of an already-applied hour
+    n = len(rows)
+    spark.createDataFrame(rows[: n // 3], "hour_ts long, cnt long").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(
+        rows[n // 3 : 2 * n // 3], "hour_ts long, cnt long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [rows[0]] + rows[2 * n // 3 :], "hour_ts long, cnt long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("hour_ts long, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qy = (
+        stream_cusum(stream, mu_q=mu_q, k_q=k_q, h_q=h_q)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    got = sorted(
+        (r.hour_ts, r.cusum_q)
+        for r in spark.sql("select * from cusum_stream").collect()
+    )
+    assert got == sorted(batch)
