@@ -325,8 +325,16 @@ def _bench_backpressure(spark, work_dir: str) -> dict:
         for r in recs
         if r.get("batch_duration_ms")
     )
+    # lag is undefined until the first watermark lands (Spark reports
+    # epoch-0 before that — an epoch-scale artifact, not lag), and a
+    # backlog drained out of event-time order can report negative lag
+    # on batches whose own max trails the global frontier; the SLO
+    # signal is the max over defined, positive lags.
     lags = [
-        r["watermark_lag_ms"] for r in recs if r.get("watermark_lag_ms") is not None
+        r["watermark_lag_ms"]
+        for r in recs
+        if r.get("watermark_lag_ms") is not None
+        and 0 <= r["watermark_lag_ms"] < 10**11
     ]
     state_rows = max((r.get("state_rows") or 0) for r in recs) if recs else 0
     shutil.rmtree(out_dir, ignore_errors=True)
