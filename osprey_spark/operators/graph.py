@@ -845,3 +845,56 @@ SELECT m_edges,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         END, 6) AS r
 FROM asmom"""
+
+
+def multi_source_distances(
+    edges: DataFrame, seeds: DataFrame, k: int = 4
+) -> DataFrame:
+    """Per-seed BFS distances: ``(node, seed, d)`` for every node
+    within ``k`` hops of each seed — the shared kernel behind
+    sampled distance-based centralities (harmonic/closeness à la
+    Eppstein-Wang: a bounded seed SAMPLE stands in for all-pairs,
+    which no 100-TB graph can afford). ``seeds`` is a bounded frame
+    (column ``seed``); the working frame is nodes × seeds, k fixed
+    rounds of join + min-aggregate, all integer hops — the
+    ring-expansion shape with a seed column carried through."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    e = edges.select(F.col("src").alias("_n"), F.col("dst").alias("_m"))
+    dist = seeds.select(
+        F.col("seed").alias("_node"), F.col("seed"), F.lit(0).cast("int").alias("_d")
+    )
+    for _ in range(int(k)):
+        grown = dist.join(e, dist._node == e._n).select(
+            F.col("_m").alias("_node"), "seed", (F.col("_d") + 1).alias("_d")
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("_node", "seed")
+            .agg(F.min("_d").cast("int").alias("_d"))
+        )
+        # k stays small (<=4): the doubled-lineage-per-round growth is
+        # 2^k leaf copies, inside the documented safe band — no
+        # localCheckpoint needed, the whole expansion stays one lazy
+        # action (the khop_distance discipline)
+    return dist.select(F.col("_node").alias("node"), "seed", F.col("_d").alias("d"))
+
+
+def harmonic_centrality_sample(
+    edges: DataFrame, seeds: DataFrame, k: int = 4, quantum: int = 12
+) -> DataFrame:
+    """Seed-sampled harmonic centrality: ``score_q = Σ_seeds Q/d``
+    over reached seeds (d ≥ 1), with Q=12 so every 1/d for d ≤ 4 is
+    an EXACT integer (12, 6, 4, 3) — no float accumulation, the
+    integer-exact iterative-op discipline. Output one row per node
+    with its integer score (higher = closer to more seeds)."""
+    dist = multi_source_distances(edges, seeds, k=k)
+    q = int(quantum)
+    return (
+        dist.filter(F.col("d") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr(f"CAST({q} AS BIGINT) DIV d")).cast("long").alias("score_q"),
+            F.count(F.lit(1)).cast("long").alias("seeds_reached"),
+        )
+    )

@@ -240,3 +240,202 @@ SELECT n_keys,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         END, 6) AS rho
 FROM spm"""
+
+
+def chi2_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two bounded
+    categorical columns, plus Cramér's V effect size.
+
+    Per cell: ``(o·n − r·c)² / (n·r·c)`` — every factor an exact
+    integer below 2^53, so the per-cell double is IEEE-identical in
+    both engines; each contribution quantizes via
+    ``floor(x·10^9 + 0.5)`` (positive; floor parity is exact, unlike
+    round's HALF_UP-vs-HALF_EVEN split) and the BIGINT sum is
+    order-independent. Output one row:
+    ``(n, dof, chi2, cramers_v)``, both statistics rounded to 6.
+
+    Scale: one hash aggregate to the contingency cells (alphabet² ≤
+    bounded), broadcast marginals, nothing else touches the stream.
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    rows = cells.groupBy("_a").agg(F.sum("_o").cast("long").alias("_r"))
+    colsm = cells.groupBy("_b").agg(F.sum("_o").cast("long").alias("_c"))
+    tot = cells.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.countDistinct("_a").cast("long").alias("_nr"),
+        F.countDistinct("_b").cast("long").alias("_nc"),
+    )
+    j = (
+        cells.join(F.broadcast(rows), "_a")
+        .join(F.broadcast(colsm), "_b")
+        .join(F.broadcast(tot))
+    )
+    o = F.col("_o").cast("double")
+    r = F.col("_r").cast("double")
+    c = F.col("_c").cast("double")
+    n = F.col("_n").cast("double")
+    num = (o * n - r * c) * (o * n - r * c)
+    contrib_q = F.floor(num / (n * r * c) * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    m = j.groupBy("_n", "_nr", "_nc").agg(
+        F.sum(contrib_q).cast("long").alias("_chi_q")
+    )
+    chi2 = F.col("_chi_q").cast("double") / F.lit(1e9)
+    dof = ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long")
+    minrc = F.least(F.col("_nr") - 1, F.col("_nc") - 1).cast("double")
+    v = F.when(
+        (minrc > 0) & (F.col("_n") > 0),
+        F.sqrt(chi2 / (F.col("_n").cast("double") * minrc)),
+    )
+    return m.select(
+        F.col("_n").alias("n"),
+        dof.alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def chi2_independence_sql(pairs_sql: str) -> str:
+    """DuckDB replay over a subquery producing ``(_a, _b)``."""
+    return f"""c2c AS (
+  SELECT _a, _b, CAST(count(*) AS BIGINT) AS o FROM ({pairs_sql}) GROUP BY _a, _b
+),
+c2r AS (SELECT _a, CAST(sum(o) AS BIGINT) AS r FROM c2c GROUP BY _a),
+c2cl AS (SELECT _b, CAST(sum(o) AS BIGINT) AS c FROM c2c GROUP BY _b),
+c2t AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT _a) AS BIGINT) AS nr,
+         CAST(count(DISTINCT _b) AS BIGINT) AS nc
+  FROM c2c
+),
+c2m AS (
+  SELECT n, nr, nc,
+    CAST(sum(CAST(floor(
+      (CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS chi_q
+  FROM c2c JOIN c2r USING (_a) JOIN c2cl USING (_b) CROSS JOIN c2t
+  GROUP BY n, nr, nc
+)
+SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+  round(CAST(chi_q AS DOUBLE) / 1e9, 6) AS chi2,
+  round(CASE WHEN least(nr - 1, nc - 1) > 0 AND n > 0
+        THEN sqrt(CAST(chi_q AS DOUBLE) / 1e9
+                  / (CAST(n AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+        END, 6) AS cramers_v
+FROM c2m"""
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H: the k-cohort extension of Mann-Whitney (did
+    ANY of the role/cohort distributions shift?), tie-corrected.
+
+    Same doubled-rank machinery as :func:`mann_whitney`: per distinct
+    value v, ``2·rank(v) = 2·c_lt(v) + t(v) + 1`` (BIGINT); per group
+    ``R2_g = Σ a_g(v)·2rank(v)``. Then
+    ``H = (3·Σ_g (R2_g² / n_g)) / (n(n+1)) − 3(n+1)``, tie-corrected
+    by ``1 − Σ(t³−t)/(n³−n)``. ``R2_g²`` can exceed 2^63, so the
+    per-group term routes through DECIMAL(38,0) integer division
+    (== DuckDB HUGEINT ``//``, floor on positives — the documented
+    big-product discipline); the floor loses < 1 quantum per group
+    (bounded groups), identically in both engines.
+
+    Output: one row ``(n, k_groups, h)`` with h rounded to 6.
+    Bounded-support contract on the value, group alphabet bounded.
+    """
+    pool = df.select(
+        F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    per_v = pool.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    rank2 = per_v.select(
+        "_v",
+        "_t",
+        (
+            F.lit(2) * F.coalesce(F.sum("_t").over(w), F.lit(0))
+            + F.col("_t")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("_r2"),
+    )
+    per_g = (
+        pool.join(rank2.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ng"),
+            F.sum("_r2").cast("long").alias("_rg2"),
+        )
+    )
+    # R2_g² DIV n_g through DECIMAL(38,0): exact floor, no overflow
+    term = F.expr(
+        "CAST(CAST(_rg2 AS DECIMAL(38,0)) * CAST(_rg2 AS DECIMAL(38,0))"
+        " DIV CAST(_ng AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+    )
+    gm = per_g.agg(
+        F.sum("_ng").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(term).alias("_sq"),  # decimal sum, exact
+    )
+    ties = per_v.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("_ties")
+    )
+    m = gm.join(F.broadcast(ties))
+    nd = F.col("_n").cast("double")
+    h_raw = (
+        F.lit(3.0) * F.col("_sq").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("_ties").cast("double") / (nd * nd * nd - nd)
+    h = F.when(corr > 0, h_raw / corr)
+    return m.select(
+        F.col("_n").alias("n"), "k_groups", F.round(h, 6).alias("h")
+    )
+
+
+def kruskal_wallis_sql(pool_sql: str) -> str:
+    """DuckDB replay over a subquery producing ``(_v, _g)``."""
+    return f"""kwp AS (
+  SELECT _v, _g FROM ({pool_sql}) WHERE _v IS NOT NULL AND _g IS NOT NULL
+),
+kwv AS (SELECT _v, CAST(count(*) AS BIGINT) AS t FROM kwp GROUP BY _v),
+kwr AS (
+  SELECT _v, t,
+    CAST(2 * coalesce(sum(t) OVER (ORDER BY _v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS r2
+  FROM kwv
+),
+kwg AS (
+  SELECT _g, CAST(count(*) AS BIGINT) AS ng, CAST(sum(r2) AS BIGINT) AS rg2
+  FROM kwp JOIN kwr USING (_v) GROUP BY _g
+),
+kwm AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         sum(CAST(rg2 AS HUGEINT) * CAST(rg2 AS HUGEINT) // CAST(ng AS HUGEINT))
+           AS sq
+  FROM kwg
+),
+kwt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM kwv)
+SELECT n, k_groups,
+  round(CASE WHEN (1.0 - CAST(ties AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(n AS DOUBLE))) > 0
+        THEN (3.0 * CAST(sq AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(ties AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE)))
+        END, 6) AS h
+FROM kwm CROSS JOIN kwt"""

@@ -296,3 +296,101 @@ def test_funnel_timing_known_answer(spark):
     assert out[1]["n_entered"] == 2 and out[1]["n_converted"] == 1
     assert out[1]["median_delta_s"] == 60.0
     assert 9 not in out  # user 99 entered nothing
+
+
+# -------------------------------------------------------------------------
+# wave 3: chi2, Kruskal-Wallis, harmonic centrality
+# -------------------------------------------------------------------------
+
+
+def test_chi2_independence_matches_textbook(spark):
+    from osprey_spark.operators.hypothesis import chi2_independence
+
+    # classic 2x2: strong association
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "g string, h string")
+    out = chi2_independence(df, "g", "h").collect()[0]
+    # textbook replica
+    import itertools
+
+    from collections import Counter
+
+    cnt = Counter(rows)
+    ra = Counter(g for g, _ in rows)
+    cb = Counter(h for _, h in rows)
+    n = len(rows)
+    chi = 0.0
+    for (g, h), o in sorted(cnt.items()):
+        import math
+        contrib = (o * n - ra[g] * cb[h]) ** 2 / (n * ra[g] * cb[h])
+        chi += math.floor(contrib * 1e9 + 0.5)
+    chi /= 1e9
+    assert out["n"] == n and out["dof"] == 1
+    assert out["chi2"] == round(chi, 6)
+    import math
+
+    assert out["cramers_v"] == round(math.sqrt(chi / (n * 1)), 6)
+    # independence -> chi2 == 0
+    rows2 = [("a", "x")] * 10 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 10
+    df2 = spark.createDataFrame(rows2, "g string, h string")
+    assert chi2_independence(df2, "g", "h").collect()[0]["chi2"] == 0.0
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    from osprey_spark.operators.hypothesis import kruskal_wallis
+
+    groups = {
+        "g1": [7, 7, 15, 11, 9],
+        "g2": [12, 17, 12, 18, 18],
+        "g3": [14, 18, 18, 19, 19],
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = kruskal_wallis(df, "v", "g").collect()[0]
+    assert out["n"] == 15 and out["k_groups"] == 3
+
+    # replica with the same doubled-rank + floor-division arithmetic
+    from collections import Counter
+
+    vals = [v for v, _ in rows]
+    t = Counter(vals)
+    uniq = sorted(t)
+    clt = {}
+    run = 0
+    for u in uniq:
+        clt[u] = run
+        run += t[u]
+    r2 = {u: 2 * clt[u] + t[u] + 1 for u in uniq}
+    n = len(vals)
+    sq = 0
+    for g, vs in groups.items():
+        rg2 = sum(r2[v] for v in vs)
+        sq += (rg2 * rg2) // len(vs)
+    ties = sum(x**3 - x for x in t.values())
+    h_raw = 3.0 * sq / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    corr = 1.0 - ties / (float(n) ** 3 - n)
+    assert out["h"] == round(h_raw / corr, 6)
+    # sanity vs the published example value (~9.0 for this data)
+    assert 8.0 < out["h"] < 10.5
+
+
+def test_harmonic_centrality_star_center_wins(spark):
+    from osprey_spark.operators.graph import harmonic_centrality_sample
+
+    # star: hub h connected to l1..l5; seeds = two leaves
+    pairs = [("h", f"l{i}") for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("l1",), ("l2",)], "seed string")
+    out = {
+        r["node"]: (r["score_q"], r["seeds_reached"])
+        for r in harmonic_centrality_sample(edges, seeds, k=4).collect()
+    }
+    # hub: distance 1 to both seeds -> 12+12; leaves l3..l5: distance 2
+    # to both -> 6+6; seed leaves: 0 to self (excluded) + 2 to other -> 6
+    assert out["h"] == (24, 2)
+    assert out["l3"] == (12, 2)
+    assert out["l1"] == (6, 1)
