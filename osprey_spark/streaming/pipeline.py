@@ -118,14 +118,22 @@ class StreamingRuleEngine:
             )
 
     def source(self) -> DataFrame:
-        if self.source_format == "kafka":
+        if self.source_format in ("kafka", "kafka_file"):
             # ref: input_stream.py:413-444 KafkaInputStream. input_dir
             # is unused; source_options carries bootstrap/subscribe
-            # (see streaming.kafka.kafka_source_options). Requires the
-            # spark-sql-kafka connector jars on the classpath.
+            # (see streaming.kafka.kafka_source_options). "kafka"
+            # requires the spark-sql-kafka connector jars; "kafka_file"
+            # is the wire-compatible Python data source
+            # (streaming.kafka_file — register_kafka_file first), same
+            # decode plan, executes in this container.
             from .kafka import kafka_reader
 
-            return kafka_reader(self.spark, self.schema, self.source_options)
+            return kafka_reader(
+                self.spark,
+                self.schema,
+                self.source_options,
+                fmt=self.source_format,
+            )
         from ..sources import read_turns
 
         opts = dict(self.source_options)

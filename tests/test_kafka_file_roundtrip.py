@@ -165,3 +165,75 @@ def test_null_key_roundrobin_produce(spark, tmp_path):
     # bad JSON survives decode as NULL fields (log-and-continue)
     decoded = decode_kafka_turns(raw, TURNS_SCHEMA)
     assert decoded.count() == 12
+
+
+def test_rule_engine_consumes_kafka_file_source(spark, tmp_path):
+    """The FULL north-rule pipeline over the Kafka-shaped source:
+    turns produced to the kafka_file broker (KafkaSink .save()), the
+    streaming rule engine consuming via source_format='kafka_file'
+    (readStream .load() + JSON decode), compiled SML evaluated per
+    micro-batch, verdicts landing in the exactly-once sink — equal to
+    the batch apply() of the same ruleset over the same turns."""
+    from osprey_spark.compiler import compile_ruleset
+    from osprey_spark.streaming.pipeline import StreamingRuleEngine
+    from osprey_spark.turns import TURN_BINDINGS, with_envelope
+
+    register_kafka_file(spark)
+    broker = str(tmp_path / "broker")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (
+            f"c{i % 4}",
+            i // 4,
+            "user" if i % 2 == 0 else "assistant",
+            "hello world" if i % 3 == 0 else f"msg {i}",
+            "t",
+            t0 + dt.timedelta(seconds=10 * i),
+        )
+        for i in range(24)
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    producer = KafkaSink(
+        "unused:9092",
+        "turns",
+        key_col="conv_id",
+        fmt="kafka_file",
+        extra_options={"path": broker, "numPartitions": "2"},
+    )
+    producer.write_batch(turns, 0)
+
+    sml = (
+        "TurnText: str = JsonData(path='$.text', required=False)\n"
+        "HasHello = StringContains(s=StringToLower(s=TurnText), phrase='hello')\n"
+        "HelloRule = Rule(when_all=[HasHello], description='greets')\n"
+        "WhenRules(rules_any=[HelloRule], then=[DeclareVerdict(verdict='hello')])\n"
+    )
+    rs = compile_ruleset({"main.sml": sml}, bindings=TURN_BINDINGS)
+    engine = StreamingRuleEngine(
+        spark,
+        rs,
+        input_dir="unused",
+        output_dir=str(tmp_path / "out"),
+        source_format="kafka_file",
+        source_options={"path": broker, "subscribe": "turns"},
+        n_buckets=4,
+    )
+    engine.run_to_completion()
+    streamed = {
+        (r["conv_id"], r["turn_idx"]): list(r["__verdicts"])
+        for r in engine.results().collect()
+    }
+    batch = {
+        (r["conv_id"], r["turn_idx"]): list(r["__verdicts"])
+        for r in rs.apply(
+            with_envelope(turns), passthrough=["conv_id", "turn_idx", "ts"]
+        ).collect()
+    }
+    assert streamed == batch
+    assert any("hello" in v for v in streamed.values())
