@@ -439,3 +439,127 @@ SELECT n, k_groups,
                    - CAST(n AS DOUBLE)))
         END, 6) AS h
 FROM kwm CROSS JOIN kwt"""
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test: did the
+    VARIANCE/spread differ across cohorts? — the dispersion
+    complement to Kruskal-Wallis's location shift (a drift that
+    widens the distribution without moving its center trips this
+    test first).
+
+    Exactness: per group the EXACT median rides the two-middle-row
+    selection as the integer ``med2 = z[(n+1)/2] + z[n/2+1]``
+    (2·median), so the deviation ``d = |2x − med2|`` is a BIGINT.
+    The F statistic's between/within sums use the moment forms
+    ``Σ_g S_g²/n_g − S²/N`` and ``Σ d² − Σ_g S_g²/n_g`` with each
+    ``S_g² // n_g`` an integer floor division — identical in both
+    engines (BIGINT range at any realistic scale; the ≤1-unit floor
+    loss is applied identically). Output one row
+    ``(n, k_groups, f_bf)`` rounded to 6.
+
+    Scale: group-partitioned windows (groups bounded), then one
+    moment aggregate — nothing beyond the first shuffle.
+    """
+    pool = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(group_col).alias("_g"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    wg = Window.partitionBy("_g").orderBy("_v")
+    ranked = pool.select(
+        "_g",
+        "_v",
+        F.row_number().over(wg).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_c"),
+    )
+    med2 = (
+        ranked.filter(
+            (F.col("_rn") == F.expr("(_c + 1) DIV 2"))
+            | (F.col("_rn") == F.expr("_c DIV 2 + 1"))
+        )
+        .groupBy("_g")
+        .agg((F.sum("_v") * 2 / F.count(F.lit(1))).cast("long").alias("_med2"))
+    )
+    dev = pool.join(F.broadcast(med2), "_g").select(
+        "_g", F.abs(F.lit(2) * F.col("_v") - F.col("_med2")).cast("long").alias("_d")
+    )
+    per_g = dev.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum("_d").cast("long").alias("_sg"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("_qg"),
+    )
+    m = per_g.agg(
+        F.sum("_ng").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("_sg").cast("long").alias("_s"),
+        F.sum("_qg").cast("long").alias("_q"),
+        F.sum(F.expr("(_sg * _sg) DIV _ng")).cast("long").alias("_sqg"),
+    )
+    nd = F.col("_n").cast("double")
+    k = F.col("k_groups").cast("double")
+    # the S_g²//n_g floors can push the between-sum a hair below the
+    # exact S²/N (mathematically between >= 0): clamp at 0, mirrored
+    # in the SQL replay
+    between = F.greatest(
+        F.col("_sqg").cast("double")
+        - (F.col("_s").cast("double") * F.col("_s").cast("double") / nd),
+        F.lit(0.0),
+    )
+    within = F.col("_q").cast("double") - F.col("_sqg").cast("double")
+    f = F.when(
+        (within > 0) & (k > 1) & (nd > k),
+        (between / (k - F.lit(1.0))) / (within / (nd - k)),
+    )
+    return m.select(
+        F.col("_n").alias("n"), "k_groups", F.round(f, 6).alias("f_bf")
+    )
+
+
+def brown_forsythe_sql(pool_sql: str) -> str:
+    """DuckDB replay over a subquery producing ``(_v, _g)``."""
+    return f"""bfp AS (
+  SELECT CAST(_v AS BIGINT) AS _v, _g FROM ({pool_sql})
+  WHERE _v IS NOT NULL AND _g IS NOT NULL
+),
+bfr AS (
+  SELECT _g, _v,
+    row_number() OVER (PARTITION BY _g ORDER BY _v) AS rn,
+    count(*) OVER (PARTITION BY _g) AS c
+  FROM bfp
+),
+bfm AS (
+  SELECT _g, CAST(sum(_v) * 2 / count(*) AS BIGINT) AS med2
+  FROM bfr WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1
+  GROUP BY _g
+),
+bfd AS (
+  SELECT p._g, CAST(abs(2 * p._v - m.med2) AS BIGINT) AS d
+  FROM bfp p JOIN bfm m ON p._g = m._g
+),
+bfg AS (
+  SELECT _g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(d) AS BIGINT) AS sg,
+         CAST(sum(d * d) AS BIGINT) AS qg
+  FROM bfd GROUP BY _g
+),
+bft AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(qg) AS BIGINT) AS q,
+         CAST(sum((sg * sg) // ng) AS BIGINT) AS sqg
+  FROM bfg
+)
+SELECT n, k_groups,
+  round(CASE WHEN (CAST(q AS DOUBLE) - CAST(sqg AS DOUBLE)) > 0
+              AND k_groups > 1 AND n > k_groups
+        THEN (greatest(CAST(sqg AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+               CAST(0.0 AS DOUBLE))
+              / (CAST(k_groups AS DOUBLE) - 1.0))
+             / ((CAST(q AS DOUBLE) - CAST(sqg AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+        END, 6) AS f_bf
+FROM bft"""

@@ -394,3 +394,48 @@ def test_harmonic_centrality_star_center_wins(spark):
     assert out["h"] == (24, 2)
     assert out["l3"] == (12, 2)
     assert out["l1"] == (6, 1)
+
+
+def test_brown_forsythe_matches_replica(spark):
+    from osprey_spark.operators.hypothesis import brown_forsythe
+
+    groups = {
+        "tight": [10, 10, 11, 11, 10, 11, 10, 11],
+        "wide": [2, 19, 5, 16, 1, 20, 4, 17],
+        "mid": [7, 13, 8, 12, 9, 11, 8, 13],
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out["n"] == 24 and out["k_groups"] == 3
+
+    # replica with the identical integer med2 / floor-division moments
+    import statistics
+
+    S = Q = SQG = N = 0
+    for g, vs in groups.items():
+        svs = sorted(vs)
+        c = len(svs)
+        med2 = svs[(c + 1) // 2 - 1] + svs[c // 2]
+        ds = [abs(2 * v - med2) for v in vs]
+        sg, qg = sum(ds), sum(d * d for d in ds)
+        S += sg
+        Q += qg
+        SQG += (sg * sg) // len(vs)
+        N += c
+    k = len(groups)
+    between = SQG - S * S / N
+    within = Q - SQG
+    f = (between / (k - 1)) / (within / (N - k))
+    assert out["f_bf"] == round(f, 6)
+    # the wide group drives a clearly significant F
+    assert out["f_bf"] > 10
+
+
+def test_brown_forsythe_equal_spread_small_f(spark):
+    from osprey_spark.operators.hypothesis import brown_forsythe
+
+    rows = [(v, g) for g in ("a", "b") for v in (1, 5, 9, 1, 5, 9)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out["f_bf"] == 0.0  # identical deviation profiles

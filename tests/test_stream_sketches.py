@@ -697,3 +697,81 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from cusum_stream").collect()
     )
     assert got == sorted(batch)
+
+
+def test_stream_cusum_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill after the first file, restart a NEW query on the same
+    checkpoint: the four-int (p, pmin0, last_h, seq) state resumes
+    through the state store and the post-restart alarms equal the
+    batch tail — no re-alarm of pre-restart hours, no gap."""
+    from osprey_spark.operators.forecast import cusum_drift
+    from osprey_spark.streaming.sketches import stream_cusum
+
+    base = [10, 11, 9, 10] * 6
+    drift = [14] * 16
+    series = base + drift
+    rows = [(i * 3600, c) for i, c in enumerate(series)]
+    q = 10**6
+    mu_q = sum(base) * q // 24
+    k_q = mu_q * 10 // 100
+    h_q = mu_q * 3
+
+    bdf = spark.createDataFrame(rows, "hour_ts long, cnt long")
+    batch = sorted(
+        (r["hour_ts"], r["cusum_q"])
+        for r in cusum_drift(bdf, warmup=24).collect()
+    )
+    assert batch
+
+    src = str(tmp_path / "hourly")
+    ckpt = str(tmp_path / "ckpt")
+    n = len(rows)
+    spark.createDataFrame(rows[: n // 2], "hour_ts long, cnt long").coalesce(
+        1
+    ).write.parquet(src)
+
+    out_dir = str(tmp_path / "alarms")
+
+    def run():
+        before = set()
+        import os as _os
+
+        if _os.path.isdir(out_dir):
+            before = {
+                (r.hour_ts, r.cusum_q)
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        stream = (
+            spark.readStream.schema("hour_ts long, cnt long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        qy = (
+            stream_cusum(stream, mu_q=mu_q, k_q=k_q, h_q=h_q)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        after = {
+            (r.hour_ts, r.cusum_q)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        return after - before
+
+    first = run()
+
+    # second half lands AFTER the first engine terminated
+    spark.createDataFrame(
+        rows[n // 2 :], "hour_ts long, cnt long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = run()
+
+    got = sorted(first | second)
+    assert got == batch
+    # restart processed only the new hours: no re-alarm of any
+    # pre-restart hour
+    assert not (first & second)
