@@ -8907,6 +8907,13 @@ ORACLES: dict[str, str] = {
 }
 
 # ---------------------------------------------------------------------------
+# ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, promote the NEXT 50
+# never-externally-checked entries to the head — the remaining statistics
+# tail (entries ~51-100 of the current mid region) plus every round-4
+# addition (mann_whitney .. sync_accounts); park this round's verified 50
+# behind them. The local replica (tools/check_parity.py, full board every
+# round) keeps everything else protected.
+# ---------------------------------------------------------------------------
 # Registry rotation (round 4): the external correctness gate verifies only
 # the FIRST 50 insertion-order entries per round.  Rounds 1-3 verified the
 # same 50 (core analytics + TPC-H + dedup); everything from entry 51 onward
