@@ -439,3 +439,119 @@ def test_brown_forsythe_equal_spread_small_f(spark):
     df = spark.createDataFrame(rows, "v long, g string")
     out = brown_forsythe(df, "v", "g").collect()[0]
     assert out["f_bf"] == 0.0  # identical deviation profiles
+
+
+# -------------------------------------------------------------------------
+# wave 5: split leakage + dup-rate monitor
+# -------------------------------------------------------------------------
+
+
+def test_split_leakage_pair_explosion(spark):
+    """The split-set → unordered-pair HOF emits exactly the C(k,2)
+    pairs in sorted order, counted per pair."""
+    from osprey_spark.operators.joins import hash_split
+
+    # synthetic corpus: 3 groups of near-identical docs (same token
+    # fingerprint) big enough that hash_split scatters them
+    rows = []
+    for g in range(30):
+        for d in range(4):
+            # same token SET per group (order varies, dups vary)
+            toks = [f"w{g}", "alpha", "beta", "gamma"]
+            if d % 2:
+                toks = toks[::-1] + ["alpha"]
+            rows.append((g * 10 + d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import functions as FF
+
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id", seed="r3"
+    ).select("doc_id", "split")
+    toks = FF.array_sort(
+        FF.array_distinct(
+            FF.filter(FF.split(FF.lower("text"), " "), lambda t: t != "")
+        )
+    )
+    fps = docs.select(
+        "doc_id", FF.md5(FF.array_join(toks, " ")).alias("fp")
+    ).join(split, "doc_id")
+    # python reference
+    ref = {}
+    for r in fps.collect():
+        ref.setdefault(r["fp"], set()).add(r["split"])
+    want = {}
+    import itertools
+
+    for splits in ref.values():
+        for a, b in itertools.combinations(sorted(splits), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert want, "fixture must actually leak"
+
+    import __spark_entry__  # noqa: F401  (q_split_leakage uses same plan)
+    from osprey_spark.entrypoint import q_split_leakage  # noqa: F401
+
+    # drive the pair-HOF directly through the same expressions
+    per_fp = fps.groupBy("fp").agg(
+        FF.array_sort(FF.collect_set("split")).alias("_splits")
+    )
+    pairs = (
+        per_fp.filter(FF.size("_splits") >= 2)
+        .select(
+            FF.explode(
+                FF.flatten(
+                    FF.transform(
+                        FF.sequence(FF.lit(0), FF.size("_splits") - 2),
+                        lambda i: FF.transform(
+                            FF.sequence(i + 1, FF.size("_splits") - 1),
+                            lambda jj: FF.struct(
+                                FF.element_at(FF.col("_splits"), i + 1).alias("a"),
+                                FF.element_at(FF.col("_splits"), jj + 1).alias("b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select(FF.col("_p.a").alias("a"), FF.col("_p.b").alias("b"))
+    )
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in pairs.groupBy("a", "b").agg(FF.count(FF.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_dup_rate_daily_known_answer(spark):
+    import datetime as dt2
+
+    from osprey_spark.operators.timeutil import epoch_long  # noqa: F401
+
+    t0 = dt2.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0),                                # day0 first
+        ("b", t0),                                # day0 first
+        ("a", t0 + dt2.timedelta(days=1)),        # day1 dup
+        ("c", t0 + dt2.timedelta(days=1)),        # day1 first
+        ("a", t0 + dt2.timedelta(days=2)),        # day2 dup
+        ("b", t0 + dt2.timedelta(days=2)),        # day2 dup
+        ("d", t0 + dt2.timedelta(days=2)),        # day2 first
+    ]
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    from pyspark.sql import functions as FF
+
+    day = (epoch_long(FF.col("ts")) / 86400).cast("long")
+    base = df.select(FF.md5("text").alias("fp"), day.alias("day"))
+    first = base.groupBy("fp").agg(FF.min("day").cast("long").alias("_first"))
+    out = (
+        base.join(first, "fp")
+        .groupBy("day")
+        .agg(
+            FF.count(FF.lit(1)).alias("n"),
+            FF.sum((FF.col("day") > FF.col("_first")).cast("long")).alias("d"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    got = [(r["n"], r["d"]) for r in out]
+    assert got == [(2, 0), (2, 1), (3, 2)]
