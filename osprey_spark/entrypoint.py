@@ -8455,10 +8455,10 @@ slg AS (
   FROM slf GROUP BY fp HAVING count(DISTINCT split) >= 2
 ),
 slp AS (
-  SELECT splits[i] AS split_a, splits[j] AS split_b
-  FROM slg, generate_series(1, len(splits)) AS gi(i),
-       generate_series(1, len(splits)) AS gj(j)
-  WHERE j > i
+  SELECT a.split_a, b.split_b
+  FROM (SELECT fp, unnest(splits) AS split_a FROM slg) a
+  JOIN (SELECT fp, unnest(splits) AS split_b FROM slg) b
+    ON a.fp = b.fp AND a.split_a < b.split_b
 )
 SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_leaked_fingerprints
 FROM slp GROUP BY 1, 2 ORDER BY 1, 2"""
