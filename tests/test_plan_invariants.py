@@ -32,6 +32,12 @@ _CROSS_OK = {
     "bm25",
     "dsir_weights",
     "collocations",  # 1-row grand-total bigram-count frame broadcast (no join key)
+    # round-4 members of the same 1-row-keyless-broadcast class:
+    "assoc_rules",  # 1-row distinct-user total
+    "chi2_independence",  # 1-row (n, n_rows, n_cols) contingency totals
+    "cusum_drift",  # 1-row warmup (mu_q, k_q, h_q) reference params
+    "kruskal_wallis",  # 1-row tie-moment frame joined onto the group moments
+    "rfm_segments",  # 1-row activity-frontier (global max ts)
     "lm_nll",  # 1-row vocab-size frame broadcast into the scorer
     "nb_classifier",  # 1-row (totals, V, prior) scalar frame broadcast
     "tpch_q22",  # 1-row scalar-subquery threshold broadcast (no join key)
