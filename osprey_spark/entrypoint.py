@@ -400,10 +400,49 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch — algorithm-specific, so rows-only check (the
-    exact variant above is the oracle-checked one)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return analytics.approx_distinct(ev, "user_id", group_by="event_type")
+    """Spark-native HLL++ with a REAL oracle (round-5 flip from the
+    rows-only check): the un-replayable native estimate rides along as
+    a bounded-error boolean (``native_ok`` = |native - exact| <=
+    3*rsd*exact, the standard HLL++ error envelope at rsd=0.05), while
+    the md5-register from-scratch sketch estimate (bit-reproducible,
+    see sketches.hll_distinct) and the exact count are hash-exact
+    columns. The oracle replays the sketch and asserts TRUE for
+    native_ok, so the driver's value-hash now covers this key."""
+    from .operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("grp"), "user_id"
+    )
+    native = ev.groupBy("grp").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("_native")
+    )
+    sk = hll_distinct(ev, "user_id", ["grp"])
+    return (
+        sk.join(native, "grp")
+        .select(
+            "grp",
+            "n_exact",
+            "hll_estimate",
+            (
+                F.abs(F.col("_native").cast("double") - F.col("n_exact"))
+                <= F.lit(0.15) * F.col("n_exact")
+            ).alias("native_ok"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _o_approx_distinct() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    inner = hll_oracle_sql(
+        "(SELECT event_type AS grp, user_id FROM events)", "user_id", "grp"
+    )
+    return (
+        "SELECT grp, n_exact, hll_estimate, TRUE AS native_ok FROM ("
+        + inner
+        + ") ORDER BY grp"
+    )
 
 
 def q_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9041,15 +9080,28 @@ ORACLES: dict[str, str] = {
     "sync_accounts": _o_sync_accounts(),
     "split_leakage": _o_split_leakage(),
     "dup_rate_daily": _o_dup_rate_daily(),
+    "approx_distinct": _o_approx_distinct(),
 }
 
 # ---------------------------------------------------------------------------
-# ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, promote the NEXT 50
-# never-externally-checked entries to the head — the remaining statistics
-# tail (entries ~51-100 of the current mid region) plus every round-4
-# addition (mann_whitney .. sync_accounts); park this round's verified 50
-# behind them. The local replica (tools/check_parity.py, full board every
-# round) keeps everything else protected.
+# ROTATION BURN-DOWN SCHEDULE (the external gate verifies the FIRST 50
+# insertion-order entries per round; the local replica — tools/
+# check_parity.py, full 228-query board every round — protects the rest):
+#   r1-r3: _VERIFIED_R123 (core analytics + TPC-H + dedup), 50 rows, 3x.
+#   r4:    _GATE_PRIORITY_R4 (stateful rule UDFs, tokenizers, sketches,
+#          graph, ANN, heaviest statistics tail), 50/50 green.
+#   r5:    _GATE_PRIORITY_R5 (ACTIVE) — tpch_q12 first (the one red driver
+#          row on record, r03; oracle HUGEINT fix b1d875c needs its
+#          on-the-record green), then the daily-driver curation/join/split/
+#          CDC/CEP queries and every never-checked round-4 statistics
+#          addition, closing with the approx_distinct oracle flip
+#          (rows-only -> hash-exact, see q_approx_distinct).
+#   r6:    _GATE_PRIORITY_R6 (named now per the burn-down contract) — the
+#          transcripts-ops + retrieval + forecasting tail.  After r6, 28
+#          registry queries remain never-checked (the robust-statistics +
+#          journeys tail that follows R6 in insertion order — calibration
+#          .. domain_reputation); they sit immediately after the R6 head
+#          so an unchanged r7 gate finishes lifetime coverage.
 # ---------------------------------------------------------------------------
 # Registry rotation (round 4): the external correctness gate verifies only
 # the FIRST 50 insertion-order entries per round.  Rounds 1-3 verified the
@@ -9089,6 +9141,46 @@ _GATE_PRIORITY_R4 = [
     "burstiness", "theil_sen_trend",
 ]
 
+_GATE_PRIORITY_R5 = [
+    # the one red driver row on record (r03) — oracle type fix b1d875c
+    "tpch_q12",
+    # daily-driver curation / decontamination / quality
+    "decontaminate", "decontaminate_bloom", "pii_scrub", "gopher_quality",
+    "tfidf", "bm25",
+    # joins / splits / packing — the queries real pipelines run daily
+    "asof_join", "range_join", "salted_join", "train_split",
+    "stratified_split", "split_leakage", "sequence_packing", "dataset_mixing",
+    # CDC / data-quality / drift / CEP
+    "cdc_snapshot", "scd2_history", "dq_checks", "drift_psi", "cusum_drift",
+    "watchlist_hits", "cep_sequence", "cep_session", "weighted_sample",
+    # span-level + semantic dedup
+    "duplicate_spans", "scrub_spans", "semantic_dedup", "dedup_canonical",
+    # round-4 statistics / journeys additions (never externally checked)
+    "mann_whitney", "spearman_metric", "compaction_plan", "snapshot_diff",
+    "assoc_rules", "rfm_segments", "funnel_timing", "injection_flags",
+    "component_sizes", "salt_advisor", "chi2_independence", "kruskal_wallis",
+    "closeness_sample", "vocab_drift", "levene_test", "template_spam",
+    "wilson_error_rate", "sync_accounts", "dup_rate_daily",
+    # tokenizer vocab + NB classifier + the approx_distinct oracle flip
+    "vocab_build", "nb_classifier", "approx_distinct",
+]
+
+_GATE_PRIORITY_R6 = [
+    # transcripts / conversation quality ops
+    "repetition_signals", "corpus_curate", "conv_stats", "turn_repetition",
+    "boilerplate_turns", "conv_near_dup", "token_entropy", "unimax_mixing",
+    "doc_chunks", "shuffle_order", "dsir_weights", "quality_normalize",
+    "lm_nll", "percentiles", "funnel", "zorder_stats", "windowed_topn",
+    "cohort_retention", "winnow_pairs", "rate_anomaly", "mad_outliers",
+    "stratified_sample", "skew_profile", "collocations", "temperature_mixing",
+    "decay_score", "tool_transitions", "response_latency", "span_corruption",
+    "preference_pairs", "sft_render", "echo_overlap", "rouge_l",
+    "topic_segments", "context_windows", "fuzzy_match", "pivot_roles",
+    "curriculum_buckets", "retrieval_eval", "mmr_rerank", "token_jaccard_topk",
+    "rrf_hybrid", "burst_spans", "logreg_weights", "holt_forecast", "benford",
+    "classifier_eval", "conv_trend", "survival_km", "rule_kappa",
+]
+
 _VERIFIED_R123 = [
     "rule_eval", "sampling", "verdict_counts", "json_extract", "sml_filter",
     "topn", "topn_pop", "timeseries", "rollup_timeseries", "response_absence",
@@ -9105,14 +9197,26 @@ _VERIFIED_R123 = [
 
 
 def _rotate_registry(reg: dict) -> dict:
-    head = [k for k in _GATE_PRIORITY_R4 if k in reg]
-    parked = set(_VERIFIED_R123) | set(head)
-    mid = [k for k in reg if k not in parked]
-    tail = [k for k in _VERIFIED_R123 if k in reg]
-    assert len(head) == len(_GATE_PRIORITY_R4), sorted(
-        set(_GATE_PRIORITY_R4) - set(reg)
-    )
-    return {k: reg[k] for k in head + mid + tail}
+    """Round-5 gate order: R5 head (50), then the named R6 head, then the
+    remaining never-checked mid in original order, then every previously
+    driver-verified query (r1-r3 core + r4 head) parked at the end."""
+    head = [k for k in _GATE_PRIORITY_R5 if k in reg]
+    if len(head) != len(_GATE_PRIORITY_R5):
+        raise ValueError(
+            "gate head names missing from registry: "
+            f"{sorted(set(_GATE_PRIORITY_R5) - set(reg))}"
+        )
+    r6 = [k for k in _GATE_PRIORITY_R6 if k in reg]
+    if len(r6) != len(_GATE_PRIORITY_R6):
+        raise ValueError(
+            "R6 head names missing from registry: "
+            f"{sorted(set(_GATE_PRIORITY_R6) - set(reg))}"
+        )
+    verified = [k for k in _GATE_PRIORITY_R4 + _VERIFIED_R123 if k in reg]
+    placed = set(head) | set(r6) | set(verified)
+    mid = [k for k in reg if k not in placed]
+    tail = [k for k in verified if k not in set(head)]
+    return {k: reg[k] for k in head + r6 + mid + tail}
 
 
 QUERIES = _rotate_registry(QUERIES)

@@ -292,24 +292,29 @@ def snapshot_diff(
     :func:`latest_snapshot` (map-side partials, keys-not-history on
     the shuffle); the diff join is key-cardinality class.
     """
-    def snap(v: int, alias: str) -> DataFrame:
+    def snap(v: int, alias: str, flag: str) -> DataFrame:
         filtered = changelog.filter(F.col(version_col) <= int(v))
         agg = filtered.groupBy(*[F.col(k) for k in key_cols]).agg(
             F.max(
                 F.struct(F.col(version_col), F.col(payload_col))
             ).alias("_s")
         )
+        # explicit presence flag: payload-NULL must NOT read as
+        # key-absent (a key present in both snapshots with a NULL old
+        # payload is 'changed'/'unchanged', never 'added')
         return agg.select(
-            *key_cols, F.col(f"_s.{payload_col}").alias(alias)
+            *key_cols,
+            F.col(f"_s.{payload_col}").alias(alias),
+            F.lit(True).alias(flag),
         )
 
-    old = snap(v_old, "_old")
-    new = snap(v_new, "_new")
+    old = snap(v_old, "_old", "_in_old")
+    new = snap(v_new, "_new", "_in_new")
     j = old.join(new, list(key_cols), "full_outer")
     cls = (
-        F.when(F.col("_old").isNull(), F.lit("added"))
-        .when(F.col("_new").isNull(), F.lit("removed"))
-        .when(F.col("_old") != F.col("_new"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -332,7 +337,7 @@ def snapshot_diff_sql(
     join_on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
     def snap(v: int) -> str:
         return f"""
-  SELECT {keys}, {payload_col} FROM (
+  SELECT {keys}, {payload_col}, TRUE AS present FROM (
     SELECT {keys}, {version_col}, {payload_col},
            row_number() OVER (PARTITION BY {keys}
              ORDER BY {version_col} DESC, {payload_col} DESC) AS rn
@@ -341,9 +346,9 @@ def snapshot_diff_sql(
     return f"""sdo AS ({snap(v_old)}),
 sdn AS ({snap(v_new)}),
 sdj AS (
-  SELECT CASE WHEN o.{payload_col} IS NULL AND o.{key_cols[0]} IS NULL THEN 'added'
-              WHEN n.{payload_col} IS NULL AND n.{key_cols[0]} IS NULL THEN 'removed'
-              WHEN o.{payload_col} <> n.{payload_col} THEN 'changed'
+  SELECT CASE WHEN o.present IS NULL THEN 'added'
+              WHEN n.present IS NULL THEN 'removed'
+              WHEN o.{payload_col} IS DISTINCT FROM n.{payload_col} THEN 'changed'
               ELSE 'unchanged' END AS change_type
   FROM sdo o FULL OUTER JOIN sdn n ON {join_on}
 )

@@ -83,7 +83,10 @@ def _segments(path: str, topic: str, part: int) -> list[str]:
     if not os.path.isdir(pd):
         return []
     return [
-        os.path.join(pd, f) for f in sorted(os.listdir(pd)) if f.endswith(".jsonl")
+        os.path.join(pd, f)
+        for f in sorted(os.listdir(pd))
+        # hidden .staged-* files are mid-2-phase-commit: never readable
+        if f.endswith(".jsonl") and f.startswith("seg-")
     ]
 
 
@@ -199,7 +202,12 @@ class KafkaFileStreamReader(DataSourceStreamReader):
 
 
 class _SegmentCommit(WriterCommitMessage):
-    pass
+    """Carries the task's staged (hidden) segment paths to the driver;
+    nothing is reader-visible until :meth:`KafkaFileWriter.commit`
+    renames them into place."""
+
+    def __init__(self, staged=None):
+        self.staged = staged or []
 
 
 class KafkaFileWriter(DataSourceWriter):
@@ -207,7 +215,15 @@ class KafkaFileWriter(DataSourceWriter):
     ONE segment file per touched partition — parallel-safe, no locks;
     partition choice is a deterministic key hash (NULL key →
     round-robin within the task, Kafka's sticky-partitioner
-    analogue)."""
+    analogue).
+
+    Publish is STAGED two-phase: ``write()`` emits hidden
+    ``.staged-*`` files (readers skip the dot prefix), returns their
+    names in the commit message, and only the driver-side ``commit()``
+    renames them to visible ``seg-*`` names — so a failed, retried, or
+    speculatively-executed task never duplicates records or remaps
+    read-time offset assignment, and a reader can never observe a torn
+    half-written segment. ``abort()`` deletes the staged files."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -241,6 +257,7 @@ class KafkaFileWriter(DataSourceWriter):
             bufs.setdefault(part, []).append(json.dumps(rec))
         import time as _time
 
+        staged = []
         for part, lines in bufs.items():
             pd = os.path.join(_topic_dir(self.path, self.topic), f"p{part}")
             os.makedirs(pd, exist_ok=True)
@@ -248,12 +265,36 @@ class KafkaFileWriter(DataSourceWriter):
             # segment order, so later appends MUST sort after earlier
             # ones or checkpointed offsets would re-map across runs
             # (uuid suffix only breaks same-nanosecond ties)
-            seg = os.path.join(
-                pd, f"seg-{_time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
-            )
-            with open(seg, "w") as f:
+            name = f"seg-{_time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+            tmp = os.path.join(pd, f".staged-{name}")
+            with open(tmp, "w") as f:
                 f.write("\n".join(lines) + "\n")
-        return _SegmentCommit()
+                f.flush()
+                os.fsync(f.fileno())
+            staged.append(tmp)
+        return _SegmentCommit(staged)
+
+    def commit(self, messages):
+        # Atomic publish: same-directory rename makes each segment
+        # appear whole or not at all; runs once on the driver after
+        # every task succeeded, so retried/speculative task attempts
+        # whose messages never arrive here stay invisible forever.
+        for msg in messages:
+            for tmp in getattr(msg, "staged", []):
+                final = os.path.join(
+                    os.path.dirname(tmp),
+                    os.path.basename(tmp)[len(".staged-"):],
+                )
+                if os.path.exists(tmp):
+                    os.replace(tmp, final)
+
+    def abort(self, messages):
+        for msg in messages:
+            for tmp in getattr(msg, "staged", []):
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
 
 
 class KafkaFileDataSource(DataSource):
@@ -271,6 +312,19 @@ class KafkaFileDataSource(DataSource):
         return KafkaFileStreamReader(self.options)
 
     def writer(self, schema, overwrite):
+        if overwrite:
+            # A Kafka topic is an append-only log: silently appending
+            # under mode("overwrite") would lie about truncation.
+            raise NotImplementedError(
+                "kafka_file is append-only (a Kafka topic cannot be "
+                "overwritten); use mode('append')"
+            )
+        field_names = [f.name for f in schema.fields]
+        if "value" not in field_names:
+            raise ValueError(
+                "kafka_file writer requires a 'value' column "
+                f"(got columns {field_names})"
+            )
         return KafkaFileWriter(self.options)
 
 

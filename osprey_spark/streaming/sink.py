@@ -178,7 +178,7 @@ class SqliteManifestFormat(ParquetDirFormat):
     def __init__(self, root: str):
         self.root = root
         os.makedirs(self.root, exist_ok=True)
-        with self._conn() as con:
+        with self._conn() as con, con:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS snapshots ("
                 " batch_id INTEGER PRIMARY KEY,"
@@ -187,19 +187,26 @@ class SqliteManifestFormat(ParquetDirFormat):
             )
 
     def _conn(self):
+        # sqlite3's context manager only commits the transaction — it
+        # never closes the handle — so every call site wraps with
+        # contextlib.closing too (one leaked fd per poll would add up
+        # over a long-running streaming job's is_committed churn).
+        import contextlib
         import sqlite3
 
-        return sqlite3.connect(os.path.join(self.root, "manifest.db"))
+        return contextlib.closing(
+            sqlite3.connect(os.path.join(self.root, "manifest.db"))
+        )
 
     def is_committed(self, batch_id: int) -> bool:
-        with self._conn() as con:
+        with self._conn() as con, con:
             row = con.execute(
                 "SELECT 1 FROM snapshots WHERE batch_id = ?", (int(batch_id),)
             ).fetchone()
         return row is not None
 
     def commit_metadata(self, batch_id: int) -> dict:
-        with self._conn() as con:
+        with self._conn() as con, con:
             row = con.execute(
                 "SELECT commit_json FROM snapshots WHERE batch_id = ?",
                 (int(batch_id),),
@@ -209,7 +216,7 @@ class SqliteManifestFormat(ParquetDirFormat):
         return json.loads(row[0])
 
     def committed_batches(self) -> list[int]:
-        with self._conn() as con:
+        with self._conn() as con, con:
             rows = con.execute(
                 "SELECT batch_id FROM snapshots ORDER BY batch_id"
             ).fetchall()
@@ -220,7 +227,7 @@ class SqliteManifestFormat(ParquetDirFormat):
         # replay overwrote its own data partition; the manifest row
         # follows), all inside one sqlite transaction — atomic commit
         # without the write-then-rename split.
-        with self._conn() as con:
+        with self._conn() as con, con:
             con.execute(
                 "INSERT OR REPLACE INTO snapshots "
                 "(batch_id, committed_at, commit_json) VALUES (?, ?, ?)",

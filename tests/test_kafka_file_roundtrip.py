@@ -237,3 +237,86 @@ def test_rule_engine_consumes_kafka_file_source(spark, tmp_path):
     }
     assert streamed == batch
     assert any("hello" in v for v in streamed.values())
+
+
+# -------------------------------------------------------------------------
+# staged two-phase publish (ADVICE r4 medium): write() stages hidden
+# files; only driver commit() renames them visible; abort() removes them
+# -------------------------------------------------------------------------
+
+
+def _wire_rows(n=6):
+    from pyspark.sql import Row
+
+    return [
+        Row(key=f"k{i}".encode(), value=f"v{i}".encode()) for i in range(n)
+    ]
+
+
+def test_writer_stages_then_commit_publishes(tmp_path):
+    import os
+
+    from osprey_spark.streaming.kafka_file import KafkaFileWriter, _segments
+
+    w = KafkaFileWriter({"path": str(tmp_path), "topic": "t", "numpartitions": "2"})
+    msg = w.write(iter(_wire_rows()))
+    # nothing reader-visible yet; staged files exist
+    assert all(not _segments(str(tmp_path), "t", p) for p in (0, 1))
+    assert msg.staged and all(
+        os.path.basename(s).startswith(".staged-") and os.path.exists(s)
+        for s in msg.staged
+    )
+    w.commit([msg])
+    segs = [s for p in (0, 1) for s in _segments(str(tmp_path), "t", p)]
+    assert segs, "commit must publish the staged segments"
+    assert not any(os.path.exists(s) for s in msg.staged)
+    # every published line is whole JSON (no torn writes observable)
+    for s in segs:
+        for line in open(s):
+            json.loads(line)
+
+
+def test_writer_abort_leaves_log_untouched(tmp_path):
+    import os
+
+    from osprey_spark.streaming.kafka_file import KafkaFileWriter, _segments
+
+    w = KafkaFileWriter({"path": str(tmp_path), "topic": "t", "numpartitions": "2"})
+    msg = w.write(iter(_wire_rows()))
+    w.abort([msg])
+    assert not any(os.path.exists(s) for s in msg.staged)
+    assert all(not _segments(str(tmp_path), "t", p) for p in (0, 1))
+
+
+def test_retried_task_duplicate_never_published(tmp_path):
+    """A speculative/failed attempt whose commit message never reaches
+    the driver must stay invisible: only the winning attempt's staged
+    segments are renamed, so offsets never re-map."""
+    from osprey_spark.streaming.kafka_file import KafkaFileWriter, _segments
+
+    w = KafkaFileWriter({"path": str(tmp_path), "topic": "t", "numpartitions": "1"})
+    loser = w.write(iter(_wire_rows()))  # attempt 0: will "fail" post-write
+    winner = w.write(iter(_wire_rows()))  # retry attempt
+    w.commit([winner])
+    w.abort([loser])
+    segs = _segments(str(tmp_path), "t", 0)
+    n = sum(1 for s in segs for _ in open(s))
+    assert n == 6, f"duplicate records published: {n}"
+
+
+def test_overwrite_mode_rejected(spark, tmp_path):
+    register_kafka_file(spark)
+    df = spark.createDataFrame([("a",)], "value string")
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("kafka_file").mode("overwrite").option(
+            "path", str(tmp_path)
+        ).option("topic", "t").save()
+
+
+def test_missing_value_column_rejected(spark, tmp_path):
+    register_kafka_file(spark)
+    df = spark.createDataFrame([("a",)], "not_value string")
+    with pytest.raises(Exception, match="value"):
+        df.write.format("kafka_file").mode("append").option(
+            "path", str(tmp_path)
+        ).option("topic", "t").save()

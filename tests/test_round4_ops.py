@@ -229,6 +229,35 @@ def test_snapshot_diff_classifies_changes(spark):
     assert out == {"changed": 2, "unchanged": 1}
 
 
+def test_snapshot_diff_null_payload_presence(spark):
+    """A key present in BOTH snapshots with a NULL payload in one must
+    classify on presence + null-safe payload compare (ADVICE r4):
+    NULL->value is 'changed', NULL->NULL is 'unchanged', and only a
+    genuinely absent key is 'added'/'removed'."""
+    from osprey_spark.operators.cdc import snapshot_diff
+
+    rows = [
+        # k1: NULL payload at v0, real payload at v1 -> changed
+        ("k1", 0, 0, None),
+        ("k1", 0, 1, "filled"),
+        # k2: NULL payload in both snapshots -> unchanged
+        ("k2", 0, 0, None),
+        # k3: only appears at v1 -> added
+        ("k3", 0, 1, "new"),
+        # k4: value at v0, NULL payload at v1 -> changed (not removed)
+        ("k4", 0, 0, "old"),
+        ("k4", 0, 1, None),
+    ]
+    log = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, version int, text string"
+    )
+    out = {
+        r["change_type"]: r["n_keys"]
+        for r in snapshot_diff(log, v_old=0, v_new=1).collect()
+    }
+    assert out == {"added": 1, "changed": 2, "unchanged": 1}
+
+
 # -------------------------------------------------------------------------
 # Association rules / RFM / funnel
 # -------------------------------------------------------------------------
