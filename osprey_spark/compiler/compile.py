@@ -77,6 +77,14 @@ ENUM_CONSTANTS: dict[str, dict[str, object]] = {
 }
 
 
+def _state_bucket_count() -> int:
+    # lazy: streaming/__init__ imports pipeline which imports this
+    # module, so a top-level import here would be circular
+    from ..streaming.buckets import state_bucket_count
+
+    return state_bucket_count()
+
+
 def register_enum(name: str, members: dict[str, object]) -> None:
     ENUM_CONSTANTS[name] = dict(members)
 TIMESTAMP = "__timestamp"
@@ -1049,7 +1057,7 @@ class CompiledRuleset:
         # fewer state-store rows. Skew: xxhash64 spreads keys
         # uniformly; a hot KEY still serializes (inherent), but a hot
         # key no longer adds a per-group tax to every other key.
-        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        n_buckets = _state_bucket_count()
         aug = df.select(
             "*",
             spec["key_col"].cast("string").alias("__wc_key"),
@@ -1069,21 +1077,15 @@ class CompiledRuleset:
         passthrough_cols = [f.name for f in aug.schema.fields if not f.name.startswith("__wc_")]
         _NULL_KEY = "\x00"  # JSON map slot for a null key value
 
-        def fn(key, pdf_iter, state):
+        def fold(pdf, smap):
+            """One micro-batch's worth of one bucket: sort, fold each
+            key segment against its carried deque, mutate ``smap`` in
+            place, return the output frame. Shared VERBATIM by both
+            state engines (applyInPandasWithState and the
+            transformWithStateInPandas port below), so their outputs
+            are identical by construction."""
             import numpy as np
 
-            smap = _json.loads(state.get[0]) if state.exists else {}
-            # Materialize the WHOLE group before sorting: pdf_iter
-            # yields ~maxRecordsPerBatch-row Arrow chunks and a later
-            # chunk may hold earlier timestamps — per-chunk sorting
-            # with per-chunk state folds would make counts depend on
-            # chunk boundaries and diverge from the batch path. One
-            # bucket's micro-batch volume bounds the concat.
-            chunks = [c for c in pdf_iter if len(c)]
-            if not chunks:
-                state.update((_json.dumps(smap),))
-                return
-            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["__wc_key", "__wc_sec"], kind="stable", na_position="last")
             keys = pdf["__wc_key"].to_numpy(dtype=object)
             sec_a = pdf["__wc_sec"].to_numpy(dtype="int64")
@@ -1123,8 +1125,71 @@ class CompiledRuleset:
             counts = np.where(gate_a, counts, 0)
             out = pdf[passthrough_cols].copy()
             out[name] = counts.astype("int64")
+            return out
+
+        def fn(key, pdf_iter, state):
+            smap = _json.loads(state.get[0]) if state.exists else {}
+            # Materialize the WHOLE group before sorting: pdf_iter
+            # yields ~maxRecordsPerBatch-row Arrow chunks and a later
+            # chunk may hold earlier timestamps — per-chunk sorting
+            # with per-chunk state folds would make counts depend on
+            # chunk boundaries and diverge from the batch path. One
+            # bucket's micro-batch volume bounds the concat.
+            chunks = [c for c in pdf_iter if len(c)]
+            if not chunks:
+                state.update((_json.dumps(smap),))
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            out = fold(pdf, smap)
             state.update((_json.dumps(smap),))
             yield out
+
+        # OSPREY_STATE_ENGINE=tws: the Spark 4 transformWithState
+        # port of this family (survey §1.5's forward path — typed
+        # state handles, TTL, RocksDB changelog checkpointing on a
+        # real cluster). Same bucket grouping, same `fold`, state in
+        # a named ValueState instead of the applyInPandasWithState
+        # tuple; outputs are identical by construction and pinned by
+        # tests/test_tws_window_counter.py. The TWS state-server
+        # protocol needs the `protobuf` package (absent from this
+        # container, like the Kafka jars) — on a standard cluster
+        # image the flag works as-is.
+        if _os.environ.get("OSPREY_STATE_ENGINE", "apply") == "tws":
+            from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+            state_schema = T.StructType(
+                [T.StructField("entries_json", T.StringType())]
+            )
+
+            class _WcProc(StatefulProcessor):
+                def init(self, handle):
+                    self._st = handle.getValueState("wc_entries", state_schema)
+
+                def handleInputRows(self, key, rows, timerValues):
+                    got = self._st.get() if self._st.exists() else None
+                    smap = _json.loads(got[0]) if got is not None else {}
+                    chunks = [c for c in rows if len(c)]
+                    if chunks:
+                        pdf = (
+                            pd.concat(chunks, ignore_index=True)
+                            if len(chunks) > 1
+                            else chunks[0]
+                        )
+                        out = fold(pdf, smap)
+                        self._st.update((_json.dumps(smap),))
+                        yield out
+                    else:
+                        self._st.update((_json.dumps(smap),))
+
+                def close(self):
+                    pass
+
+            return aug.groupBy("__wc_bkt").transformWithStateInPandas(
+                _WcProc(),
+                outputStructType=out_schema,
+                outputMode="append",
+                timeMode="None",
+            )
 
         return aug.groupBy("__wc_bkt").applyInPandasWithState(
             fn,
@@ -1377,7 +1442,7 @@ class CompiledRuleset:
                 "fused state pass"
             )
         rid = "__rl_rid"
-        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        n_buckets = _state_bucket_count()
         # same rid discipline as _join_cache: pin one materialization
         df = df.withColumn(rid, F.monotonically_increasing_id()).persist()
         if not hasattr(self, "_cache_persists"):
@@ -1597,7 +1662,7 @@ class CompiledRuleset:
         from pyspark.sql import types as T
 
         rx = _re.compile(pattern)
-        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        n_buckets = _state_bucket_count()
         aug = df.select(
             "*",
             spec["key_col"].cast("string").alias("__sq_key"),
@@ -1706,7 +1771,7 @@ class CompiledRuleset:
         from pyspark.sql import types as T
 
         sec = F.col(self.bindings.timestamp).cast("timestamp").cast("long")
-        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        n_buckets = _state_bucket_count()
         key_col = fspecs[0][1]["key_col"]
 
         ord_expr = F.lit(0.0)
@@ -2648,7 +2713,7 @@ class CompiledRuleset:
         import pandas as pd
         from pyspark.sql import types as T
 
-        n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+        n_buckets = _state_bucket_count()
         cast = spec["cast"]
         probe = df.select(
             "*",

@@ -47,6 +47,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..streaming.buckets import state_bucket_count
 
 
 def _validate_pattern(pattern: str) -> None:
@@ -319,7 +320,7 @@ def stream_sequence_match(
     if "^" in pattern or "$" in pattern:
         raise ValueError("anchors are not supported in the streaming form")
     rx = re.compile(pattern)
-    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    n_buckets = state_bucket_count()
 
     out_schema = StructType(
         [
@@ -592,7 +593,7 @@ def stream_response_absence(
     from ..streaming.sketches import parse_delay_seconds
 
     delay_sec = parse_delay_seconds(watermark)
-    n_buckets = int(_os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    n_buckets = state_bucket_count()
     sec = F.col(ts_col).cast("timestamp").cast("long")
     src = turns.withWatermark(ts_col, watermark).select(
         F.col(ts_col),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..streaming.buckets import state_bucket_count
 
 from ..functions.text import tokenize_col
 
@@ -185,7 +186,7 @@ def stream_turn_repetition(
         StructType,
     )
 
-    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    n_buckets = state_bucket_count()
     split_rx = _re.compile(r"[\W_]+", _re.ASCII)
     _q = Decimal("0.000001")
 
@@ -1904,14 +1905,34 @@ def changepoints(
                 ks = F.when(l <= r - 1, F.sequence(l, r - 1)).otherwise(
                     F.array().cast("array<long>")
                 )
-                return F.transform(
-                    ks,
-                    lambda k: F.struct(
-                        (-(_cost(l, r) - _cost(l, k) - _cost(k + 1, r))).alias(
-                            "g"
+                # _cost(l, r) is k-invariant: bind it (and l, r) once
+                # per SEGMENT via the single-element-array walk, so
+                # each candidate evaluates 2 cost reads instead of 3
+                # and the unrolled expression tree shrinks ~1/3
+                # (planning time is a real fraction of this query)
+                return F.flatten(
+                    F.transform(
+                        F.array(
+                            F.struct(
+                                _cost(l, r).alias("c"),
+                                l.alias("l"),
+                                r.alias("r"),
+                            )
                         ),
-                        k.alias("k"),
-                    ),
+                        lambda seg: F.transform(
+                            ks,
+                            lambda k: F.struct(
+                                (
+                                    -(
+                                        seg["c"]
+                                        - _cost(seg["l"], k)
+                                        - _cost(k + 1, seg["r"])
+                                    )
+                                ).alias("g"),
+                                k.alias("k"),
+                            ),
+                        ),
+                    )
                 )
 
             cands = F.flatten(

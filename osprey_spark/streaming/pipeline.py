@@ -105,6 +105,22 @@ class StreamingRuleEngine:
         # partition column so time-range reads prune at the directory
         # level (Iceberg: an hours(ts) transform beside bucket(N, conv_id))
         self.partition_hour = partition_hour
+        # state-bucket checkpoint stability (streaming/buckets.py): the
+        # bucket id is the state-store key, so resuming a checkpoint
+        # with a different resolved count would strand every key's
+        # state in its old bucket. Record the count on first run and
+        # fail LOUDLY on mismatch instead of silently losing state.
+        from .buckets import record_bucket_count, state_bucket_count
+
+        recorded = record_bucket_count(self.checkpoint_dir)
+        current = state_bucket_count()
+        if recorded != current:
+            raise ValueError(
+                f"checkpoint {self.checkpoint_dir} was created with "
+                f"{recorded} state buckets but this session resolves "
+                f"{current} (cores or env changed); set "
+                f"OSPREY_WC_STATE_BUCKETS={recorded} to resume safely"
+            )
         if tee is not None:
             self.sink = MultiSink(output_dir, tee, console=tee_console)
         else:

@@ -16,6 +16,8 @@ import json
 import os
 from typing import Iterator, Tuple
 
+from .buckets import state_bucket_count
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -134,7 +136,7 @@ def conversation_state(
     bucketing salts downstream, and upstream rule evaluation is
     stateless so AQE balances it.
     """
-    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    n_buckets = state_bucket_count()
     src = (
         turns.withWatermark("ts", watermark)
         .select(
@@ -452,7 +454,7 @@ def stream_asof_enrich(
     # state ops: group by a hash BUCKET of the key with a per-bucket
     # {key: entries} map, amortizing applyInPandasWithState's fixed
     # per-group cost; per-key segment folds keep semantics identical.
-    n_buckets = int(os.environ.get("OSPREY_WC_STATE_BUCKETS", "1024"))
+    n_buckets = state_bucket_count()
     _NULL_KEY = "\x00"
 
     def fn(key_tuple, pdf_iter, state):
