@@ -348,16 +348,23 @@ def dedup_groups(
             )
             cand = cand.join(jump, "_lbl", "left")
             best = F.least(best, F.coalesce(F.col("_jlbl"), F.col("_lbl")))
-        new_labels, new_ids = _checkpointed(cand.select("_u", best.alias("_lbl")))
-        changed = (
-            new_labels.join(labels.withColumnRenamed("_lbl", "_old"), "_u")
-            .filter(F.col("_lbl") != F.col("_old"))
-            .limit(1)
-            .count()
+        # the changed flag rides the checkpointed frame (best < old
+        # label iff anything improved — best is a min), so the
+        # fixpoint probe is a shuffle-free scan of the materialized
+        # round instead of a full labels⋈labels join per round
+        # (measured: the probe join was ~half of each tiny-graph
+        # round's wall time under the 200-partition default session)
+        new_all, new_ids = _checkpointed(
+            cand.select(
+                "_u",
+                best.alias("_newlbl"),
+                (best < F.col("_lbl")).alias("_chg"),
+            )
         )
+        changed = new_all.filter(F.col("_chg")).limit(1).count()
         _free(prev_ids)
         prev_ids, last_ids = last_ids, new_ids
-        labels = new_labels
+        labels = new_all.select("_u", F.col("_newlbl").alias("_lbl"))
         if changed == 0:
             converged = True
             break
